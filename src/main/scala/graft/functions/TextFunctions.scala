@@ -1,0 +1,62 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis building blocks for large-scale training-data pipelines:
+  * tokenization, shingling, stopword/quality features, MinHash signatures.
+  *
+  * Everything here is a plan-time `Column` expression over built-in
+  * higher-order functions — fully codegen'd, no UDFs, so the hot path stays
+  * inside whole-stage codegen and scales linearly with no shuffle of its own.
+  *
+  * Cross-engine notes (the DuckDB oracle must reproduce results exactly):
+  *  - Spark array indexing `a[i]` is 0-based (DuckDB's is 1-based);
+  *  - `sequence(1, n)` DESCENDS when n < 1 (DuckDB's generate_series is
+  *    empty) — every sequence length is clamped with `greatest(..., 1)`;
+  *  - md5 hex strings compare identically under both engines' binary
+  *    collation, which makes min-over-md5 a portable deterministic
+  *    hash-family for MinHash.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens (single-space split, reference-style). */
+  def tokens(c: String): Column = expr(s"split($c, ' ')")
+
+  /** Whitespace-run tokens (regex `\s+` split). */
+  def wsTokens(c: String): Column = expr(s"split($c, '\\\\s+')")
+
+  /** Regex tokens: letter runs, digit runs, or single punctuation — a
+    * BPE-ish pre-tokenizer shape. */
+  def regexTokens(c: String): Column =
+    expr(s"regexp_extract_all($c, '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)")
+
+  /** Distinct word n-gram shingles joined with spaces. */
+  def shingles(toksCol: String, n: Int): Column =
+    expr(s"array_distinct(transform(sequence(1, greatest(size($toksCol)-${n - 1}, 1)), " +
+      s"i -> array_join(slice($toksCol, i, $n), ' ')))")
+
+  /** Count of tokens that appear in `words`. */
+  def markerCount(toksCol: String, words: Seq[String]): Column = {
+    val lst = words.map(w => s"'$w'").mkString(", ")
+    expr(s"size(filter($toksCol, x -> x IN ($lst)))")
+  }
+
+  /** Set-Jaccard of two (already-distinct) array columns, exact int
+    * arithmetic until one final double division. */
+  def jaccard(a: String, b: String): Column =
+    expr(s"CAST(size(array_intersect($a, $b)) AS DOUBLE) / " +
+      s"(size($a) + size($b) - size(array_intersect($a, $b)))")
+
+  /** MinHash signature of length `k` over a shingle-array column: the j-th
+    * hash function is md5 with the index as a salt prefix; min is taken in
+    * hex-string order (portable across engines). */
+  def minhashSignature(shCol: String, k: Int): Column =
+    expr(s"transform(sequence(1, $k), i -> " +
+      s"array_min(transform($shCol, x -> md5(concat(CAST(i AS STRING), ':', x)))))")
+
+  /** LSH band keys from a MinHash signature, r=2 rows per band
+    * (0-based Spark indexing: band j covers sig[2j-2], sig[2j-1]). */
+  def bandKeys(mhCol: String, bands: Int): Column =
+    expr(s"transform(sequence(1, $bands), j -> concat($mhCol[2*j-2], '|', $mhCol[2*j-1]))")
+}

@@ -42,8 +42,8 @@ object Dedup {
 
   /** Non-deterministic-survivor content dedup (Polars `unique(keep="first")`
     * on unordered data is the same contract, `R:682`). */
-  def dedupByContent(df: DataFrame): DataFrame =
-    withContentHash(df).dropDuplicates("_content_hash").drop("_content_hash")
+  def dedupByContent(df: DataFrame, exclude: String => Boolean = _.startsWith("kafka_")): DataFrame =
+    withContentHash(df, exclude).dropDuplicates("_content_hash").drop("_content_hash")
 
   /** Deterministic keep-first: one row per key, survivor = min(orderCol).
     * Used where results must be oracle-comparable. */

@@ -1,0 +1,137 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+import graft.ingest.Dedup
+
+/** Training-data deduplication family over `documents` / `embeddings` /
+  * `events`: exact keep-first, brute n-gram Jaccard, MinHash+LSH, and
+  * embedding-cosine near-dup.
+  *
+  * The MinHash hash family is md5-with-salt-prefix, min taken in hex-string
+  * order — deliberately engine-portable so the DuckDB oracle replicates the
+  * *algorithm* (not just the intent) and the gate checks candidate
+  * generation + verification end to end.
+  *
+  * Scale story: the brute pairwise variants are correctness baselines and
+  * run on a bounded slice; LSH is the 100 TB path — its only wide ops are
+  * a shuffle on (band, bandKey) and a candidate-pair distinct, both of
+  * which scale with the number of colliding docs, not with n². */
+object DedupQueries {
+
+  /** Distinct 3-gram shingle sets, one row per document. */
+  private def shingled(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .withColumn("toks", tokens("text"))
+      .select(col("doc_id"), shingles("toks", 3).as("sh"))
+
+  private def verified(cand: DataFrame, sh: DataFrame, thresh: Double): DataFrame = {
+    val sa = sh.select(col("doc_id").as("a_id"), col("sh").as("sha"))
+    val sb = sh.select(col("doc_id").as("b_id"), col("sh").as("shb"))
+    cand.join(sa, "a_id").join(sb, "b_id")
+      .withColumn("jac", jaccard("sha", "shb"))
+      .filter(col("jac") >= thresh)
+      .select(col("a_id"), col("b_id"), col("jac"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  val entries: Seq[Entry] = Seq(
+
+    // ---- Exact dedup, deterministic keep-first survivor (min event_id per
+    // content group — the oracle states it as MIN, the impl as a
+    // row_number window; both are one shuffle on the content key).
+    entry("q_dedup_exact",
+      """SELECT MIN(event_id) AS event_id, event_type, props FROM events
+        |GROUP BY event_type, props ORDER BY event_id""".stripMargin) { (s, dir) =>
+      Dedup.dedupKeepFirst(
+          Tables(s, dir, "events").select("event_id", "event_type", "props"),
+          Seq(col("event_type"), col("props")), col("event_id"))
+        .orderBy(col("event_id"))
+    },
+
+    // ---- Brute-force n-gram Jaccard near-dup pairs (correctness baseline
+    // for LSH; bounded to doc_id < 1000 because all-pairs is O(n²) — the
+    // scale path is q_dedup_minhash_lsh below).
+    entry("q_dedup_ngram",
+      """WITH t AS (SELECT doc_id, string_split(text,' ') toks FROM documents WHERE doc_id < 1000),
+        | s AS (SELECT doc_id, list_distinct([array_to_string(toks[i:i+2],' ')
+        |        for i in generate_series(1, greatest(len(toks)-2,1))]) sh FROM t)
+        |SELECT a.doc_id a_id, b.doc_id b_id,
+        |  CAST(len(list_intersect(a.sh,b.sh)) AS DOUBLE)/(len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh))) jac
+        |FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.sh,b.sh)) AS DOUBLE)/(len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh))) >= 0.5
+        |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+      val sh = shingled(s, dir).filter(col("doc_id") < 1000)
+      val a = sh.select(col("doc_id").as("a_id"), col("sh").as("sha"))
+      val b = sh.select(col("doc_id").as("b_id"), col("sh").as("shb"))
+      a.join(b, col("a_id") < col("b_id"))
+        .withColumn("jac", jaccard("sha", "shb"))
+        .filter(col("jac") >= 0.5)
+        .select(col("a_id"), col("b_id"), col("jac"))
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
+    // ---- MinHash + LSH near-dup detection: 16-slot signature, 8 bands ×
+    // r=2, band-bucket equi-join for candidates, exact-Jaccard verify.
+    // The oracle replicates the identical algorithm, so the hash-match
+    // checks banding recall too. Scale: signature is a narrow map;
+    // candidates come from an equi-join on (band, key) — no all-pairs
+    // anywhere; verification touches only colliding pairs.
+    entry("q_dedup_minhash_lsh",
+      """WITH t AS (SELECT doc_id, string_split(text,' ') toks FROM documents),
+        | s AS (SELECT doc_id, list_distinct([array_to_string(toks[i:i+2],' ')
+        |        for i in generate_series(1, greatest(len(toks)-2,1))]) sh FROM t),
+        | sig AS (SELECT doc_id, sh, [list_aggregate([md5(i::VARCHAR||':'||x) for x in sh],'min')
+        |        for i in generate_series(1,16)] mh FROM s),
+        | bandkeys AS (SELECT doc_id, [mh[2*j-1]||'|'||mh[2*j] for j in generate_series(1,8)] bk FROM sig),
+        | bands AS (SELECT doc_id, generate_subscripts(bk,1) band, unnest(bk) bkey FROM bandkeys),
+        | cand AS (SELECT DISTINCT a.doc_id a_id, b.doc_id b_id
+        |          FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        | v AS (SELECT a_id, b_id,
+        |         CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)/(len(sa.sh)+len(sb.sh)-len(list_intersect(sa.sh, sb.sh))) jac
+        |       FROM cand JOIN s sa ON cand.a_id = sa.doc_id JOIN s sb ON cand.b_id = sb.doc_id)
+        |SELECT a_id, b_id, jac FROM v WHERE jac >= 0.5 ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+      val sh = shingled(s, dir)
+      val bands = sh
+        .withColumn("mh", minhashSignature("sh", 16))
+        .select(col("doc_id"), posexplode(bandKeys("mh", 8)).as(Seq("band", "bkey")))
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .distinct()
+      verified(cand, sh, 0.5)
+    },
+
+    // ---- Embedding-cosine near-dup pairs: quantized-exact arithmetic
+    // (see VectorFunctions). Quantize + norm once per vector (narrow map),
+    // then pairwise dot on the bounded vector set. At 100 TB the pairing
+    // would go through the LSH/IVF similarity path; this is the exact
+    // contract those approximate.
+    entry("q_dedup_embedding",
+      """WITH e AS (SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE)*1048576.0) AS BIGINT) for x in embedding] q FROM embeddings),
+        | terms AS (SELECT vec_id, x*x t FROM (SELECT vec_id, unnest(q) x FROM e)),
+        | n AS (SELECT vec_id, sqrt(CAST(SUM(t) AS DOUBLE)) nrm FROM terms GROUP BY 1),
+        | p0 AS (SELECT a.vec_id a_id, b.vec_id b_id, a.q aq, b.q bq FROM e a JOIN e b ON a.vec_id < b.vec_id),
+        | pt AS (SELECT a_id, b_id, aq[i]*bq[i] t FROM p0 CROSS JOIN generate_series(1,64) g(i)),
+        | p AS (SELECT a_id, b_id, CAST(SUM(t) AS DOUBLE) dot FROM pt GROUP BY 1,2)
+        |SELECT a_id, b_id, dot/(na.nrm*nb.nrm) cosine
+        |FROM p JOIN n na ON p.a_id = na.vec_id JOIN n nb ON p.b_id = nb.vec_id
+        |WHERE dot/(na.nrm*nb.nrm) >= 0.4 ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), quantize("embedding").as("q"))
+        .withColumn("nrm", qnorm("q"))
+      val a = e.select(col("vec_id").as("a_id"), col("q").as("aq"), col("nrm").as("anrm"))
+      val b = e.select(col("vec_id").as("b_id"), col("q").as("bq"), col("nrm").as("bnrm"))
+      a.join(b, col("a_id") < col("b_id"))
+        .withColumn("cosine", cosineFrom(qdot("aq", "bq"), col("anrm"), col("bnrm")))
+        .filter(col("cosine") >= 0.4)
+        .select(col("a_id"), col("b_id"), col("cosine"))
+        .orderBy(col("a_id"), col("b_id"))
+    }
+  )
+}

@@ -1,0 +1,175 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Exact
+import graft.ingest.{Dedup, JsonDecode, OffsetLedger}
+
+/** The collector-pipeline operator surface (SURVEY §2.1, §2.2, §2.8) mapped
+  * onto the `events` table, which plays the decoded-Kafka-record role:
+  * `user_id` ≈ kafka_partition, `event_id` ≈ kafka_offset, `ts` ≈ broker
+  * timestamp, `props` = JSON payload.
+  *
+  * Scale notes per query in comments. Every aggregate over doubles routes
+  * through [[graft.functions.Exact]]; every query ends in a total ORDER BY.
+  */
+object IngestQueries {
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events")
+
+  /** M0 flagship: decode → flatten → date-partition → keep-first dedup →
+    * group-agg. One narrow decode map (no shuffle), one window shuffle on
+    * event_id hash, one agg shuffle on the tiny (date, type) key space with
+    * map-side partial aggregation — the canonical ingest rollup shape that
+    * survives any scale-up. */
+  def flagship(s: SparkSession, dir: String): DataFrame = {
+    val decoded = JsonDecode.decodeFlat(s, events(s, dir), "props")
+    val dated = decoded.withColumn("date_path", date_format(col("ts"), "yyyy/MM/dd"))
+    val deduped = Dedup.dedupKeepFirst(dated, Seq(col("event_id")), col("ts"))
+    deduped
+      .groupBy(col("date_path"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        Exact.dsum(col("value")).as("sum_value"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("date_path"), col("event_type"))
+  }
+
+  val entries: Seq[Entry] = Seq(
+
+    // ---- E1 pipeline end-to-end (decode P8 + flatten P7 + F1/F2 date
+    // derive + A6-shape dedup + A1-shape agg).
+    entry("q_ingest_e2e",
+      """SELECT strftime(ts,'%Y/%m/%d') AS date_path, event_type,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS sum_value,
+        |  MAX(CAST(json_extract_string(props,'$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY 1, 2 ORDER BY date_path, event_type""".stripMargin)(
+      (s, dir) => flagship(s, dir)),
+
+    // ---- P8/P7: JSON decode + flatten projection, row-level output.
+    // The decode is a narrow map; schema comes from a bounded sample
+    // (JsonDecode mirrors the reference's one-shot format detection).
+    entry("q_json_flatten",
+      """SELECT event_id, CAST(json_extract_string(props,'$.k') AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+      JsonDecode.decodeFlat(s, events(s, dir), "props")
+        .select(col("event_id"), col("k"))
+        .orderBy(col("event_id"))
+    },
+
+    // ---- A1: offset ledger — resume position mined from the lake
+    // (collector :468-530). Projected 2-column scan (pruning reaches
+    // parquet), groupBy-max with one row per partition: the shuffle payload
+    // is O(#partitions), not O(rows), at any scale.
+    entry("q_offset_ledger",
+      """SELECT user_id, MAX(event_id) AS max_offset
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+      OffsetLedger.maxOffsets(events(s, dir), "user_id", "event_id")
+        .orderBy(col("user_id"))
+    },
+
+    // ---- F1/F2 + A2/A5: date-path derivation (collector :863-870) with
+    // per-date counts and distinct users.
+    entry("q_date_partition",
+      """SELECT strftime(ts,'%Y/%m/%d') AS date_path, COUNT(*) AS n,
+        |  COUNT(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1 ORDER BY date_path""".stripMargin) { (s, dir) =>
+      events(s, dir)
+        .withColumn("date_path", date_format(col("ts"), "yyyy/MM/dd"))
+        .groupBy(col("date_path"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("date_path"))
+    },
+
+    // ---- J1/J2: incremental-resume anti-join — drop records already in
+    // the lake, keyed (partition, offset) (collector :741-748). The
+    // existing side ships only its two key columns; when the ledger is
+    // bounded it broadcasts and the 100 TB incoming side never shuffles.
+    entry("q_incremental_antijoin",
+      """SELECT event_id, user_id FROM events e
+        |WHERE NOT EXISTS (SELECT 1 FROM events x
+        |                  WHERE x.event_id <= 5000
+        |                    AND x.user_id = e.user_id AND x.event_id = e.event_id)
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val lake = events(s, dir).filter(col("event_id") <= 5000)
+      Dedup.antiJoinNew(events(s, dir), lake, Seq("user_id", "event_id"),
+          broadcastExisting = true)
+        .select(col("event_id"), col("user_id"))
+        .orderBy(col("event_id"))
+    },
+
+    // ---- A2/A3/A9: count validation — per-partition actual counts plus
+    // offset-contiguity status (collector validate_topic :1398-1502). The
+    // whole check aggregates to one row per partition before any compare.
+    entry("q_count_validation",
+      """SELECT user_id, COUNT(*) AS n_rows, COUNT(DISTINCT event_id) AS n_distinct,
+        |  MIN(event_id) AS min_offset, MAX(event_id) AS max_offset,
+        |  CASE WHEN COUNT(*) = COUNT(DISTINCT event_id) THEN 'OK' ELSE 'MISMATCH' END AS status
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+      events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("event_id")).as("n_distinct"),
+          min(col("event_id")).as("min_offset"),
+          max(col("event_id")).as("max_offset"))
+        .withColumn("status",
+          when(col("n_rows") === col("n_distinct"), "OK").otherwise("MISMATCH"))
+        .orderBy(col("user_id"))
+    },
+
+    // ---- Streaming semantics §2.8: event-time tumbling window (the batch
+    // equivalent of the structured-streaming windowed agg in
+    // graft.streaming). Window keys are derived pre-shuffle; partial
+    // aggregation collapses each partition to O(#windows × #types) rows.
+    entry("q_window_tumbling",
+      """SELECT strftime(date_trunc('hour', ts),'%Y-%m-%d %H') AS hour_ts, event_type,
+        |  COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour_ts, event_type""".stripMargin) { (s, dir) =>
+      events(s, dir)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), Exact.dsum(col("value")).as("sum_value"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH").as("hour_ts"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy(col("hour_ts"), col("event_type"))
+    },
+
+    // ---- P8 msgpack: encode the JSON payloads to msgpack bytes, decode
+    // them back with the hand-rolled reader (graft.functions.Msgpack),
+    // then extract through the SAME from_json path native-JSON topics use.
+    // The oracle reads the original JSON — a full codec roundtrip check.
+    // Scale: two narrow maps; the UDF pair exists only in this test query,
+    // real ingests decode once.
+    entry("q_msgpack_roundtrip",
+      """SELECT event_id, CAST(json_extract_string(props,'$.k') AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+      import graft.functions.Msgpack
+      events(s, dir)
+        .withColumn("mp", Msgpack.jsonToMsgpackUdf(col("props")))
+        .withColumn("json2", Msgpack.msgpackToJson(col("mp")))
+        .withColumn("k", from_json(col("json2"),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.LongType)))).getField("k"))
+        .select(col("event_id"), col("k"))
+        .orderBy(col("event_id"))
+    },
+
+    // ---- A6/A7: content-hash dedup cardinality — xxhash64 over content
+    // columns then dropDuplicates; the count must equal DISTINCT over the
+    // same columns (hash collisions aside — none in this keyspace). The
+    // survivor row itself is nondeterministic (same as Polars
+    // unique(keep='first') on unordered input), so the oracle-checked
+    // output is the cardinality, not the rows.
+    entry("q_content_dedup_count",
+      """SELECT COUNT(*) AS n_distinct_content FROM (
+        |  SELECT DISTINCT user_id, event_type, value, props FROM events)""".stripMargin) { (s, dir) =>
+      val content = events(s, dir).select("user_id", "event_type", "value", "props")
+      Dedup.dedupByContent(content, exclude = _ => false)
+        .agg(count(lit(1)).as("n_distinct_content"))
+    }
+  )
+}

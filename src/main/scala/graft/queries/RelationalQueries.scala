@@ -22,7 +22,6 @@ object RelationalQueries {
 
   // Shared oracle fragments (DuckDB SQL, ANSI).
   private def dsum(x: String) = s"CAST(SUM(CAST($x AS DECIMAL(18,3))) AS DOUBLE)"
-  private def davg(x: String) = s"$dsumP($x)/COUNT(*)".replace("$dsumP(" + x + ")", dsum(x))
 
   val entries: Seq[Entry] = Seq(
 

@@ -1,0 +1,112 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Text-analysis operators over the `documents` table: token counting,
+  * quality scoring, language-ID heuristic, content fingerprinting — the
+  * per-document feature extraction a training-data pipeline runs before
+  * filtering/dedup.
+  *
+  * Every query is a narrow per-row map (higher-order functions, no UDF, no
+  * shuffle except the final presentation ORDER BY) — at 100 TB these are
+  * scan-bound and embarrassingly parallel.
+  */
+object TextQueries {
+
+  private val stopEn = Seq("the", "of", "and", "is", "to")
+  private val stopDe = Seq("der", "die", "das", "und", "ist")
+  private val stopEs = Seq("el", "la", "los", "es", "y")
+  private val stopFr = Seq("le", "la", "les", "est", "et")
+
+  val entries: Seq[Entry] = Seq(
+
+    // ---- Token counting: whitespace tokens + a BPE-ish regex pre-tokenizer
+    // (letter runs / digit runs / single punctuation).
+    entry("q_token_count",
+      """SELECT doc_id, len(regexp_split_to_array(text,'\s+')) AS n_ws,
+        |  len(regexp_extract_all(text,'[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          size(wsTokens("text")).as("n_ws"),
+          size(regexTokens("text")).as("n_bpe"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- Quality scoring: length, stopword ratio, alphabetic ratio,
+    // average token length — exact int counts with one final double
+    // division each, so both engines produce identical doubles.
+    entry("q_text_quality",
+      """WITH t AS (SELECT doc_id, text, regexp_split_to_array(text,'\s+') toks FROM documents)
+        |SELECT doc_id, length(text) AS n_chars, len(toks) AS n_tokens,
+        |  CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)/len(toks) AS stopword_ratio,
+        |  CAST(length(regexp_replace(text,'[^a-z]','','g')) AS DOUBLE)/length(text) AS alpha_ratio,
+        |  CAST(length(text)-len(toks)+1 AS DOUBLE)/len(toks) AS avg_token_len
+        |FROM t ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .withColumn("toks", wsTokens("text"))
+        .select(col("doc_id"),
+          length(col("text")).as("n_chars"),
+          size(col("toks")).as("n_tokens"),
+          (markerCount("toks", Seq("the", "a", "of", "and", "to", "in", "is")).cast("double")
+            / size(col("toks"))).as("stopword_ratio"),
+          (length(regexp_replace(col("text"), "[^a-z]", "")).cast("double")
+            / length(col("text"))).as("alpha_ratio"),
+          ((length(col("text")) - size(col("toks")) + lit(1)).cast("double")
+            / size(col("toks"))).as("avg_token_len"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- Language ID: marker-word voting with a deterministic argmax
+    // tiebreak (en > de > es > fr), 'und' when no marker hits.
+    entry("q_lang_id",
+      """WITH t AS (SELECT doc_id, lang, regexp_split_to_array(text,'\s+') toks FROM documents),
+        | c AS (SELECT doc_id, lang,
+        |   len(list_filter(toks, x -> x IN ('the','of','and','is','to'))) c_en,
+        |   len(list_filter(toks, x -> x IN ('der','die','das','und','ist'))) c_de,
+        |   len(list_filter(toks, x -> x IN ('el','la','los','es','y'))) c_es,
+        |   len(list_filter(toks, x -> x IN ('le','la','les','est','et'))) c_fr
+        |  FROM t)
+        |SELECT doc_id, lang, c_en, c_de, c_es, c_fr,
+        |  CASE WHEN c_en = 0 AND c_de = 0 AND c_es = 0 AND c_fr = 0 THEN 'und'
+        |       WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr THEN 'en'
+        |       WHEN c_de >= c_es AND c_de >= c_fr THEN 'de'
+        |       WHEN c_es >= c_fr THEN 'es' ELSE 'fr' END pred_lang
+        |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .withColumn("toks", wsTokens("text"))
+        .select(col("doc_id"), col("lang"),
+          markerCount("toks", stopEn).as("c_en"),
+          markerCount("toks", stopDe).as("c_de"),
+          markerCount("toks", stopEs).as("c_es"),
+          markerCount("toks", stopFr).as("c_fr"))
+        .withColumn("pred_lang",
+          when(col("c_en") === 0 && col("c_de") === 0 && col("c_es") === 0 && col("c_fr") === 0, "und")
+            .when(col("c_en") >= col("c_de") && col("c_en") >= col("c_es") && col("c_en") >= col("c_fr"), "en")
+            .when(col("c_de") >= col("c_es") && col("c_de") >= col("c_fr"), "de")
+            .when(col("c_es") >= col("c_fr"), "es")
+            .otherwise("fr"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- Document fingerprinting: whole-content md5 plus the minimum
+    // 5-gram-shingle md5 (a 1-function MinHash — robust to small edits).
+    entry("q_doc_fingerprint",
+      """WITH t AS (SELECT doc_id, string_split(text,' ') toks, text FROM documents),
+        | s AS (SELECT doc_id, text,
+        |   [array_to_string(toks[i:i+4],' ') for i in generate_series(1, greatest(len(toks)-4,1))] sh FROM t)
+        |SELECT doc_id, md5(text) fp, list_aggregate([md5(x) for x in sh],'min') min_shingle_fp
+        |FROM s ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .withColumn("toks", tokens("text"))
+        .withColumn("sh", expr(
+          "transform(sequence(1, greatest(size(toks)-4, 1)), i -> array_join(slice(toks, i, 5), ' '))"))
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"),
+          expr("array_min(transform(sh, x -> md5(x)))").as("min_shingle_fp"))
+        .orderBy(col("doc_id"))
+    }
+  )
+}

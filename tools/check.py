@@ -1,0 +1,52 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's correctness gate: reads Verify's output
+parquets + oracle_sql.json, runs each oracle in DuckDB over the same sf dir,
+compares values with columns sorted by name and rows in result order."""
+import sys, json, glob, os
+import duckdb
+import pyarrow.parquet as pq
+
+outdir = sys.argv[1] if len(sys.argv) > 1 else '/tmp/verify_out'
+sfdir = sys.argv[2] if len(sys.argv) > 2 else '/root/testdata/sf0.01'
+
+con = duckdb.connect()
+for t in ['region','nation','customer','supplier','part','orders','lineitem','events','documents','embeddings']:
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+
+oracle = json.load(open(f'{outdir}/oracle_sql.json'))
+names = sorted(d for d in os.listdir(outdir) if os.path.isdir(f'{outdir}/{d}'))
+nfail = 0
+for name in names:
+    files = glob.glob(f'{outdir}/{name}/*.parquet')
+    if not files:
+        print(f'FAIL {name}: no output parquet'); nfail += 1; continue
+    tbl = pq.read_table(files[0])
+    scols = sorted(tbl.column_names)
+    srows = [tuple(r[c] for c in scols) for r in tbl.to_pylist()]
+    if name not in oracle:
+        print(f'noro {name}: rows={len(srows)} (rows-only check, no oracle)')
+        if not srows: nfail += 1
+        continue
+    try:
+        d = con.sql(oracle[name])
+        dcols_raw = list(d.columns)
+        drows_raw = d.fetchall()
+    except Exception as e:
+        print(f'FAIL {name}: duckdb error: {str(e)[:200]}'); nfail += 1; continue
+    order = sorted(range(len(dcols_raw)), key=lambda i: dcols_raw[i])
+    dcols = sorted(dcols_raw)
+    drows = [tuple(r[i] for i in order) for r in drows_raw]
+    if scols != dcols:
+        print(f'FAIL {name}: cols spark={scols} duck={dcols}'); nfail += 1; continue
+    if len(srows) != len(drows):
+        print(f'FAIL {name}: rows spark={len(srows)} duck={len(drows)}'); nfail += 1; continue
+    bad = [(i,a,b) for i,(a,b) in enumerate(zip(srows,drows)) if a != b]
+    if bad:
+        print(f'FAIL {name}: {len(bad)}/{len(srows)} rows differ, first at {bad[0][0]}:')
+        print('  spark:', bad[0][1]); print('  duck: ', bad[0][2]); nfail += 1; continue
+    print(f'OK   {name} ({len(srows)} rows)')
+missing = set(oracle) - set(names)
+if missing:
+    print('MISSING outputs for:', sorted(missing)); nfail += 1
+print(f'--- {len(names)-nfail}/{len(names)} pass')
+sys.exit(1 if nfail else 0)
