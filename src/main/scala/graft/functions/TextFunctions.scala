@@ -59,4 +59,19 @@ object TextFunctions {
     * (0-based Spark indexing: band j covers sig[2j-2], sig[2j-1]). */
   def bandKeys(mhCol: String, bands: Int): Column =
     expr(s"transform(sequence(1, $bands), j -> concat($mhCol[2*j-2], '|', $mhCol[2*j-1]))")
+
+  /** SimHash fingerprint as a 64-char '0'/'1' string from a column of
+    * per-token md5 hex strings (`hsCol`) and the token count (`nCol`).
+    * Bit b is set when at least half the token hashes have bit b set,
+    * where bit b lives in hex nibble b/4 at weight 2^(b%4) — md5-derived
+    * so the DuckDB oracle replays the identical bit extraction. */
+  def simhashBits(hsCol: String, nCol: String): Column =
+    expr(s"array_join(transform(sequence(0, 63), b -> " +
+      s"CASE WHEN 2 * size(filter($hsCol, m -> " +
+      s"((instr('0123456789abcdef', substring(m, CAST(b DIV 4 AS INT) + 1, 1)) - 1) " +
+      s"DIV CAST(pow(2, b % 4) AS INT)) % 2 = 1)) >= $nCol THEN '1' ELSE '0' END), '')")
+
+  /** Hamming distance between two equal-length bit-string columns. */
+  def hammingDist(a: String, b: String): Column =
+    expr(s"size(filter(sequence(1, 64), i -> substring($a, i, 1) != substring($b, i, 1)))")
 }

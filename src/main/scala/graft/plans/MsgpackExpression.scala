@@ -1,0 +1,78 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.Msgpack
+
+/** Native Catalyst expression for msgpack→JSON decode — the codegen upgrade
+  * over the plain UDF in [[graft.functions.Msgpack]] (preference order per
+  * the build brief: built-in > native Expression > UDF).
+  *
+  * Unlike a Scala UDF this participates in whole-stage codegen: the
+  * generated code calls the static decoder directly with no
+  * encoder/serializer round-trip per row, and stays inside the fused
+  * pipeline stage — on a 100 TB decode pass that removes one
+  * InternalRow↔Row conversion per record.
+  *
+  * Mirrors the reference's `decode_message` msgpack branch
+  * (`app/redpanda_to_parquet_collector.py:223-256`); malformed input yields
+  * null (caller degrades to raw_value, `:240-241`).
+  */
+case class MsgpackToJsonExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "msgpack_to_json"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = Msgpack.toJson(input.asInstanceOf[Array[Byte]])
+    if (s == null) null else UTF8String.fromString(s)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val s = ctx.freshName("decoded")
+    ev.copy(code =
+      code"""
+        ${c.code}
+        boolean ${ev.isNull} = true;
+        UTF8String ${ev.value} = null;
+        if (!${c.isNull}) {
+          String $s = graft.functions.Msgpack.toJson(${c.value});
+          if ($s != null) {
+            ${ev.isNull} = false;
+            ${ev.value} = UTF8String.fromString($s);
+          }
+        }""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MsgpackToJsonExpr =
+    copy(child = newChild)
+}
+
+/** Session-extension registration: `spark.sql("SELECT msgpack_to_json(b)")`
+  * works in any session built `.withExtensions(new GraftExtensions)` (or via
+  * `spark.sql.extensions=graft.plans.GraftExtensions`). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(GraftExtensions.msgpackToJsonFn)
+  }
+}
+
+object GraftExtensions {
+  private val msgpackToJsonFn = (
+    new FunctionIdentifier("msgpack_to_json"),
+    new ExpressionInfo(classOf[MsgpackToJsonExpr].getName, "msgpack_to_json"),
+    (children: Seq[Expression]) => MsgpackToJsonExpr(children.head): Expression)
+
+  /** Register into an already-built session (extensions are otherwise
+    * builder-time only). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry
+      .registerFunction(msgpackToJsonFn._1, msgpackToJsonFn._2, msgpackToJsonFn._3)
+}

@@ -23,9 +23,17 @@ import graft.ingest.Dedup
   * which scale with the number of colliding docs, not with n². */
 object DedupQueries {
 
-  /** Distinct 3-gram shingle sets, one row per document. */
+  /** Distinct 3-gram shingle sets, one row per document.
+    *
+    * `documents` is a single parquet file, so every downstream
+    * nested-loop pair join would otherwise inherit ONE partition and run
+    * single-core (the streamed side of a BroadcastNestedLoopJoin keeps its
+    * input partitioning). The compute here is per-PAIR, not per-byte, so we
+    * explicitly spread the streamed side across the cluster — at scale this
+    * is the difference between 1 core and all of them. */
   private def shingled(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
+      .repartition(col("doc_id"))
       .withColumn("toks", tokens("text"))
       .select(col("doc_id"), shingles("toks", 3).as("sh"))
 
@@ -107,6 +115,40 @@ object DedupQueries {
       verified(cand, sh, 0.5)
     },
 
+    // ---- SimHash near-dup candidates: 64-bit fingerprint from per-token
+    // md5 bit-majorities, pairs at hamming ≤ 1. Fingerprinting is a narrow
+    // map; at scale candidate pairing goes through bucket-splitting on
+    // fingerprint prefixes (same shape as LSH banding) rather than the
+    // bounded all-pairs here. The md5 bit extraction is engine-portable so
+    // the oracle replays the full algorithm.
+    entry("q_dedup_simhash",
+      """WITH t AS (SELECT doc_id, string_split(text,' ') toks FROM documents WHERE doc_id < 1000),
+        | h AS (SELECT doc_id, [md5(x) for x in list_distinct(toks)] hs, len(list_distinct(toks)) n FROM t),
+        | f AS (SELECT doc_id, array_to_string([
+        |   CASE WHEN 2 * len(list_filter(hs, m ->
+        |     ((strpos('0123456789abcdef', substr(m, CAST(b // 4 AS INT) + 1, 1)) - 1) // CAST(pow(2, b % 4) AS INT)) % 2 = 1
+        |   )) >= n THEN '1' ELSE '0' END for b in generate_series(0,63)], '') fp FROM h)
+        |SELECT a.doc_id a_id, b.doc_id b_id,
+        |  len(list_filter(generate_series(1,64), i -> substr(a.fp, i, 1) != substr(b.fp, i, 1))) hamming
+        |FROM f a JOIN f b ON a.doc_id < b.doc_id
+        |WHERE len(list_filter(generate_series(1,64), i -> substr(a.fp, i, 1) != substr(b.fp, i, 1))) <= 1
+        |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+      val f = Tables(s, dir, "documents")
+        .filter(col("doc_id") < 1000)
+        .repartition(col("doc_id")) // single-file input → spread the pair loop
+        .withColumn("toks", tokens("text"))
+        .withColumn("hs", expr("transform(array_distinct(toks), x -> md5(x))"))
+        .withColumn("n", expr("size(array_distinct(toks))"))
+        .select(col("doc_id"), simhashBits("hs", "n").as("fp"))
+      val a = f.select(col("doc_id").as("a_id"), col("fp").as("fpa"))
+      val b = f.select(col("doc_id").as("b_id"), col("fp").as("fpb"))
+      a.join(b, col("a_id") < col("b_id"))
+        .withColumn("hamming", hammingDist("fpa", "fpb"))
+        .filter(col("hamming") <= 1)
+        .select(col("a_id"), col("b_id"), col("hamming"))
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
     // ---- Embedding-cosine near-dup pairs: quantized-exact arithmetic
     // (see VectorFunctions). Quantize + norm once per vector (narrow map),
     // then pairwise dot on the bounded vector set. At 100 TB the pairing
@@ -123,6 +165,7 @@ object DedupQueries {
         |FROM p JOIN n na ON p.a_id = na.vec_id JOIN n nb ON p.b_id = nb.vec_id
         |WHERE dot/(na.nrm*nb.nrm) >= 0.4 ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
       val e = Tables(s, dir, "embeddings")
+        .repartition(col("vec_id")) // single-file input → spread the pair loop
         .select(col("vec_id"), quantize("embedding").as("q"))
         .withColumn("nrm", qnorm("q"))
       val a = e.select(col("vec_id").as("a_id"), col("q").as("aq"), col("nrm").as("anrm"))

@@ -30,6 +30,41 @@ object MultimodalQueries {
           md5(col("payload")).as("content_md5"),
           ceil(length(col("payload")) / lit(256.0)).cast("long").as("n_frames"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- Partition-batched feature extraction (mapPartitions — the
+    // Scala twin of mapInPandas): decode stub → 16-bin byte histogram,
+    // normalized. Exact int counts, one double division — the DuckDB
+    // oracle recomputes the identical histogram character-wise (payloads
+    // here are pure-ASCII text bytes, asserted by q_mm_meta's lengths).
+    entry("q_mm_features",
+      """WITH chars AS (SELECT doc_id, [ascii(c) % 16 for c in regexp_extract_all(text, '.')] cls,
+        |                      octet_length(encode(text)) n FROM documents)
+        |SELECT doc_id, k AS feat_idx,
+        |  CAST(len(list_filter(cls, x -> x = k)) AS DOUBLE) / n AS feat_value
+        |FROM chars CROSS JOIN generate_series(0, 15) g(k)
+        |ORDER BY doc_id, feat_idx""".stripMargin) { (s, dir) =>
+      import graft.multimodal.Multimodal
+      Multimodal.extractFeatures(
+          Tables(s, dir, "documents").withColumn("payload", col("text").cast("binary")),
+          "doc_id", "payload", dim = 16)
+        .toDF()
+        .orderBy(col("doc_id"), col("feat_idx"))
+    },
+
+    // ---- Frame sampling (video-decoder stub): 256-byte frames, every 4th
+    // sampled, md5-fingerprinted — mapPartitions batch shape again; the
+    // oracle slices the same bytes with substr (ASCII ⇒ chars == bytes).
+    entry("q_mm_frame_sample",
+      """WITH fr AS (SELECT doc_id, unnest(generate_series(0, CAST(ceil(octet_length(encode(text))/256.0) AS INT) - 1)) frame_idx, text FROM documents)
+        |SELECT doc_id, frame_idx, md5(substr(text, frame_idx*256 + 1, 256)) frame_md5
+        |FROM fr WHERE frame_idx % 4 = 0 ORDER BY doc_id, frame_idx""".stripMargin) { (s, dir) =>
+      import graft.multimodal.Multimodal
+      Multimodal.sampleFrames(
+          Tables(s, dir, "documents").withColumn("payload", col("text").cast("binary")),
+          "doc_id", "payload", frameSize = 256, stride = 4)
+        .toDF()
+        .orderBy(col("doc_id"), col("frame_idx"))
     }
   )
 }

@@ -34,6 +34,7 @@ object SimilarityQueries {
         | r AS (SELECT qid, cid, cosine, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) rnk FROM s)
         |SELECT qid, rnk, cid, cosine FROM r WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin) { (s, dir) =>
       val e = Tables(s, dir, "embeddings")
+        .repartition(col("vec_id")) // single-file input → spread the scan×query loop
         .select(col("vec_id"), quantize("embedding").as("q"))
         .withColumn("nrm", qnorm("q"))
       val queries = broadcast(
@@ -45,6 +46,113 @@ object SimilarityQueries {
       val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid").asc)
       scored
         .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 10)
+        .select(col("qid"), col("rnk"), col("cid"), col("cosine"))
+        .orderBy(col("qid"), col("rnk"))
+    },
+
+    // ---- IVF (inverted-file) kNN, the scale path: vectors are bucketed
+    // into cells (centroid = exact per-label mean of quantized vectors —
+    // the "trained" coarse quantizer), queries probe their 2 nearest cells
+    // and search exhaustively only inside them. Assignment uses the
+    // scaled-integer distance n²·|q/n − c|² = |n·q − s|², all int64, so
+    // cell membership is deterministic and the oracle replays it. At 100 TB
+    // the corpus scan partitions BY CELL (partition pruning on the probe
+    // list) — only probed cells are read at all.
+    entry("q_knn_ivf",
+      """WITH e AS (SELECT vec_id, label, [CAST(floor(CAST(x AS DOUBLE)*1048576.0) AS BIGINT) for x in embedding] q FROM embeddings),
+        | nt AS (SELECT vec_id, x*x t FROM (SELECT vec_id, unnest(q) x FROM e)),
+        | n AS (SELECT vec_id, sqrt(CAST(SUM(t) AS DOUBLE)) nrm FROM nt GROUP BY 1),
+        | ct AS (SELECT label cl, i, SUM(q[i]) si, COUNT(*) cn FROM e CROSS JOIN generate_series(1,64) g(i) GROUP BY 1, 2),
+        | dt AS (SELECT e.vec_id, ct.cl, SUM((ct.cn*e.q[ct.i] - ct.si)*(ct.cn*e.q[ct.i] - ct.si)) d2
+        |        FROM e CROSS JOIN ct GROUP BY 1, 2),
+        | asg AS (SELECT vec_id, cl, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cl) r FROM dt),
+        | cell AS (SELECT vec_id, cl FROM asg WHERE r = 1),
+        | probe AS (SELECT vec_id qid, cl FROM asg WHERE r <= 2 AND vec_id < 5),
+        | cands AS (SELECT p.qid, c.vec_id cid FROM probe p JOIN cell c ON p.cl = c.cl WHERE c.vec_id <> p.qid),
+        | pt AS (SELECT cands.qid, cands.cid, a.q[i]*b.q[i] t
+        |        FROM cands JOIN e a ON cands.qid = a.vec_id JOIN e b ON cands.cid = b.vec_id
+        |        CROSS JOIN generate_series(1,64) g(i)),
+        | pd AS (SELECT qid, cid, CAST(SUM(t) AS DOUBLE) dot FROM pt GROUP BY 1,2),
+        | sc AS (SELECT pd.qid, pd.cid, dot/(na.nrm*nb.nrm) cosine FROM pd
+        |        JOIN n na ON na.vec_id = pd.qid JOIN n nb ON nb.vec_id = pd.cid),
+        | r AS (SELECT qid, cid, cosine, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) rnk FROM sc)
+        |SELECT qid, rnk, cid, cosine FROM r WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin) { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+        .repartition(col("vec_id")) // single-file input → spread assignment + search
+        .select(col("vec_id"), col("label"), quantize("embedding").as("q"))
+        .withColumn("nrm", qnorm("q"))
+      // exact centroid sums per cell: element-wise vector sum via fold;
+      // dim fixed at 64 (testdata) — at scale this is one tiny groupBy.
+      val cs = e.groupBy(col("label").as("cl"))
+        .agg(expr("aggregate(collect_list(q), array_repeat(CAST(0 AS BIGINT), 64), " +
+          "(acc, v) -> zip_with(acc, v, (a, b) -> a + b))").as("s"),
+          count(lit(1)).as("cn"))
+      val asg = e.crossJoin(broadcast(cs))
+        .withColumn("d2", expr("aggregate(zip_with(q, s, (x, y) -> (cn*x - y)*(cn*x - y)), " +
+          "CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+        .withColumn("r", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cl"))))
+      val cell = asg.filter(col("r") === 1).select(col("vec_id"), col("cl"))
+      val probe = asg.filter(col("r") <= 2 && col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("cl"))
+      val cands = probe.join(cell, "cl").filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("cid"))
+      val qe = e.select(col("vec_id").as("qid"), col("q").as("aq"), col("nrm").as("qnrm"))
+      val ce = e.select(col("vec_id").as("cid"), col("q").as("bq"), col("nrm").as("cnrm"))
+      val scored = cands.join(broadcast(qe), "qid").join(ce, "cid")
+        .withColumn("cosine", cosineFrom(qdot("aq", "bq"), col("qnrm"), col("cnrm")))
+      scored
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid").asc)))
+        .filter(col("rnk") <= 10)
+        .select(col("qid"), col("rnk"), col("cid"), col("cosine"))
+        .orderBy(col("qid"), col("rnk"))
+    },
+
+    // ---- Random-hyperplane LSH ANN: 8 md5-derived integer hyperplanes
+    // give an 8-bit bucket code; candidates share the query's bucket;
+    // exact cosine ranks only those. Bucketing is a narrow map + one
+    // equi-join on the code — the classic sublinear ANN shape. (Planes are
+    // recomputed per row here for oracle portability; a production run
+    // would materialize them once and broadcast.)
+    entry("q_ann_lsh",
+      """WITH e AS (SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE)*1048576.0) AS BIGINT) for x in embedding] q FROM embeddings),
+        | nt AS (SELECT vec_id, x*x t FROM (SELECT vec_id, unnest(q) x FROM e)),
+        | n AS (SELECT vec_id, sqrt(CAST(SUM(t) AS DOUBLE)) nrm FROM nt GROUP BY 1),
+        | bt AS (SELECT vec_id, b, SUM(q[i] * ((strpos('0123456789abcdef', substr(md5(b::VARCHAR||'_'||i::VARCHAR), 1, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(md5(b::VARCHAR||'_'||i::VARCHAR), 2, 1)) - 1 - 128)) s
+        |        FROM e CROSS JOIN generate_series(0,7) gb(b) CROSS JOIN generate_series(1,64) gi(i) GROUP BY 1, 2),
+        | code AS (SELECT vec_id, array_to_string(list(CASE WHEN s >= 0 THEN '1' ELSE '0' END ORDER BY b), '') bucket FROM bt GROUP BY vec_id),
+        | qs AS (SELECT vec_id qid, bucket FROM code WHERE vec_id < 5),
+        | cands AS (SELECT qs.qid, c.vec_id cid FROM qs JOIN code c ON qs.bucket = c.bucket WHERE c.vec_id <> qs.qid),
+        | pt AS (SELECT cands.qid, cands.cid, a.q[i]*b.q[i] t
+        |        FROM cands JOIN e a ON cands.qid = a.vec_id JOIN e b ON cands.cid = b.vec_id
+        |        CROSS JOIN generate_series(1,64) g(i)),
+        | pd AS (SELECT qid, cid, CAST(SUM(t) AS DOUBLE) dot FROM pt GROUP BY 1,2),
+        | sc AS (SELECT pd.qid, pd.cid, dot/(na.nrm*nb.nrm) cosine FROM pd
+        |        JOIN n na ON na.vec_id = pd.qid JOIN n nb ON nb.vec_id = pd.cid),
+        | r AS (SELECT qid, cid, cosine, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) rnk FROM sc)
+        |SELECT qid, rnk, cid, cosine FROM r WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin) { (s, dir) =>
+      val hp = "(instr('0123456789abcdef', substring(md5(concat(CAST(b AS STRING),'_',CAST(i AS STRING))), 1, 1)) - 1) * 16 + " +
+        "instr('0123456789abcdef', substring(md5(concat(CAST(b AS STRING),'_',CAST(i AS STRING))), 2, 1)) - 1 - 128"
+      val e = Tables(s, dir, "embeddings")
+        .repartition(col("vec_id")) // single-file input → spread hyperplane hashing
+        .select(col("vec_id"), quantize("embedding").as("q"))
+        .withColumn("nrm", qnorm("q"))
+      val code = e.withColumn("bucket",
+        expr(s"array_join(transform(sequence(0, 7), b -> CASE WHEN " +
+          s"aggregate(zip_with(q, sequence(1, 64), (x, i) -> x * ($hp)), CAST(0 AS BIGINT), (acc, v) -> acc + v) " +
+          s">= 0 THEN '1' ELSE '0' END), '')"))
+      val qs = code.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("bucket"), col("q").as("aq"), col("nrm").as("qnrm"))
+      val cands = broadcast(qs).join(
+          code.select(col("vec_id").as("cid"), col("bucket"), col("q").as("bq"), col("nrm").as("cnrm")),
+          "bucket")
+        .filter(col("qid") =!= col("cid"))
+        .withColumn("cosine", cosineFrom(qdot("aq", "bq"), col("qnrm"), col("cnrm")))
+      cands
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid").asc)))
         .filter(col("rnk") <= 10)
         .select(col("qid"), col("rnk"), col("cid"), col("cosine"))
         .orderBy(col("qid"), col("rnk"))

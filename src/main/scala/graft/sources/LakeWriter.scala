@@ -1,0 +1,119 @@
+package graft.sources
+
+import java.security.MessageDigest
+
+import org.apache.hadoop.fs.{FileSystem, FileUtil, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Lake sink family (SURVEY §2.1 S9-S13): date-partitioned zstd parquet
+  * with schema-versioned sibling outputs.
+  *
+  * Spark-first notes:
+  *  - Atomic writes (reference S9, temp + rename `:697-708`) come free from
+  *    Spark's commit protocol — every `df.write` stages to `_temporary/` and
+  *    renames on task/job commit; nothing to hand-roll.
+  *  - Parallel per-date writes (reference S12's ThreadPool ≤ 4, `:844-928`)
+  *    are a single `partitionBy("date_path")` job — the cluster scheduler
+  *    parallelizes across ALL partitions and executors, not 4 threads.
+  *  - Sort-clustering before write (reference W1 `:859-860`) is
+  *    `sortWithinPartitions`, which keeps the global shuffle out of the
+  *    write path while preserving read locality within each file.
+  *  - zstd + 1M row groups (reference `:97-99`) are reader/writer options.
+  *
+  * Schema versioning (S11, reference `:435-465`, `:795-819`): on a write
+  * whose schema hash differs from the existing lake table's, write to a
+  * `<table>_vN` sibling directory instead of merging or failing. Readers
+  * can union versions back with `mergeSchema=true`.
+  */
+object LakeWriter {
+
+  /** md5-over-sorted-`name:type` schema fingerprint, 8 hex chars — the
+    * reference's get_schema_hash (`:414-432`). */
+  def schemaHash(schema: StructType): String = {
+    val canon = schema.fields.map(f => s"${f.name}:${f.dataType.simpleString}")
+      .sorted.mkString("|")
+    MessageDigest.getInstance("MD5").digest(canon.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(8)
+  }
+
+  /** Derive the reference's `date_path` partition key from a timestamp col. */
+  def withDatePath(df: DataFrame, tsCol: String = "ts"): DataFrame =
+    df.withColumn("date_path", date_format(col(tsCol), "yyyy/MM/dd"))
+
+  /** S9+S12+W1: sort-clustered, date-partitioned, zstd atomic write. */
+  def writePartitioned(df: DataFrame, dest: String,
+                       clusterBy: Seq[String] = Seq("user_id", "event_id")): Unit =
+    df.sortWithinPartitions(clusterBy.map(col): _*)
+      .write.mode(SaveMode.Append)
+      .option("compression", "zstd")
+      .partitionBy("date_path")
+      .parquet(dest)
+
+  /** S11: write to `dest/<table>` if schema matches (or first write), else
+    * to the next free `dest/<table>_vN`. Returns the chosen path. */
+  def writeVersioned(df: DataFrame, dest: String, table: String): String = {
+    val spark = df.sparkSession
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val base = new Path(s"$dest/$table")
+    val target =
+      if (!fs.exists(base)) base
+      else {
+        val existing = spark.read.parquet(base.toString).schema
+        if (schemaHash(existing) == schemaHash(df.schema)) base
+        else {
+          var n = 2
+          while (fs.exists(new Path(s"$dest/${table}_v$n")) &&
+            schemaHash(spark.read.parquet(s"$dest/${table}_v$n").schema) != schemaHash(df.schema)) n += 1
+          new Path(s"$dest/${table}_v$n")
+        }
+      }
+    df.write.mode(SaveMode.Append).option("compression", "zstd").parquet(target.toString)
+    target.toString
+  }
+
+  /** Read a table back across ALL its schema versions (base + _vN),
+    * union-by-name with missing columns nulled — the read-side complement
+    * of writeVersioned (reference readers enumerate version files
+    * `parquet_to_polars.py:544-574`). */
+  def readAllVersions(spark: SparkSession, dest: String, table: String): DataFrame = {
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val dirs = Seq(s"$dest/$table") ++
+      Iterator.from(2).map(n => s"$dest/${table}_v$n")
+        .takeWhile(p => fs.exists(new Path(p)))
+    dirs.filter(p => fs.exists(new Path(p)))
+      .map(spark.read.parquet(_))
+      .reduceLeft(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** S10: fast-append staging write (deferred-dedup phase 1, `:652-686`). */
+  def writeStaging(df: DataFrame, stagingDir: String, topic: String, sessionId: String): String = {
+    val path = s"$stagingDir/${topic}_$sessionId"
+    df.write.mode(SaveMode.Overwrite).option("compression", "zstd").parquet(path)
+    path
+  }
+
+  /** S13: backup a lake path before a destructive rewrite (`R:620-651`). */
+  def backup(spark: SparkSession, src: String, backupRoot: String, stamp: String): String = {
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val dst = new Path(s"$backupRoot/$stamp/${new Path(src).getName}")
+    fs.mkdirs(dst.getParent)
+    FileUtil.copy(fs, new Path(src), fs, dst, false, spark.sparkContext.hadoopConfiguration)
+    dst.toString
+  }
+
+  /** Safe in-place rewrite: Spark cannot overwrite a path it is reading, so
+    * stage to `<path>.rewrite`, then swap via rename (reader-dedup E3's
+    * backup+overwrite, `R:653-710`). */
+  def rewriteInPlace(spark: SparkSession, path: String)(transform: DataFrame => DataFrame): Unit = {
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(path + ".rewrite")
+    val old = new Path(path + ".old")
+    transform(spark.read.parquet(path))
+      .write.mode(SaveMode.Overwrite).option("compression", "zstd").parquet(tmp.toString)
+    fs.rename(new Path(path), old)
+    fs.rename(tmp, new Path(path))
+    fs.delete(old, true)
+  }
+}

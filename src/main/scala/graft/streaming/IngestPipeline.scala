@@ -1,0 +1,92 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Structured-Streaming ingest: the idiomatic replacement for the
+  * reference's run-to-completion Kafka drain (SURVEY §2.8).
+  *
+  * The reference keeps NO consumer-group state — progress is mined from the
+  * lake and duplicates dropped by anti-join (`:468-530`, `:741-748`). In
+  * Spark the same run-once-until-caught-up contract is
+  * `Trigger.AvailableNow` + a checkpoint: offsets live in the checkpoint,
+  * the file sink is exactly-once, and a crashed run resumes where it
+  * stopped — the whole ledger/anti-join machinery becomes unnecessary
+  * (we keep it in `graft.ingest` for semantic parity and for lakes written
+  * by other tools).
+  *
+  * Source here is a file stream over the testdata shape (no broker in the
+  * container); the Kafka variant swaps `readStream.format("kafka")` with
+  * the reference's fetch tuning (`kafka.fetch.min.bytes=10485760` etc.,
+  * collector `:332-337`) — everything downstream is identical because both
+  * sources produce the same (metadata + payload) columns.
+  */
+object IngestPipeline {
+
+  /** File-source → decode/flatten → date-partitioned parquet sink, run-once.
+    * Blocks until caught up (AvailableNow), then returns. */
+  def runFileIngest(spark: SparkSession, srcDir: String, schema: StructType,
+                    payloadSchema: StructType, dest: String, checkpoint: String): StreamingQuery = {
+    val stream = spark.readStream.schema(schema).parquet(srcDir)
+    val decoded = stream
+      .withColumn("data", from_json(col("props"), payloadSchema))
+      .select(col("*"), col("data.*")).drop("data", "props")
+      .withColumn("date_path", date_format(col("ts"), "yyyy/MM/dd"))
+    val q = decoded.writeStream
+      .format("parquet")
+      .option("path", dest)
+      .option("checkpointLocation", checkpoint)
+      .option("compression", "zstd")
+      .partitionBy("date_path")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
+  /** Event-time tumbling aggregation with a watermark: the streaming twin
+    * of `q_window_tumbling`. Late rows beyond the watermark are dropped;
+    * state size stays bounded at any scale because closed windows age out. */
+  def windowedCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+
+  /** Per-user session state: custom stateful operator via
+    * flatMapGroupsWithState — emits a session row whenever a user is idle
+    * past `gapMinutes`. State per key is O(1); the shuffle is on user_id. */
+  case class Evt(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  case class SessionState(start: Long, last: Long, n: Long, sum: Double)
+  case class SessionOut(user_id: Long, start_ms: Long, end_ms: Long, n_events: Long, sum_value: Double)
+
+  def sessionize(events: Dataset[Evt], gapMinutes: Int = 30): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[Evt], state: GroupState[SessionState]) =>
+          val sorted = rows.toSeq.sortBy(_.ts.getTime)
+          var cur = state.getOption
+          val out = Seq.newBuilder[SessionOut]
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            cur match {
+              case Some(s) if t - s.last <= gapMs =>
+                cur = Some(s.copy(last = t, n = s.n + 1, sum = s.sum + e.value))
+              case Some(s) =>
+                out += SessionOut(userId, s.start, s.last, s.n, s.sum)
+                cur = Some(SessionState(t, t, 1, e.value))
+              case None =>
+                cur = Some(SessionState(t, t, 1, e.value))
+            }
+          }
+          cur.foreach(state.update)
+          out.result().iterator
+      }
+  }
+}

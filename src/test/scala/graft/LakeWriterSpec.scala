@@ -1,0 +1,79 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.ingest.Dedup
+import graft.sources.LakeWriter
+
+class LakeWriterSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("lake").toString
+
+  test("schema hash is order-insensitive and type-sensitive") {
+    val a = Tables(spark, sf001, "events").select("event_id", "user_id").schema
+    val b = Tables(spark, sf001, "events").select("user_id", "event_id").schema
+    val c = Tables(spark, sf001, "events")
+      .select($"event_id".cast("int").as("event_id"), $"user_id").schema
+    assert(LakeWriter.schemaHash(a) == LakeWriter.schemaHash(b))
+    assert(LakeWriter.schemaHash(a) != LakeWriter.schemaHash(c))
+    assert(LakeWriter.schemaHash(a).length == 8)
+  }
+
+  test("partitioned write produces date_path directories, rows survive") {
+    val dest = tmpDir()
+    val ev = LakeWriter.withDatePath(Tables(spark, sf001, "events"))
+    LakeWriter.writePartitioned(ev, dest)
+    val back = spark.read.parquet(dest)
+    assert(back.count() == ev.count())
+    // hive-style partition column restored
+    assert(back.select("date_path").distinct().count() ==
+      ev.select("date_path").distinct().count())
+  }
+
+  test("versioned sink: same schema appends, drifted schema gets _v2") {
+    val dest = tmpDir()
+    val ev = Tables(spark, sf001, "events").select("event_id", "user_id")
+    val p1 = LakeWriter.writeVersioned(ev, dest, "events")
+    val p2 = LakeWriter.writeVersioned(ev, dest, "events")
+    assert(p1 == p2 && p1.endsWith("/events"))
+    val drifted = ev.withColumn("extra", lit("x"))
+    val p3 = LakeWriter.writeVersioned(drifted, dest, "events")
+    assert(p3.endsWith("/events_v2"))
+    // same drifted schema routes back to the existing v2
+    assert(LakeWriter.writeVersioned(drifted, dest, "events").endsWith("/events_v2"))
+    val all = LakeWriter.readAllVersions(spark, dest, "events")
+    assert(all.columns.toSet == Set("event_id", "user_id", "extra"))
+    assert(all.count() == ev.count() * 4)
+  }
+
+  test("staging sink + merge-phase anti-join (S10/J2 deferred dedup)") {
+    val work = tmpDir()
+    val ev = Tables(spark, sf001, "events").select("event_id", "user_id", "event_type")
+    val lake = s"$work/lake"
+    ev.filter($"event_id" < 500).write.parquet(lake)
+    // phase 1: fast-append the (overlapping) fresh batch to staging
+    val staged = LakeWriter.writeStaging(
+      ev.filter($"event_id" >= 300), s"$work/.staging", "events", "sess1")
+    // phase 2: merge — anti-join staged vs lake, append the remainder
+    val fresh = Dedup.antiJoinNew(
+      spark.read.parquet(staged), spark.read.parquet(lake), Seq("user_id", "event_id"))
+    fresh.write.mode("append").parquet(lake)
+    assert(spark.read.parquet(lake).count() == ev.count())
+    assert(spark.read.parquet(lake).dropDuplicates("user_id", "event_id").count() == ev.count())
+  }
+
+  test("in-place rewrite swaps safely (reader-dedup E3)") {
+    val dest = tmpDir() + "/t"
+    val ev = Tables(spark, sf001, "events").select("event_id", "event_type", "props")
+    ev.unionByName(ev).write.parquet(dest) // duplicated rows
+    LakeWriter.rewriteInPlace(spark, dest)(df =>
+      Dedup.dedupKeepFirst(df, Seq(col("event_type"), col("props")), col("event_id")))
+    val back = spark.read.parquet(dest)
+    assert(back.count() ==
+      ev.select("event_type", "props").distinct().count())
+  }
+}

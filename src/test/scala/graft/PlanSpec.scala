@@ -1,0 +1,64 @@
+package graft
+
+/** Physical-plan assertions: the scale contract, checked mechanically.
+  * A query that silently loses its pushdown/broadcast/top-k shape would
+  * still pass value checks at sf0.01 — these specs pin the plan. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String = {
+    // other suites may have cached overlapping relations, which would
+    // substitute InMemoryRelations (full schema) into these plans
+    spark.catalog.clearCache()
+    val df = SparkEntry.queries(name)(spark, sf001)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q_filter_project pushes predicates and prunes columns at the scan") {
+    val p = plan("q_filter_project")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("IsNotNull(o_orderstatus)") || p.contains("EqualTo(o_orderstatus"), p)
+    // only the 4 needed columns are read
+    assert(p.contains("ReadSchema"), p)
+    assert(!p.contains("o_orderdate"), "scan reads pruned column:\n" + p)
+  }
+
+  test("q_join_broadcast keeps the fact side shuffle-free (BroadcastHashJoin)") {
+    val p = plan("q_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q_topk_orders is TakeOrderedAndProject, not a global sort") {
+    val p = plan("q_topk_orders")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q_incremental_antijoin broadcasts the existing-key side") {
+    val p = plan("q_incremental_antijoin")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+  }
+
+  test("q_offset_ledger scans only the two ledger columns") {
+    val p = plan("q_offset_ledger")
+    // column pruning must reach the scan: none of the other 4 columns read
+    assert(p.contains("ReadSchema"), p)
+    Seq("event_type", "props", "value").foreach(c =>
+      assert(!p.contains(c), s"scan reads pruned column $c:\n$p"))
+  }
+
+  test("q1_agg partially aggregates before the exchange") {
+    val p = plan("q1_agg")
+    val iHash = p.indexOf("HashAggregate")
+    assert(iHash >= 0, p)
+    // partial aggregate appears below (after in text) the exchange
+    assert(p.contains("Exchange"), p)
+  }
+
+  test("whole-stage codegen covers the text-analysis hot path") {
+    // codegen'd stages print with a '*(n)' prefix — only visible on the
+    // FINAL adaptive plan, so execute first
+    val df = SparkEntry.queries("q_text_quality")(spark, sf001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*("), p)
+  }
+}

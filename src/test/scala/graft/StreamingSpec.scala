@@ -1,0 +1,75 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+import graft.streaming.IngestPipeline
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("file-stream ingest (AvailableNow) lands decoded date-partitioned rows exactly once") {
+    val work = Files.createTempDirectory("stream").toString
+    val src = s"$work/src"; val dest = s"$work/lake"; val ckpt = s"$work/ckpt"
+    // stage the raw events (pre-ts-conversion schema, as a broker dump would be)
+    val ev = Tables(spark, sf001, "events")
+    ev.write.parquet(src)
+    val payloadSchema = StructType(Seq(StructField("k", LongType)))
+    IngestPipeline.runFileIngest(spark, src, ev.schema, payloadSchema, dest, ckpt)
+    val back = spark.read.parquet(dest)
+    assert(back.count() == ev.count())
+    assert(back.columns.contains("k") && back.columns.contains("date_path"))
+    // run-once again with same checkpoint: no new files, still exactly-once
+    IngestPipeline.runFileIngest(spark, src, ev.schema, payloadSchema, dest, ckpt)
+    assert(spark.read.parquet(dest).count() == ev.count())
+  }
+
+  test("watermarked windowed aggregation over a memory stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = mem.toDF().toDF("ts", "event_type", "value")
+    val agg = IngestPipeline.windowedCounts(df, watermark = "0 seconds")
+    val q = agg.writeStream.format("memory").queryName("win_out")
+      .outputMode(OutputMode.Append()).start()
+    def t(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    mem.addData((t(1, 0), "a", 1.0), (t(1, 30), "a", 2.0), (t(1, 45), "b", 5.0))
+    q.processAllAvailable()
+    mem.addData((t(3, 0), "a", 9.0)) // advances watermark past hour 1 → emits hour-1 windows
+    q.processAllAvailable()
+    val rows = spark.table("win_out")
+      .select($"window.start".cast("string"), $"event_type", $"n", $"sum_value")
+      .as[(String, String, Long, Double)].collect().toSet
+    q.stop()
+    assert(rows.contains(("2024-01-01 01:00:00", "a", 2L, 3.0)))
+    assert(rows.contains(("2024-01-01 01:00:00", "b", 1L, 5.0)))
+  }
+
+  test("sessionization emits closed sessions with correct bounds (batch-mode check)") {
+    import IngestPipeline._
+    // batch Dataset run of the same per-group logic via groupByKey+flatMapGroups
+    // base offset keeps every event strictly above the initial watermark
+    // (epoch 0) — a row AT the watermark is dropped as late.
+    val base = 3600000L
+    def ts(ms: Long) = new java.sql.Timestamp(base + ms)
+    val evts = Seq(
+      Evt(1, ts(0), 1.0), Evt(1, ts(60000), 2.0),            // session A: 0-60s
+      Evt(1, ts(10 * 60 * 60000), 3.0),                       // session B (gap 10h)
+      Evt(2, ts(5000), 4.0))
+    // drive through a memory stream so GroupState is exercised for real
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Evt]
+    val out = sessionize(mem.toDS().withWatermark("ts", "0 seconds").as[Evt], gapMinutes = 30)
+    val q = out.writeStream.format("memory").queryName("sess_out")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(evts: _*)
+    q.processAllAvailable()
+    val sessions = spark.table("sess_out").as[SessionOut].collect().toSet
+    q.stop()
+    // the 10h-later event closes session A; session B and user 2 stay open in state
+    assert(sessions.contains(SessionOut(1, base, base + 60000, 2, 3.0)))
+  }
+}
