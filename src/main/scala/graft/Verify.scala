@@ -16,6 +16,11 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
+      // coalesce(1) here is deliberate and safe: every query ends in a
+      // global ORDER BY (an Exchange), so the single-partition constraint
+      // stops at that shuffle boundary — computation below stays parallel,
+      // and the final sorted merge preserves row order in the output file
+      // (repartition(1) would parallelize the same but scramble order).
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

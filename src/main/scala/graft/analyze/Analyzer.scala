@@ -56,6 +56,19 @@ object Analyzer {
       })
   }
 
+  /** The replayer API (`R:491-542`): load several topics for one lake date
+    * in one call, keyed by topic. Missing topics are simply absent from the
+    * result (the reference logs-and-skips). */
+  def loadTopicsBatch(spark: org.apache.spark.sql.SparkSession, lakeDir: String,
+                      date: String, topics: Seq[String]): Map[String, DataFrame] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    topics.flatMap { t =>
+      val p = s"$lakeDir/$date/$t.parquet"
+      if (fs.exists(new org.apache.hadoop.fs.Path(p))) Some(t -> spark.read.parquet(p))
+      else None
+    }.toMap
+  }
+
   /** A8: per-numeric-column min/max/mean/std + per-column null counts in a
     * single aggregation pass (`R:377-443`). One row out per input column. */
   def describeStats(df: DataFrame): DataFrame = {

@@ -33,7 +33,7 @@ object DedupQueries {
     * is the difference between 1 core and all of them. */
   private def shingled(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
-      .repartition(col("doc_id"))
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .withColumn("toks", tokens("text"))
       .select(col("doc_id"), shingles("toks", 3).as("sh"))
 
@@ -41,7 +41,11 @@ object DedupQueries {
     val sa = sh.select(col("doc_id").as("a_id"), col("sh").as("sha"))
     val sb = sh.select(col("doc_id").as("b_id"), col("sh").as("shb"))
     cand.join(sa, "a_id").join(sb, "b_id")
-      .withColumn("jac", jaccard("sha", "shb"))
+      // materialize the intersection size once — the naive jac expression
+      // would evaluate array_intersect twice per pair
+      .withColumn("inter", expr("size(array_intersect(sha, shb))"))
+      .withColumn("jac", col("inter").cast("double")
+        / (size(col("sha")) + size(col("shb")) - col("inter")))
       .filter(col("jac") >= thresh)
       .select(col("a_id"), col("b_id"), col("jac"))
       .orderBy(col("a_id"), col("b_id"))
@@ -77,7 +81,9 @@ object DedupQueries {
       val a = sh.select(col("doc_id").as("a_id"), col("sh").as("sha"))
       val b = sh.select(col("doc_id").as("b_id"), col("sh").as("shb"))
       a.join(b, col("a_id") < col("b_id"))
-        .withColumn("jac", jaccard("sha", "shb"))
+        .withColumn("inter", expr("size(array_intersect(sha, shb))"))
+        .withColumn("jac", col("inter").cast("double")
+          / (size(col("sha")) + size(col("shb")) - col("inter")))
         .filter(col("jac") >= 0.5)
         .select(col("a_id"), col("b_id"), col("jac"))
         .orderBy(col("a_id"), col("b_id"))
@@ -135,7 +141,7 @@ object DedupQueries {
         |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
       val f = Tables(s, dir, "documents")
         .filter(col("doc_id") < 1000)
-        .repartition(col("doc_id")) // single-file input → spread the pair loop
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id")) // single-file input → spread the pair loop
         .withColumn("toks", tokens("text"))
         .withColumn("hs", expr("transform(array_distinct(toks), x -> md5(x))"))
         .withColumn("n", expr("size(array_distinct(toks))"))
@@ -151,11 +157,12 @@ object DedupQueries {
 
     // ---- Embedding-cosine near-dup pairs: quantized-exact arithmetic
     // (see VectorFunctions). Quantize + norm once per vector (narrow map),
-    // then pairwise dot on the bounded vector set. At 100 TB the pairing
-    // would go through the LSH/IVF similarity path; this is the exact
-    // contract those approximate.
+    // then pairwise dot on a bounded slice (vec_id < 1000) — all-pairs is
+    // the O(n²) correctness baseline; at scale the pairing goes through
+    // the LSH/IVF paths (q_ann_lsh / q_knn_ivf), which this exact contract
+    // validates.
     entry("q_dedup_embedding",
-      """WITH e AS (SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE)*1048576.0) AS BIGINT) for x in embedding] q FROM embeddings),
+      """WITH e AS (SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE)*1048576.0) AS BIGINT) for x in embedding] q FROM embeddings WHERE vec_id < 1000),
         | terms AS (SELECT vec_id, x*x t FROM (SELECT vec_id, unnest(q) x FROM e)),
         | n AS (SELECT vec_id, sqrt(CAST(SUM(t) AS DOUBLE)) nrm FROM terms GROUP BY 1),
         | p0 AS (SELECT a.vec_id a_id, b.vec_id b_id, a.q aq, b.q bq FROM e a JOIN e b ON a.vec_id < b.vec_id),
@@ -165,7 +172,8 @@ object DedupQueries {
         |FROM p JOIN n na ON p.a_id = na.vec_id JOIN n nb ON p.b_id = nb.vec_id
         |WHERE dot/(na.nrm*nb.nrm) >= 0.4 ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
       val e = Tables(s, dir, "embeddings")
-        .repartition(col("vec_id")) // single-file input → spread the pair loop
+        .filter(col("vec_id") < 1000)
+        .repartition(s.sparkContext.defaultParallelism, col("vec_id")) // single-file input → spread the pair loop
         .select(col("vec_id"), quantize("embedding").as("q"))
         .withColumn("nrm", qnorm("q"))
       val a = e.select(col("vec_id").as("a_id"), col("q").as("aq"), col("nrm").as("anrm"))

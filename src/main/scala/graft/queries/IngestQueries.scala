@@ -158,6 +158,23 @@ object IngestQueries {
         .orderBy(col("event_id"))
     },
 
+    // ---- Streaming §2.8: SLIDING event-time window (1h length, 30min
+    // slide) — each event lands in exactly two windows; the oracle
+    // reconstructs the same epoch-aligned window starts arithmetically.
+    entry("q_window_sliding",
+      """WITH w AS (SELECT e.*, to_timestamp(CAST(floor(epoch(ts)/1800) AS BIGINT)*1800 - g*1800) ws
+        |           FROM events e CROSS JOIN generate_series(0,1) s(g))
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M') AS win_start, event_type,
+        |  COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS sum_value
+        |FROM w GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin) { (s, dir) =>
+      events(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), Exact.dsum(col("value")).as("sum_value"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("win_start"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy(col("win_start"), col("event_type"))
+    },
+
     // ---- A6/A7: content-hash dedup cardinality — xxhash64 over content
     // columns then dropDuplicates; the count must equal DISTINCT over the
     // same columns (hash collisions aside — none in this keyspace). The

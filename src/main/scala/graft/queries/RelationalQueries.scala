@@ -213,6 +213,20 @@ object RelationalQueries {
         .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
     },
 
+    // ---- Cube: all grouping-set combinations (beyond the reference's
+    // flat groupBy; completes the rollup/cube pair).
+    entry("q_cube",
+      s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n, ${dsum("l_quantity")} AS sum_qty
+         |FROM lineitem
+         |GROUP BY CUBE(l_returnflag, l_linestatus)
+         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir, "lineitem")
+        .cube($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n"), Exact.dsum($"l_quantity").as("sum_qty"))
+        .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+    },
+
     // ---- U-family: union + distinct (reference U1 vertical concat).
     entry("q_union_distinct",
       """SELECT event_id, user_id, value FROM events WHERE event_type = 'purchase'

@@ -34,7 +34,7 @@ object SimilarityQueries {
         | r AS (SELECT qid, cid, cosine, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) rnk FROM s)
         |SELECT qid, rnk, cid, cosine FROM r WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin) { (s, dir) =>
       val e = Tables(s, dir, "embeddings")
-        .repartition(col("vec_id")) // single-file input → spread the scan×query loop
+        .repartition(s.sparkContext.defaultParallelism, col("vec_id")) // single-file input → spread the scan×query loop
         .select(col("vec_id"), quantize("embedding").as("q"))
         .withColumn("nrm", qnorm("q"))
       val queries = broadcast(
@@ -79,7 +79,7 @@ object SimilarityQueries {
         | r AS (SELECT qid, cid, cosine, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) rnk FROM sc)
         |SELECT qid, rnk, cid, cosine FROM r WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin) { (s, dir) =>
       val e = Tables(s, dir, "embeddings")
-        .repartition(col("vec_id")) // single-file input → spread assignment + search
+        .repartition(s.sparkContext.defaultParallelism, col("vec_id")) // single-file input → spread assignment + search
         .select(col("vec_id"), col("label"), quantize("embedding").as("q"))
         .withColumn("nrm", qnorm("q"))
       // exact centroid sums per cell: element-wise vector sum via fold;
@@ -136,7 +136,7 @@ object SimilarityQueries {
       val hp = "(instr('0123456789abcdef', substring(md5(concat(CAST(b AS STRING),'_',CAST(i AS STRING))), 1, 1)) - 1) * 16 + " +
         "instr('0123456789abcdef', substring(md5(concat(CAST(b AS STRING),'_',CAST(i AS STRING))), 2, 1)) - 1 - 128"
       val e = Tables(s, dir, "embeddings")
-        .repartition(col("vec_id")) // single-file input → spread hyperplane hashing
+        .repartition(s.sparkContext.defaultParallelism, col("vec_id")) // single-file input → spread hyperplane hashing
         .select(col("vec_id"), quantize("embedding").as("q"))
         .withColumn("nrm", qnorm("q"))
       val code = e.withColumn("bucket",

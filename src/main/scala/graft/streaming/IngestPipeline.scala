@@ -25,6 +25,30 @@ import org.apache.spark.sql.types.StructType
   */
 object IngestPipeline {
 
+  /** Kafka source with the reference's consumer tuning (collector
+    * `:332-337`: 10MB min fetch, 50MB per partition) and the 5-column
+    * metadata envelope the collector emits (`:388-399`). Compiles against
+    * the bundled spark-sql-kafka jar; needs a live broker to run, which
+    * this container lacks — the file-source twin below exercises the
+    * identical downstream pipeline. */
+  def kafkaSource(spark: SparkSession, brokers: String, topics: String,
+                  startingOffsets: String = "earliest"): DataFrame =
+    spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", brokers)
+      .option("subscribe", topics)
+      .option("startingOffsets", startingOffsets)
+      .option("kafka.fetch.min.bytes", "10485760")
+      .option("kafka.max.partition.fetch.bytes", "52428800")
+      .load()
+      .select(
+        col("topic").as("kafka_topic"),
+        col("partition").cast("long").as("kafka_partition"),
+        col("offset").as("kafka_offset"),
+        col("timestamp").as("kafka_timestamp"),
+        col("key").cast("string").as("kafka_key"),
+        col("value"))
+
   /** File-source → decode/flatten → date-partitioned parquet sink, run-once.
     * Blocks until caught up (AvailableNow), then returns. */
   def runFileIngest(spark: SparkSession, srcDir: String, schema: StructType,
