@@ -29,9 +29,15 @@ object VectorFunctions {
   def quantize(c: String): Column =
     expr(s"transform($c, x -> CAST(floor(CAST(x AS DOUBLE) * $Q.0) AS BIGINT))")
 
-  /** Exact int64 dot product of two quantized vectors. */
-  def qdot(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> x*y), CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+  /** Exact int64 dot product of two quantized vectors.
+    *
+    * Folds over a CONSTANT index sequence (Catalyst constant-folds
+    * `sequence(0, dim-1)` once) with element_at lookups — unlike a
+    * `zip_with` formulation this allocates no per-row intermediate array,
+    * which matters when the expression runs once per PAIR in an O(n²)
+    * loop. Same integer sum, so oracle results are unchanged. */
+  def qdot(a: String, b: String, dim: Int = 64): Column =
+    expr(s"aggregate(sequence(0, ${dim - 1}), CAST(0 AS BIGINT), (acc, i) -> acc + $a[i]*$b[i])")
 
   /** Euclidean norm (double) of a quantized vector — exact up to the final
     * sqrt, which is IEEE correctly-rounded and thus engine-identical. */

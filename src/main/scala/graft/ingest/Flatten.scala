@@ -10,8 +10,9 @@ import org.apache.spark.sql.types._
   * (`app/redpanda_to_parquet_collector.py:259-284`; behavior spec
   * `README.md:328-347`):
   *
-  *   - a top-level struct field named `data` is hoisted: its children land at
-  *     the top level WITHOUT a prefix;
+  *   - a struct field named `data` is hoisted AT ANY DEPTH: its children
+  *     land at the top level WITHOUT a prefix (the reference recurses with
+  *     `parent_key=''`, a full prefix reset — `:273-274`);
   *   - every other nested struct is flattened with `_`-joined key prefixes
   *     (`metadata.exchange` → `metadata_exchange`), recursively;
   *   - arrays are serialized to JSON strings; an EMPTY array becomes NULL
@@ -33,15 +34,15 @@ object Flatten {
       // last value wins, first position kept (LinkedHashMap.update keeps slot)
       out.update(name, c.as(name))
 
-    def walk(prefix: String, name: String, dt: DataType, path: Column, top: Boolean): Unit =
+    def walk(prefix: String, name: String, dt: DataType, path: Column): Unit =
       dt match {
         case st: StructType =>
           val childPrefix =
-            if (top && name == "data") prefix // hoist data.* unprefixed
+            if (name == "data") "" // hoist data.* unprefixed — full prefix reset (:273-274)
             else if (prefix.isEmpty) s"${name}_"
             else s"$prefix${name}_"
           st.fields.foreach { f =>
-            walk(childPrefix, f.name, f.dataType, path.getField(f.name), top = false)
+            walk(childPrefix, f.name, f.dataType, path.getField(f.name))
           }
         case _: ArrayType =>
           put(prefix + name, when(size(path) === 0, lit(null).cast(StringType)).otherwise(to_json(path)))
@@ -51,7 +52,7 @@ object Flatten {
           put(prefix + name, path)
       }
 
-    df.schema.fields.foreach(f => walk("", f.name, f.dataType, col(f.name), top = true))
+    df.schema.fields.foreach(f => walk("", f.name, f.dataType, col(f.name)))
     df.select(out.values.toSeq: _*)
   }
 

@@ -133,16 +133,26 @@ object SimilarityQueries {
         |        JOIN n na ON na.vec_id = pd.qid JOIN n nb ON nb.vec_id = pd.cid),
         | r AS (SELECT qid, cid, cosine, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) rnk FROM sc)
         |SELECT qid, rnk, cid, cosine FROM r WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin) { (s, dir) =>
-      val hp = "(instr('0123456789abcdef', substring(md5(concat(CAST(b AS STRING),'_',CAST(i AS STRING))), 1, 1)) - 1) * 16 + " +
-        "instr('0123456789abcdef', substring(md5(concat(CAST(b AS STRING),'_',CAST(i AS STRING))), 2, 1)) - 1 - 128"
+      // Precompute the 8×64 hyperplane coefficients ON THE DRIVER with the
+      // same md5 derivation the oracle uses (java MD5 == SQL md5), and ship
+      // them as one literal — the naive formulation recomputed 512 md5s
+      // per row. Identical integers → identical buckets → same oracle.
+      def hpCoef(b: Int, i: Int): Long = {
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"${b}_$i".getBytes("UTF-8")).map("%02x".format(_)).mkString
+        val hexDigits = "0123456789abcdef"
+        (hexDigits.indexOf(hex(0)).toLong * 16 + hexDigits.indexOf(hex(1))) - 128L
+      }
+      val planes = typedLit((0 to 7).map(b => (1 to 64).map(i => hpCoef(b, i))))
       val e = Tables(s, dir, "embeddings")
         .repartition(s.sparkContext.defaultParallelism, col("vec_id")) // single-file input → spread hyperplane hashing
         .select(col("vec_id"), quantize("embedding").as("q"))
         .withColumn("nrm", qnorm("q"))
-      val code = e.withColumn("bucket",
-        expr(s"array_join(transform(sequence(0, 7), b -> CASE WHEN " +
-          s"aggregate(zip_with(q, sequence(1, 64), (x, i) -> x * ($hp)), CAST(0 AS BIGINT), (acc, v) -> acc + v) " +
-          s">= 0 THEN '1' ELSE '0' END), '')"))
+      val code = e.withColumn("_planes", planes).withColumn("bucket",
+        expr("array_join(transform(sequence(0, 7), b -> CASE WHEN " +
+          "aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, i) -> acc + q[i] * _planes[b][i]) " +
+          ">= 0 THEN '1' ELSE '0' END), '')"))
+        .drop("_planes")
       val qs = code.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("bucket"), col("q").as("aq"), col("nrm").as("qnrm"))
       val cands = broadcast(qs).join(

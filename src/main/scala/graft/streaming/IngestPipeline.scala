@@ -70,6 +70,14 @@ object IngestPipeline {
     q
   }
 
+  /** Streaming key-dedup with a watermark — the streaming twin of the
+    * anti-join dedup (J1): `dropDuplicates` keeps per-key state only
+    * within the watermark horizon, so state is bounded (the batch
+    * anti-join against the whole lake is the unbounded-history variant). */
+  def streamingDedup(events: DataFrame, keys: Seq[String],
+                     watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicates(keys :+ "ts")
+
   /** Event-time tumbling aggregation with a watermark: the streaming twin
     * of `q_window_tumbling`. Late rows beyond the watermark are dropped;
     * state size stays bounded at any scale because closed windows age out. */

@@ -27,6 +27,16 @@ class FlattenSpec extends SparkSpec {
       r.getLong(2) == 7L && r.getString(3) == "NYSE")
   }
 
+  test("data hoists at ANY depth with full prefix reset (ref :273-274)") {
+    val schema = StructType(Seq(
+      StructField("meta", StructType(Seq(
+        StructField("data", StructType(Seq(StructField("x", LongType)))),
+        StructField("y", LongType))))))
+    val out = Flatten.flatten(df(schema, Row(Row(Row(5L), 6L))))
+    assert(out.columns.toSeq == Seq("x", "meta_y"))
+    assert(out.collect().head.getLong(0) == 5L)
+  }
+
   test("arrays become JSON strings; empty arrays become null (ref :280)") {
     val schema = StructType(Seq(
       StructField("id", LongType),
