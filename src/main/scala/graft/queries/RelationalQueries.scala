@@ -163,6 +163,79 @@ object RelationalQueries {
         .orderBy($"c_custkey")
     },
 
+    // ---- As-of join (an operator Spark lacks natively — composed per the
+    // preference order from existing ops): equi-join on the key plus the
+    // time inequality, then keep the latest right row per left row via
+    // row_number. One shuffle on the equi key, one on the window key; at
+    // scale the window collapses to a per-event top-1 after map-side
+    // pre-filtering. Deterministic tie-break (orderdate DESC, orderkey).
+    entry("q_asof_join",
+      """WITH j AS (SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY e.event_id ORDER BY o.o_orderdate DESC, o.o_orderkey) rn
+        |  FROM events e JOIN orders o ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
+        |SELECT event_id, user_id, o_orderkey, o_totalprice FROM j WHERE rn = 1
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val e = Tables(s, dir, "events")
+      val o = Tables(s, dir, "orders")
+      val w = Window.partitionBy($"event_id").orderBy($"o_orderdate".desc, $"o_orderkey".asc)
+      e.join(o, $"user_id" === $"o_custkey" && $"o_orderdate" <= $"ts")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"event_id", $"user_id", $"o_orderkey", $"o_totalprice")
+        .orderBy($"event_id")
+    },
+
+    // ---- Range join via BUCKETIZED equi-join: the naive formulation is a
+    // nested-loop over every (event, order) pair; bucketing the range into
+    // fixed-width intervals turns it into an equi-join on the bucket id
+    // plus a cheap refine predicate — the standard 100 TB range-join
+    // rewrite. The oracle states the plain BETWEEN semantics; results are
+    // provably identical because an order's bucket is unique and every
+    // qualifying pair shares it.
+    entry("q_range_join",
+      """SELECT e.event_id, COUNT(*) n, CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,3))) AS DOUBLE) sum_price
+        |FROM events e JOIN orders o ON o.o_totalprice BETWEEN e.value*1000 AND e.value*1000+50000
+        |WHERE e.event_id < 100 GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val W = 50000L
+      val e = Tables(s, dir, "events").filter($"event_id" < 100)
+        .select($"event_id", ($"value" * 1000).as("lo"), ($"value" * 1000 + 50000).as("hi"))
+        .withColumn("bucket", explode(expr(s"sequence(CAST(floor(lo/$W) AS BIGINT), CAST(floor(hi/$W) AS BIGINT))")))
+      val o = Tables(s, dir, "orders")
+        .select($"o_orderkey", $"o_totalprice",
+          expr(s"CAST(floor(o_totalprice/$W) AS BIGINT)").as("bucket"))
+      e.join(o, Seq("bucket"))
+        .filter($"o_totalprice".between($"lo", $"hi"))
+        .groupBy($"event_id")
+        .agg(count(lit(1)).as("n"), Exact.dsum($"o_totalprice").as("sum_price"))
+        .orderBy($"event_id")
+    },
+
+    // ---- Set ops beyond the reference's union: INTERSECT / EXCEPT
+    // (distinct semantics, one shuffle each on the full row as key).
+    entry("q_intersect",
+      """SELECT user_id FROM events WHERE event_type = 'purchase'
+        |INTERSECT SELECT user_id FROM events WHERE event_type = 'error'
+        |ORDER BY user_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val ev = Tables(s, dir, "events")
+      ev.filter($"event_type" === "purchase").select($"user_id")
+        .intersect(ev.filter($"event_type" === "error").select($"user_id"))
+        .orderBy($"user_id")
+    },
+
+    entry("q_except",
+      """SELECT event_id FROM events WHERE value > 190
+        |EXCEPT SELECT event_id FROM events WHERE event_type = 'error'
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val ev = Tables(s, dir, "events")
+      ev.filter($"value" > 190).select($"event_id")
+        .except(ev.filter($"event_type" === "error").select($"event_id"))
+        .orderBy($"event_id")
+    },
+
     // ---- Window: ranking within a partitioned window. One shuffle on
     // o_custkey; row_number needs no full materialization per group.
     entry("q_window_rank",

@@ -53,6 +53,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Exchange"), p)
   }
 
+  test("date-partitioned lake reads prune partitions at the source") {
+    import org.apache.spark.sql.functions._
+    val dest = java.nio.file.Files.createTempDirectory("prune").toString + "/lake"
+    val ev = graft.sources.LakeWriter.withDatePath(Tables(spark, sf001, "events"))
+    graft.sources.LakeWriter.writePartitioned(ev, dest)
+    val firstDate = ev.select(min("date_path")).collect().head.getString(0)
+    val df = spark.read.parquet(dest).filter(col("date_path") === firstDate)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [") && p.contains("date_path"), p)
+    // the pruned scan must list only the matching partition directory
+    assert(df.count() == ev.filter(col("date_path") === firstDate).count())
+  }
+
   test("whole-stage codegen covers the text-analysis hot path") {
     // codegen'd stages print with a '*(n)' prefix — only visible on the
     // FINAL adaptive plan, so execute first
