@@ -31,13 +31,16 @@ object VectorFunctions {
 
   /** Exact int64 dot product of two quantized vectors.
     *
-    * Folds over a CONSTANT index sequence (Catalyst constant-folds
-    * `sequence(0, dim-1)` once) with element_at lookups — unlike a
-    * `zip_with` formulation this allocates no per-row intermediate array,
-    * which matters when the expression runs once per PAIR in an O(n²)
-    * loop. Same integer sum, so oracle results are unchanged. */
+    * UNROLLED into a flat `a[0]*b[0] + … + a[dim-1]*b[dim-1]` chain on
+    * purpose: Spark's higher-order functions (`aggregate`/`zip_with`) have
+    * no codegen — they interpret the lambda per element per row, which
+    * measured ~20s for 1M pairs where the unrolled codegen'd chain is
+    * sub-second. Worse, a cosine threshold above a pair join gets pushed
+    * into the join CONDITION, so the dot product runs for every candidate
+    * pair — it must be cheap. Integer addition is order-independent, so
+    * oracle sums are unchanged. */
   def qdot(a: String, b: String, dim: Int = 64): Column =
-    expr(s"aggregate(sequence(0, ${dim - 1}), CAST(0 AS BIGINT), (acc, i) -> acc + $a[i]*$b[i])")
+    expr((0 until dim).map(i => s"$a[$i]*$b[$i]").mkString(" + "))
 
   /** Euclidean norm (double) of a quantized vector — exact up to the final
     * sqrt, which is IEEE correctly-rounded and thus engine-identical. */

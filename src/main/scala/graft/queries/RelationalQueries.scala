@@ -314,6 +314,70 @@ object RelationalQueries {
         .orderBy($"event_id")
     },
 
+    // ---- Exact interpolated percentiles (sort-based; both engines use the
+    // same (1-f)·a + f·b interpolation on identical doubles). At 100 TB
+    // prefer approx_percentile (q_approx_aggs) — this is the exact contract.
+    entry("q_percentile",
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) med_qty,
+        |  quantile_cont(l_extendedprice, 0.9) p90_price,
+        |  quantile_cont(l_quantity, 0.25) q1_qty
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(expr("percentile(l_quantity, 0.5)").as("med_qty"),
+          expr("percentile(l_extendedprice, 0.9)").as("p90_price"),
+          expr("CAST(percentile(l_quantity, array(0.25, 0.75))[0] AS DOUBLE)").as("q1_qty"))
+        .orderBy($"l_returnflag")
+    },
+
+    // ---- Approximate aggregates — the 100 TB workhorses (HLL distinct,
+    // t-digest-ish percentile). Sketch values are engine-specific, so no
+    // DuckDB oracle (driver rows-only check); ApproxSpec bounds the error
+    // against the exact answers.
+    entryNoOracle("q_approx_aggs") { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(approx_count_distinct($"l_partkey", 0.02).as("approx_parts"),
+          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_med_price"))
+        .orderBy($"l_returnflag")
+    },
+
+    // ---- String-function surface (F6/F7/F11-family, widened): the scalar
+    // string ops a text pipeline leans on, all codegen'd built-ins.
+    entry("q_string_funcs",
+      """SELECT o_orderkey,
+        |  upper(o_orderpriority) up, lower(o_orderstatus) lo,
+        |  substring(o_orderpriority, 3, 6) sub,
+        |  length(o_orderpriority) len,
+        |  replace(o_orderpriority, '-', '_') rep,
+        |  concat(o_orderstatus, ':', o_orderpriority) cat,
+        |  lpad(CAST(o_orderkey AS VARCHAR), 12, '0') pad,
+        |  string_split(o_orderpriority, '-')[1] tok,
+        |  levenshtein(o_orderstatus, 'OF') lev,
+        |  trim(concat('xx', o_orderstatus, 'x'), 'x') trm,
+        |  reverse(o_orderstatus) rev,
+        |  strpos(o_orderpriority, '-') pos
+        |FROM orders WHERE o_orderkey < 300 ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir, "orders").filter($"o_orderkey" < 300)
+        .select($"o_orderkey",
+          upper($"o_orderpriority").as("up"), lower($"o_orderstatus").as("lo"),
+          substring($"o_orderpriority", 3, 6).as("sub"),
+          length($"o_orderpriority").as("len"),
+          expr("replace(o_orderpriority, '-', '_')").as("rep"),
+          concat($"o_orderstatus", lit(":"), $"o_orderpriority").as("cat"),
+          lpad($"o_orderkey".cast("string"), 12, "0").as("pad"),
+          split($"o_orderpriority", "-").getItem(0).as("tok"),
+          levenshtein($"o_orderstatus", lit("OF")).as("lev"),
+          expr("trim('x' FROM concat('xx', o_orderstatus, 'x'))").as("trm"),
+          reverse($"o_orderstatus").as("rev"),
+          instr($"o_orderpriority", "-").as("pos"))
+        .orderBy($"o_orderkey")
+    },
+
     // ---- A5: distinct values of a column.
     entry("q_distinct",
       "SELECT DISTINCT event_type FROM events ORDER BY event_type") { (s, dir) =>
