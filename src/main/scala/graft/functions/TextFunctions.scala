@@ -48,28 +48,36 @@ object TextFunctions {
     expr(s"CAST(size(array_intersect($a, $b)) AS DOUBLE) / " +
       s"(size($a) + size($b) - size(array_intersect($a, $b)))")
 
-  /** MinHash signature of length `k` over a shingle-array column: the j-th
-    * hash function is md5 with the index as a salt prefix; min is taken in
-    * hex-string order (portable across engines). */
+  /** Per-shingle 32-bit base hash: the first 8 hex digits of md5 as int64.
+    * One strong hash per shingle; the k MinHash functions are derived from
+    * it with affine transforms (see [[graft.plans.MinHashSlots]]) — 16×
+    * less hashing than the round-2 salted-md5-per-slot family, same
+    * engine-portability (the oracle rebuilds the hex→int arithmetic with
+    * strpos/pow). */
+  def shingleBases(shCol: String): Column =
+    expr(s"transform($shCol, x -> CAST(conv(substring(md5(x), 1, 8), 16, 10) AS BIGINT))")
+
+  /** MinHash signature of length `k` over a shingle-array column: affine
+    * family `h_i(b) = ((2i+1)·b + 1000003·i) mod 2147483647` over the
+    * per-shingle base hashes, all k mins in one native pass. */
   def minhashSignature(shCol: String, k: Int): Column =
-    expr(s"transform(sequence(1, $k), i -> " +
-      s"array_min(transform($shCol, x -> md5(concat(CAST(i AS STRING), ':', x)))))")
+    graft.plans.VectorExpressions.minhashSlots(shingleBases(shCol), k)
 
   /** LSH band keys from a MinHash signature, r=2 rows per band
     * (0-based Spark indexing: band j covers sig[2j-2], sig[2j-1]). */
   def bandKeys(mhCol: String, bands: Int): Column =
-    expr(s"transform(sequence(1, $bands), j -> concat($mhCol[2*j-2], '|', $mhCol[2*j-1]))")
+    expr(s"transform(sequence(1, $bands), j -> concat(" +
+      s"CAST($mhCol[2*j-2] AS STRING), '|', CAST($mhCol[2*j-1] AS STRING)))")
 
   /** SimHash fingerprint as a 64-char '0'/'1' string from a column of
     * per-token md5 hex strings (`hsCol`) and the token count (`nCol`).
     * Bit b is set when at least half the token hashes have bit b set,
     * where bit b lives in hex nibble b/4 at weight 2^(b%4) — md5-derived
-    * so the DuckDB oracle replays the identical bit extraction. */
+    * so the DuckDB oracle replays the identical bit extraction. One native
+    * pass ([[graft.plans.SimHash64]]) instead of 64 interpreted
+    * filter-lambdas per document. */
   def simhashBits(hsCol: String, nCol: String): Column =
-    expr(s"array_join(transform(sequence(0, 63), b -> " +
-      s"CASE WHEN 2 * size(filter($hsCol, m -> " +
-      s"((instr('0123456789abcdef', substring(m, CAST(b DIV 4 AS INT) + 1, 1)) - 1) " +
-      s"DIV CAST(pow(2, b % 4) AS INT)) % 2 = 1)) >= $nCol THEN '1' ELSE '0' END), '')")
+    graft.plans.VectorExpressions.simhash64(col(hsCol), col(nCol))
 
   /** Hamming distance between two equal-length bit-string columns. */
   def hammingDist(a: String, b: String): Column =

@@ -29,18 +29,23 @@ object VectorFunctions {
   def quantize(c: String): Column =
     expr(s"transform($c, x -> CAST(floor(CAST(x AS DOUBLE) * $Q.0) AS BIGINT))")
 
-  /** Exact int64 dot product of two quantized vectors.
+  /** Exact int64 dot product of two quantized vectors, as ONE native
+    * Catalyst expression ([[graft.plans.QuantizedDot]]).
     *
-    * UNROLLED into a flat `a[0]*b[0] + … + a[dim-1]*b[dim-1]` chain on
-    * purpose: Spark's higher-order functions (`aggregate`/`zip_with`) have
-    * no codegen — they interpret the lambda per element per row, which
-    * measured ~20s for 1M pairs where the unrolled codegen'd chain is
-    * sub-second. Worse, a cosine threshold above a pair join gets pushed
-    * into the join CONDITION, so the dot product runs for every candidate
-    * pair — it must be cheap. Integer addition is order-independent, so
-    * oracle sums are unchanged. */
-  def qdot(a: String, b: String, dim: Int = 64): Column =
-    expr((0 until dim).map(i => s"$a[$i]*$b[$i]").mkString(" + "))
+    * History: round 1 used `aggregate`/`zip_with` (interpreted lambda per
+    * element — ~20s for 1M pairs); round 2 unrolled to a flat 250-node
+    * `a[0]*b[0] + …` chain (fast under codegen, but a cosine threshold
+    * above a pair join gets pushed into the BroadcastNestedLoopJoin
+    * CONDITION, which evaluates INTERPRETED — ~5µs/pair of boxed eval).
+    * The single native-loop expression is ~100ns/pair in both contexts.
+    * Integer addition is order-independent, so oracle sums are unchanged. */
+  def qdot(a: String, b: String): Column =
+    graft.plans.VectorExpressions.qdot(col(a), col(b))
+
+  /** Dot of a quantized vector against a driver-side constant vector
+    * (e.g. a literal LSH hyperplane). */
+  def qdotLit(a: String, v: Seq[Long]): Column =
+    graft.plans.VectorExpressions.qdot(col(a), typedLit(v))
 
   /** Euclidean norm (double) of a quantized vector — exact up to the final
     * sqrt, which is IEEE correctly-rounded and thus engine-identical. */

@@ -59,20 +59,25 @@ case class MsgpackToJsonExpr(child: Expression) extends UnaryExpression {
   * works in any session built `.withExtensions(new GraftExtensions)` (or via
   * `spark.sql.extensions=graft.plans.GraftExtensions`). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(GraftExtensions.msgpackToJsonFn)
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
 }
 
 object GraftExtensions {
-  private val msgpackToJsonFn = (
-    new FunctionIdentifier("msgpack_to_json"),
-    new ExpressionInfo(classOf[MsgpackToJsonExpr].getName, "msgpack_to_json"),
-    (children: Seq[Expression]) => MsgpackToJsonExpr(children.head): Expression)
+  private def fn(name: String, cls: Class[_], builder: Seq[Expression] => Expression) =
+    (new FunctionIdentifier(name), new ExpressionInfo(cls.getName, name), builder)
+
+  private val functions = Seq(
+    fn("msgpack_to_json", classOf[MsgpackToJsonExpr], cs => MsgpackToJsonExpr(cs.head)),
+    fn("graft_qdot", classOf[QuantizedDot], cs => QuantizedDot(cs(0), cs(1))),
+    fn("graft_minhash", classOf[MinHashSlots],
+      cs => MinHashSlots(cs(0), cs(1).eval().asInstanceOf[Int])),
+    fn("graft_simhash64", classOf[SimHash64], cs => SimHash64(cs(0), cs(1))))
 
   /** Register into an already-built session (extensions are otherwise
     * builder-time only). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry
-      .registerFunction(msgpackToJsonFn._1, msgpackToJsonFn._2, msgpackToJsonFn._3)
+    functions.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
 }

@@ -1,0 +1,152 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.classic.{GraftExpressionBridge => ExpressionUtils}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the vector/dedup hot paths.
+  *
+  * Why these exist (measured, not speculative): a 64-dim dot product
+  * written as an unrolled `a[0]*b[0] + … + a[63]*b[63]` Column chain is
+  * ~250 expression nodes. Inside a whole-stage-codegen'd Project that is
+  * fine, but the similarity thresholds above pair joins get pushed into
+  * the JOIN CONDITION (BroadcastNestedLoopJoin), where conditions are
+  * evaluated with interpreted `Expression.eval` — recursive descent plus a
+  * boxed java.lang.Long per node, ~5µs per pair. At 1M candidate pairs
+  * that alone was ~8s of the round-2 bench. Each expression here is ONE
+  * node whose eval is a primitive loop (~100ns), and whose codegen is a
+  * static call into [[VectorOps]] — the same pattern as
+  * [[MsgpackToJsonExpr]], so both interpreted and codegen'd contexts get
+  * the native loop.
+  *
+  * All arithmetic is exact int64 on pre-quantized values (see
+  * [[graft.functions.VectorFunctions]] for the exactness contract with the
+  * DuckDB oracle). Array elements must be non-null (they come from
+  * `transform` over non-null numeric columns).
+  */
+object VectorOps {
+
+  /** Exact int64 dot product of two equal-length bigint arrays. */
+  def qdot(a: ArrayData, b: ArrayData): Long = {
+    val n = a.numElements()
+    var s = 0L
+    var i = 0
+    while (i < n) { s += a.getLong(i) * b.getLong(i); i += 1 }
+    s
+  }
+
+  /** All `k` MinHash slots in one pass over the per-shingle base hashes.
+    * Slot i (1-based) applies the affine family
+    * `h_i(b) = ((2i+1)·b + 1000003·i) mod 2147483647` and keeps the min —
+    * the classic one-strong-hash + k-affine-transforms construction
+    * (base = first 8 hex digits of md5, so b < 2^32 and every product
+    * stays well inside int64). The DuckDB oracle replays the identical
+    * formula. */
+  def minhash(bases: ArrayData, k: Int): ArrayData = {
+    val n = bases.numElements()
+    val mins = Array.fill(k)(Long.MaxValue)
+    var j = 0
+    while (j < n) {
+      val b = bases.getLong(j)
+      var i = 1
+      while (i <= k) {
+        val h = ((2L * i + 1L) * b + 1000003L * i) % 2147483647L
+        if (h < mins(i - 1)) mins(i - 1) = h
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** SimHash fingerprint as a 64-char '0'/'1' string from per-token md5
+    * hex strings. Bit b is set when at least half of the `n` token hashes
+    * have bit b set, where bit b lives in hex nibble b/4 (0-based from the
+    * left) at weight 2^(b%4) — the identical extraction the DuckDB oracle
+    * states with strpos/substr arithmetic. */
+  def simhash64(hashes: ArrayData, n: Long): UTF8String = {
+    val counts = new Array[Int](64)
+    val m = hashes.numElements()
+    var j = 0
+    while (j < m) {
+      val hex = hashes.getUTF8String(j).toString
+      var b = 0
+      while (b < 64) {
+        val nibble = Character.digit(hex.charAt(b >> 2), 16)
+        if (((nibble >> (b & 3)) & 1) == 1) counts(b) += 1
+        b += 1
+      }
+      j += 1
+    }
+    val out = new Array[Byte](64)
+    var b = 0
+    while (b < 64) {
+      out(b) = if (2L * counts(b) >= n) '1' else '0'
+      b += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+}
+
+/** `graft_qdot(array<bigint>, array<bigint>) -> bigint` — see [[VectorOps.qdot]]. */
+case class QuantizedDot(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_qdot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.qdot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.plans.VectorOps.qdot($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): QuantizedDot =
+    copy(left = l, right = r)
+}
+
+/** `graft_minhash(array<bigint>) -> array<bigint>` of `k` slots — see
+  * [[VectorOps.minhash]]. */
+case class MinHashSlots(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash"
+
+  override protected def nullSafeEval(bases: Any): Any =
+    VectorOps.minhash(bases.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.VectorOps.minhash($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSlots =
+    copy(child = newChild)
+}
+
+/** `graft_simhash64(array<string>, bigint) -> string` — see
+  * [[VectorOps.simhash64]]. */
+case class SimHash64(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_simhash64"
+
+  override protected def nullSafeEval(hs: Any, n: Any): Any =
+    VectorOps.simhash64(hs.asInstanceOf[ArrayData], n.asInstanceOf[Number].longValue())
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (hs, n) => s"graft.plans.VectorOps.simhash64($hs, (long) $n)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SimHash64 =
+    copy(left = l, right = r)
+}
+
+/** Column-level constructors (classic-session bridge). */
+object VectorExpressions {
+  def qdot(a: Column, b: Column): Column =
+    ExpressionUtils.column(QuantizedDot(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def minhashSlots(bases: Column, k: Int): Column =
+    ExpressionUtils.column(MinHashSlots(ExpressionUtils.expression(bases), k))
+
+  def simhash64(hashes: Column, n: Column): Column =
+    ExpressionUtils.column(SimHash64(ExpressionUtils.expression(hashes), ExpressionUtils.expression(n)))
+}

@@ -65,9 +65,17 @@ object DedupQueries {
         .orderBy(col("event_id"))
     },
 
-    // ---- Brute-force n-gram Jaccard near-dup pairs (correctness baseline
-    // for LSH; bounded to doc_id < 1000 because all-pairs is O(n²) — the
-    // scale path is q_dedup_minhash_lsh below).
+    // ---- n-gram Jaccard near-dup pairs via PREFIX FILTERING (PPJoin-
+    // style): sort each shingle set under a global order; for threshold
+    // t=0.5 any pair with jac ≥ t must share a shingle within the first
+    // |X| − ⌈t·|X|⌉ + 1 shingles of BOTH sets (proof: if every common
+    // shingle sat past A's prefix, |A∩B| ≤ ⌈t|A|⌉ − 1 < t|A| ≤ |A∩B|).
+    // So: explode only prefixes, equi-join on the shingle, verify exact
+    // Jaccard on the (few) candidates. Output is IDENTICAL to the brute
+    // all-pairs oracle, but work scales with prefix collisions, not n² —
+    // the round-2 all-pairs formulation was 93s of the 215s bench at
+    // sf0.1; this is the 100 TB-shaped plan: one shuffle on the prefix
+    // shingle, one distinct, then a bounded verify join.
     entry("q_dedup_ngram",
       """WITH t AS (SELECT doc_id, string_split(text,' ') toks FROM documents WHERE doc_id < 1000),
         | s AS (SELECT doc_id, list_distinct([array_to_string(toks[i:i+2],' ')
@@ -77,31 +85,38 @@ object DedupQueries {
         |FROM s a JOIN s b ON a.doc_id < b.doc_id
         |WHERE CAST(len(list_intersect(a.sh,b.sh)) AS DOUBLE)/(len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh))) >= 0.5
         |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
-      val sh = shingled(s, dir).filter(col("doc_id") < 1000)
-      val a = sh.select(col("doc_id").as("a_id"), col("sh").as("sha"))
-      val b = sh.select(col("doc_id").as("b_id"), col("sh").as("shb"))
-      a.join(b, col("a_id") < col("b_id"))
-        .withColumn("inter", expr("size(array_intersect(sha, shb))"))
-        .withColumn("jac", col("inter").cast("double")
-          / (size(col("sha")) + size(col("shb")) - col("inter")))
-        .filter(col("jac") >= 0.5)
-        .select(col("a_id"), col("b_id"), col("jac"))
-        .orderBy(col("a_id"), col("b_id"))
+      val sh = shingled(s, dir).filter(col("doc_id") < 1000).persist()
+      val pref = sh.select(col("doc_id"), explode(expr(
+        "slice(array_sort(sh), 1, size(sh) - CAST(ceil(0.5 * size(sh)) AS INT) + 1)")).as("tok"))
+      val cand = pref.as("a")
+        .join(pref.as("b"), col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .distinct()
+      verified(cand, sh, 0.5)
     },
 
     // ---- MinHash + LSH near-dup detection: 16-slot signature, 8 bands ×
     // r=2, band-bucket equi-join for candidates, exact-Jaccard verify.
     // The oracle replicates the identical algorithm, so the hash-match
-    // checks banding recall too. Scale: signature is a narrow map;
-    // candidates come from an equi-join on (band, key) — no all-pairs
-    // anywhere; verification touches only colliding pairs.
+    // checks banding recall too. Hash family: ONE md5 per shingle (first
+    // 8 hex digits as int64) + 16 affine transforms, all mins in a single
+    // native pass (graft.plans.MinHashSlots) — 16× less hashing than a
+    // salted-md5-per-slot family, same engine portability (the oracle
+    // rebuilds the hex→int base with strpos/pow arithmetic). Scale:
+    // signature is a narrow map over a persisted shingle set (reused by
+    // the band self-join and the verify join); candidates come from an
+    // equi-join on (band, key) — no all-pairs anywhere; verification
+    // touches only colliding pairs.
     entry("q_dedup_minhash_lsh",
       """WITH t AS (SELECT doc_id, string_split(text,' ') toks FROM documents),
         | s AS (SELECT doc_id, list_distinct([array_to_string(toks[i:i+2],' ')
         |        for i in generate_series(1, greatest(len(toks)-2,1))]) sh FROM t),
-        | sig AS (SELECT doc_id, sh, [list_aggregate([md5(i::VARCHAR||':'||x) for x in sh],'min')
-        |        for i in generate_series(1,16)] mh FROM s),
-        | bandkeys AS (SELECT doc_id, [mh[2*j-1]||'|'||mh[2*j] for j in generate_series(1,8)] bk FROM sig),
+        | bs AS (SELECT doc_id, sh, [list_sum([(strpos('0123456789abcdef', substr(md5(x), j, 1)) - 1)
+        |        * CAST(pow(16, 8-j) AS BIGINT) for j in generate_series(1,8)]) for x in sh] bases FROM s),
+        | sig AS (SELECT doc_id, [list_min([((2*i+1)*b + 1000003*i) % 2147483647 for b in bases])
+        |        for i in generate_series(1,16)] mh FROM bs),
+        | bandkeys AS (SELECT doc_id, [CAST(mh[2*j-1] AS VARCHAR)||'|'||CAST(mh[2*j] AS VARCHAR)
+        |        for j in generate_series(1,8)] bk FROM sig),
         | bands AS (SELECT doc_id, generate_subscripts(bk,1) band, unnest(bk) bkey FROM bandkeys),
         | cand AS (SELECT DISTINCT a.doc_id a_id, b.doc_id b_id
         |          FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
@@ -109,7 +124,7 @@ object DedupQueries {
         |         CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)/(len(sa.sh)+len(sb.sh)-len(list_intersect(sa.sh, sb.sh))) jac
         |       FROM cand JOIN s sa ON cand.a_id = sa.doc_id JOIN s sb ON cand.b_id = sb.doc_id)
         |SELECT a_id, b_id, jac FROM v WHERE jac >= 0.5 ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
-      val sh = shingled(s, dir)
+      val sh = shingled(s, dir).persist()
       val bands = sh
         .withColumn("mh", minhashSignature("sh", 16))
         .select(col("doc_id"), posexplode(bandKeys("mh", 8)).as(Seq("band", "bkey")))
@@ -122,11 +137,15 @@ object DedupQueries {
     },
 
     // ---- SimHash near-dup candidates: 64-bit fingerprint from per-token
-    // md5 bit-majorities, pairs at hamming ≤ 1. Fingerprinting is a narrow
-    // map; at scale candidate pairing goes through bucket-splitting on
-    // fingerprint prefixes (same shape as LSH banding) rather than the
-    // bounded all-pairs here. The md5 bit extraction is engine-portable so
-    // the oracle replays the full algorithm.
+    // md5 bit-majorities (one native pass, graft.plans.SimHash64), pairs
+    // at hamming ≤ 1 found by PIGEONHOLE BLOCKING: split the fingerprint
+    // into two 32-bit halves — a pair at hamming ≤ 1 differs in at most
+    // one bit, so at least one half matches EXACTLY. Candidates are the
+    // union of two equi-joins on half equality (the classic
+    // Manku/Jain/Sarma simhash sharding scheme); the exact hamming check
+    // is then one xor + bit_count per candidate instead of a 64-iteration
+    // string compare per all-pair. Output identical to the brute-force
+    // oracle; work scales with half-collisions, not n².
     entry("q_dedup_simhash",
       """WITH t AS (SELECT doc_id, string_split(text,' ') toks FROM documents WHERE doc_id < 1000),
         | h AS (SELECT doc_id, [md5(x) for x in list_distinct(toks)] hs, len(list_distinct(toks)) n FROM t),
@@ -146,12 +165,18 @@ object DedupQueries {
         .withColumn("hs", expr("transform(array_distinct(toks), x -> md5(x))"))
         .withColumn("n", expr("size(array_distinct(toks))"))
         .select(col("doc_id"), simhashBits("hs", "n").as("fp"))
-      val a = f.select(col("doc_id").as("a_id"), col("fp").as("fpa"))
-      val b = f.select(col("doc_id").as("b_id"), col("fp").as("fpb"))
-      a.join(b, col("a_id") < col("b_id"))
-        .withColumn("hamming", hammingDist("fpa", "fpb"))
+        .withColumn("hi", expr("CAST(conv(substring(fp, 1, 32), 2, 10) AS BIGINT)"))
+        .withColumn("lo", expr("CAST(conv(substring(fp, 33, 32), 2, 10) AS BIGINT)"))
+        .persist()
+      val a = f.select(col("doc_id").as("a_id"), col("hi").as("ha"), col("lo").as("la"))
+      val b = f.select(col("doc_id").as("b_id"), col("hi").as("hb"), col("lo").as("lb"))
+      a.join(b, col("ha") === col("hb") && col("a_id") < col("b_id"))
+        .unionByName(a.join(b, col("la") === col("lb") && col("a_id") < col("b_id")))
+        .withColumn("hamming",
+          expr("CAST(bit_count(ha ^ hb) + bit_count(la ^ lb) AS INT)"))
         .filter(col("hamming") <= 1)
         .select(col("a_id"), col("b_id"), col("hamming"))
+        .distinct()
         .orderBy(col("a_id"), col("b_id"))
     },
 

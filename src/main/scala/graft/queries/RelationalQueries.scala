@@ -165,10 +165,13 @@ object RelationalQueries {
 
     // ---- As-of join (an operator Spark lacks natively — composed per the
     // preference order from existing ops): equi-join on the key plus the
-    // time inequality, then keep the latest right row per left row via
-    // row_number. One shuffle on the equi key, one on the window key; at
-    // scale the window collapses to a per-event top-1 after map-side
-    // pre-filtering. Deterministic tie-break (orderdate DESC, orderkey).
+    // time inequality, then keep the latest right row per left row with a
+    // max_by AGGREGATION rather than a row_number window: partial (map-
+    // side) aggregation collapses each partition to one row per event
+    // BEFORE the shuffle, where the window formulation had to shuffle and
+    // sort every joined row. Deterministic tie-break via the struct
+    // ordering (orderdate DESC ≡ max, then smallest orderkey via -key).
+    // The oracle states the same semantics with ROW_NUMBER.
     entry("q_asof_join",
       """WITH j AS (SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice,
         |    ROW_NUMBER() OVER (PARTITION BY e.event_id ORDER BY o.o_orderdate DESC, o.o_orderkey) rn
@@ -178,11 +181,13 @@ object RelationalQueries {
       import s.implicits._
       val e = Tables(s, dir, "events")
       val o = Tables(s, dir, "orders")
-      val w = Window.partitionBy($"event_id").orderBy($"o_orderdate".desc, $"o_orderkey".asc)
       e.join(o, $"user_id" === $"o_custkey" && $"o_orderdate" <= $"ts")
-        .withColumn("rn", row_number().over(w))
-        .filter($"rn" === 1)
-        .select($"event_id", $"user_id", $"o_orderkey", $"o_totalprice")
+        .groupBy($"event_id", $"user_id")
+        .agg(max_by(
+          struct($"o_orderkey", $"o_totalprice"),
+          struct($"o_orderdate", (-$"o_orderkey").as("nk"))).as("m"))
+        .select($"event_id", $"user_id",
+          $"m.o_orderkey".as("o_orderkey"), $"m.o_totalprice".as("o_totalprice"))
         .orderBy($"event_id")
     },
 

@@ -143,16 +143,16 @@ object SimilarityQueries {
         val hexDigits = "0123456789abcdef"
         (hexDigits.indexOf(hex(0)).toLong * 16 + hexDigits.indexOf(hex(1))) - 128L
       }
-      val planes = typedLit((0 to 7).map(b => (1 to 64).map(i => hpCoef(b, i))))
+      val planes = (0 to 7).map(b => (1 to 64).map(i => hpCoef(b, i)))
       val e = Tables(s, dir, "embeddings")
         .repartition(s.sparkContext.defaultParallelism, col("vec_id")) // single-file input → spread hyperplane hashing
         .select(col("vec_id"), quantize("embedding").as("q"))
         .withColumn("nrm", qnorm("q"))
-      val code = e.withColumn("_planes", planes).withColumn("bucket",
-        expr("array_join(transform(sequence(0, 7), b -> CASE WHEN " +
-          "aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, i) -> acc + q[i] * _planes[b][i]) " +
-          ">= 0 THEN '1' ELSE '0' END), '')"))
-        .drop("_planes")
+      // One native-loop dot per plane against a literal coefficient vector
+      // (graft.plans.QuantizedDot) — the round-2 aggregate() lambda was
+      // interpreted per element per plane (512 boxed steps/row).
+      val code = e.withColumn("bucket",
+        concat(planes.map(p => when(qdotLit("q", p) >= 0, lit("1")).otherwise(lit("0"))): _*))
       val qs = code.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("bucket"), col("q").as("aq"), col("nrm").as("qnrm"))
       val cands = broadcast(qs).join(

@@ -1,0 +1,17 @@
+package org.apache.spark.sql.classic
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Spark 4 made the `Column` ↔ Catalyst `Expression` conversion
+  * (`ExpressionUtils`) `private[sql]`. Custom native expressions (see
+  * `graft.plans`) still need to surface as `Column`s without a per-session
+  * registry round-trip, so this one-liner lives in the `sql.classic`
+  * package to re-export the two conversions — the same technique Spark
+  * extension libraries (e.g. connectors providing typed column helpers)
+  * use. No Spark internals are modified.
+  */
+object GraftExpressionBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
