@@ -15,6 +15,7 @@ object SparkEntry {
   /** Every registered operator entry, in registration order. */
   def allEntries: Seq[Entry] =
     RelationalQueries.entries ++
+      FunctionQueries.entries ++
       IngestQueries.entries ++
       TextQueries.entries ++
       DedupQueries.entries ++

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+import graft.plans.VectorExpressions
+
+/** Equivalence proofs for the round-3 native expressions and the
+  * candidate-generation rewrites: each optimized path must produce
+  * bit-identical results to the straightforward (slow) formulation it
+  * replaced, on real testdata.
+  */
+class VectorExprSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Tables(spark, sf001, "documents")
+
+  test("QuantizedDot equals the unrolled a[i]*b[i] chain") {
+    val e = Tables(spark, sf001, "embeddings")
+      .select($"vec_id", quantize("embedding").as("q"))
+    val pairs = e.select($"vec_id".as("a_id"), $"q".as("aq"))
+      .crossJoin(e.select($"vec_id".as("b_id"), $"q".as("bq")))
+      .filter($"a_id" < $"b_id" && $"b_id" < 40)
+    val unrolled = expr((0 until 64).map(i => s"aq[$i]*bq[$i]").mkString(" + "))
+    assert(pairs.filter(qdot("aq", "bq") =!= unrolled).count() === 0)
+  }
+
+  test("MinHashSlots equals the per-slot SQL formula") {
+    val sh = docs.limit(50)
+      .withColumn("toks", tokens("text"))
+      .select($"doc_id", shingles("toks", 3).as("sh"))
+      .withColumn("bases", shingleBases("sh"))
+    val sqlSig = expr("transform(sequence(1, 16), i -> " +
+      "array_min(transform(bases, b -> ((2*i+1)*b + CAST(1000003 AS BIGINT)*i) % 2147483647)))")
+    assert(sh.filter(minhashSignature("sh", 16) =!= sqlSig).count() === 0)
+  }
+
+  test("SimHash64 equals the per-bit SQL formula") {
+    val f = docs.limit(50)
+      .withColumn("toks", tokens("text"))
+      .withColumn("hs", expr("transform(array_distinct(toks), x -> md5(x))"))
+      .withColumn("n", expr("size(array_distinct(toks))"))
+    val sqlFp = expr("array_join(transform(sequence(0, 63), b -> " +
+      "CASE WHEN 2 * size(filter(hs, m -> " +
+      "((instr('0123456789abcdef', substring(m, CAST(b DIV 4 AS INT) + 1, 1)) - 1) " +
+      "DIV CAST(pow(2, b % 4) AS INT)) % 2 = 1)) >= n THEN '1' ELSE '0' END), '')")
+    assert(f.filter(simhashBits("hs", "n") =!= sqlFp).count() === 0)
+  }
+
+  test("prefix-filter Jaccard join finds exactly the brute-force pairs") {
+    val sh = docs
+      .withColumn("toks", tokens("text"))
+      .select($"doc_id", shingles("toks", 3).as("sh"))
+    // brute: all pairs, exact jaccard ≥ 0.5
+    val a = sh.select($"doc_id".as("a_id"), $"sh".as("sha"))
+    val b = sh.select($"doc_id".as("b_id"), $"sh".as("shb"))
+    val jac = expr("CAST(size(array_intersect(sha, shb)) AS DOUBLE) / " +
+      "(size(sha) + size(shb) - size(array_intersect(sha, shb)))")
+    val brute = a.join(b, $"a_id" < $"b_id").filter(jac >= 0.5)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    // prefix-filtered candidates ⊇ brute survivors; verification trims to equal
+    val pref = sh.select($"doc_id", explode(expr(
+      "slice(array_sort(sh), 1, size(sh) - CAST(ceil(0.5 * size(sh)) AS INT) + 1)")).as("tok"))
+    val cand = pref.as("x").join(pref.as("y"),
+        col("x.tok") === col("y.tok") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id")).distinct()
+    val verifiedPairs = cand.join(a, "a_id").join(b, "b_id").filter(jac >= 0.5)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    assert(verifiedPairs === brute)
+    assert(brute.nonEmpty) // the check must actually exercise pairs
+  }
+
+  test("simhash half-match blocking finds exactly the brute hamming<=1 pairs") {
+    val f = docs
+      .withColumn("toks", tokens("text"))
+      .withColumn("hs", expr("transform(array_distinct(toks), x -> md5(x))"))
+      .withColumn("n", expr("size(array_distinct(toks))"))
+      .select($"doc_id", simhashBits("hs", "n").as("fp"))
+      .withColumn("hi", expr("CAST(conv(substring(fp, 1, 32), 2, 10) AS BIGINT)"))
+      .withColumn("lo", expr("CAST(conv(substring(fp, 33, 32), 2, 10) AS BIGINT)"))
+    val a = f.select($"doc_id".as("a_id"), $"fp".as("fpa"), $"hi".as("ha"), $"lo".as("la"))
+    val b = f.select($"doc_id".as("b_id"), $"fp".as("fpb"), $"hi".as("hb"), $"lo".as("lb"))
+    val bruteHam = expr("size(filter(sequence(1, 64), i -> substring(fpa, i, 1) != substring(fpb, i, 1)))")
+    val brute = a.join(b, $"a_id" < $"b_id").filter(bruteHam <= 1)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    val blocked = a.join(b, $"ha" === $"hb" && $"a_id" < $"b_id")
+      .unionByName(a.join(b, $"la" === $"lb" && $"a_id" < $"b_id"))
+      .filter(expr("bit_count(ha ^ hb) + bit_count(la ^ lb)") <= 1)
+      .select($"a_id", $"b_id").distinct().as[(Long, Long)].collect().toSet
+    assert(blocked === brute)
+    assert(brute.nonEmpty)
+  }
+
+  test("graft_qdot is registered for SQL via GraftExtensions") {
+    graft.plans.GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_qdot(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS d").as[Long].head()
+    assert(r === 32L)
+  }
+}
