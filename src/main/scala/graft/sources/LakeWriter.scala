@@ -29,6 +29,23 @@ import org.apache.spark.sql.types.StructType
   */
 object LakeWriter {
 
+  /** Bucketed (hash-clustered) table write: `bucketBy(key) + sortBy(key)`
+    * into the session catalog. The 100 TB co-location primitive the
+    * reference lacks entirely: two tables bucketed on the same key with
+    * the same bucket count join WITHOUT ANY SHUFFLE — each task zips
+    * bucket i with bucket i (see BucketJoinSpec for the plan proof).
+    * Amortizes one shuffle at write time across every subsequent join /
+    * aggregation on the key. */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+                    numBuckets: Int, path: String): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .option("path", path)
+      .option("compression", "zstd")
+      .bucketBy(numBuckets, key)
+      .sortBy(key)
+      .saveAsTable(table)
+
   /** md5-over-sorted-`name:type` schema fingerprint, 8 hex chars — the
     * reference's get_schema_hash (`:414-432`). */
   def schemaHash(schema: StructType): String = {
