@@ -191,6 +191,28 @@ object RelationalQueries {
         .orderBy($"event_id")
     },
 
+    // ---- As-of join via the NATIVE custom operator (logical node +
+    // strategy + co-partitioned merge exec — graft.plans.AsOfJoinPlan):
+    // one shuffle per side, a single O(n+m) forward pass per partition,
+    // no (event × order-history) pair materialization at all. Same
+    // oracle as the composed q_asof_join above — the gate proves the
+    // custom operator's semantics equal the window formulation.
+    entry("q_asof_join_native",
+      """WITH j AS (SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY e.event_id ORDER BY o.o_orderdate DESC, o.o_orderkey) rn
+        |  FROM events e JOIN orders o ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
+        |SELECT event_id, user_id, o_orderkey, o_totalprice FROM j WHERE rn = 1
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val e = Tables(s, dir, "events").select($"event_id", $"user_id", $"ts")
+      val o = Tables(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_orderdate", $"o_totalprice")
+      graft.plans.AsOfJoinPlan
+        .asof(s, e, o, e("user_id"), o("o_custkey"), e("ts"), o("o_orderdate"), o("o_orderkey"))
+        .select($"event_id", $"user_id", $"o_orderkey", $"o_totalprice")
+        .orderBy($"event_id")
+    },
+
     // ---- Range join via BUCKETIZED equi-join: the naive formulation is a
     // nested-loop over every (event, order) pair; bucketing the range into
     // fixed-width intervals turns it into an equi-join on the bucket id
