@@ -87,6 +87,20 @@ object IngestPipeline {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
 
+  /** Stream-stream INTERVAL JOIN with watermarks on both sides: enrich an
+    * event stream with the matching record from a second stream whose
+    * event time falls in the hour before the event. Both watermarks bound
+    * the join state (each side buffers only rows inside its horizon), so
+    * state stays O(rate × window) at any scale — the streaming twin of
+    * the batch range join (`q_range_join`). */
+  def enrichStream(events: DataFrame, other: DataFrame,
+                   eventsWatermark: String = "1 hour",
+                   otherWatermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", eventsWatermark)
+      .join(other.withWatermark("ots", otherWatermark),
+        expr("user_id = o_user AND ots BETWEEN ts - INTERVAL 1 HOUR AND ts"),
+        "inner")
+
   /** Per-user session state: custom stateful operator via
     * flatMapGroupsWithState — emits a session row whenever a user is idle
     * past `gapMinutes`. State per key is O(1); the shuffle is on user_id. */

@@ -48,6 +48,27 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains(("2024-01-01 01:00:00", "b", 1L, 5.0)))
   }
 
+  test("stream-stream interval join matches within the hour window, drops outside it") {
+    implicit val sqlCtx = spark.sqlContext
+    def t(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val evMem = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val otMem = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val joined = IngestPipeline.enrichStream(
+      evMem.toDF().toDF("ts", "user_id", "event_type"),
+      otMem.toDF().toDF("ots", "o_user", "o_value"))
+    val q = joined.writeStream.format("memory").queryName("ss_join")
+      .outputMode(OutputMode.Append()).start()
+    // user 1: order 35 min before the event (inside window); user 2: order
+    // 2h before (outside); user 3: order AFTER the event (outside)
+    otMem.addData((t(1, 0), 1L, 10.0), (t(0, 0), 2L, 20.0), (t(3, 0), 3L, 30.0))
+    evMem.addData((t(1, 35), 1L, "click"), (t(2, 0), 2L, "click"), (t(2, 0), 3L, "click"))
+    q.processAllAvailable()
+    val rows = spark.table("ss_join").select($"user_id", $"o_value")
+      .as[(Long, Double)].collect().toSet
+    q.stop()
+    assert(rows === Set((1L, 10.0)))
+  }
+
   test("sessionization emits closed sessions with correct bounds (batch-mode check)") {
     import IngestPipeline._
     // batch Dataset run of the same per-group logic via groupByKey+flatMapGroups
