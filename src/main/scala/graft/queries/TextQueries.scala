@@ -92,6 +92,65 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // ---- The END-TO-END curation pipeline (the composite every LLM
+    // training-data run executes): feature extraction (tokens, alpha
+    // ratio, language vote) → quality + language filters → exact dedup
+    // keyed on md5(text) (the shuffle carries a 32-char hash, not the
+    // document body — the 100 TB-relevant choice) → per-language corpus
+    // stats from exact integer sums. Everything before the dedup is a
+    // narrow map; the only shuffles are the hash-dedup and the final tiny
+    // aggregation.
+    entry("q_curation_pipeline",
+      """WITH t AS (SELECT doc_id, text, regexp_split_to_array(text,'\s+') toks FROM documents),
+        | s AS (SELECT doc_id, text, len(toks) n_tokens,
+        |    length(regexp_replace(text,'[^a-z]','','g')) n_alpha, length(text) n_chars,
+        |    len(list_filter(toks, x -> x IN ('the','of','and','is','to'))) c_en,
+        |    len(list_filter(toks, x -> x IN ('der','die','das','und','ist'))) c_de,
+        |    len(list_filter(toks, x -> x IN ('el','la','los','es','y'))) c_es,
+        |    len(list_filter(toks, x -> x IN ('le','la','les','est','et'))) c_fr
+        |  FROM t),
+        | l AS (SELECT *, CASE WHEN c_en=0 AND c_de=0 AND c_es=0 AND c_fr=0 THEN 'und'
+        |    WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr THEN 'en'
+        |    WHEN c_de >= c_es AND c_de >= c_fr THEN 'de'
+        |    WHEN c_es >= c_fr THEN 'es' ELSE 'fr' END pred_lang FROM s),
+        | flt AS (SELECT * FROM l WHERE n_tokens >= 20 AND CAST(n_alpha AS DOUBLE)/n_chars > 0.5),
+        | ded AS (SELECT md5(text) h, MIN(doc_id) doc_id, MIN(pred_lang) pred_lang,
+        |    MIN(n_tokens) n_tokens, MIN(n_alpha) n_alpha, MIN(n_chars) n_chars
+        |  FROM flt GROUP BY md5(text))
+        |SELECT pred_lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tokens) AS DOUBLE)/COUNT(*) AS avg_tokens,
+        |  CAST(SUM(n_alpha) AS DOUBLE)/SUM(n_chars) AS alpha_ratio
+        |FROM ded GROUP BY pred_lang ORDER BY pred_lang""".stripMargin) { (s, dir) =>
+      val scored = Tables(s, dir, "documents")
+        .withColumn("toks", wsTokens("text"))
+        .select(col("doc_id"), col("text"),
+          size(col("toks")).as("n_tokens"),
+          length(regexp_replace(col("text"), "[^a-z]", "")).as("n_alpha"),
+          length(col("text")).as("n_chars"),
+          markerCount("toks", stopEn).as("c_en"),
+          markerCount("toks", stopDe).as("c_de"),
+          markerCount("toks", stopEs).as("c_es"),
+          markerCount("toks", stopFr).as("c_fr"))
+        .withColumn("pred_lang",
+          when(col("c_en") === 0 && col("c_de") === 0 && col("c_es") === 0 && col("c_fr") === 0, "und")
+            .when(col("c_en") >= col("c_de") && col("c_en") >= col("c_es") && col("c_en") >= col("c_fr"), "en")
+            .when(col("c_de") >= col("c_es") && col("c_de") >= col("c_fr"), "de")
+            .when(col("c_es") >= col("c_fr"), "es")
+            .otherwise("fr"))
+        .filter(col("n_tokens") >= 20 &&
+          col("n_alpha").cast("double") / col("n_chars") > 0.5)
+      scored
+        .groupBy(md5(col("text").cast("binary")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id"), min(col("pred_lang")).as("pred_lang"),
+          min(col("n_tokens")).as("n_tokens"), min(col("n_alpha")).as("n_alpha"),
+          min(col("n_chars")).as("n_chars"))
+        .groupBy(col("pred_lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          (sum(col("n_tokens")).cast("double") / count(lit(1))).as("avg_tokens"),
+          (sum(col("n_alpha")).cast("double") / sum(col("n_chars"))).as("alpha_ratio"))
+        .orderBy(col("pred_lang"))
+    },
+
     // ---- Document fingerprinting: whole-content md5 plus the minimum
     // 5-gram-shingle md5 (a 1-function MinHash — robust to small edits).
     entry("q_doc_fingerprint",
