@@ -200,6 +200,48 @@ object FunctionQueries {
         .orderBy($"o_orderkey")
     },
 
+    // ---- Fixed-width histogram: integer bucketing with exact per-bucket
+    // stats — one tiny-keyspace aggregation with map-side partials.
+    entry("q_histogram",
+      s"""SELECT CAST(floor(o_totalprice/60000.0) AS BIGINT) AS bucket,
+         |  COUNT(*) AS n, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi,
+         |  ${dsum("o_totalprice")} AS sum_price
+         |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir, "orders")
+        .groupBy(floor($"o_totalprice" / 60000.0).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"), min($"o_totalprice").as("lo"),
+          max($"o_totalprice").as("hi"), Exact.dsum($"o_totalprice").as("sum_price"))
+        .orderBy($"bucket")
+    },
+
+    // ---- Deterministic train/val/test split assignment: hash-bucket each
+    // document by its first md5 hex digit (12/2/2 of 16 → 75%/12.5%/12.5%).
+    // No rand() anywhere — assignments are stable across runs, engines,
+    // retries, and cluster sizes, which is what an eval-split pipeline
+    // actually requires. Narrow map + tiny aggregation.
+    entry("q_det_sample",
+      """WITH s AS (SELECT doc_id,
+        |    strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS v,
+        |    regexp_split_to_array(text,'\s+') toks FROM documents),
+        | a AS (SELECT doc_id, len(toks) n_tokens,
+        |    CASE WHEN v < 12 THEN 'train' WHEN v < 14 THEN 'val' ELSE 'test' END AS split FROM s)
+        |SELECT split, COUNT(*) AS n_docs, SUM(n_tokens) AS sum_tokens,
+        |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        |FROM a GROUP BY split ORDER BY split""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir, "documents")
+        .select($"doc_id",
+          (expr("instr('0123456789abcdef', substring(md5(CAST(doc_id AS STRING)), 1, 1))") - 1).as("v"),
+          size(graft.functions.TextFunctions.wsTokens("text")).as("n_tokens"))
+        .withColumn("split",
+          when($"v" < 12, "train").when($"v" < 14, "val").otherwise("test"))
+        .groupBy($"split")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("sum_tokens"),
+          min($"doc_id").as("min_doc"), max($"doc_id").as("max_doc"))
+        .orderBy($"split")
+    },
+
     // ---- Exact sample covariance + correlation via INTEGER moments.
     // Both columns carry ≤3 decimal digits, so x·1000 (through an exact
     // decimal hop) is an exact int64; all five moments (Σx Σy Σxy Σx² Σy²)

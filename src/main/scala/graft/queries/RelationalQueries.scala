@@ -239,6 +239,25 @@ object RelationalQueries {
         .orderBy($"event_id")
     },
 
+    // ---- Salted skew-join (graft.functions.SkewJoin): each fact row gets
+    // a deterministic salt from a full-row xxhash64, the dim side is
+    // replicated once per salt bucket, and the join key becomes
+    // (key, salt) — a hot supplier spreads over 8 reducers instead of
+    // straggling on one. The oracle states the PLAIN join: salting is
+    // provably result-identical, and the gate enforces exactly that.
+    entry("q_join_salted",
+      s"""SELECT s_name, COUNT(*) AS n_items, ${dsum("l_extendedprice")} AS sum_price
+         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         |GROUP BY s_name ORDER BY s_name""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val fact = Tables(s, dir, "lineitem").select($"l_suppkey", $"l_extendedprice")
+      val dim = Tables(s, dir, "supplier").select($"s_suppkey".as("l_suppkey"), $"s_name")
+      graft.functions.SkewJoin.saltedEquiJoin(fact, dim, "l_suppkey", saltBuckets = 8)
+        .groupBy($"s_name")
+        .agg(count(lit(1)).as("n_items"), Exact.dsum($"l_extendedprice").as("sum_price"))
+        .orderBy($"s_name")
+    },
+
     // ---- Set ops beyond the reference's union: INTERSECT / EXCEPT
     // (distinct semantics, one shuffle each on the full row as key).
     entry("q_intersect",
