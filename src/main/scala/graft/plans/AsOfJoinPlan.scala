@@ -4,8 +4,9 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Descending, Expression, JoinedRow, SortOrder, UnsafeProjection}
-import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.classic.{GraftExpressionBridge => Bridge}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 
@@ -46,6 +47,36 @@ case class AsOfJoinNode(
     copy(left = l, right = r)
 }
 
+/** Custom operators opt out of Catalyst's built-in predicate pushdown
+  * (PushPredicateThroughNonJoin doesn't know `AsOfJoinNode`), so a filter
+  * written above an as-of join would otherwise evaluate post-join and
+  * never reach the parquet scan. This rule restores pushdown for the safe
+  * direction: a deterministic predicate over LEFT-side columns commutes
+  * with the join (as-of semantics are per left row), so it moves below.
+  * Right-side predicates must NOT move — filtering right rows before the
+  * join changes which row is "latest" (e.g. dropping the current best
+  * match would promote an older one instead of dropping the output row).
+  */
+object PushFilterThroughAsOfJoin extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, j: AsOfJoinNode) =>
+      val (pushable, kept) = splitConjunctivePredicates(cond).partition(p =>
+        p.deterministic && p.references.subsetOf(j.left.outputSet))
+      if (pushable.isEmpty) f
+      else {
+        val pushed = j.copy(left = Filter(pushable.reduce(org.apache.spark.sql.catalyst.expressions.And), j.left))
+        kept.reduceOption(org.apache.spark.sql.catalyst.expressions.And)
+          .map(Filter(_, pushed)).getOrElse(pushed)
+      }
+  }
+
+  private def splitConjunctivePredicates(e: Expression): Seq[Expression] = e match {
+    case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+      splitConjunctivePredicates(l) ++ splitConjunctivePredicates(r)
+    case other => Seq(other)
+  }
+}
+
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AsOfJoinNode(l, r, lk, rk, lt, rt, tb) =>
@@ -67,6 +98,11 @@ case class AsOfJoinExec(
     * key values). */
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
+
+  /** Rows never leave their left-side partition, so the key-hash
+    * partitioning survives the join — a downstream groupBy/join on the
+    * key reuses this shuffle instead of adding one. */
+  override def outputPartitioning: Partitioning = left.outputPartitioning
 
   /** Sort-merge order. The right side sorts ties DESCENDING so that the
     * forward pass's last-written candidate is the smallest tie value. */
@@ -145,6 +181,9 @@ object AsOfJoinPlan {
            leftTime: Column, rightTime: Column, tieBreak: Column): DataFrame = {
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    if (!spark.experimental.extraOptimizations.contains(PushFilterThroughAsOfJoin))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ PushFilterThroughAsOfJoin
     Bridge.ofRows(spark, AsOfJoinNode(
       left.queryExecution.analyzed, right.queryExecution.analyzed,
       Bridge.expression(leftKey), Bridge.expression(rightKey),

@@ -59,8 +59,11 @@ case class MsgpackToJsonExpr(child: Expression) extends UnaryExpression {
   * works in any session built `.withExtensions(new GraftExtensions)` (or via
   * `spark.sql.extensions=graft.plans.GraftExtensions`). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    ext.injectOptimizerRule(_ => PushFilterThroughAsOfJoin)
+  }
 }
 
 object GraftExtensions {

@@ -46,6 +46,34 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out === Set((100L, 3L, 2.0), (101L, 9L, 3.0)))
   }
 
+  test("left-side filters push through the custom operator to the scan") {
+    val df = native().filter($"event_id" < 100)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // PushFilterThroughAsOfJoin moves the predicate below the join, and
+    // standard pushdown then carries it into the parquet scan
+    assert(p.contains("PushedFilters: [IsNotNull(event_id), LessThan(event_id,100)]"), p)
+    // and the values still match the composed formulation
+    val composed = SparkEntry.queries("q_asof_join")(spark, sf001)
+      .filter($"event_id" < 100).as[(Long, Long, Long, Double)].collect().toSet
+    assert(df.as[(Long, Long, Long, Double)].collect().toSet === composed)
+  }
+
+  test("downstream aggregation on the join key reuses the as-of shuffle") {
+    val e = Tables(spark, sf001, "events").select($"event_id", $"user_id", $"ts")
+    val o = Tables(spark, sf001, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate", $"o_totalprice")
+    val agg = AsOfJoinPlan.asof(spark, e, o,
+        e("user_id"), o("o_custkey"), e("ts"), o("o_orderdate"), o("o_orderkey"))
+      .groupBy($"user_id").agg(count(lit(1)).as("n"))
+    agg.collect()
+    val p = agg.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    // only the two as-of input shuffles — outputPartitioning lets the
+    // aggregation reuse the left key distribution
+    assert(shuffles === 2, s"aggregation re-shuffled despite key partitioning:\n$p")
+  }
+
   test("native as-of plans one exchange per side and no join blow-up operator") {
     val df = native()
     df.collect()
