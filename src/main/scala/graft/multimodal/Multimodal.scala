@@ -52,6 +52,26 @@ object Multimodal {
       }
   }
 
+  case class ResizedMedia(doc_id: Long, resized_len: Int, resized_md5: String)
+
+  /** RESIZE STUB: stands in for an image/audio resampler — keeps every
+    * `stride`-th byte of the payload (a real resizer swaps only the inner
+    * function; schema, batch shape, and downstream metadata stay fixed). */
+  def resize(df: DataFrame, idCol: String, payloadCol: String,
+             stride: Int = 4): Dataset[ResizedMedia] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.map { case (id, bytes) =>
+          val out = Array.range(0, bytes.length, stride).map(bytes(_))
+          ResizedMedia(id, out.length, md.digest(out).map("%02x".format(_)).mkString)
+        }
+      }
+  }
+
   /** Frame sampling over a binary payload treated as fixed-size frames
     * (a video decoder stub): every `stride`-th 256-byte frame, fingerprinted
     * with md5. */

@@ -52,6 +52,23 @@ object MultimodalQueries {
         .orderBy(col("doc_id"), col("feat_idx"))
     },
 
+    // ---- Resize (resampler stub): keep every 4th payload byte, report
+    // the new length + content fingerprint. The oracle rebuilds the same
+    // byte-stride slice character-wise (ASCII ⇒ chars == bytes).
+    entry("q_mm_resize",
+      """WITH r AS (SELECT doc_id,
+        |    array_to_string([substr(text, i, 1) for i in generate_series(1, length(text), 4)], '') rz
+        |  FROM documents)
+        |SELECT doc_id, length(rz) AS resized_len, md5(rz) AS resized_md5
+        |FROM r ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import graft.multimodal.Multimodal
+      Multimodal.resize(
+          Tables(s, dir, "documents").withColumn("payload", col("text").cast("binary")),
+          "doc_id", "payload", stride = 4)
+        .toDF()
+        .orderBy(col("doc_id"))
+    },
+
     // ---- Frame sampling (video-decoder stub): 256-byte frames, every 4th
     // sampled, md5-fingerprinted — mapPartitions batch shape again; the
     // oracle slices the same bytes with substr (ASCII ⇒ chars == bytes).
