@@ -35,7 +35,9 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * the plan stays valid under adaptive execution.
   *
   * Key/time/tie expressions must be 64-bit-backed orderable types
-  * (long / timestamp) — true of every as-of use in this engine.
+  * (long / timestamp) — true of every as-of use in this engine — and
+  * non-null (a null key/time would unbox to 0; filter nulls out first,
+  * as SQL join semantics would drop them anyway).
   */
 case class AsOfJoinNode(
     left: LogicalPlan, right: LogicalPlan,
