@@ -48,6 +48,35 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains(("2024-01-01 01:00:00", "b", 1L, 5.0)))
   }
 
+  test("foreachBatch dedup-merge sink is idempotent (two-phase deferred dedup twin)") {
+    import graft.ingest.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    val lake = Files.createTempDirectory("mergelake").toString + "/events"
+    val mem = MemoryStream[(Long, Long, Double)]
+    val q = mem.toDF().toDF("user_id", "event_id", "value").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // reference two-phase mode: append-fast, then merge with an
+        // anti-join against what the lake already holds (collector
+        // :741-758) — here folded into one idempotent foreachBatch
+        val fresh =
+          if (new java.io.File(lake).exists())
+            Dedup.antiJoinNew(batch, spark.read.parquet(lake),
+              Seq("user_id", "event_id"), broadcastExisting = true)
+          else batch
+        fresh.write.mode("append").parquet(lake)
+      }
+      .start()
+    mem.addData((1L, 1L, 1.0), (1L, 2L, 2.0))
+    q.processAllAvailable()
+    // second batch overlaps the first — only the new key may land
+    mem.addData((1L, 2L, 2.0), (2L, 1L, 3.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.read.parquet(lake)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(rows === Set((1L, 1L, 1.0), (1L, 2L, 2.0), (2L, 1L, 3.0)))
+  }
+
   test("stream-stream interval join matches within the hour window, drops outside it") {
     implicit val sqlCtx = spark.sqlContext
     def t(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
