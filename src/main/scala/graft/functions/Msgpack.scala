@@ -191,9 +191,14 @@ object Msgpack {
     encode(scala.collection.immutable.ListMap(fields: _*))
   }
 
+  /** Decode-success fraction above which a topic is classified msgpack
+    * (reference `:172-220`) — shared by the driver-sample and distributed
+    * detectors so they can never diverge. */
+  val FormatThreshold = 0.9
+
   /** Format detection (reference `:172-220`): fraction of sampled payloads
     * that msgpack-decode cleanly decides the topic codec. */
-  def detectFormat(sample: Seq[Array[Byte]], threshold: Double = 0.9): String = {
+  def detectFormat(sample: Seq[Array[Byte]], threshold: Double = FormatThreshold): String = {
     if (sample.isEmpty) "json"
     else {
       val ok = sample.count(b => toJson(b) != null)
@@ -216,7 +221,7 @@ object Msgpack {
     override def merge(x: (Long, Long), y: (Long, Long)): (Long, Long) =
       (x._1 + y._1, x._2 + y._2)
     override def finish(b: (Long, Long)): String =
-      if (b._2 > 0 && b._1.toDouble / b._2 > 0.9) "msgpack" else "json"
+      if (b._2 > 0 && b._1.toDouble / b._2 > FormatThreshold) "msgpack" else "json"
     override def bufferEncoder: org.apache.spark.sql.Encoder[(Long, Long)] =
       org.apache.spark.sql.Encoders.tuple(
         org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaLong)

@@ -35,9 +35,8 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * the plan stays valid under adaptive execution.
   *
   * Key/time/tie expressions must be 64-bit-backed orderable types
-  * (long / timestamp) — true of every as-of use in this engine — and
-  * non-null (a null key/time would unbox to 0; filter nulls out first,
-  * as SQL join semantics would drop them anyway).
+  * (bigint / timestamp — validated at construction). Null keys/times
+  * follow SQL join semantics: they never match and their rows drop out.
   */
 case class AsOfJoinNode(
     left: LogicalPlan, right: LogicalPlan,
@@ -137,23 +136,37 @@ case class AsOfJoinExec(
           nextRow = null
           while (nextRow == null && lIter.hasNext) {
             val l = lIter.next()
-            val lkv = lk.eval(l).asInstanceOf[Long]
-            val ltv = lt.eval(l).asInstanceOf[Long]
-            if (candidate != null && candidateKey != lkv) candidate = null
-            // skip right rows before this key, then absorb all right rows
-            // at this key with time ≤ left time (last absorbed wins: max
-            // time, then min tie thanks to the DESC tie sort)
-            var advancing = true
-            while (advancing && rBuf.hasNext) {
-              val rkv = rk.eval(rBuf.head).asInstanceOf[Long]
-              if (rkv < lkv) { rBuf.next(); }
-              else if (rkv == lkv && rt.eval(rBuf.head).asInstanceOf[Long] <= ltv) {
-                candidate = rBuf.next().copy()
-                candidateKey = lkv
-              } else advancing = false
-            }
-            if (candidate != null && candidateKey == lkv) {
-              nextRow = project(joined(l, candidate))
+            val lkAny = lk.eval(l)
+            val ltAny = lt.eval(l)
+            // SQL join semantics: null keys/times never match — drop the row
+            if (lkAny != null && ltAny != null) {
+              val lkv = lkAny.asInstanceOf[Long]
+              val ltv = ltAny.asInstanceOf[Long]
+              if (candidate != null && candidateKey != lkv) candidate = null
+              // skip right rows before this key, then absorb all right rows
+              // at this key with time ≤ left time (last absorbed wins: max
+              // time, then min tie thanks to the DESC tie sort). Null-keyed
+              // right rows sort first (NULLS FIRST) and are consumed here
+              // without ever matching.
+              var advancing = true
+              while (advancing && rBuf.hasNext) {
+                val rkAny = rk.eval(rBuf.head)
+                val rtAny = if (rkAny == null) null else rt.eval(rBuf.head)
+                if (rkAny == null) { rBuf.next(); }
+                else {
+                  val rkv = rkAny.asInstanceOf[Long]
+                  if (rkv < lkv) { rBuf.next(); }
+                  else if (rkv == lkv && rtAny != null
+                    && rtAny.asInstanceOf[Long] <= ltv) {
+                    candidate = rBuf.next().copy()
+                    candidateKey = lkv
+                  } else if (rkv == lkv && rtAny == null) { rBuf.next(); }
+                  else advancing = false
+                }
+              }
+              if (candidate != null && candidateKey == lkv) {
+                nextRow = project(joined(l, candidate))
+              }
             }
           }
         }
@@ -181,6 +194,13 @@ object AsOfJoinPlan {
   def asof(spark: SparkSession, left: DataFrame, right: DataFrame,
            leftKey: Column, rightKey: Column,
            leftTime: Column, rightTime: Column, tieBreak: Column): DataFrame = {
+    // fail at construction, not mid-job: the merge unboxes 64-bit values
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val ok = Set[org.apache.spark.sql.types.DataType](LongType, TimestampType, TimestampNTZType)
+    Seq(leftKey, rightKey, leftTime, rightTime, tieBreak).foreach { c =>
+      val dt = Bridge.expression(c).dataType
+      require(ok(dt), s"as-of join columns must be bigint/timestamp, got $dt for $c")
+    }
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ AsOfJoinStrategy
     if (!spark.experimental.extraOptimizations.contains(PushFilterThroughAsOfJoin))

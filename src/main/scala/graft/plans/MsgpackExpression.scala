@@ -73,8 +73,20 @@ object GraftExtensions {
   private val functions = Seq(
     fn("msgpack_to_json", classOf[MsgpackToJsonExpr], cs => MsgpackToJsonExpr(cs.head)),
     fn("graft_qdot", classOf[QuantizedDot], cs => QuantizedDot(cs(0), cs(1))),
-    fn("graft_minhash", classOf[MinHashSlots],
-      cs => MinHashSlots(cs(0), cs(1).eval().asInstanceOf[Int])),
+    fn("graft_minhash", classOf[MinHashSlots], { cs =>
+      if (cs.length != 2)
+        throw new IllegalArgumentException(
+          s"graft_minhash(bases, k) takes 2 arguments, got ${cs.length}")
+      if (!cs(1).foldable)
+        throw new IllegalArgumentException("graft_minhash: k must be a literal")
+      val k = cs(1).eval() match {
+        case i: Int  => i
+        case l: Long => l.toInt
+        case other =>
+          throw new IllegalArgumentException(s"graft_minhash: integer k expected, got $other")
+      }
+      MinHashSlots(cs(0), k)
+    }),
     fn("graft_simhash64", classOf[SimHash64], cs => SimHash64(cs(0), cs(1))))
 
   /** Register into an already-built session (extensions are otherwise

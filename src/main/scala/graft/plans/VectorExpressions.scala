@@ -30,9 +30,15 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object VectorOps {
 
-  /** Exact int64 dot product of two equal-length bigint arrays. */
+  /** Exact int64 dot product of two equal-length bigint arrays. Length
+    * mismatch raises a clear error rather than reading out of bounds —
+    * `graft_qdot` is on the public SQL surface (UnsafeArrayData.getLong
+    * has no bounds check, so an unchecked loop would return garbage). */
   def qdot(a: ArrayData, b: ArrayData): Long = {
     val n = a.numElements()
+    if (b.numElements() != n)
+      throw new IllegalArgumentException(
+        s"graft_qdot: vector lengths differ (${n} vs ${b.numElements()})")
     var s = 0L
     var i = 0
     while (i < n) { s += a.getLong(i) * b.getLong(i); i += 1 }
@@ -108,16 +114,26 @@ case class QuantizedDot(left: Expression, right: Expression) extends BinaryExpre
 }
 
 /** `graft_minhash(array<bigint>) -> array<bigint>` of `k` slots — see
-  * [[VectorOps.minhash]]. */
+  * [[VectorOps.minhash]]. An EMPTY bases array yields NULL (there is no
+  * minimum of nothing; shingle inputs are length-clamped so the engine's
+  * own queries never hit this, but the SQL surface can). */
 case class MinHashSlots(child: Expression, k: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_minhash"
 
-  override protected def nullSafeEval(bases: Any): Any =
-    VectorOps.minhash(bases.asInstanceOf[ArrayData], k)
+  override protected def nullSafeEval(bases: Any): Any = {
+    val arr = bases.asInstanceOf[ArrayData]
+    if (arr.numElements() == 0) null else VectorOps.minhash(arr, k)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.plans.VectorOps.minhash($c, $k)")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""if ($c.numElements() == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.plans.VectorOps.minhash($c, $k);
+         |}""".stripMargin)
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSlots =
     copy(child = newChild)

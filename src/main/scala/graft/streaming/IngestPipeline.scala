@@ -94,11 +94,15 @@ object IngestPipeline {
     * state stays O(rate × window) at any scale — the streaming twin of
     * the batch range join (`q_range_join`). */
   def enrichStream(events: DataFrame, other: DataFrame,
+                   eventsKey: String = "user_id", otherKey: String = "o_user",
+                   eventsTime: String = "ts", otherTime: String = "ots",
+                   window: String = "1 HOUR",
                    eventsWatermark: String = "1 hour",
                    otherWatermark: String = "1 hour"): DataFrame =
-    events.withWatermark("ts", eventsWatermark)
-      .join(other.withWatermark("ots", otherWatermark),
-        expr("user_id = o_user AND ots BETWEEN ts - INTERVAL 1 HOUR AND ts"),
+    events.withWatermark(eventsTime, eventsWatermark)
+      .join(other.withWatermark(otherTime, otherWatermark),
+        expr(s"$eventsKey = $otherKey AND $otherTime BETWEEN " +
+          s"$eventsTime - INTERVAL $window AND $eventsTime"),
         "inner")
 
   /** Per-user session state: custom stateful operator via

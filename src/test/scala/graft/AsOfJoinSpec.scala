@@ -74,6 +74,32 @@ class AsOfJoinSpec extends SparkSpec {
     assert(shuffles === 2, s"aggregation re-shuffled despite key partitioning:\n$p")
   }
 
+  test("null keys and times follow SQL join semantics (rows drop, no key-0 match)") {
+    val l = Seq((100L, Some(1L), Some(15L)), (101L, None, Some(25L)),
+        (102L, Some(0L), Some(30L)), (103L, Some(1L), None))
+      .toDF("event_id", "user_id", "t")
+    val r = Seq((5L, Some(1L), Some(10L), 1.0), (6L, Some(0L), Some(10L), 6.0),
+        (7L, None, Some(5L), 7.0), (8L, Some(1L), None, 8.0))
+      .toDF("o_key", "o_cust", "rt", "price")
+    val out = AsOfJoinPlan.asof(spark, l, r,
+        l("user_id"), r("o_cust"), l("t"), r("rt"), r("o_key"))
+      .select($"event_id", $"o_key")
+      .as[(Long, Long)].collect().toSet
+    // 100 → order 5; 102 matches key 0's real order 6 (not null-keyed rows);
+    // 101 (null key) and 103 (null time) drop; null-keyed/timed right rows
+    // (7, 8) never match anyone
+    assert(out === Set((100L, 5L), (102L, 6L)))
+  }
+
+  test("non-64-bit join columns are rejected at construction") {
+    val l = Seq((1, 2)).toDF("k", "t")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoinPlan.asof(spark, l, l.select($"k".as("k2"), $"t".as("t2")),
+        l("k"), col("k2"), l("t"), col("t2"), col("k2"))
+    }
+    assert(e.getMessage.contains("bigint/timestamp"))
+  }
+
   test("native as-of plans one exchange per side and no join blow-up operator") {
     val df = native()
     df.collect()

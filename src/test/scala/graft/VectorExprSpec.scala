@@ -98,4 +98,18 @@ class VectorExprSpec extends SparkSpec {
       "SELECT graft_qdot(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS d").as[Long].head()
     assert(r === 32L)
   }
+
+  test("SQL-surface edge cases: length mismatch errors, empty minhash is NULL") {
+    graft.plans.GraftExtensions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_qdot(array(1L, 2L, 3L), array(1L))").collect()
+    }
+    assert(e.getMessage.contains("lengths differ") ||
+      Option(e.getCause).exists(_.getMessage.contains("lengths differ")))
+    val nullOut = spark.sql("SELECT graft_minhash(array(), 4) IS NULL").as[Boolean].head()
+    assert(nullOut)
+    // bigint literal k is accepted
+    assert(spark.sql("SELECT size(graft_minhash(array(7L), CAST(4 AS BIGINT)))")
+      .as[Int].head() === 4)
+  }
 }
