@@ -136,6 +136,40 @@ object DedupQueries {
       verified(cand, sh, 0.5)
     },
 
+    // ---- CONTAINMENT near-dup (near-superset detection — catches a
+    // document embedded inside a larger one, which Jaccard misses because
+    // the union grows): containment(a⊆b) = |A∩B|/|A| ≥ 0.6. The filter is
+    // the ASYMMETRIC prefix variant: the required overlap ⌈t·|A|⌉ depends
+    // only on A, so A's sorted prefix (|A| − ⌈t·|A|⌉ + 1 elements) is
+    // probed against B's FULL shingle index; if B holds none of A's
+    // prefix, |A∩B| ≤ ⌈t|A|⌉ − 1 < t|A|. Exact verify on candidates only.
+    entry("q_dedup_containment",
+      """WITH t AS (SELECT doc_id, string_split(text,' ') toks FROM documents WHERE doc_id < 1000),
+        | s AS (SELECT doc_id, list_distinct([array_to_string(toks[i:i+2],' ')
+        |        for i in generate_series(1, greatest(len(toks)-2,1))]) sh FROM t)
+        |SELECT a.doc_id a_id, b.doc_id b_id,
+        |  CAST(len(list_intersect(a.sh,b.sh)) AS DOUBLE)/len(a.sh) containment
+        |FROM s a JOIN s b ON a.doc_id <> b.doc_id
+        |WHERE CAST(len(list_intersect(a.sh,b.sh)) AS DOUBLE)/len(a.sh) >= 0.6
+        |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+      val sh = shingled(s, dir).filter(col("doc_id") < 1000).persist()
+      val pref = sh.select(col("doc_id"), explode(expr(
+        "slice(array_sort(sh), 1, size(sh) - CAST(ceil(0.6 * size(sh)) AS INT) + 1)")).as("tok"))
+      val full = sh.select(col("doc_id").as("b_id"), explode(col("sh")).as("tok"))
+      val cand = pref.join(full, Seq("tok"))
+        .filter(col("doc_id") =!= col("b_id"))
+        .select(col("doc_id").as("a_id"), col("b_id"))
+        .distinct()
+      val sa = sh.select(col("doc_id").as("a_id"), col("sh").as("sha"))
+      val sb = sh.select(col("doc_id").as("b_id"), col("sh").as("shb"))
+      cand.join(sa, "a_id").join(sb, "b_id")
+        .withColumn("containment",
+          expr("CAST(size(array_intersect(sha, shb)) AS DOUBLE) / size(sha)"))
+        .filter(col("containment") >= 0.6)
+        .select(col("a_id"), col("b_id"), col("containment"))
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
     // ---- SimHash near-dup candidates: 64-bit fingerprint from per-token
     // md5 bit-majorities (one native pass, graft.plans.SimHash64), pairs
     // at hamming ≤ 1 found by PIGEONHOLE BLOCKING: split the fingerprint

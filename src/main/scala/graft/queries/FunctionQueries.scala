@@ -55,6 +55,33 @@ object FunctionQueries {
         .orderBy($"user_id", $"sid")
     },
 
+    // ---- The same sessionization via Spark's BUILT-IN session_window
+    // (the idiomatic form; also valid under streaming with a watermark).
+    // session_window semantics: a session CLOSES when the next event is
+    // ≥ gap after the previous (windows are [t, t+gap) and merge on
+    // overlap), so the oracle's lag condition is `>=` where the manual
+    // q_session_window uses `>` — and the window end is last-event + gap.
+    entry("q_session_window_native",
+      s"""WITH e2 AS (SELECT user_id, event_id, epoch_us(ts) t, value FROM events),
+         | x AS (SELECT *, CASE WHEN LAG(t) OVER w IS NULL
+         |          OR t - LAG(t) OVER w >= 1800000000 THEN 1 ELSE 0 END new_s
+         |       FROM e2 WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+         | s AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id
+         |         ROWS UNBOUNDED PRECEDING) sid FROM x)
+         |SELECT user_id, MIN(t) AS start_us, MAX(t) + 1800000000 AS end_us,
+         |  COUNT(*) AS n_events, ${dsum("value")} AS sum_value
+         |FROM s GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir, "events")
+        .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+        .agg(count(lit(1)).as("n_events"), Exact.dsum($"value").as("sum_value"))
+        .select($"user_id",
+          unix_micros($"session_window.start").as("start_us"),
+          unix_micros($"session_window.end").as("end_us"),
+          $"n_events", $"sum_value")
+        .orderBy($"user_id", $"start_us")
+    },
+
     // ---- Pivot (long→wide): per-user exact value sums by event type.
     // The value list is pinned so the output schema is static (no extra
     // distinct-scan job) — required for a deterministic oracle and the
