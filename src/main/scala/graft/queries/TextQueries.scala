@@ -151,6 +151,40 @@ object TextQueries {
         .orderBy(col("pred_lang"))
     },
 
+    // ---- TF-IDF top-3 terms per document. Cross-engine exactness: libm
+    // ln() differs in the last ulp across engines, so the score is the
+    // raw rational tf·N/df evaluated as ONE double division of exact
+    // int64s (identical in both engines); ln(N/df) is monotone in it, so
+    // the ranking is the classic tf-idf ranking. Deterministic tie-break
+    // on the term. Scale: one shuffle on (doc, term) for tf, one tiny
+    // term-keyed df aggregate (broadcast back), one per-doc window.
+    entry("q_tfidf",
+      """WITH t AS (SELECT doc_id, unnest(string_split(text,' ')) term FROM documents),
+        | tf AS (SELECT doc_id, term, COUNT(*) tf FROM t GROUP BY 1, 2),
+        | df AS (SELECT term, COUNT(DISTINCT doc_id) df FROM t GROUP BY 1),
+        | n AS (SELECT COUNT(*) n FROM documents),
+        | s AS (SELECT tf.doc_id, tf.term, CAST(tf.tf * n.n AS DOUBLE)/df.df AS score
+        |       FROM tf JOIN df USING (term) CROSS JOIN n),
+        | r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |         ORDER BY score DESC, term) rn FROM s)
+        |SELECT doc_id, rn, term, score FROM r WHERE rn <= 3
+        |ORDER BY doc_id, rn""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val t = docs.select(col("doc_id"), explode(tokens("text")).as("term"))
+      val tf = t.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val df = t.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term").asc)
+      tf.join(broadcast(df), "term")
+        .crossJoin(broadcast(n))
+        .withColumn("score", (col("tf") * col("n")).cast("double") / col("df"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("rn"), col("term"), col("score"))
+        .orderBy(col("doc_id"), col("rn"))
+    },
+
     // ---- Document fingerprinting: whole-content md5 plus the minimum
     // 5-gram-shingle md5 (a 1-function MinHash — robust to small edits).
     entry("q_doc_fingerprint",
