@@ -15,7 +15,12 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Optional comma-separated filter for local debug loops; the driver
+    // harness sets no filter and always dumps the full surface.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       // coalesce(1) here is deliberate and safe: every query ends in a
       // global ORDER BY (an Exchange), so the single-partition constraint
       // stops at that shuffle boundary — computation below stays parallel,

@@ -37,7 +37,7 @@ object FunctionQueries {
          |       FROM e2 WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
          | s AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id
          |         ROWS UNBOUNDED PRECEDING) sid FROM x)
-         |SELECT user_id, sid, MIN(t) AS start_us, MAX(t) AS end_us,
+         |SELECT user_id, CAST(sid AS BIGINT) AS sid, MIN(t) AS start_us, MAX(t) AS end_us,
          |  COUNT(*) AS n_events, ${dsum("value")} AS sum_value
          |FROM s GROUP BY 1, 2 ORDER BY user_id, sid""".stripMargin) { (s, dir) =>
       import s.implicits._
@@ -253,7 +253,7 @@ object FunctionQueries {
         |    regexp_split_to_array(text,'\s+') toks FROM documents),
         | a AS (SELECT doc_id, len(toks) n_tokens,
         |    CASE WHEN v < 12 THEN 'train' WHEN v < 14 THEN 'val' ELSE 'test' END AS split FROM s)
-        |SELECT split, COUNT(*) AS n_docs, SUM(n_tokens) AS sum_tokens,
+        |SELECT split, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
         |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
         |FROM a GROUP BY split ORDER BY split""".stripMargin) { (s, dir) =>
       import s.implicits._
