@@ -41,35 +41,52 @@ object Bench {
     // that land on random queries (observed: the same suite measuring
     // 57s, 88s, and 263s with identical code), and min-of-N is the
     // standard estimator for true cost under additive one-sided noise.
-    // The extra pass is ADAPTIVE — skipped when the first pass already ran
-    // long (a contended host would double a bad number's wall time without
-    // improving it, and the harness may enforce a timeout). Every pass
-    // executes every query cold-cache (clearCache between queries).
-    val maxRuns = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt
-    val rerunBudgetSec = 150.0
+    // Retries are ADAPTIVE in the direction that helps: a QUIET pass
+    // (running total of per-query minima under the quiet threshold) is
+    // already the true cost — stop; a NOISY pass is exactly when another
+    // shot at a quiet window pays for itself. Noise lands on random
+    // queries, so even two noisy passes usually produce quiet per-query
+    // minima. Every pass executes every query cold-cache (clearCache
+    // between queries).
+    val maxRuns = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
+    val quietSec = sys.env.getOrElse("SPARK_GRAFT_QUIET_SEC", "90").toDouble
     val entries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-    def onePass(): Map[String, Double] = entries.map { case (name, fn) =>
+    // A failed query must surface as a FAILURE, not as its time-to-failure:
+    // with min-of-N a transient fast crash would otherwise masquerade as an
+    // artificially good per-query minimum. Failed passes contribute no
+    // timing; a query that never succeeded reports null + a "failed" list.
+    def onePass(): Map[String, Option[Double]] = entries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
+      val okRun =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
       val dt = (System.nanoTime() - t0) / 1e9
       // Drop any blocks a query persisted for intra-query reuse (LSH
       // shingle sets etc.) so storage memory can't leak across queries —
       // each query is measured from a cold cache.
       spark.catalog.clearCache()
-      name -> dt
+      name -> (if (okRun) Some(dt) else None)
     }.toMap
+    def minOpt(a: Option[Double], b: Option[Double]): Option[Double] = (a, b) match {
+      case (Some(x), Some(y)) => Some(math.min(x, y))
+      case _ => a.orElse(b)
+    }
     var best = onePass()
     var runsDone = 1
-    while (runsDone < maxRuns && best.values.sum < rerunBudgetSec) {
+    while (runsDone < maxRuns &&
+      (best.values.flatten.sum > quietSec || best.values.exists(_.isEmpty))) {
       val next = onePass()
-      best = best.map { case (k, v) => k -> math.min(v, next(k)) }
+      best = best.map { case (k, v) => k -> minOpt(v, next(k)) }
       runsDone += 1
     }
-    val qs = entries.map { case (k, _) => "\"" + k + "\":" + best(k) }.mkString("{", ",", "}")
-    val total = best.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runsDone}""")
+    val qs = entries.map { case (k, _) =>
+      "\"" + k + "\":" + best(k).map(_.toString).getOrElse("null")
+    }.mkString("{", ",", "}")
+    val failed = entries.collect { case (k, _) if best(k).isEmpty => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = best.values.flatten.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","runs":$runsDone}""")
     spark.stop()
   }
 }

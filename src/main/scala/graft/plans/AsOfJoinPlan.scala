@@ -3,7 +3,8 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Descending, Expression, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, AttributeMap, BindReferences, Descending, Expression, JoinedRow, NullsFirst, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.Project
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -105,12 +106,17 @@ case class AsOfJoinExec(
     * key reuses this shuffle instead of adding one. */
   override def outputPartitioning: Partitioning = left.outputPartitioning
 
-  /** Sort-merge order. The right side sorts ties DESCENDING so that the
-    * forward pass's last-written candidate is the smallest tie value. */
+  /** Sort-merge order. The right side sorts ties DESCENDING with NULLS
+    * FIRST so that the forward pass's last-written candidate at a given
+    * (key, time) is the smallest NON-NULL tie value, and a null-tie row
+    * only survives when it is the sole row at that timestamp — exactly
+    * the oracle's `ROW_NUMBER ... ORDER BY rt DESC, tie ASC NULLS LAST`
+    * pick. (Descending's default NULLS LAST would instead let a null-tie
+    * row overwrite the real winner.) */
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
     Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending),
-      SortOrder(tieBreak, Descending)))
+      SortOrder(tieBreak, Descending, NullsFirst, Seq.empty)))
 
   override def outputOrdering: Seq[SortOrder] =
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending))
@@ -201,15 +207,51 @@ object AsOfJoinPlan {
       val dt = Bridge.expression(c).dataType
       require(ok(dt), s"as-of join columns must be bigint/timestamp, got $dt for $c")
     }
+    // the merge compares raw int64s across sides, so BIGINT-vs-TIMESTAMP
+    // mixing (unknown units vs micros) would compare silently wrong —
+    // reject it. TIMESTAMP vs TIMESTAMP_NTZ both carry epoch micros and
+    // stay comparable (sessions here run UTC), so the timestamp family is
+    // one equivalence class.
+    def cls(dt: org.apache.spark.sql.types.DataType): String = dt match {
+      case TimestampType | TimestampNTZType => "timestamp"
+      case other => other.sql
+    }
+    require(cls(Bridge.expression(leftTime).dataType) == cls(Bridge.expression(rightTime).dataType),
+      s"as-of join time columns must have the same type, got " +
+        s"${Bridge.expression(leftTime).dataType} vs ${Bridge.expression(rightTime).dataType}")
+    require(cls(Bridge.expression(leftKey).dataType) == cls(Bridge.expression(rightKey).dataType),
+      s"as-of join key columns must have the same type, got " +
+        s"${Bridge.expression(leftKey).dataType} vs ${Bridge.expression(rightKey).dataType}")
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ AsOfJoinStrategy
     if (!spark.experimental.extraOptimizations.contains(PushFilterThroughAsOfJoin))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ PushFilterThroughAsOfJoin
+
+    val leftPlan = left.queryExecution.analyzed
+    val rightPlan0 = right.queryExecution.analyzed
+    var rk = Bridge.expression(rightKey)
+    var rt = Bridge.expression(rightTime)
+    var tb = Bridge.expression(tieBreak)
+    // Self-join dedup (Dataset.join does this via dedupRight; this path
+    // bypasses the analyzer): when right derives from the same DataFrame
+    // as left, both sides share exprIds, so the joined output would carry
+    // duplicate attribute ids and bindReference would resolve right-side
+    // columns to LEFT values. Re-alias every right output with a fresh
+    // exprId and rewrite the right-side expressions to match.
+    val rightPlan =
+      if (leftPlan.outputSet.intersect(rightPlan0.outputSet).isEmpty) rightPlan0
+      else {
+        val aliases = rightPlan0.output.map(a => Alias(a, a.name)())
+        val remap = AttributeMap(rightPlan0.output.zip(aliases.map(_.toAttribute)))
+        def rw(e: Expression): Expression =
+          e.transform { case a: Attribute => remap.getOrElse(a, a) }
+        rk = rw(rk); rt = rw(rt); tb = rw(tb)
+        Project(aliases, rightPlan0)
+      }
     Bridge.ofRows(spark, AsOfJoinNode(
-      left.queryExecution.analyzed, right.queryExecution.analyzed,
-      Bridge.expression(leftKey), Bridge.expression(rightKey),
-      Bridge.expression(leftTime), Bridge.expression(rightTime),
-      Bridge.expression(tieBreak)))
+      leftPlan, rightPlan,
+      Bridge.expression(leftKey), rk,
+      Bridge.expression(leftTime), rt, tb))
   }
 }

@@ -70,13 +70,22 @@ object GraftExtensions {
   private def fn(name: String, cls: Class[_], builder: Seq[Expression] => Expression) =
     (new FunctionIdentifier(name), new ExpressionInfo(cls.getName, name), builder)
 
+  // every builder arity-checks: a bad SQL call should say "wrong argument
+  // count", not throw a raw IndexOutOfBoundsException from cs(1)
+  private def arity(name: String, n: Int, cs: Seq[Expression]): Unit =
+    if (cs.length != n)
+      throw new IllegalArgumentException(
+        s"$name takes $n argument${if (n == 1) "" else "s"}, got ${cs.length}")
+
   private val functions = Seq(
-    fn("msgpack_to_json", classOf[MsgpackToJsonExpr], cs => MsgpackToJsonExpr(cs.head)),
-    fn("graft_qdot", classOf[QuantizedDot], cs => QuantizedDot(cs(0), cs(1))),
+    fn("msgpack_to_json", classOf[MsgpackToJsonExpr], { cs =>
+      arity("msgpack_to_json(binary)", 1, cs); MsgpackToJsonExpr(cs.head)
+    }),
+    fn("graft_qdot", classOf[QuantizedDot], { cs =>
+      arity("graft_qdot(a, b)", 2, cs); QuantizedDot(cs(0), cs(1))
+    }),
     fn("graft_minhash", classOf[MinHashSlots], { cs =>
-      if (cs.length != 2)
-        throw new IllegalArgumentException(
-          s"graft_minhash(bases, k) takes 2 arguments, got ${cs.length}")
+      arity("graft_minhash(bases, k)", 2, cs)
       if (!cs(1).foldable)
         throw new IllegalArgumentException("graft_minhash: k must be a literal")
       val k = cs(1).eval() match {
@@ -87,7 +96,9 @@ object GraftExtensions {
       }
       MinHashSlots(cs(0), k)
     }),
-    fn("graft_simhash64", classOf[SimHash64], cs => SimHash64(cs(0), cs(1))))
+    fn("graft_simhash64", classOf[SimHash64], { cs =>
+      arity("graft_simhash64(hashes, n)", 2, cs); SimHash64(cs(0), cs(1))
+    }))
 
   /** Register into an already-built session (extensions are otherwise
     * builder-time only). */

@@ -5,7 +5,8 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.classic.{GraftExpressionBridge => ExpressionUtils}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the vector/dedup hot paths.
@@ -31,9 +32,10 @@ import org.apache.spark.unsafe.types.UTF8String
 object VectorOps {
 
   /** Exact int64 dot product of two equal-length bigint arrays. Length
-    * mismatch raises a clear error rather than reading out of bounds —
-    * `graft_qdot` is on the public SQL surface (UnsafeArrayData.getLong
-    * has no bounds check, so an unchecked loop would return garbage). */
+    * mismatch or a null element raises a clear error rather than reading
+    * out of bounds — `graft_qdot` is on the public SQL surface
+    * (UnsafeArrayData.getLong has no bounds check and reads 0/garbage at
+    * null slots, so an unchecked loop would return wrong sums silently). */
   def qdot(a: ArrayData, b: ArrayData): Long = {
     val n = a.numElements()
     if (b.numElements() != n)
@@ -41,7 +43,11 @@ object VectorOps {
         s"graft_qdot: vector lengths differ (${n} vs ${b.numElements()})")
     var s = 0L
     var i = 0
-    while (i < n) { s += a.getLong(i) * b.getLong(i); i += 1 }
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i))
+        throw new IllegalArgumentException(s"graft_qdot: null element at index $i")
+      s += a.getLong(i) * b.getLong(i); i += 1
+    }
     s
   }
 
@@ -57,6 +63,8 @@ object VectorOps {
     val mins = Array.fill(k)(Long.MaxValue)
     var j = 0
     while (j < n) {
+      if (bases.isNullAt(j))
+        throw new IllegalArgumentException(s"graft_minhash: null base hash at index $j")
       val b = bases.getLong(j)
       var i = 1
       while (i <= k) {
@@ -79,7 +87,12 @@ object VectorOps {
     val m = hashes.numElements()
     var j = 0
     while (j < m) {
+      if (hashes.isNullAt(j))
+        throw new IllegalArgumentException(s"graft_simhash64: null hash at index $j")
       val hex = hashes.getUTF8String(j).toString
+      if (hex.length < 16)
+        throw new IllegalArgumentException(
+          s"graft_simhash64: hash '$hex' shorter than 16 hex chars")
       var b = 0
       while (b < 64) {
         val nibble = Character.digit(hex.charAt(b >> 2), 16)
@@ -103,6 +116,15 @@ case class QuantizedDot(left: Expression, right: Expression) extends BinaryExpre
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_qdot"
 
+  // analysis-time rejection beats a runtime ClassCastException / silent
+  // garbage read — this name is registered on the public SQL surface
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_qdot requires (array<bigint>, array<bigint>), got ($l, $r)")
+    }
+
   override protected def nullSafeEval(a: Any, b: Any): Any =
     VectorOps.qdot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
@@ -121,6 +143,17 @@ case class MinHashSlots(child: Expression, k: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
   override def prettyName: String = "graft_minhash"
+
+  // NullType element covers the bare `array()` literal — evaluates to NULL
+  // (empty) or a clear runtime null-element error, never garbage
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType | org.apache.spark.sql.types.NullType, _) if k >= 1 =>
+      TypeCheckResult.TypeCheckSuccess
+    case ArrayType(LongType | org.apache.spark.sql.types.NullType, _) =>
+      TypeCheckResult.TypeCheckFailure(s"graft_minhash requires k >= 1, got $k")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_minhash requires array<bigint> bases, got $other")
+  }
 
   override protected def nullSafeEval(bases: Any): Any = {
     val arr = bases.asInstanceOf[ArrayData]
@@ -144,6 +177,14 @@ case class MinHashSlots(child: Expression, k: Int) extends UnaryExpression {
 case class SimHash64(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = StringType
   override def prettyName: String = "graft_simhash64"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), LongType | IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_simhash64 requires (array<string>, bigint), got ($l, $r)")
+    }
 
   override protected def nullSafeEval(hs: Any, n: Any): Any =
     VectorOps.simhash64(hs.asInstanceOf[ArrayData], n.asInstanceOf[Number].longValue())

@@ -91,6 +91,49 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out === Set((100L, 5L), (102L, 6L)))
   }
 
+  test("self as-of join dedups shared attributes — right columns carry right values") {
+    // both sides derive from the SAME DataFrame, so left and right share
+    // exprIds; without dedupRight-style re-aliasing, bindReference would
+    // resolve right-side columns to LEFT values (first exprId match wins)
+    val d = Seq((1L, 1L, 10L, 100.0), (2L, 1L, 20L, 200.0), (3L, 1L, 30L, 300.0))
+      .toDF("id", "k", "t", "v")
+    // leftTime = t − 5 → each left row joins the latest STRICTLY EARLIER
+    // row (rt ≤ t − 5), so right values must differ from left values;
+    // id/k/t/v exprIds are still shared between l and d
+    val l = d.withColumn("lt", $"t" - 5L)
+    val out = AsOfJoinPlan.asof(spark, l, d,
+        l("k"), d("k"), l("lt"), d("t"), d("id"))
+      .toDF("id", "k", "t", "v", "lt", "rid", "rk", "rt", "rv")
+      .select($"id", $"rid", $"rv")
+      .as[(Long, Long, Double)].collect().toSet
+    // row 1 has no earlier row (drops); row 2 ← row 1; row 3 ← row 2
+    assert(out === Set((2L, 1L, 100.0), (3L, 2L, 200.0)))
+  }
+
+  test("null tie-break at the winning timestamp loses to the smallest non-null tie") {
+    val l = Seq((100L, 1L, 15L)).toDF("event_id", "user_id", "t")
+    val r = Seq((Option(5L), 1L, 10L, 1.0), (Option.empty[Long], 1L, 10L, 2.0),
+        (Option(3L), 1L, 10L, 3.0))
+      .toDF("o_key", "o_cust", "rt", "price")
+    val out = AsOfJoinPlan.asof(spark, l, r,
+        l("user_id"), r("o_cust"), l("t"), r("rt"), r("o_key"))
+      .select($"event_id", $"o_key", $"price")
+      .as[(Long, Option[Long], Double)].collect().toSet
+    // the oracle's ROW_NUMBER ... ORDER BY rt DESC, tie ASC NULLS LAST
+    // picks key 3 — a null-tie row must not absorb last and win
+    assert(out === Set((100L, Some(3L), 3.0)))
+  }
+
+  test("mismatched time column types are rejected at construction") {
+    val l = Seq((1L, 2L)).toDF("k", "t")
+    val r = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("k2", "t2")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoinPlan.asof(spark, l, r, l("k"), r("k2"), l("t"), r("t2"), r("k2"))
+    }
+    assert(e.getMessage.contains("same type"))
+  }
+
   test("non-64-bit join columns are rejected at construction") {
     val l = Seq((1, 2)).toDF("k", "t")
     val e = intercept[IllegalArgumentException] {
