@@ -37,7 +37,9 @@ object DedupQueries {
       .withColumn("toks", tokens("text"))
       .select(col("doc_id"), shingles("toks", 3).as("sh"))
 
-  private def verified(cand: DataFrame, sh: DataFrame, thresh: Double): DataFrame = {
+  /** Exact-Jaccard verification of candidate pairs — unsorted (cluster
+    * queries feed this into further joins where a sort would be wasted). */
+  private def verifiedPairs(cand: DataFrame, sh: DataFrame, thresh: Double): DataFrame = {
     val sa = sh.select(col("doc_id").as("a_id"), col("sh").as("sha"))
     val sb = sh.select(col("doc_id").as("b_id"), col("sh").as("shb"))
     cand.join(sa, "a_id").join(sb, "b_id")
@@ -48,7 +50,23 @@ object DedupQueries {
         / (size(col("sha")) + size(col("shb")) - col("inter")))
       .filter(col("jac") >= thresh)
       .select(col("a_id"), col("b_id"), col("jac"))
-      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  private def verified(cand: DataFrame, sh: DataFrame, thresh: Double): DataFrame =
+    verifiedPairs(cand, sh, thresh).orderBy(col("a_id"), col("b_id"))
+
+  /** MinHash-LSH candidate pairs (a_id < b_id): 16-slot signatures, 8
+    * bands × r=2, equi-join on (band, key) — shared by the pair query and
+    * the clustering query. */
+  private def lshCandidates(sh: DataFrame): DataFrame = {
+    val bands = sh
+      .withColumn("mh", minhashSignature("sh", 16))
+      .select(col("doc_id"), posexplode(bandKeys("mh", 8)).as(Seq("band", "bkey")))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
   }
 
   val entries: Seq[Entry] = Seq(
@@ -125,15 +143,78 @@ object DedupQueries {
         |       FROM cand JOIN s sa ON cand.a_id = sa.doc_id JOIN s sb ON cand.b_id = sb.doc_id)
         |SELECT a_id, b_id, jac FROM v WHERE jac >= 0.5 ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
       val sh = shingled(s, dir).persist()
-      val bands = sh
-        .withColumn("mh", minhashSignature("sh", 16))
-        .select(col("doc_id"), posexplode(bandKeys("mh", 8)).as(Seq("band", "bkey")))
-      val cand = bands.as("a").join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-        .distinct()
-      verified(cand, sh, 0.5)
+      verified(lshCandidates(sh), sh, 0.5)
+    },
+
+    // ---- Near-dup CLUSTERING — the step a real dedup pipeline runs AFTER
+    // pair generation: connected components over the verified LSH pair
+    // graph, so every group of transitively-similar documents collapses to
+    // one canonical survivor (the min doc_id). Implementation is iterative
+    // min-label propagation (the Pregel formulation): each round joins the
+    // bidirected edge list with current labels, takes the per-neighbor min,
+    // and stops when no label moves — O(component diameter) rounds, and
+    // near-dup components are shallow (pair graphs are dense within a
+    // cluster), so 2-3 rounds in practice. Each round is ONE shuffle join +
+    // ONE shuffle aggregate on the doc key; labels persist round-to-round
+    // and the convergence check doubles as the materialization action. At
+    // 1000-executor scale the same loop holds (this is how GraphX/
+    // GraphFrames run CC); for adversarially-long chains swap in the
+    // large-star/small-star variant for O(log n) rounds. The DuckDB oracle
+    // states the fixpoint declaratively as a recursive CTE over the same
+    // replayed LSH pairs — label propagation and transitive-closure-min
+    // provably agree on connected components.
+    entry("q_dedup_clusters",
+      """WITH RECURSIVE t AS (SELECT doc_id, string_split(text,' ') toks FROM documents),
+        | s AS (SELECT doc_id, list_distinct([array_to_string(toks[i:i+2],' ')
+        |        for i in generate_series(1, greatest(len(toks)-2,1))]) sh FROM t),
+        | bs AS (SELECT doc_id, sh, [list_sum([(strpos('0123456789abcdef', substr(md5(x), j, 1)) - 1)
+        |        * CAST(pow(16, 8-j) AS BIGINT) for j in generate_series(1,8)]) for x in sh] bases FROM s),
+        | sig AS (SELECT doc_id, [list_min([((2*i+1)*b + 1000003*i) % 2147483647 for b in bases])
+        |        for i in generate_series(1,16)] mh FROM bs),
+        | bandkeys AS (SELECT doc_id, [CAST(mh[2*j-1] AS VARCHAR)||'|'||CAST(mh[2*j] AS VARCHAR)
+        |        for j in generate_series(1,8)] bk FROM sig),
+        | bands AS (SELECT doc_id, generate_subscripts(bk,1) band, unnest(bk) bkey FROM bandkeys),
+        | cand AS (SELECT DISTINCT a.doc_id a_id, b.doc_id b_id
+        |          FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        | v AS (SELECT a_id, b_id,
+        |         CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)/(len(sa.sh)+len(sb.sh)-len(list_intersect(sa.sh, sb.sh))) jac
+        |       FROM cand JOIN s sa ON cand.a_id = sa.doc_id JOIN s sb ON cand.b_id = sb.doc_id),
+        | p AS (SELECT a_id, b_id FROM v WHERE jac >= 0.5),
+        | e AS (SELECT a_id AS src, b_id AS dst FROM p UNION ALL SELECT b_id, a_id FROM p),
+        | reach AS (SELECT DISTINCT src AS node, src AS lbl FROM e
+        |           UNION
+        |           SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.node),
+        | lab AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node)
+        |SELECT d.doc_id AS doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id,
+        |  CAST(COUNT(*) OVER (PARTITION BY COALESCE(l.cluster_id, d.doc_id)) AS BIGINT) AS cluster_size
+        |FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc_id
+        |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      val sh = shingled(s, dir).persist()
+      val pairs = verifiedPairs(lshCandidates(sh), sh, 0.5)
+        .select(col("a_id"), col("b_id")).persist()
+      val edges = pairs.union(pairs.select(col("b_id"), col("a_id")))
+        .toDF("src", "dst").persist()
+      var labels = edges.select(col("src").as("doc_id")).distinct()
+        .withColumn("lbl", col("doc_id")).persist()
+      var moved = 1L
+      while (moved > 0) {
+        val prop = edges.join(labels, edges("src") === labels("doc_id"))
+          .groupBy(col("dst")).agg(min(col("lbl")).as("plbl"))
+        val next = labels.join(prop, labels("doc_id") === prop("dst"), "left")
+          .select(labels("doc_id"),
+            least(coalesce(col("plbl"), col("lbl")), col("lbl")).as("lbl"),
+            (coalesce(col("plbl"), col("lbl")) < col("lbl")).as("chg"))
+          .persist()
+        moved = next.filter(col("chg")).count()
+        labels.unpersist()
+        labels = next.drop("chg")
+      }
+      Tables(s, dir, "documents").select(col("doc_id"))
+        .join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
+        .withColumn("cluster_size",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))))
+        .orderBy(col("doc_id"))
     },
 
     // ---- CONTAINMENT near-dup (near-superset detection — catches a
