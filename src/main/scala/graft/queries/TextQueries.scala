@@ -185,6 +185,61 @@ object TextQueries {
         .orderBy(col("doc_id"), col("rn"))
     },
 
+    // ---- Corpus n-gram statistics: top-5 bigrams per language by count,
+    // deterministic tie-break (count DESC, bigram ASC) — the frequency
+    // table behind contamination checks, n-gram LM baselines, and boiler-
+    // plate detection. Shape at 100 TB: explode is a narrow map, the count
+    // aggregates map-side into (lang, bigram) partials, and the top-k
+    // window runs per-lang AFTER the heavy reduction — rows entering the
+    // window = distinct bigrams, not corpus tokens.
+    entry("q_ngram_stats",
+      """WITH t AS (SELECT lang, string_split(text,' ') toks FROM documents
+        |           WHERE len(string_split(text,' ')) >= 2),
+        | b AS (SELECT lang, unnest([array_to_string(toks[i:i+1],' ')
+        |        for i in generate_series(1, len(toks)-1)]) bg FROM t),
+        | c AS (SELECT lang, bg, COUNT(*) AS n FROM b GROUP BY 1,2),
+        | r AS (SELECT lang, bg, n, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, bg ASC) rn FROM c)
+        |SELECT lang, CAST(rn AS BIGINT) AS rn, bg AS bigram, n
+        |FROM r WHERE rn <= 5 ORDER BY lang, rn""".stripMargin) { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("n").desc, col("bigram").asc)
+      Tables(s, dir, "documents")
+        .withColumn("toks", tokens("text"))
+        .filter(size(col("toks")) >= 2)
+        .select(col("lang"), explode(expr(
+          "transform(sequence(1, size(toks)-1), i -> concat(toks[i-1], ' ', toks[i]))"))
+          .as("bigram"))
+        .groupBy(col("lang"), col("bigram")).agg(count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 5)
+        .select(col("lang"), col("rn"), col("bigram"), col("n"))
+        .orderBy(col("lang"), col("rn"))
+    },
+
+    // ---- Corpus mixing: per-source epoch multipliers (upsample chosen
+    // sources N×) — the "data recipe" op every pretraining corpus build
+    // runs. The weights are a tiny dim table broadcast to every executor
+    // (no shuffle of the 100 TB fact side); repetition is a narrow
+    // explode(sequence(1, mult)) so output rows stream straight to the
+    // writer. Fractional multipliers compose with q_det_sample's
+    // hash-bucket filter (e.g. 2.5× = 2 copies + the v<8 half-sample).
+    entry("q_data_mixture",
+      """WITH w(source, mult) AS (VALUES ('src0', 3), ('src1', 2)),
+        | m AS (SELECT d.doc_id, d.source, COALESCE(w.mult, 1) AS mult
+        |       FROM documents d LEFT JOIN w USING (source)),
+        | r AS (SELECT doc_id, source, mult, unnest(generate_series(1, mult)) AS copy_id FROM m)
+        |SELECT doc_id, CAST(copy_id AS BIGINT) AS copy_id, source, CAST(mult AS BIGINT) AS mult
+        |FROM r ORDER BY doc_id, copy_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val w = Seq(("src0", 3L), ("src1", 2L)).toDF("source", "mult")
+      Tables(s, dir, "documents").select(col("doc_id"), col("source"))
+        .join(broadcast(w), Seq("source"), "left")
+        .withColumn("mult", coalesce(col("mult"), lit(1L)))
+        .withColumn("copy_id", explode(sequence(lit(1L), col("mult"))))
+        .select(col("doc_id"), col("copy_id"), col("source"), col("mult"))
+        .orderBy(col("doc_id"), col("copy_id"))
+    },
+
     // ---- Document fingerprinting: whole-content md5 plus the minimum
     // 5-gram-shingle md5 (a 1-function MinHash — robust to small edits).
     entry("q_doc_fingerprint",
