@@ -78,6 +78,28 @@ object IngestPipeline {
                      watermark: String = "1 hour"): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicates(keys :+ "ts")
 
+  /** Streaming key-dedup where DUPLICATES MAY DISAGREE ON EVENT TIME
+    * (redelivered records re-stamped by a producer retry — the case
+    * `dropDuplicates(keys :+ "ts")` misses because the new timestamp makes
+    * the row look distinct). `dropDuplicatesWithinWatermark` keys state on
+    * the business key alone and expires each entry once the watermark
+    * passes its first-seen event time, so state stays bounded while
+    * catching re-stamped duplicates inside the horizon. */
+  def streamingDedupWithinWatermark(events: DataFrame, keys: Seq[String],
+                                    watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+  /** Stream-static enrichment: join each micro-batch against a SMALL
+    * static dimension, broadcast to every executor — no streaming state at
+    * all (unlike stream-stream joins), no shuffle of the stream side, and
+    * the dimension is re-resolvable per batch (a lake-backed dim picks up
+    * slowly-changing updates). This is the shape for attaching topic
+    * configs / source weights / allowlists to a 100 TB/day stream. */
+  def enrichWithDim(stream: DataFrame, dim: DataFrame,
+                    streamKey: String, dimKey: String): DataFrame =
+    stream.join(broadcast(dim), stream(streamKey) === dim(dimKey), "left")
+      .drop(dim(dimKey))
+
   /** Event-time tumbling aggregation with a watermark: the streaming twin
     * of `q_window_tumbling`. Late rows beyond the watermark are dropped;
     * state size stays bounded at any scale because closed windows age out. */

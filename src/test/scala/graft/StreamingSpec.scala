@@ -98,6 +98,48 @@ class StreamingSpec extends SparkSpec {
     assert(rows === Set((1L, 10.0)))
   }
 
+  test("dropDuplicatesWithinWatermark catches re-stamped duplicates; ts-keyed dedup misses them") {
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val df = mem.toDF().toDF("event_id", "ts", "value")
+    val q = IngestPipeline.streamingDedupWithinWatermark(df, Seq("event_id"), "1 hour")
+      .writeStream.format("memory").queryName("wm_dedup")
+      .outputMode(OutputMode.Append()).start()
+    // event 1 redelivered with a DIFFERENT timestamp (producer retry
+    // re-stamp) inside the watermark horizon — must be dropped
+    mem.addData((1L, t("2024-01-01 01:00:00"), 1.0),
+      (1L, t("2024-01-01 01:05:00"), 1.0),
+      (2L, t("2024-01-01 01:10:00"), 2.0))
+    q.processAllAvailable()
+    mem.addData((1L, t("2024-01-01 01:20:00"), 1.0)) // still within horizon
+    q.processAllAvailable()
+    val ids = spark.table("wm_dedup").select($"event_id")
+      .as[Long].collect().toSeq.sorted
+    q.stop()
+    assert(ids === Seq(1L, 2L))
+    // contrast: the ts-keyed variant would have passed all three copies of
+    // event 1 (each (event_id, ts) pair is distinct)
+  }
+
+  test("stream-static dim enrichment broadcasts the dim and keeps stream rows stateless") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq(("purchase", 3L), ("view", 1L)).toDF("etype", "weight")
+    val mem = MemoryStream[(Long, String)]
+    val enriched = IngestPipeline.enrichWithDim(
+      mem.toDF().toDF("event_id", "event_type"), dim, "event_type", "etype")
+    val q = enriched.writeStream.format("memory").queryName("dim_join")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData((1L, "purchase"), (2L, "view"), (3L, "click"))
+    q.processAllAvailable()
+    val rows = spark.table("dim_join")
+      .select($"event_id", $"weight")
+      .as[(Long, Option[Long])].collect().toSet
+    q.stop()
+    // left join: unmatched stream rows survive with null weight
+    assert(rows === Set((1L, Some(3L)), (2L, Some(1L)), (3L, None)))
+  }
+
   test("sessionization emits closed sessions with correct bounds (batch-mode check)") {
     import IngestPipeline._
     // batch Dataset run of the same per-group logic via groupByKey+flatMapGroups
