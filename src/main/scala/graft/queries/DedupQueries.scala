@@ -209,11 +209,20 @@ object DedupQueries {
         labels.unpersist()
         labels = next.drop("chg")
       }
+      // Cluster sizes come from the LABELS frame (edge nodes only — tiny:
+      // every labeled node's component has ≥ 2 members, every unlabeled doc
+      // is a singleton of size 1). A window over the full corpus would
+      // shuffle ALL documents just to stamp mostly-1s; this way the big
+      // side takes two broadcast joins and never shuffles before the
+      // presentation sort.
+      val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
+        .toDF("sz_lbl", "cluster_size") // fresh names — sizes derives from labels (self-join)
       Tables(s, dir, "documents").select(col("doc_id"))
-        .join(labels, Seq("doc_id"), "left")
-        .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
-        .withColumn("cluster_size",
-          count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))))
+        .join(broadcast(labels), Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("lbl"), col("doc_id")))
+        .join(broadcast(sizes), col("cluster_id") === col("sz_lbl"), "left")
+        .select(col("doc_id"), col("cluster_id"),
+          coalesce(col("cluster_size"), lit(1L)).as("cluster_size"))
         .orderBy(col("doc_id"))
     },
 

@@ -204,6 +204,9 @@ object TextQueries {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("lang")).orderBy(col("n").desc, col("bigram").asc)
       Tables(s, dir, "documents")
+        // the table is one parquet file → one input partition; the
+        // tokenize+explode map is the heavy phase, so spread it first
+        .repartition(s.sparkContext.defaultParallelism)
         .withColumn("toks", tokens("text"))
         .filter(size(col("toks")) >= 2)
         .select(col("lang"), explode(expr(
