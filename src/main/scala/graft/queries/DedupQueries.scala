@@ -226,6 +226,39 @@ object DedupQueries {
         .orderBy(col("doc_id"))
     },
 
+    // ---- DECONTAMINATION: flag training documents that share any 5-gram
+    // shingle with a held-out eval set (here the deterministic doc_id%20
+    // slice; production uses 8-13-grams against real benchmark files —
+    // the GPT-3/PaLM-style n-gram collision check). Scale shape: the eval
+    // side is a small fraction of the corpus, so its exploded shingle
+    // index BROADCASTS to every executor — the 100 TB training side
+    // streams through a map-side hash join with NO shuffle; the per-doc
+    // hit counts aggregate with map-side partials on doc_id.
+    entry("q_decontaminate",
+      """WITH t AS (SELECT doc_id, string_split(text,' ') toks FROM documents),
+        | s AS (SELECT doc_id, list_distinct([array_to_string(toks[i:i+4],' ')
+        |        for i in generate_series(1, greatest(len(toks)-4,1))]) sh FROM t),
+        | ev AS (SELECT doc_id AS eval_id, unnest(sh) AS g FROM s WHERE doc_id % 20 = 0),
+        | tr AS (SELECT doc_id, unnest(sh) AS g FROM s WHERE doc_id % 20 <> 0),
+        | hits AS (SELECT tr.doc_id, COUNT(DISTINCT ev.eval_id) AS n_eval_docs,
+        |            COUNT(DISTINCT tr.g) AS n_shared_grams
+        |          FROM tr JOIN ev USING (g) GROUP BY tr.doc_id)
+        |SELECT doc_id, n_eval_docs, n_shared_grams FROM hits ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val sh5 = Tables(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .withColumn("toks", tokens("text"))
+        .select(col("doc_id"), shingles("toks", 5).as("sh"))
+      val ev = sh5.filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id").as("eval_id"), explode(col("sh")).as("g"))
+      val tr = sh5.filter(col("doc_id") % 20 =!= 0)
+        .select(col("doc_id"), explode(col("sh")).as("g"))
+      tr.join(broadcast(ev), "g")
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("eval_id")).as("n_eval_docs"),
+          countDistinct(col("g")).as("n_shared_grams"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- CONTAINMENT near-dup (near-superset detection — catches a
     // document embedded inside a larger one, which Jaccard misses because
     // the union grows): containment(a⊆b) = |A∩B|/|A| ≥ 0.6. The filter is
