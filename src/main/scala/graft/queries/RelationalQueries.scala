@@ -319,6 +319,33 @@ object RelationalQueries {
         .orderBy($"user_id", $"event_id")
     },
 
+    // ---- Window: distribution analytics (ntile / percent_rank /
+    // cume_dist / lead / first_value) — completes the analytic-window
+    // family beyond ranking and running aggregates. percent_rank and
+    // cume_dist are single int/int divisions, engine-identical; the
+    // order key is made total with the unique o_orderkey tiebreak.
+    entry("q_window_analytics",
+      """SELECT o_orderkey,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd,
+        |  lead(o_orderkey, 1) OVER w AS next_key,
+        |  first_value(o_orderkey) OVER w AS first_key
+        |FROM orders WHERE o_orderkey < 500
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"o_orderstatus").orderBy($"o_totalprice".asc, $"o_orderkey".asc)
+      Tables(s, dir, "orders").filter($"o_orderkey" < 500)
+        .select($"o_orderkey",
+          ntile(4).over(w).cast("long").as("quartile"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"),
+          lead($"o_orderkey", 1).over(w).as("next_key"),
+          first_value($"o_orderkey").over(w).as("first_key"))
+        .orderBy($"o_orderkey")
+    },
+
     // ---- Rollup (grouping sets beyond the reference's flat groupBy).
     entry("q_rollup",
       s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n, ${dsum("l_quantity")} AS sum_qty

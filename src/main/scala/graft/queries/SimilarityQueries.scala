@@ -166,6 +166,29 @@ object SimilarityQueries {
         .filter(col("rnk") <= 10)
         .select(col("qid"), col("rnk"), col("cid"), col("cosine"))
         .orderBy(col("qid"), col("rnk"))
+    },
+
+    // ---- Per-label embedding centroids — the "train the coarse
+    // quantizer" step of IVF as a standalone operator (also the building
+    // block for k-means iterations and class prototypes). Exact across
+    // engines: quantized int64 element sums (posexplode → one map-side-
+    // combined groupBy on (label, dim)), then a single double division
+    // chain. Scale shape: the only shuffle is the tiny (label × dim)
+    // aggregation; the corpus side is one narrow pass.
+    entry("q_embed_centroids",
+      """WITH e AS (SELECT label, [CAST(floor(CAST(x AS DOUBLE)*1048576.0) AS BIGINT) for x in embedding] q FROM embeddings),
+        | u AS (SELECT label, generate_subscripts(q,1) dim, unnest(q) xq FROM e),
+        | a AS (SELECT label, dim, SUM(xq) sx, COUNT(*) n FROM u GROUP BY 1,2)
+        |SELECT label, CAST(dim AS BIGINT) AS dim, CAST(sx AS DOUBLE) / n / 1048576.0 AS centroid
+        |FROM a ORDER BY label, dim""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "embeddings")
+        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+        .select(col("label"), posexplode(quantize("embedding")).as(Seq("p", "xq")))
+        .groupBy(col("label"), (col("p") + 1).cast("long").as("dim"))
+        .agg(sum(col("xq")).as("sx"), count(lit(1)).as("n"))
+        .select(col("label"), col("dim"),
+          (col("sx").cast("double") / col("n") / lit(1048576.0)).as("centroid"))
+        .orderBy(col("label"), col("dim"))
     }
   )
 }
