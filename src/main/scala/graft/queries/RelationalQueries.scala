@@ -135,6 +135,39 @@ object RelationalQueries {
         .orderBy($"revenue".desc, $"n_name")
     },
 
+    // ---- Full outer join + per-key aggregate: customers with no orders
+    // AND orders with no customer both survive (COALESCE merges the key).
+    // Full outer can't broadcast (both sides must surface unmatched rows)
+    // — it shuffle-joins on the key, then the aggregate reuses that same
+    // hash partitioning, so no second exchange before the sort.
+    entry("q_join_outer",
+      """SELECT COALESCE(c.c_custkey, o.o_custkey) AS custkey,
+        |  c.c_name, COUNT(o.o_orderkey) AS n_orders
+        |FROM customer c FULL OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+        |GROUP BY 1, 2 ORDER BY custkey""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir, "customer").select($"c_custkey", $"c_name")
+        .join(Tables(s, dir, "orders").select($"o_custkey", $"o_orderkey"),
+          $"c_custkey" === $"o_custkey", "full_outer")
+        .groupBy(coalesce($"c_custkey", $"o_custkey").as("custkey"), $"c_name")
+        .agg(count($"o_orderkey").as("n_orders"))
+        .orderBy($"custkey")
+    },
+
+    // ---- Deterministic fixed-size uniform sample: exactly K docs chosen
+    // by smallest content-independent hash — reproducible across runs,
+    // engines, and cluster sizes (no rand(), no reservoir state). Plans as
+    // TakeOrderedAndProject: each partition keeps its local top-K and only
+    // K·partitions rows ever move — no global sort of the corpus.
+    entry("q_hash_topk_sample",
+      """SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents
+        |ORDER BY h, doc_id LIMIT 20""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir, "documents")
+        .select($"doc_id", md5($"doc_id".cast("string").cast("binary")).as("h"))
+        .orderBy($"h", $"doc_id").limit(20)
+    },
+
     // ---- Semi join (EXISTS): left_semi ships only the join key of the
     // filtered subquery side; no row duplication, no wide shuffle payload.
     entry("q_semi_join",
