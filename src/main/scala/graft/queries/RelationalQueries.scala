@@ -137,20 +137,25 @@ object RelationalQueries {
 
     // ---- Full outer join + per-key aggregate: customers with no orders
     // AND orders with no customer both survive (COALESCE merges the key).
-    // Full outer can't broadcast (both sides must surface unmatched rows)
-    // — it shuffle-joins on the key, then the aggregate reuses that same
-    // hash partitioning, so no second exchange before the sort.
+    // The aggregation is PUSHED BELOW the join (grouping key = join key,
+    // so agg-then-join ≡ join-then-agg): orders collapse to one row per
+    // custkey BEFORE the full-outer join — at 100 TB that shrinks the
+    // join's shuffled payload from every order row to distinct customers,
+    // and the join reuses the aggregate's hash partitioning (two
+    // exchanges total; grouping on the post-join COALESCE key would cost
+    // a third — PlanSpec pins this).
     entry("q_join_outer",
       """SELECT COALESCE(c.c_custkey, o.o_custkey) AS custkey,
         |  c.c_name, COUNT(o.o_orderkey) AS n_orders
         |FROM customer c FULL OUTER JOIN orders o ON c.c_custkey = o.o_custkey
         |GROUP BY 1, 2 ORDER BY custkey""".stripMargin) { (s, dir) =>
       import s.implicits._
+      val perKey = Tables(s, dir, "orders").select($"o_custkey", $"o_orderkey")
+        .groupBy($"o_custkey").agg(count($"o_orderkey").as("n"))
       Tables(s, dir, "customer").select($"c_custkey", $"c_name")
-        .join(Tables(s, dir, "orders").select($"o_custkey", $"o_orderkey"),
-          $"c_custkey" === $"o_custkey", "full_outer")
-        .groupBy(coalesce($"c_custkey", $"o_custkey").as("custkey"), $"c_name")
-        .agg(count($"o_orderkey").as("n_orders"))
+        .join(perKey, $"c_custkey" === $"o_custkey", "full_outer")
+        .select(coalesce($"c_custkey", $"o_custkey").as("custkey"), $"c_name",
+          coalesce($"n", lit(0L)).as("n_orders"))
         .orderBy($"custkey")
     },
 

@@ -53,6 +53,28 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Exchange"), p)
   }
 
+  test("q_hash_topk_sample is TakeOrderedAndProject — no global sort of the corpus") {
+    val p = plan("q_hash_topk_sample")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), "global sort leaked in:\n" + p)
+  }
+
+  test("q_decontaminate broadcasts the eval shingle index (training side never shuffle-joins)") {
+    val p = plan("q_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), "eval join fell back to SMJ:\n" + p)
+  }
+
+  test("q_join_outer reuses the join's hash partitioning for the aggregate") {
+    val df = SparkEntry.queries("q_join_outer")(spark, sf001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // two input shuffles for the full-outer join; the groupBy on the
+    // coalesced key must NOT add a third hash exchange
+    val hashShuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashShuffles <= 2, s"aggregate re-shuffled after full-outer join:\n$p")
+  }
+
   test("date-partitioned lake reads prune partitions at the source") {
     import org.apache.spark.sql.functions._
     val dest = java.nio.file.Files.createTempDirectory("prune").toString + "/lake"
