@@ -189,6 +189,54 @@ object SimilarityQueries {
         .select(col("label"), col("dim"),
           (col("sx").cast("double") / col("n") / lit(1048576.0)).as("centroid"))
         .orderBy(col("label"), col("dim"))
+    },
+
+    // ---- One full k-means iteration (Lloyd step): assign every vector to
+    // its nearest current centroid (label-initialized, same scaled-integer
+    // distance as IVF so assignment is exact and the oracle replays it),
+    // then recompute centroids over the NEW assignment. This is the loop
+    // body of distributed k-means: centroids broadcast (k × dim values),
+    // assignment is a narrow map over the corpus, and the recompute is one
+    // map-side-combined (cluster, dim) aggregation — per iteration the
+    // corpus is read once and shuffles only aggregate partials.
+    entry("q_kmeans_step",
+      """WITH e AS (SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE)*1048576.0) AS BIGINT) for x in embedding] q FROM embeddings),
+        | lab AS (SELECT vec_id, label FROM embeddings),
+        | c0 AS (SELECT label cl, i, SUM(q[i]) si, COUNT(*) cn
+        |        FROM e JOIN lab USING (vec_id) CROSS JOIN generate_series(1,64) g(i) GROUP BY 1,2),
+        | dt AS (SELECT e.vec_id, c0.cl, SUM((c0.cn*e.q[c0.i] - c0.si)*(c0.cn*e.q[c0.i] - c0.si)) d2
+        |        FROM e CROSS JOIN c0 GROUP BY 1,2),
+        | asg AS (SELECT vec_id, cl, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cl) r FROM dt),
+        | a1 AS (SELECT vec_id, cl FROM asg WHERE r = 1),
+        | n1 AS (SELECT a1.cl, u.dim, SUM(u.xq) sx, COUNT(*) n
+        |        FROM (SELECT vec_id, generate_subscripts(q,1) dim, unnest(q) xq FROM e) u JOIN a1 USING (vec_id)
+        |        GROUP BY 1,2)
+        |SELECT cl AS cluster, CAST(dim AS BIGINT) AS dim,
+        |  CAST(sx AS DOUBLE) / n / 1048576.0 AS centroid, n AS n_members
+        |FROM n1 ORDER BY cluster, dim""".stripMargin) { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+        .select(col("vec_id"), col("label"), quantize("embedding").as("q"))
+        .persist()
+      val cs = emb.groupBy(col("label").as("cl"))
+        .agg(expr("aggregate(collect_list(q), array_repeat(CAST(0 AS BIGINT), 64), " +
+          "(acc, v) -> zip_with(acc, v, (a, b) -> a + b))").as("s"),
+          count(lit(1)).as("cn"))
+      val asg = emb.crossJoin(broadcast(cs))
+        .withColumn("d2", expr("aggregate(zip_with(q, s, (x, y) -> (cn*x - y)*(cn*x - y)), " +
+          "CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+        .withColumn("r", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cl"))))
+        .filter(col("r") === 1)
+        .select(col("vec_id"), col("cl")).toDF("a_vec_id", "cl") // fresh names: derives from emb
+      emb.join(asg, col("vec_id") === col("a_vec_id"))
+        .select(col("cl"), posexplode(col("q")).as(Seq("p", "xq")))
+        .groupBy(col("cl").as("cluster"), (col("p") + 1).cast("long").as("dim"))
+        .agg(sum(col("xq")).as("sx"), count(lit(1)).as("n"))
+        .select(col("cluster"), col("dim"),
+          (col("sx").cast("double") / col("n") / lit(1048576.0)).as("centroid"),
+          col("n").as("n_members"))
+        .orderBy(col("cluster"), col("dim"))
     }
   )
 }

@@ -219,6 +219,33 @@ object TextQueries {
         .orderBy(col("lang"), col("rn"))
     },
 
+    // ---- Intra-document repetition (the Gopher-rule quality signal):
+    // fraction of duplicate bigrams within each document — high ratios
+    // mark boilerplate/spam for the pretraining filter. Pure narrow map
+    // (exact int counts, one double division), flag at 5%.
+    entry("q_rep_ratio",
+      """WITH t AS (SELECT doc_id, string_split(text,' ') toks FROM documents
+        |           WHERE len(string_split(text,' ')) >= 2),
+        | b AS (SELECT doc_id, [array_to_string(toks[i:i+1],' ')
+        |        for i in generate_series(1, len(toks)-1)] bgs FROM t)
+        |SELECT doc_id, CAST(len(bgs) AS BIGINT) AS n_bigrams,
+        |  CAST(len(bgs) - len(list_distinct(bgs)) AS BIGINT) AS n_dup,
+        |  CAST(len(bgs) - len(list_distinct(bgs)) AS DOUBLE) / len(bgs) AS dup_ratio,
+        |  (CAST(len(bgs) - len(list_distinct(bgs)) AS DOUBLE) / len(bgs)) > 0.05 AS flagged
+        |FROM b ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .withColumn("toks", tokens("text"))
+        .filter(size(col("toks")) >= 2)
+        .withColumn("bgs", expr(
+          "transform(sequence(1, size(toks)-1), i -> concat(toks[i-1], ' ', toks[i]))"))
+        .withColumn("n_bigrams", size(col("bgs")).cast("long"))
+        .withColumn("n_dup", (size(col("bgs")) - size(array_distinct(col("bgs")))).cast("long"))
+        .withColumn("dup_ratio", col("n_dup").cast("double") / col("n_bigrams"))
+        .select(col("doc_id"), col("n_bigrams"), col("n_dup"), col("dup_ratio"),
+          (col("dup_ratio") > 0.05).as("flagged"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- Corpus mixing: per-source epoch multipliers (upsample chosen
     // sources N×) — the "data recipe" op every pretraining corpus build
     // runs. The weights are a tiny dim table broadcast to every executor
