@@ -384,6 +384,61 @@ object RelationalQueries {
         .orderBy($"o_orderkey")
     },
 
+    // ---- Math-function surface: the cross-engine-safe subset (abs /
+    // ceil / floor / sqrt / sign / modulo / self-product). sqrt is IEEE
+    // correctly-rounded so both engines agree bit-for-bit; ln/exp/pow are
+    // deliberately ABSENT — libm implementations differ in the last ulp
+    // across engines (the tfidf query shows the rational-arithmetic
+    // workaround when a log-shaped score is needed).
+    entry("q_math_funcs",
+      """SELECT o_orderkey,
+        |  abs(o_totalprice - 100000.0) AS dev,
+        |  CAST(ceil(o_totalprice / 1000.0) AS BIGINT) AS ceil_k,
+        |  CAST(floor(o_totalprice / 1000.0) AS BIGINT) AS floor_k,
+        |  sqrt(o_totalprice) AS root,
+        |  o_totalprice * o_totalprice AS sq,
+        |  CAST(sign(o_totalprice - 150000.0) AS BIGINT) AS sgn,
+        |  o_orderkey % 7 AS m7
+        |FROM orders WHERE o_orderkey < 300 ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir, "orders").filter($"o_orderkey" < 300)
+        .select($"o_orderkey",
+          abs($"o_totalprice" - 100000.0).as("dev"),
+          ceil($"o_totalprice" / 1000.0).cast("long").as("ceil_k"),
+          floor($"o_totalprice" / 1000.0).cast("long").as("floor_k"),
+          sqrt($"o_totalprice").as("root"),
+          ($"o_totalprice" * $"o_totalprice").as("sq"),
+          signum($"o_totalprice" - 150000.0).cast("long").as("sgn"),
+          ($"o_orderkey" % 7).as("m7"))
+        .orderBy($"o_orderkey")
+    },
+
+    // ---- Map-function surface: construct, extract, enumerate keys,
+    // cardinality — completes §2.7's scalar families (maps are how
+    // per-record metadata/config travels in an ingest pipeline). Scalars
+    // are extracted before output so the compare stays engine-portable
+    // (DuckDB's map[key] yields a single-element list — unwrapped with
+    // [1] in the oracle).
+    entry("q_map_funcs",
+      """WITH m AS (SELECT o_orderkey,
+        |    MAP {'status': o_orderstatus, 'priority': o_orderpriority} AS props
+        |  FROM orders WHERE o_orderkey < 300)
+        |SELECT o_orderkey, props['status'][1] AS status, props['priority'][1] AS priority,
+        |  CAST(cardinality(props) AS INT) AS n_keys,
+        |  array_to_string(map_keys(props), ',') AS keys_csv
+        |FROM m ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir, "orders").filter($"o_orderkey" < 300)
+        .withColumn("props",
+          map(lit("status"), $"o_orderstatus", lit("priority"), $"o_orderpriority"))
+        .select($"o_orderkey",
+          element_at($"props", "status").as("status"),
+          element_at($"props", "priority").as("priority"),
+          size($"props").as("n_keys"),
+          array_join(map_keys($"props"), ",").as("keys_csv"))
+        .orderBy($"o_orderkey")
+    },
+
     // ---- Rollup (grouping sets beyond the reference's flat groupBy).
     entry("q_rollup",
       s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n, ${dsum("l_quantity")} AS sum_qty
