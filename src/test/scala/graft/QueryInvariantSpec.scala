@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Cross-query invariants for the round-4 training-pipeline operators —
+  * facts that must hold regardless of data, checked over sf0.001 (the
+  * oracle gate checks VALUES; these check internal consistency between
+  * related operators and the algebraic contracts the docs claim). */
+class QueryInvariantSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("data mixture emits exactly mult copies per doc with dense copy ids") {
+    val out = SparkEntry.queries("q_data_mixture")(spark, sf001)
+      .select($"doc_id", $"copy_id", $"mult").as[(Long, Long, Long)].collect()
+    val byDoc = out.groupBy(_._1)
+    byDoc.foreach { case (doc, rows) =>
+      val mult = rows.head._3
+      assert(rows.length == mult, s"doc $doc: ${rows.length} copies, mult $mult")
+      assert(rows.map(_._2).sorted.toSeq == (1L to mult), s"doc $doc copy ids not dense")
+    }
+    val docs = Tables(spark, sf001, "documents").count()
+    assert(byDoc.size == docs, "every document must appear in the mixture")
+  }
+
+  test("near-dup clusters: canonical min labels, and every verified LSH pair lands in one cluster") {
+    val clusters = SparkEntry.queries("q_dedup_clusters")(spark, sf001)
+      .select($"doc_id", $"cluster_id").as[(Long, Long)].collect().toMap
+    // canonical closure: labels are component minima, so label(label) = label
+    clusters.foreach { case (doc, cl) =>
+      assert(cl <= doc, s"cluster id $cl exceeds member $doc (not a min label)")
+      assert(clusters(cl) == cl, s"canonical $cl is not its own cluster")
+    }
+    // consistency with the pair query: connected docs share a cluster
+    val pairs = SparkEntry.queries("q_dedup_minhash_lsh")(spark, sf001)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect()
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a) == clusters(b), s"pair ($a,$b) split across clusters")
+    }
+  }
+
+  test("repetition ratio is bounded and the flag matches the threshold") {
+    val out = SparkEntry.queries("q_rep_ratio")(spark, sf001)
+      .select($"n_bigrams", $"n_dup", $"dup_ratio", $"flagged")
+      .as[(Long, Long, Double, Boolean)].collect()
+    out.foreach { case (n, d, r, f) =>
+      assert(n > 0 && d >= 0 && d < n)
+      assert(r >= 0.0 && r < 1.0 && math.abs(r - d.toDouble / n) < 1e-15)
+      assert(f == (r > 0.05))
+    }
+  }
+
+  test("decontamination flags only non-eval docs") {
+    val hits = SparkEntry.queries("q_decontaminate")(spark, sf001)
+      .select($"doc_id").as[Long].collect()
+    hits.foreach(d => assert(d % 20 != 0, s"eval doc $d flagged as contaminated"))
+  }
+
+  test("hash top-k sample is invariant to input partitioning") {
+    val base = SparkEntry.queries("q_hash_topk_sample")(spark, sf001)
+      .select($"doc_id").as[Long].collect().toSeq
+    val repart = Tables(spark, sf001, "documents")
+      .repartition(17) // adversarial partition count
+      .select($"doc_id", md5($"doc_id".cast("string").cast("binary")).as("h"))
+      .orderBy($"h", $"doc_id").limit(20)
+      .select($"doc_id").as[Long].collect().toSeq
+    assert(base == repart, "sample depends on physical partitioning")
+  }
+
+  test("kmeans step: every member count is positive and totals the corpus") {
+    val out = SparkEntry.queries("q_kmeans_step")(spark, sf001)
+      .select($"cluster", $"dim", $"n_members").as[(Int, Long, Long)].collect()
+    val total = Tables(spark, sf001, "embeddings").count()
+    val perCluster = out.groupBy(_._1).map { case (c, rows) =>
+      val ns = rows.map(_._3).distinct
+      assert(ns.length == 1, s"cluster $c has inconsistent member counts across dims")
+      ns.head
+    }
+    assert(perCluster.forall(_ > 0))
+    assert(perCluster.sum == total, "every vector must be assigned to exactly one cluster")
+  }
+}
