@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 import org.apache.spark.sql.types.StructType
 
 /** Structured-Streaming ingest: the idiomatic replacement for the
@@ -133,6 +133,70 @@ object IngestPipeline {
   case class Evt(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class SessionState(start: Long, last: Long, n: Long, sum: Double)
   case class SessionOut(user_id: Long, start_ms: Long, end_ms: Long, n_events: Long, sum_value: Double)
+
+  /** The same sessionization on Spark 4's `transformWithState` — the
+    * current-generation arbitrary-state API (successor to
+    * flatMapGroupsWithState): typed per-key [[ValueState]] from a state
+    * store handle, plus real EVENT-TIME TIMERS, so an idle session closes
+    * when the watermark passes `last + gap` even if its key never
+    * receives another row — the case the fMGWS variant can only handle
+    * via its coarser per-key timeout. State stays O(1) per key; the only
+    * shuffle is the groupByKey on user_id. Requires the RocksDB state
+    * store provider (`spark.sql.streaming.stateStore.providerClass` =
+    * `...state.RocksDBStateStoreProvider`) — the default HDFS-backed
+    * store lacks the multi-column-family layout timers need. */
+  class SessionProcessor(gapMs: Long) extends StatefulProcessor[Long, Evt, SessionOut] {
+    @transient private var state: ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[SessionState](
+        "session", Encoders.product[SessionState], TTLConfig.NONE)
+
+    override def handleInputRows(userId: Long, rows: Iterator[Evt],
+                                 tv: TimerValues): Iterator[SessionOut] = {
+      val sorted = rows.toSeq.sortBy(_.ts.getTime)
+      var cur = if (state.exists()) Some(state.get()) else None
+      val out = Seq.newBuilder[SessionOut]
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        cur match {
+          case Some(s) if t - s.last <= gapMs =>
+            cur = Some(s.copy(last = t, n = s.n + 1, sum = s.sum + e.value))
+          case Some(s) =>
+            out += SessionOut(userId, s.start, s.last, s.n, s.sum)
+            cur = Some(SessionState(t, t, 1, e.value))
+          case None =>
+            cur = Some(SessionState(t, t, 1, e.value))
+        }
+      }
+      cur.foreach { s =>
+        state.update(s)
+        // re-arm the close timer at the session's current idle deadline
+        getHandle.listTimers().foreach(getHandle.deleteTimer)
+        getHandle.registerTimer(s.last + gapMs)
+      }
+      out.result().iterator
+    }
+
+    override def handleExpiredTimer(userId: Long, tv: TimerValues,
+                                    info: ExpiredTimerInfo): Iterator[SessionOut] =
+      if (state.exists()) {
+        val s = state.get()
+        // only close if genuinely idle (a newer row may have re-armed)
+        if (info.getExpiryTimeInMs >= s.last + gapMs) {
+          state.clear()
+          Iterator.single(SessionOut(userId, s.start, s.last, s.n, s.sum))
+        } else Iterator.empty
+      } else Iterator.empty
+  }
+
+  def sessionizeTws(events: Dataset[Evt], gapMinutes: Int = 30): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor(gapMinutes * 60000L),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
 
   def sessionize(events: Dataset[Evt], gapMinutes: Int = 30): Dataset[SessionOut] = {
     import events.sparkSession.implicits._

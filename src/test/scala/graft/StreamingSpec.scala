@@ -140,6 +140,41 @@ class StreamingSpec extends SparkSpec {
     assert(rows === Set((1L, Some(3L)), (2L, Some(1L)), (3L, None)))
   }
 
+  test("transformWithState sessionization closes idle sessions via event-time timers") {
+    import IngestPipeline._
+    implicit val sqlCtx = spark.sqlContext
+    val base = 3600000L
+    def ts(ms: Long) = new java.sql.Timestamp(base + ms)
+    // transformWithState needs multi-column-family state → RocksDB provider
+    // (scoped to this query's session clone via the conf pair below)
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[Evt]
+    val out = sessionizeTws(
+      mem.toDS().withWatermark("ts", "0 seconds").as[Evt], gapMinutes = 30)
+    val q = out.writeStream.format("memory").queryName("tws_out")
+      .outputMode(OutputMode.Append()).start()
+    // user 1's session: two events, then silence; user 2 keeps the
+    // watermark advancing — user 1's TIMER must close the session even
+    // though user 1 never gets another row (the fMGWS variant needs a
+    // same-key event or a timeout tick for this)
+    mem.addData(Evt(1, ts(0), 1.0), Evt(1, ts(60000), 2.0))
+    q.processAllAvailable()
+    mem.addData(Evt(2, ts(10 * 60 * 60000), 9.0)) // watermark → +10h
+    q.processAllAvailable()
+    mem.addData(Evt(2, ts(11 * 60 * 60000), 1.0)) // one more batch so timers fire
+    q.processAllAvailable()
+    val sessions = spark.table("tws_out").as[SessionOut].collect().toSet
+    q.stop()
+    prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+    assert(sessions.contains(SessionOut(1, base, base + 60000, 2, 3.0)),
+      s"idle session not closed by timer: $sessions")
+  }
+
   test("sessionization emits closed sessions with correct bounds (batch-mode check)") {
     import IngestPipeline._
     // batch Dataset run of the same per-group logic via groupByKey+flatMapGroups
