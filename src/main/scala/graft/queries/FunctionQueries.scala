@@ -308,6 +308,28 @@ object FunctionQueries {
           (nxy / (sqrt((n * sxx - sx * sx).cast("double"))
             * sqrt((n * syy - sy * sy).cast("double")))).as("corr_qty_price"))
         .orderBy($"l_returnflag")
+    },
+
+    // ---- Sequence assembly: per-user event trajectories in event order —
+    // the record-building op behind behavioral training data (one training
+    // example per user from their ordered interaction history). Ordering
+    // inside collect_list is NOT guaranteed under parallel aggregation, so
+    // determinism comes from array_sort over (event_id, type) structs
+    // AFTER collection — one shuffle on user_id, map-side partial
+    // collection, and the sort is per-group over small arrays.
+    entry("q_seq_assembly",
+      s"""SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+         |  array_to_string(list(event_type ORDER BY event_id), '>') AS type_seq,
+         |  ${dsum("value")} AS sum_value
+         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir, "events")
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_events"),
+          expr("array_join(transform(array_sort(collect_list(struct(event_id, event_type))), " +
+            "x -> x.event_type), '>')").as("type_seq"),
+          Exact.dsum($"value").as("sum_value"))
+        .orderBy($"user_id")
     }
   )
 }
