@@ -196,19 +196,36 @@ object DedupQueries {
         .toDF("src", "dst").persist()
       var labels = edges.select(col("src").as("doc_id")).distinct()
         .withColumn("lbl", col("doc_id")).persist()
+      // materialize the heavy candidate-generation chain (shingles → LSH →
+      // verify → edges) at FULL shuffle width before narrowing
+      labels.count()
       var moved = 1L
-      while (moved > 0) {
-        val prop = edges.join(labels, edges("src") === labels("doc_id"))
-          .groupBy(col("dst")).agg(min(col("lbl")).as("plbl"))
-        val next = labels.join(prop, labels("doc_id") === prop("dst"), "left")
-          .select(labels("doc_id"),
-            least(coalesce(col("plbl"), col("lbl")), col("lbl")).as("lbl"),
-            (coalesce(col("plbl"), col("lbl")) < col("lbl")).as("chg"))
-          .persist()
-        moved = next.filter(col("chg")).count()
-        labels.unpersist()
-        labels = next.drop("chg")
-      }
+      // The iteration frames are the PAIR GRAPH, orders of magnitude
+      // smaller than the corpus (near-dup pairs ≪ docs) — but persist()
+      // pins plans outside AQE's partition coalescing, so each round
+      // would otherwise schedule full-width shuffle stages of near-empty
+      // tasks. Scope the shuffle width down for the loop only (queries
+      // run sequentially in this engine's mains; restored in `finally`).
+      val spKey = "spark.sql.shuffle.partitions"
+      val prevSp = s.conf.get(spKey)
+      s.conf.set(spKey, math.max(4, s.sparkContext.defaultParallelism / 4).toString)
+      try {
+        while (moved > 0) {
+          val prop = edges.join(labels, edges("src") === labels("doc_id"))
+            .groupBy(col("dst")).agg(min(col("lbl")).as("plbl"))
+          val next = labels.join(prop, labels("doc_id") === prop("dst"), "left")
+            .select(labels("doc_id"),
+              least(coalesce(col("plbl"), col("lbl")), col("lbl")).as("lbl"),
+              (coalesce(col("plbl"), col("lbl")) < col("lbl")).as("chg"))
+            .persist()
+          moved = next.filter(col("chg")).count()
+          labels.unpersist()
+          labels = next.drop("chg")
+        }
+        // materialize the final labels at the narrow width so the plan
+        // below doesn't re-run loop stages after the conf is restored
+        labels.count()
+      } finally s.conf.set(spKey, prevSp)
       // Cluster sizes come from the LABELS frame (edge nodes only — tiny:
       // every labeled node's component has ≥ 2 members, every unlabeled doc
       // is a singleton of size 1). A window over the full corpus would
