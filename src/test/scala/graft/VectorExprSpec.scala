@@ -112,4 +112,25 @@ class VectorExprSpec extends SparkSpec {
     assert(spark.sql("SELECT size(graft_minhash(array(7L), CAST(4 AS BIGINT)))")
       .as[Int].head() === 4)
   }
+
+  test("SQL-surface hardening: arity, type, and null-element errors are loud and clear") {
+    graft.plans.GraftExtensions.register(spark)
+    def rootMsg(e: Throwable): String = {
+      var c = e; while (c.getCause != null && c.getCause != c) c = c.getCause
+      e.getMessage + " | " + c.getMessage
+    }
+    // wrong arity → named error, not IndexOutOfBounds
+    val e1 = intercept[Exception](spark.sql("SELECT graft_qdot(array(1L))").collect())
+    assert(rootMsg(e1).contains("2 arguments"), rootMsg(e1))
+    val e2 = intercept[Exception](spark.sql("SELECT graft_simhash64(array('a'))").collect())
+    assert(rootMsg(e2).contains("2 arguments"), rootMsg(e2))
+    // wrong types rejected at analysis
+    val e3 = intercept[Exception](
+      spark.sql("SELECT graft_qdot(array('x'), array('y'))").collect())
+    assert(rootMsg(e3).toLowerCase.contains("array<bigint>"), rootMsg(e3))
+    // null elements error instead of reading garbage through getLong
+    val e4 = intercept[Exception](
+      spark.sql("SELECT graft_qdot(array(1L, NULL), array(1L, 2L))").collect())
+    assert(rootMsg(e4).contains("null element"), rootMsg(e4))
+  }
 }
