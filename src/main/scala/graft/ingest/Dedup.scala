@@ -32,6 +32,35 @@ object Dedup {
     incoming.join(keyProj, keys, "left_anti")
   }
 
+  /** Bloom-prefiltered anti-join for the incremental-ingest path at scale.
+    *
+    * A bloom filter has NO false negatives: a key the filter has never
+    * seen is DEFINITELY new, so that row skips the anti-join entirely and
+    * only possible-duplicates (bloom hits, ~fpp of the new rows plus all
+    * true dupes) pay the join's shuffle. When a day's increment is mostly
+    * new data — the normal case — the exact anti-join's input shrinks to
+    * a sliver, while the result stays EXACTLY equal to [[antiJoinNew]]
+    * (the oracle for `q_incremental_bloom` proves it). The sketch itself
+    * is built with one pass over the existing keys (a few MB for 10⁸ keys
+    * at 1% fpp) and ships to executors as a literal, probed by Spark's own
+    * native `BloomFilterMightContain` expression — codegen'd, no UDF.
+    * Single-column 64-bit keys only (the ledger key); composite keys go
+    * through the plain anti-join. */
+  def antiJoinNewBloom(incoming: DataFrame, existing: DataFrame, key: String,
+                       expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.classic.{GraftExpressionBridge => Bridge}
+    import org.apache.spark.sql.types.BinaryType
+    val bf = existing.stat.bloomFilter(key, expectedItems, fpp)
+    val bytes = { val b = new java.io.ByteArrayOutputStream(); bf.writeTo(b); b.toByteArray }
+    val mightContain = Bridge.column(BloomFilterMightContain(
+      Literal(bytes, BinaryType), Bridge.expression(col(key))))
+    val definitelyNew = incoming.filter(!mightContain)
+    val maybeDup = incoming.filter(mightContain)
+    definitelyNew.unionByName(
+      maybeDup.join(existing.select(col(key)).dropDuplicates(key), Seq(key), "left_anti"))
+  }
+
   /** Add `_content_hash` over every column not matching `exclude`
     * (reference excludes `kafka_*`). xxhash64 replaces Polars' struct hash —
     * same contract (stable 64-bit content key), different bits. */

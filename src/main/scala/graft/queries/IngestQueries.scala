@@ -102,6 +102,27 @@ object IngestQueries {
         .orderBy(col("event_id"))
     },
 
+    // ---- Bloom-prefiltered incremental anti-join — the version of J1/J2
+    // for when the ledger is too big to broadcast: a bloom sketch of the
+    // existing keys (a few MB at 10⁸ keys / 1% fpp, built in one pass)
+    // ships to executors as a literal probed by Spark's native
+    // BloomFilterMightContain. No false negatives → bloom-miss rows are
+    // definitely new and SKIP the join; only bloom hits (true dupes +
+    // ~fpp of new rows) pay the anti-join shuffle. Result is exactly the
+    // plain anti-join — the oracle proves the prefilter loses nothing.
+    entry("q_incremental_bloom",
+      """SELECT i.event_id, i.event_type FROM events i
+        |WHERE i.event_id >= 2500 AND NOT EXISTS (
+        |  SELECT 1 FROM events e WHERE e.event_id < 5000 AND e.event_id = i.event_id)
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val lake = events(s, dir).filter(col("event_id") < 5000)
+      val incoming = events(s, dir).filter(col("event_id") >= 2500)
+        .select(col("event_id"), col("event_type"))
+      Dedup.antiJoinNewBloom(incoming, lake, "event_id",
+          expectedItems = 10000L, fpp = 0.01)
+        .orderBy(col("event_id"))
+    },
+
     // ---- A2/A3/A9: count validation — per-partition actual counts plus
     // offset-contiguity status (collector validate_topic :1398-1502). The
     // whole check aggregates to one row per partition before any compare.
