@@ -45,4 +45,22 @@ class DedupSpec extends SparkSpec {
     val json = OffsetLedger.startingOffsetsJson("t", Map(0 -> 10L, 2 -> 5L), Seq(0, 1, 2))
     assert(json == """{"t":{"0":11,"1":-2,"2":6}}""")
   }
+
+  test("bloom-prefiltered anti-join equals the plain anti-join for any overlap shape") {
+    import spark.implicits._
+    val ev = Tables(spark, sf001, "events").select($"event_id", $"event_type")
+    // three overlap regimes: disjoint, partial, full containment
+    val regimes = Seq(
+      (ev.filter($"event_id" < 300), ev.filter($"event_id" >= 300)),  // disjoint
+      (ev.filter($"event_id" < 600), ev.filter($"event_id" >= 300)),  // partial
+      (ev, ev.filter($"event_id" >= 300)))                            // incoming ⊆ existing
+    regimes.foreach { case (existing, incoming) =>
+      val plain = Dedup.antiJoinNew(incoming, existing, Seq("event_id"))
+        .select($"event_id").as[Long].collect().sorted.toSeq
+      val bloom = Dedup.antiJoinNewBloom(incoming, existing, "event_id",
+          expectedItems = 2000L, fpp = 0.05)
+        .select($"event_id").as[Long].collect().sorted.toSeq
+      assert(bloom === plain)
+    }
+  }
 }
