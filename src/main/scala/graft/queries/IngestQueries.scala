@@ -123,6 +123,36 @@ object IngestQueries {
         .orderBy(col("event_id"))
     },
 
+    // ---- Incremental aggregate maintenance: merge a MATERIALIZED
+    // aggregate with a delta's aggregate instead of recomputing over
+    // history — the pattern behind streaming upsert sinks and nightly
+    // rollup refreshes. Works because count/sum/max are re-aggregable
+    // (merge = sum/sum/max of partials) and the DECIMAL accumulation is
+    // exact, so partial+merge is bit-identical to the one-pass oracle.
+    // At 100 TB the old aggregate is cluster-key-sized (one row per user),
+    // so the merge shuffles the SUMMARY, never the history.
+    entry("q_incr_agg_maintain",
+      """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS sum_value,
+        |  MAX(event_id) AS max_event
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+      import graft.functions.Exact
+      def partial(pred: org.apache.spark.sql.Column) =
+        events(s, dir).filter(pred)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n"), sum(Exact.dec(col("value"))).as("sdec"),
+            max(col("event_id")).as("max_event"))
+      val materialized = partial(col("event_id") < 5000)  // "yesterday's" rollup
+      val delta = partial(col("event_id") >= 5000)        // today's increment
+      materialized.unionByName(delta)
+        .groupBy(col("user_id"))
+        .agg(sum(col("n")).as("n"), sum(col("sdec")).as("sdec"),
+          max(col("max_event")).as("max_event"))
+        .select(col("user_id"), col("n"),
+          col("sdec").cast("double").as("sum_value"), col("max_event"))
+        .orderBy(col("user_id"))
+    },
+
     // ---- A2/A3/A9: count validation — per-partition actual counts plus
     // offset-contiguity status (collector validate_topic :1398-1502). The
     // whole check aggregates to one row per partition before any compare.
