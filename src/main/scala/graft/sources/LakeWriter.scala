@@ -120,6 +120,26 @@ object LakeWriter {
     dst.toString
   }
 
+  /** Small-file compaction — the lake-maintenance op a long-running
+    * incremental ingest needs: every micro-batch/run appends files, and a
+    * 100 TB lake that accretes thousands of KB-sized parquet files per
+    * partition pays for them on every scan (task-per-file scheduling,
+    * footer reads, no effective row-group pruning). Rewrites a path to
+    * `ceil(rows / targetRowsPerFile)` files, sort-clustered within files
+    * by `clusterBy` so min/max stats stay selective, using the same
+    * stage-and-swap as [[rewriteInPlace]] (atomic, crash-leaves-old). */
+  def compact(spark: SparkSession, path: String, targetRowsPerFile: Long,
+              clusterBy: Seq[String] = Nil): Unit = {
+    import org.apache.spark.sql.functions.col
+    val rows = spark.read.parquet(path).count()
+    val nFiles = math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+    rewriteInPlace(spark, path) { df =>
+      val sized = df.repartition(nFiles)
+      if (clusterBy.isEmpty) sized
+      else sized.sortWithinPartitions(clusterBy.map(col): _*)
+    }
+  }
+
   /** Safe in-place rewrite: Spark cannot overwrite a path it is reading, so
     * stage to `<path>.rewrite`, then swap via rename (reader-dedup E3's
     * backup+overwrite, `R:653-710`). */

@@ -76,4 +76,27 @@ class LakeWriterSpec extends SparkSpec {
     assert(back.count() ==
       ev.select("event_type", "props").distinct().count())
   }
+
+  test("compaction merges a fragmented path to sized, cluster-sorted files, rows intact") {
+    import org.apache.spark.sql.functions.col
+    val dest = java.nio.file.Files.createTempDirectory("compact").toString + "/events"
+    val ev = Tables(spark, sf001, "events")
+    // fragment: 50 files for a tiny table (the accreted-micro-batches shape)
+    ev.repartition(50).write.parquet(dest)
+    def dataFiles = new java.io.File(dest).listFiles
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(dataFiles == 50)
+    LakeWriter.compact(spark, dest, targetRowsPerFile = ev.count() / 2 + 1,
+      clusterBy = Seq("user_id", "ts"))
+    assert(dataFiles == 2, s"expected 2 compacted files, got $dataFiles")
+    val back = spark.read.parquet(dest)
+    assert(back.count() == ev.count())
+    // cluster-sort holds within each file
+    import spark.implicits._
+    back.select(input_file_name().as("f"), col("user_id"), col("ts").cast("long").as("t"))
+      .as[(String, Long, Long)].collect().groupBy(_._1).values.foreach { rows =>
+        val keys = rows.map(r => (r._2, r._3)).toSeq
+        assert(keys == keys.sorted, "rows not cluster-sorted within a file")
+      }
+  }
 }
