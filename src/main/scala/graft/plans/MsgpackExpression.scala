@@ -98,6 +98,9 @@ object GraftExtensions {
     }),
     fn("graft_simhash64", classOf[SimHash64], { cs =>
       arity("graft_simhash64(hashes, n)", 2, cs); SimHash64(cs(0), cs(1))
+    }),
+    fn("graft_zorder2", classOf[ZOrder2], { cs =>
+      arity("graft_zorder2(a, b)", 2, cs); ZOrder2(cs(0), cs(1))
     }))
 
   /** Register into an already-built session (extensions are otherwise

@@ -109,6 +109,18 @@ object VectorOps {
     }
     UTF8String.fromBytes(out)
   }
+
+  /** 32-bit Morton code from the low 16 bits of two keys — see [[ZOrder2]]. */
+  def morton2(a: Long, b: Long): Long = {
+    var z = 0L
+    var i = 0
+    while (i < 16) {
+      z |= ((a >> i) & 1L) << (2 * i)
+      z |= ((b >> i) & 1L) << (2 * i + 1)
+      i += 1
+    }
+    z
+  }
 }
 
 /** `graft_qdot(array<bigint>, array<bigint>) -> bigint` — see [[VectorOps.qdot]]. */
@@ -196,6 +208,36 @@ case class SimHash64(left: Expression, right: Expression) extends BinaryExpressi
     copy(left = l, right = r)
 }
 
+/** `graft_zorder2(bigint, bigint) -> bigint` — 32-bit Morton code
+  * interleaving the LOW 16 BITS of each key (bit i of `a` lands at 2i, of
+  * `b` at 2i+1; higher bits are ignored, which both engines and the
+  * oracle replicate). Sorting by this code clusters rows that are close
+  * in BOTH dimensions, so per-file min/max stats prune scans filtered on
+  * either column — the standard lake Z-ORDER optimization. One native
+  * node: a 16-iteration shift loop in both interpreted and codegen'd
+  * contexts. */
+case class ZOrder2(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_zorder2"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (LongType | IntegerType, LongType | IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_zorder2 requires integral keys, got ($l, $r)")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.morton2(a.asInstanceOf[Number].longValue(), b.asInstanceOf[Number].longValue())
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.plans.VectorOps.morton2((long) $a, (long) $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ZOrder2 =
+    copy(left = l, right = r)
+}
+
 /** Column-level constructors (classic-session bridge). */
 object VectorExpressions {
   def qdot(a: Column, b: Column): Column =
@@ -206,4 +248,7 @@ object VectorExpressions {
 
   def simhash64(hashes: Column, n: Column): Column =
     ExpressionUtils.column(SimHash64(ExpressionUtils.expression(hashes), ExpressionUtils.expression(n)))
+
+  def zorder2(a: Column, b: Column): Column =
+    ExpressionUtils.column(ZOrder2(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 }

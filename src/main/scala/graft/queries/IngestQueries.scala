@@ -123,6 +123,24 @@ object IngestQueries {
         .orderBy(col("event_id"))
     },
 
+    // ---- Z-order clustering key: the Morton interleave of two columns'
+    // low 16 bits (graft.plans.ZOrder2, native codegen) — sorting the
+    // lake by this key clusters rows close in EITHER dimension into the
+    // same files, so parquet min/max stats prune scans filtered on either
+    // column (LakeWriter.writeZOrdered is the sink side). The oracle
+    // replays the interleave with shift/mask arithmetic.
+    entry("q_zorder",
+      """SELECT event_id, user_id,
+        |  CAST(list_sum([ ((event_id >> i) & 1) * CAST(pow(4, i) AS BIGINT)
+        |                + ((user_id  >> i) & 1) * CAST(pow(4, i) AS BIGINT) * 2
+        |                 for i in generate_series(0,15)]) AS BIGINT) AS z
+        |FROM events ORDER BY z, event_id LIMIT 100""".stripMargin) { (s, dir) =>
+      events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          graft.plans.VectorExpressions.zorder2(col("event_id"), col("user_id")).as("z"))
+        .orderBy(col("z"), col("event_id")).limit(100)
+    },
+
     // ---- Incremental aggregate maintenance: merge a MATERIALIZED
     // aggregate with a delta's aggregate instead of recomputing over
     // history — the pattern behind streaming upsert sinks and nightly

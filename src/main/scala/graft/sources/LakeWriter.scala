@@ -140,6 +140,23 @@ object LakeWriter {
     }
   }
 
+  /** Z-ordered layout: range-partition AND sort by the Morton interleave
+    * of two keys ([[graft.plans.ZOrder2]], native codegen), so rows close
+    * in EITHER dimension land in the same files and parquet min/max stats
+    * prune scans filtered on either column — multi-dimensional clustering
+    * a single-column sort cannot give. `nFiles` plays the
+    * targetRowsPerFile role of [[compact]]. */
+  def writeZOrdered(df: DataFrame, dest: String, keyA: String, keyB: String,
+                    nFiles: Int): Unit = {
+    import org.apache.spark.sql.functions.col
+    val z = graft.plans.VectorExpressions.zorder2(col(keyA), col(keyB)).as("_z")
+    df.withColumn("_z", z)
+      .repartitionByRange(nFiles, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z")
+      .write.mode(SaveMode.Overwrite).option("compression", "zstd").parquet(dest)
+  }
+
   /** Safe in-place rewrite: Spark cannot overwrite a path it is reading, so
     * stage to `<path>.rewrite`, then swap via rename (reader-dedup E3's
     * backup+overwrite, `R:653-710`). */
