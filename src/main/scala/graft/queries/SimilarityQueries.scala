@@ -194,7 +194,14 @@ object SimilarityQueries {
     // ---- One full k-means iteration (Lloyd step): assign every vector to
     // its nearest current centroid (label-initialized, same scaled-integer
     // distance as IVF so assignment is exact and the oracle replays it),
-    // then recompute centroids over the NEW assignment. This is the loop
+    // then recompute centroids over the NEW assignment.
+    // Exactness precondition (shared with q_knn_ivf): the scaled distance
+    // Σ(cn·q_i − s_i)² must stay under 2^63 — worst case 2^48·cn² for
+    // |x| ≤ 1 at Q=2^20, i.e. cn ≤ ~180 adversarially, ~10⁴ for
+    // unit-normish embeddings (measured headroom at sf0.1: 165×). Past
+    // that, drop Q to 2^14 (same construction, looser quantization) or
+    // per-cluster double means with a stated tolerance — the int64 path
+    // is what makes the DuckDB oracle bit-exact. This is the loop
     // body of distributed k-means: centroids broadcast (k × dim values),
     // assignment is a narrow map over the corpus, and the recompute is one
     // map-side-combined (cluster, dim) aggregation — per iteration the
