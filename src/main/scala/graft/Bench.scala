@@ -49,11 +49,15 @@ object Bench {
     // minima. Every pass executes every query cold-cache (clearCache
     // between queries).
     val maxRuns = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
-    // just above the true quiet-window cost of the full suite (~75-80 s at
-    // sf0.1 as of 79 queries) so a mildly-contended pass still retries
-    val quietSec = sys.env.getOrElse("SPARK_GRAFT_QUIET_SEC", "85").toDouble
     val entries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
+    // Quiet threshold scales WITH the suite (per-query budget × count, not
+    // a pinned constant): the measured quiet cost at sf0.1 is ~0.95 s/query
+    // amortized (scheduling+codegen floor ~0.3-0.5 s plus real work), so
+    // 1.1 s/query sits just above quiet and a mildly-contended pass still
+    // retries — and the margin survives queries being added or removed.
+    val quietSec = sys.env.get("SPARK_GRAFT_QUIET_SEC").map(_.toDouble)
+      .getOrElse(entries.size * 1.1)
     // A failed query must surface as a FAILURE, not as its time-to-failure:
     // with min-of-N a transient fast crash would otherwise masquerade as an
     // artificially good per-query minimum. Failed passes contribute no
@@ -88,6 +92,13 @@ object Bench {
     val failed = entries.collect { case (k, _) if best(k).isEmpty => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = best.values.flatten.sum
+    // Make drift visible: if every retry was spent and the quiet condition
+    // still never held, either the host never went quiet or the suite's
+    // true cost outgrew the budget — say which way to look.
+    if (runsDone == maxRuns && total > quietSec)
+      System.err.println(f"[bench] exhausted $maxRuns runs with total $total%.1f s still above " +
+        f"the quiet threshold $quietSec%.1f s (${entries.size} queries): host contention, or the " +
+        "per-query budget in Bench.scala needs raising")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","runs":$runsDone}""")
     spark.stop()
   }

@@ -44,8 +44,11 @@ object Dedup {
     * is built with one pass over the existing keys (a few MB for 10⁸ keys
     * at 1% fpp) and ships to executors as a literal, probed by Spark's own
     * native `BloomFilterMightContain` expression — codegen'd, no UDF.
-    * Single-column 64-bit keys only (the ledger key); composite keys go
-    * through the plain anti-join. */
+    * A NULL key probes as NULL (three-valued logic), which a plain anti-
+    * join keeps (null never matches), so null-key rows are routed to the
+    * definitely-new branch via `coalesce(..., false)` to preserve exact
+    * equality. Single-column 64-bit keys only (the ledger key); composite
+    * keys go through the plain anti-join. */
   def antiJoinNewBloom(incoming: DataFrame, existing: DataFrame, key: String,
                        expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
@@ -53,8 +56,8 @@ object Dedup {
     import org.apache.spark.sql.types.BinaryType
     val bf = existing.stat.bloomFilter(key, expectedItems, fpp)
     val bytes = { val b = new java.io.ByteArrayOutputStream(); bf.writeTo(b); b.toByteArray }
-    val mightContain = Bridge.column(BloomFilterMightContain(
-      Literal(bytes, BinaryType), Bridge.expression(col(key))))
+    val mightContain = coalesce(Bridge.column(BloomFilterMightContain(
+      Literal(bytes, BinaryType), Bridge.expression(col(key)))), lit(false))
     val definitelyNew = incoming.filter(!mightContain)
     val maybeDup = incoming.filter(mightContain)
     definitelyNew.unionByName(

@@ -192,18 +192,24 @@ object SimilarityQueries {
     },
 
     // ---- One full k-means iteration (Lloyd step): assign every vector to
-    // its nearest current centroid (label-initialized, same scaled-integer
-    // distance as IVF so assignment is exact and the oracle replays it),
-    // then recompute centroids over the NEW assignment.
-    // Exactness precondition (shared with q_knn_ivf): the scaled distance
-    // Σ(cn·q_i − s_i)² must stay under 2^63 — worst case 2^48·cn² for
-    // |x| ≤ 1 at Q=2^20, i.e. cn ≤ ~180 adversarially, ~10⁴ for
-    // unit-normish embeddings (measured headroom at sf0.1: 165×). Past
-    // that, drop Q to 2^14 (same construction, looser quantization) or
-    // per-cluster double means with a stated tolerance — the int64 path
-    // is what makes the DuckDB oracle bit-exact. This is the loop
-    // body of distributed k-means: centroids broadcast (k × dim values),
-    // assignment is a narrow map over the corpus, and the recompute is one
+    // its nearest current centroid (label-initialized), then recompute
+    // centroids over the NEW assignment. The per-cluster distance is kept
+    // in scaled integers — d2 = Σ(cn·q_i − s_i)² = cn²·|q − s/cn|² — so
+    // the argmin across clusters of UNEQUAL size cn must compare the
+    // rationals d2/cn² exactly: d2_a/cn_a² < d2_b/cn_b² ⟺
+    // d2_a·cn_b² < d2_b·cn_a², cross-multiplied in decimal(38,0)
+    // (Spark) / HUGEINT (DuckDB) — the products exceed int64 already at
+    // sf0.01 (measured 1.5×10¹⁹). A candidate survives iff no rival is
+    // strictly nearer (ties broken by smaller cluster id), expressed as a
+    // left-anti self-join of the per-(vector, cluster) distance table
+    // against itself — k×n rows a side, equi-keyed on vec_id, so the
+    // quadratic term is only k² per vector. Exactness precondition:
+    // d2 < 2^63 (worst case 2^48·cn² at Q=2^20, ~10⁴ unit-normish
+    // vectors/cluster; measured headroom at sf0.1: 165×) and
+    // d2·cn² < 10^38 (cn ≤ ~10⁶ adversarially — decimal(38,0) never
+    // rounds below that). This is the loop body of distributed k-means:
+    // centroids broadcast (k × dim values), assignment is a narrow map
+    // plus a k-wide self-join keyed on vec_id, and the recompute is one
     // map-side-combined (cluster, dim) aggregation — per iteration the
     // corpus is read once and shuffles only aggregate partials.
     entry("q_kmeans_step",
@@ -211,10 +217,12 @@ object SimilarityQueries {
         | lab AS (SELECT vec_id, label FROM embeddings),
         | c0 AS (SELECT label cl, i, SUM(q[i]) si, COUNT(*) cn
         |        FROM e JOIN lab USING (vec_id) CROSS JOIN generate_series(1,64) g(i) GROUP BY 1,2),
-        | dt AS (SELECT e.vec_id, c0.cl, SUM((c0.cn*e.q[c0.i] - c0.si)*(c0.cn*e.q[c0.i] - c0.si)) d2
-        |        FROM e CROSS JOIN c0 GROUP BY 1,2),
-        | asg AS (SELECT vec_id, cl, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cl) r FROM dt),
-        | a1 AS (SELECT vec_id, cl FROM asg WHERE r = 1),
+        | dt AS (SELECT e.vec_id, c0.cl, c0.cn, SUM((c0.cn*e.q[c0.i] - c0.si)*(c0.cn*e.q[c0.i] - c0.si)) d2
+        |        FROM e CROSS JOIN c0 GROUP BY 1,2,3),
+        | a1 AS (SELECT a.vec_id, a.cl FROM dt a
+        |        WHERE NOT EXISTS (SELECT 1 FROM dt b WHERE b.vec_id = a.vec_id AND b.cl <> a.cl
+        |          AND (CAST(b.d2 AS HUGEINT)*a.cn*a.cn < CAST(a.d2 AS HUGEINT)*b.cn*b.cn
+        |            OR (CAST(b.d2 AS HUGEINT)*a.cn*a.cn = CAST(a.d2 AS HUGEINT)*b.cn*b.cn AND b.cl < a.cl)))),
         | n1 AS (SELECT a1.cl, u.dim, SUM(u.xq) sx, COUNT(*) n
         |        FROM (SELECT vec_id, generate_subscripts(q,1) dim, unnest(q) xq FROM e) u JOIN a1 USING (vec_id)
         |        GROUP BY 1,2)
@@ -229,12 +237,19 @@ object SimilarityQueries {
         .agg(expr("aggregate(collect_list(q), array_repeat(CAST(0 AS BIGINT), 64), " +
           "(acc, v) -> zip_with(acc, v, (a, b) -> a + b))").as("s"),
           count(lit(1)).as("cn"))
-      val asg = emb.crossJoin(broadcast(cs))
+      val dt = emb.crossJoin(broadcast(cs))
         .withColumn("d2", expr("aggregate(zip_with(q, s, (x, y) -> (cn*x - y)*(cn*x - y)), " +
           "CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
-        .withColumn("r", row_number().over(
-          Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cl"))))
-        .filter(col("r") === 1)
+        .select(col("vec_id"), col("cl"), col("cn"), col("d2"))
+        .persist() // referenced on both sides of the argmin anti-join
+      val rival = dt.toDF("b_vec_id", "b_cl", "b_cn", "b_d2") // fresh names: self-join
+      // exact rational argmin: rival strictly nearer ⟺
+      // b_d2·cn² < d2·b_cn² (decimal(38,0) — products overflow int64)
+      val lhs = col("b_d2").cast("decimal(38,0)") * (col("cn") * col("cn"))
+      val rhs = col("d2").cast("decimal(38,0)") * (col("b_cn") * col("b_cn"))
+      val beaten = col("vec_id") === col("b_vec_id") && col("b_cl") =!= col("cl") &&
+        (lhs < rhs || (lhs === rhs && col("b_cl") < col("cl")))
+      val asg = dt.join(rival, beaten, "left_anti")
         .select(col("vec_id"), col("cl")).toDF("a_vec_id", "cl") // fresh names: derives from emb
       emb.join(asg, col("vec_id") === col("a_vec_id"))
         .select(col("cl"), posexplode(col("q")).as(Seq("p", "xq")))

@@ -125,18 +125,23 @@ object LakeWriter {
     * 100 TB lake that accretes thousands of KB-sized parquet files per
     * partition pays for them on every scan (task-per-file scheduling,
     * footer reads, no effective row-group pruning). Rewrites a path to
-    * `ceil(rows / targetRowsPerFile)` files, sort-clustered within files
-    * by `clusterBy` so min/max stats stay selective, using the same
-    * stage-and-swap as [[rewriteInPlace]] (atomic, crash-leaves-old). */
+    * `ceil(rows / targetRowsPerFile)` files. With `clusterBy`, files are
+    * RANGE-partitioned on the cluster keys and sorted within, so each file
+    * tiles a disjoint key range and parquet min/max stats actually prune
+    * point/range scans (a round-robin shuffle would hand every file a
+    * uniform sample of the whole domain — full-span stats, no pruning).
+    * Range partitioning samples the key distribution, so skewed keys
+    * still yield ~equal-row files. Same stage-and-swap as
+    * [[rewriteInPlace]] (atomic, crash-leaves-old). */
   def compact(spark: SparkSession, path: String, targetRowsPerFile: Long,
               clusterBy: Seq[String] = Nil): Unit = {
     import org.apache.spark.sql.functions.col
     val rows = spark.read.parquet(path).count()
     val nFiles = math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
     rewriteInPlace(spark, path) { df =>
-      val sized = df.repartition(nFiles)
-      if (clusterBy.isEmpty) sized
-      else sized.sortWithinPartitions(clusterBy.map(col): _*)
+      if (clusterBy.isEmpty) df.repartition(nFiles)
+      else df.repartitionByRange(nFiles, clusterBy.map(col): _*)
+        .sortWithinPartitions(clusterBy.map(col): _*)
     }
   }
 

@@ -63,4 +63,19 @@ class DedupSpec extends SparkSpec {
       assert(bloom === plain)
     }
   }
+
+  test("bloom-prefiltered anti-join keeps null-key rows, exactly like the plain anti-join") {
+    import spark.implicits._
+    // null probe → BloomFilterMightContain is NULL; without the coalesce
+    // both branches would drop the row while the plain anti-join keeps it
+    val incoming = Seq(Some(1L), Some(2L), None, None).toDF("event_id")
+    val existing = Seq(1L, 3L).toDF("event_id")
+    val plain = Dedup.antiJoinNew(incoming, existing, Seq("event_id"))
+      .select($"event_id").as[Option[Long]].collect().sortBy(_.getOrElse(Long.MinValue)).toSeq
+    val bloom = Dedup.antiJoinNewBloom(incoming, existing, "event_id",
+        expectedItems = 10L, fpp = 0.01)
+      .select($"event_id").as[Option[Long]].collect().sortBy(_.getOrElse(Long.MinValue)).toSeq
+    assert(plain === Seq(None, None, Some(2L)))
+    assert(bloom === plain)
+  }
 }

@@ -124,10 +124,24 @@ class LakeWriterSpec extends SparkSpec {
     assert(back.count() == ev.count())
     // cluster-sort holds within each file
     import spark.implicits._
-    back.select(input_file_name().as("f"), col("user_id"), col("ts").cast("long").as("t"))
-      .as[(String, Long, Long)].collect().groupBy(_._1).values.foreach { rows =>
-        val keys = rows.map(r => (r._2, r._3)).toSeq
-        assert(keys == keys.sorted, "rows not cluster-sorted within a file")
-      }
+    val byFile = back
+      .select(input_file_name().as("f"), col("user_id"), col("ts").cast("long").as("t"))
+      .as[(String, Long, Long)].collect().groupBy(_._1).values.toSeq
+    byFile.foreach { rows =>
+      val keys = rows.map(r => (r._2, r._3)).toSeq
+      assert(keys == keys.sorted, "rows not cluster-sorted within a file")
+    }
+    // files tile the lead-key domain (repartitionByRange), so per-file
+    // min/max stats can prune — a round-robin shuffle would give every file
+    // the full domain. Ranges may TOUCH at one boundary value (the range
+    // key is the composite (user_id, ts), so one user_id can straddle a
+    // split) but must never interleave.
+    val ranges = byFile.map { rows => (rows.map(_._2).min, rows.map(_._2).max) }
+      .sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, aMax), (bMin, _)) =>
+        assert(aMax <= bMin, s"file user_id ranges interleave: max $aMax vs next min $bMin")
+      case _ =>
+    }
   }
 }
