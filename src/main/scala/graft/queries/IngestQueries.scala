@@ -256,6 +256,34 @@ object IngestQueries {
       val content = events(s, dir).select("user_id", "event_type", "value", "props")
       Dedup.dedupByContent(content, exclude = _ => false)
         .agg(count(lit(1)).as("n_distinct_content"))
+    },
+
+    // ---- Windowed keep-first dedup: one survivor per (user_id,
+    // event_type) per event-hour — the batch twin of
+    // `IngestPipeline.streamingDedupWithinWatermark` (bounded-state
+    // streaming dedup keyed the same way). The hour bucket is integer
+    // floor-division of the epoch (exact in both engines; Tables reads the
+    // ns-epoch losslessly); survivor = earliest (ts, event_id). Shape at
+    // 100 TB: ONE window shuffle keyed on the composite (user, type, hour)
+    // — high cardinality, so no hot reducer — then a tiny per-bucket
+    // rollup for the oracle-stable output.
+    entry("q_event_dedup_window",
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |    CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour_bucket, ts FROM events),
+        | r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type, hour_bucket
+        |        ORDER BY ts, event_id) rk FROM e)
+        |SELECT hour_bucket, COUNT(*) AS n_first, MIN(event_id) AS min_event
+        |FROM r WHERE rk = 1 GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = events(s, dir)
+        .withColumn("hour_bucket", expr("unix_micros(ts) DIV 3600000000"))
+      val w = Window.partitionBy(col("user_id"), col("event_type"), col("hour_bucket"))
+        .orderBy(col("ts"), col("event_id"))
+      e.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .groupBy(col("hour_bucket"))
+        .agg(count(lit(1)).as("n_first"), min(col("event_id")).as("min_event"))
+        .orderBy(col("hour_bucket"))
     }
   )
 }

@@ -573,6 +573,112 @@ object RelationalQueries {
         min($"l_extendedprice").as("min_price"), max($"l_extendedprice").as("max_price"),
         Exact.davg($"l_extendedprice").as("avg_price"),
         count(when($"l_shipdate".isNull, 1)).as("null_shipdate"))
+    },
+
+    // ---- Stratified sampling: exactly min(5, |stratum|) documents per
+    // (lang, source) stratum, ranked by md5(doc_id) — deterministic,
+    // rand()-free, and re-runnable (the same rows survive on every
+    // engine and every rerun, which a seeded sample() cannot promise
+    // across partitionings). Shape at 100 TB: one window shuffle keyed on
+    // the stratum; within a stratum the sort is by hash so no value-skew
+    // hotspot. For heavy strata the rank-window would be replaced by a
+    // per-partition top-K + merge (TakeOrderedAndProject per stratum).
+    entry("q_stratified_sample",
+      """WITH r AS (SELECT doc_id, lang, source,
+        |    ROW_NUMBER() OVER (PARTITION BY lang, source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) rk
+        |  FROM documents)
+        |SELECT lang, source, rk, doc_id FROM r WHERE rk <= 5
+        |ORDER BY lang, source, rk""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"lang", $"source")
+        .orderBy(md5($"doc_id".cast("string")), $"doc_id")
+      Tables(s, dir, "documents")
+        .select($"doc_id", $"lang", $"source")
+        .withColumn("rk", row_number().over(w))
+        .filter($"rk" <= 5)
+        .select($"lang", $"source", $"rk", $"doc_id")
+        .orderBy($"lang", $"source", $"rk")
+    },
+
+    // ---- Quantile-band filtering: keep documents inside the per-language
+    // [p10, p90] of n_chars — the outlier trim before training-data
+    // tokenization. Two passes by construction (bounds, then filter), but
+    // the bounds table is k rows (one per lang) and broadcasts, so the
+    // second pass is a narrow scan-filter with map-side-combined
+    // aggregation; the exact interpolated percentile runs per-lang
+    // (same cross-engine contract as q_percentile: integer inputs, one
+    // double interpolation).
+    entry("q_quantile_filter",
+      """WITH b AS (SELECT lang, quantile_cont(n_chars, 0.1) lo, quantile_cont(n_chars, 0.9) hi
+        |           FROM documents GROUP BY 1)
+        |SELECT d.lang, COUNT(*) n_kept, MIN(n_chars) min_c, MAX(n_chars) max_c,
+        |  CAST(SUM(n_chars) AS BIGINT) sum_c
+        |FROM documents d JOIN b USING (lang)
+        |WHERE d.n_chars >= b.lo AND d.n_chars <= b.hi
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val b = docs.groupBy($"lang")
+        .agg(expr("percentile(n_chars, 0.1)").as("lo"),
+          expr("percentile(n_chars, 0.9)").as("hi"))
+      docs.join(broadcast(b), "lang")
+        .filter($"n_chars" >= $"lo" && $"n_chars" <= $"hi")
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_kept"), min($"n_chars").as("min_c"),
+          max($"n_chars").as("max_c"), sum($"n_chars").as("sum_c"))
+        .orderBy($"lang")
+    },
+
+    // ---- Decorrelated scalar subquery: orders strictly above their
+    // customer's average order value. The correlated form
+    // (`o_totalprice > (SELECT AVG(...) WHERE i.custkey = o.custkey)`)
+    // decorrelates into one per-customer aggregate joined back — which is
+    // exactly what we declare. The above-average test cross-multiplies
+    // (price·n > Σprice, both exact decimals) so no engine ever divides —
+    // bit-exact without a tolerance. Shape: both sides shuffle on
+    // o_custkey once; the aggregate side is pre-shrunk to one row per
+    // customer and AQE picks a broadcast when it fits.
+    entry("q_above_avg",
+      """WITH a AS (SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,3))) s, COUNT(*) n
+        |           FROM orders GROUP BY 1)
+        |SELECT o.o_custkey, COUNT(*) AS n_above,
+        |  CAST(MAX(CAST(o.o_totalprice AS DECIMAL(18,3))) AS DOUBLE) AS max_above
+        |FROM orders o JOIN a ON o.o_custkey = a.o_custkey
+        |WHERE CAST(o.o_totalprice AS DECIMAL(18,3)) * a.n > a.s
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val orders = Tables(s, dir, "orders")
+      val a = orders.groupBy($"o_custkey".as("a_custkey"))
+        .agg(sum(Exact.dec($"o_totalprice")).as("s"), count(lit(1)).as("n"))
+      orders.join(a, $"o_custkey" === $"a_custkey")
+        .filter(Exact.dec($"o_totalprice") * $"n" > $"s")
+        .groupBy($"o_custkey")
+        .agg(count(lit(1)).as("n_above"),
+          max(Exact.dec($"o_totalprice")).cast("double").as("max_above"))
+        .orderBy($"o_custkey")
+    },
+
+    // ---- Two-phase salted aggregation: the skew-proof rollup. Phase 1
+    // aggregates on (key, salt = event_id % 16) so one hot key spreads
+    // over 16 reducers; phase 2 merges the 16 partials per key. Decimal
+    // partial sums re-aggregate exactly (addition is associative), so the
+    // oracle is the PLAIN one-phase GROUP BY — the salting must be
+    // invisible in the result. This is the aggregation twin of
+    // q_join_salted; with AQE skew handling off or a pathological key,
+    // it is the shape that keeps a 100 TB rollup from stalling on one
+    // reducer.
+    entry("q_agg_salted",
+      """SELECT event_type, COUNT(*) n, CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DOUBLE) sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir, "events")
+        .withColumn("_salt", pmod($"event_id", lit(16L)))
+        .groupBy($"event_type", $"_salt")
+        .agg(count(lit(1)).as("pn"), sum(Exact.dec($"value")).as("psum"))
+        .groupBy($"event_type")
+        .agg(sum($"pn").as("n"), sum($"psum").cast("double").as("sum_value"))
+        .orderBy($"event_type")
     }
   )
 }

@@ -285,6 +285,96 @@ object TextQueries {
         .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"),
           expr("array_min(transform(sh, x -> md5(x)))").as("min_shingle_fp"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- Inverted index build: token → document frequency, total term
+    // frequency, and the head of the sorted posting list — the core
+    // retrieval structure behind decontamination lookups and corpus search.
+    // Shape at 100 TB: explode is a narrow map; both aggregations key on
+    // the term and combine map-side, so shuffle volume is the vocabulary
+    // (tiny vs corpus); posting lists stay bounded (head-10) so no single
+    // stop-word term can blow up a reducer — full posting lists for
+    // rare terms would instead partition by (term, doc-range) buckets.
+    entry("q_inverted_index",
+      """WITH t AS (SELECT doc_id, unnest(string_split(text,' ')) term FROM documents),
+        | d AS (SELECT DISTINCT term, doc_id FROM t),
+        | tf AS (SELECT term, COUNT(*) tf FROM t GROUP BY 1),
+        | p AS (SELECT term, COUNT(*) df,
+        |         array_to_string(list(doc_id ORDER BY doc_id)[1:10], ',') AS posting_head
+        |       FROM d GROUP BY 1)
+        |SELECT p.term, p.df, tf.tf, p.posting_head
+        |FROM p JOIN tf USING (term) ORDER BY term""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(tokens("text")).as("term"))
+      val tf = t.groupBy(col("term")).agg(count(lit(1)).as("tf"))
+      val p = t.distinct()
+        .groupBy(col("term"))
+        .agg(count(lit(1)).as("df"),
+          array_join(slice(sort_array(collect_set(col("doc_id"))), 1, 10), ",")
+            .as("posting_head"))
+      p.join(tf, "term")
+        .select(col("term"), col("df"), col("tf"), col("posting_head"))
+        .orderBy(col("term"))
+    },
+
+    // ---- Exact heavy hitters: global top-20 tokens with corpus share —
+    // the frequency audit run before stop-word filtering or vocabulary
+    // truncation. The count aggregates map-side into per-term partials
+    // (shuffle = vocabulary size); the total is one extra scalar reduced
+    // from the SAME partials (no second corpus pass) and broadcast back;
+    // share is a single double division of exact int64s. Only the
+    // distinct-term table enters the rank window.
+    entry("q_heavy_hitters",
+      """WITH t AS (SELECT unnest(string_split(text,' ')) term FROM documents),
+        | c AS (SELECT term, COUNT(*) n FROM t GROUP BY 1),
+        | tot AS (SELECT CAST(SUM(n) AS BIGINT) s FROM c),
+        | r AS (SELECT term, n, ROW_NUMBER() OVER (ORDER BY n DESC, term) rk FROM c)
+        |SELECT rk, term, n, CAST(n AS DOUBLE)/(SELECT s FROM tot) AS share
+        |FROM r WHERE rk <= 20 ORDER BY rk""".stripMargin) { (s, dir) =>
+      val c = Tables(s, dir, "documents")
+        .select(explode(tokens("text")).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("n"))
+      val tot = c.agg(sum(col("n")).as("s"))
+      // top-k via distributed sort+limit (TakeOrderedAndProject: per-
+      // partition heads merged on the driver), then the rank window runs
+      // over only the 20 survivors — never a global single-partition sort
+      val top = c.orderBy(col("n").desc, col("term").asc).limit(20)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("n").desc, col("term").asc)
+      top.withColumn("rk", row_number().over(w))
+        .crossJoin(broadcast(tot))
+        .select(col("rk"), col("term"), col("n"),
+          (col("n").cast("double") / col("s")).as("share"))
+        .orderBy(col("rk"))
+    },
+
+    // ---- Token co-occurrence: top-15 unordered token pairs by the number
+    // of documents containing both — the PMI/embedding-context building
+    // block. The pair explosion runs AFTER per-document distinct (quadratic
+    // only in per-doc vocabulary, not doc length), equi-keyed on doc_id so
+    // the self-join is a co-partitioned hash join, and the pair counts
+    // reduce map-side before the tiny top-k window.
+    entry("q_cooccurrence",
+      """WITH t AS (SELECT DISTINCT doc_id, unnest(string_split(text,' ')) term FROM documents),
+        | pr AS (SELECT a.term ta, b.term tb, COUNT(*) n_docs
+        |        FROM t a JOIN t b ON a.doc_id = b.doc_id AND a.term < b.term GROUP BY 1,2),
+        | r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY n_docs DESC, ta, tb) rk FROM pr)
+        |SELECT rk, ta, tb, n_docs FROM r WHERE rk <= 15 ORDER BY rk""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id")) // single-file scan → spread the pair loop
+        .select(col("doc_id"), explode(tokens("text")).as("term"))
+        .distinct()
+      val a = t.toDF("doc_id", "ta") // fresh names: self-join
+      val b = t.toDF("b_doc_id", "tb")
+      val pr = a.join(b, col("doc_id") === col("b_doc_id") && col("ta") < col("tb"))
+        .groupBy(col("ta"), col("tb")).agg(count(lit(1)).as("n_docs"))
+      // distributed sort+limit first; the rank window sees only 15 rows
+      val top = pr.orderBy(col("n_docs").desc, col("ta").asc, col("tb").asc).limit(15)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("n_docs").desc, col("ta").asc, col("tb").asc)
+      top.withColumn("rk", row_number().over(w))
+        .select(col("rk"), col("ta"), col("tb"), col("n_docs"))
+        .orderBy(col("rk"))
     }
   )
 }
