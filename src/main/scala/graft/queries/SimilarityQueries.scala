@@ -16,6 +16,18 @@ import graft.functions.VectorFunctions._
   */
 object SimilarityQueries {
 
+  /** SQL fragment sorting collected (cl, cn, d2) cell candidates by the
+    * EXACT rational distance d2/cn² — cross-multiplied in decimal(38,0)
+    * (the products exceed int64 already at sf0.01), ties by cl. Clusters
+    * carry unequal cardinalities cn, so comparing raw d2 = cn²·dist²
+    * would bias the ordering toward small clusters; this comparator is
+    * what makes "nearest centroid" exact in q_kmeans_step / q_knn_ivf. */
+  private val exactNearestSort: String =
+    "array_sort(collect_list(struct(cl, cn, d2)), (a, b) -> CASE " +
+      "WHEN CAST(a.d2 AS DECIMAL(38,0))*b.cn*b.cn < CAST(b.d2 AS DECIMAL(38,0))*a.cn*a.cn THEN -1 " +
+      "WHEN CAST(a.d2 AS DECIMAL(38,0))*b.cn*b.cn > CAST(b.d2 AS DECIMAL(38,0))*a.cn*a.cn THEN 1 " +
+      "WHEN a.cl < b.cl THEN -1 WHEN a.cl > b.cl THEN 1 ELSE 0 END)"
+
   val entries: Seq[Entry] = Seq(
 
     // ---- Brute-force cosine top-k for a pinned query set (vec_id < 5).
@@ -54,19 +66,27 @@ object SimilarityQueries {
     // ---- IVF (inverted-file) kNN, the scale path: vectors are bucketed
     // into cells (centroid = exact per-label mean of quantized vectors —
     // the "trained" coarse quantizer), queries probe their 2 nearest cells
-    // and search exhaustively only inside them. Assignment uses the
-    // scaled-integer distance n²·|q/n − c|² = |n·q − s|², all int64, so
-    // cell membership is deterministic and the oracle replays it. At 100 TB
-    // the corpus scan partitions BY CELL (partition pruning on the probe
-    // list) — only probed cells are read at all.
+    // and search exhaustively only inside them. Cell ranking compares the
+    // true per-cell distances d2/cn² EXACTLY by cross-multiplication in
+    // decimal(38,0)/HUGEINT (one array_sort under the exact comparator
+    // per vector, same arithmetic as q_kmeans_step — products exceed
+    // int64), so "nearest" and "2nd-nearest cell" are genuinely nearest
+    // regardless of how unbalanced the cells are. At 100 TB the corpus
+    // scan partitions BY
+    // CELL (partition pruning on the probe list) — only probed cells are
+    // read at all.
     entry("q_knn_ivf",
       """WITH e AS (SELECT vec_id, label, [CAST(floor(CAST(x AS DOUBLE)*1048576.0) AS BIGINT) for x in embedding] q FROM embeddings),
         | nt AS (SELECT vec_id, x*x t FROM (SELECT vec_id, unnest(q) x FROM e)),
         | n AS (SELECT vec_id, sqrt(CAST(SUM(t) AS DOUBLE)) nrm FROM nt GROUP BY 1),
         | ct AS (SELECT label cl, i, SUM(q[i]) si, COUNT(*) cn FROM e CROSS JOIN generate_series(1,64) g(i) GROUP BY 1, 2),
-        | dt AS (SELECT e.vec_id, ct.cl, SUM((ct.cn*e.q[ct.i] - ct.si)*(ct.cn*e.q[ct.i] - ct.si)) d2
-        |        FROM e CROSS JOIN ct GROUP BY 1, 2),
-        | asg AS (SELECT vec_id, cl, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cl) r FROM dt),
+        | dt AS (SELECT e.vec_id, ct.cl, ct.cn, SUM((ct.cn*e.q[ct.i] - ct.si)*(ct.cn*e.q[ct.i] - ct.si)) d2
+        |        FROM e CROSS JOIN ct GROUP BY 1, 2, 3),
+        | asg AS (SELECT a.vec_id, a.cl,
+        |     1 + (SELECT COUNT(*) FROM dt b WHERE b.vec_id = a.vec_id AND b.cl <> a.cl
+        |          AND (CAST(b.d2 AS HUGEINT)*a.cn*a.cn < CAST(a.d2 AS HUGEINT)*b.cn*b.cn
+        |            OR (CAST(b.d2 AS HUGEINT)*a.cn*a.cn = CAST(a.d2 AS HUGEINT)*b.cn*b.cn AND b.cl < a.cl))) r
+        |   FROM dt a),
         | cell AS (SELECT vec_id, cl FROM asg WHERE r = 1),
         | probe AS (SELECT vec_id qid, cl FROM asg WHERE r <= 2 AND vec_id < 5),
         | cands AS (SELECT p.qid, c.vec_id cid FROM probe p JOIN cell c ON p.cl = c.cl WHERE c.vec_id <> p.qid),
@@ -88,13 +108,20 @@ object SimilarityQueries {
         .agg(expr("aggregate(collect_list(q), array_repeat(CAST(0 AS BIGINT), 64), " +
           "(acc, v) -> zip_with(acc, v, (a, b) -> a + b))").as("s"),
           count(lit(1)).as("cn"))
-      val asg = e.crossJoin(broadcast(cs))
+      val dt = e.crossJoin(broadcast(cs))
         .withColumn("d2", expr("aggregate(zip_with(q, s, (x, y) -> (cn*x - y)*(cn*x - y)), " +
           "CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
-        .withColumn("r", row_number().over(
-          Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cl"))))
-      val cell = asg.filter(col("r") === 1).select(col("vec_id"), col("cl"))
-      val probe = asg.filter(col("r") <= 2 && col("vec_id") < 5)
+        .select(col("vec_id"), col("cl"), col("cn"), col("d2"))
+      // exact rational cell ranking in ONE aggregation: sort the k
+      // candidates under the cross-multiplied comparator, keep the top-2
+      // (cell = rank 1, probe set = ranks 1-2) — no self-join, one
+      // shuffle keyed on vec_id
+      val ranked = dt.groupBy(col("vec_id"))
+        .agg(expr(s"slice($exactNearestSort, 1, 2)").as("top2"))
+        .select(col("vec_id"), posexplode(col("top2")).as(Seq("p", "c")))
+        .select(col("vec_id"), (col("p") + 1).as("r"), col("c.cl").as("cl"))
+      val cell = ranked.filter(col("r") === 1).select(col("vec_id"), col("cl"))
+      val probe = ranked.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("cl"))
       val cands = probe.join(cell, "cl").filter(col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id").as("cid"))
@@ -199,11 +226,10 @@ object SimilarityQueries {
     // rationals d2/cn² exactly: d2_a/cn_a² < d2_b/cn_b² ⟺
     // d2_a·cn_b² < d2_b·cn_a², cross-multiplied in decimal(38,0)
     // (Spark) / HUGEINT (DuckDB) — the products exceed int64 already at
-    // sf0.01 (measured 1.5×10¹⁹). A candidate survives iff no rival is
-    // strictly nearer (ties broken by smaller cluster id), expressed as a
-    // left-anti self-join of the per-(vector, cluster) distance table
-    // against itself — k×n rows a side, equi-keyed on vec_id, so the
-    // quadratic term is only k² per vector. Exactness precondition:
+    // sf0.01 (measured 1.5×10¹⁹). The argmin folds each vector's k
+    // candidates through one array_sort under that exact comparator
+    // inside a single vec_id-keyed aggregation (k log k per vector, no
+    // self-join, no extra shuffle). Exactness precondition:
     // d2 < 2^63 (worst case 2^48·cn² at Q=2^20, ~10⁴ unit-normish
     // vectors/cluster; measured headroom at sf0.1: 165×) and
     // d2·cn² < 10^38 (cn ≤ ~10⁶ adversarially — decimal(38,0) never
@@ -241,16 +267,12 @@ object SimilarityQueries {
         .withColumn("d2", expr("aggregate(zip_with(q, s, (x, y) -> (cn*x - y)*(cn*x - y)), " +
           "CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
         .select(col("vec_id"), col("cl"), col("cn"), col("d2"))
-        .persist() // referenced on both sides of the argmin anti-join
-      val rival = dt.toDF("b_vec_id", "b_cl", "b_cn", "b_d2") // fresh names: self-join
-      // exact rational argmin: rival strictly nearer ⟺
-      // b_d2·cn² < d2·b_cn² (decimal(38,0) — products overflow int64)
-      val lhs = col("b_d2").cast("decimal(38,0)") * (col("cn") * col("cn"))
-      val rhs = col("d2").cast("decimal(38,0)") * (col("b_cn") * col("b_cn"))
-      val beaten = col("vec_id") === col("b_vec_id") && col("b_cl") =!= col("cl") &&
-        (lhs < rhs || (lhs === rhs && col("b_cl") < col("cl")))
-      val asg = dt.join(rival, beaten, "left_anti")
-        .select(col("vec_id"), col("cl")).toDF("a_vec_id", "cl") // fresh names: derives from emb
+      // exact rational argmin in ONE aggregation: the k candidates fold
+      // into a sorted array under the cross-multiplied comparator — no
+      // self-join, no persist, one shuffle keyed on vec_id
+      val asg = dt.groupBy(col("vec_id"))
+        .agg(expr(s"element_at($exactNearestSort, 1).cl").as("cl"))
+        .toDF("a_vec_id", "cl") // fresh names: derives from emb
       emb.join(asg, col("vec_id") === col("a_vec_id"))
         .select(col("cl"), posexplode(col("q")).as(Seq("p", "xq")))
         .groupBy(col("cl").as("cluster"), (col("p") + 1).cast("long").as("dim"))

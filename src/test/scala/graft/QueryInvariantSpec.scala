@@ -78,4 +78,41 @@ class QueryInvariantSpec extends SparkSpec {
     assert(perCluster.forall(_ > 0))
     assert(perCluster.sum == total, "every vector must be assigned to exactly one cluster")
   }
+
+  test("kmeans step assigns each vector to its TRUE nearest centroid (exact BigInt replay)") {
+    // Brute-force replay of the Lloyd assignment in exact rational
+    // arithmetic: quantize q = floor(x * 2^20), centroid_cl = s_cl / cn_cl,
+    // compare |q - s/cn|^2 across clusters via cross-multiplied BigInts —
+    // the unbiased comparison the cn^2-scaled int64 argmin used to get
+    // wrong for unequal cluster sizes.
+    val emb = Tables(spark, sf001, "embeddings")
+      .select($"vec_id", $"label", $"embedding").as[(Long, Int, Array[Float])].collect()
+    val q = emb.map { case (id, lab, v) =>
+      (id, lab, v.map(x => BigInt(math.floor(x.toDouble * 1048576.0).toLong)))
+    }
+    val byLabel = q.groupBy(_._2)
+    val sums = byLabel.map { case (l, rows) =>
+      l -> (rows.map(_._3).reduce((a, b) => a.zip(b).map(t => t._1 + t._2)), BigInt(rows.length))
+    }
+    def d2(v: Array[BigInt], s: Array[BigInt], cn: BigInt): BigInt =
+      v.zip(s).map { case (x, si) => val t = cn * x - si; t * t }.sum // = cn^2 * dist^2
+    val expected = q.map { case (id, _, v) =>
+      val best = sums.toSeq.map { case (l, (s, cn)) => (l, d2(v, s, cn), cn) }
+        .minBy { case (l, d, cn) => (ExactFrac(d, cn * cn), l) }(
+          Ordering.Tuple2(ExactFrac.ordering, Ordering.Int))
+      id -> best._1
+    }.toMap
+    // recompute: n_members per cluster from the expected assignment
+    val expSizes = expected.values.groupBy(identity).map { case (l, g) => (l, g.size.toLong) }
+    val got = SparkEntry.queries("q_kmeans_step")(spark, sf001)
+      .select($"cluster", $"n_members").distinct().as[(Int, Long)].collect().toMap
+    assert(got == expSizes, s"cluster sizes differ: got $got expected $expSizes")
+  }
+
+  /** Exact rational d/(den) comparable via cross-multiplication. */
+  private case class ExactFrac(num: BigInt, den: BigInt)
+  private object ExactFrac {
+    val ordering: Ordering[ExactFrac] =
+      (a: ExactFrac, b: ExactFrac) => (a.num * b.den).compare(b.num * a.den)
+  }
 }
