@@ -348,6 +348,36 @@ object TextQueries {
         .orderBy(col("rk"))
     },
 
+    // ---- Sketch-first heavy hitters: a Misra–Gries summary (capacity
+    // 256, see graft.functions.Sketches) narrows the corpus to ≤256
+    // candidate tokens WITHOUT shuffling per-token rows — partial sketches
+    // build map-side and only k-entry maps cross the wire — then one exact
+    // pass counts just the candidates (broadcast semi-join) and takes the
+    // top-20. MG guarantees every token with true count > N/(k+1) is a
+    // candidate, so the result is EXACTLY the true top-20 whenever the
+    // 20th count clears that line (trivially true here; at 100 TB pick k
+    // ≈ 10–100× the target rank) — which is why the oracle is the plain
+    // exact top-20: the sketch must be invisible in the answer.
+    entry("q_heavy_hitters_sketch",
+      """WITH t AS (SELECT unnest(string_split(text,' ')) term FROM documents),
+        | c AS (SELECT term, COUNT(*) n FROM t GROUP BY 1),
+        | r AS (SELECT term, n, ROW_NUMBER() OVER (ORDER BY n DESC, term) rk FROM c)
+        |SELECT rk, term, n FROM r WHERE rk <= 20 ORDER BY rk""".stripMargin) { (s, dir) =>
+      import graft.functions.Sketches
+      val t = Tables(s, dir, "documents")
+        .select(explode(tokens("text")).as("term"))
+      val cands = t.agg(Sketches.misraGries(256)(col("term")).as("mg"))
+        .select(explode(map_keys(col("mg"))).as("term"))
+      val exact = t.join(broadcast(cands), "term")
+        .groupBy(col("term")).agg(count(lit(1)).as("n"))
+      val top = exact.orderBy(col("n").desc, col("term").asc).limit(20)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("n").desc, col("term").asc)
+      top.withColumn("rk", row_number().over(w))
+        .select(col("rk"), col("term"), col("n"))
+        .orderBy(col("rk"))
+    },
+
     // ---- Token co-occurrence: top-15 unordered token pairs by the number
     // of documents containing both — the PMI/embedding-context building
     // block. The pair explosion runs AFTER per-document distinct (quadratic
