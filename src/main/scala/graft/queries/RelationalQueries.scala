@@ -659,6 +659,104 @@ object RelationalQueries {
         .orderBy($"o_custkey")
     },
 
+    // ---- Funnel analysis: users progressing view → click → purchase,
+    // each step strictly after the previous and within 12 h of it — the
+    // ordered-sequence conversion metric. Each step is one user-keyed
+    // MIN-aggregate plus an equi-join back to the event stream; after the
+    // first shuffle on user_id every later stage is co-partitioned, so at
+    // 100 TB the funnel costs one shuffle of the events table, not one
+    // per step, and no per-user window over the full history. Interval
+    // arithmetic is integer µs — exact in both engines.
+    entry("q_funnel",
+      """WITH s1 AS (SELECT user_id, MIN(ts) t1 FROM events WHERE event_type='view' GROUP BY 1),
+        | s2 AS (SELECT e.user_id, MIN(e.ts) t2 FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |        WHERE e.event_type='click' AND e.ts > s1.t1
+        |          AND epoch_us(e.ts) - epoch_us(s1.t1) <= 43200000000 GROUP BY 1),
+        | s3 AS (SELECT e.user_id, MIN(e.ts) t3 FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |        WHERE e.event_type='purchase' AND e.ts > s2.t2
+        |          AND epoch_us(e.ts) - epoch_us(s2.t2) <= 43200000000 GROUP BY 1)
+        |SELECT 'step1_view' step, COUNT(*) n_users FROM s1
+        |UNION ALL SELECT 'step2_click', COUNT(*) FROM s2
+        |UNION ALL SELECT 'step3_purchase', COUNT(*) FROM s3
+        |ORDER BY step""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val ev = Tables(s, dir, "events")
+      val winUs = 43200000000L // 12 h in µs
+      val s1 = ev.filter($"event_type" === "view")
+        .groupBy($"user_id").agg(min($"ts").as("t1"))
+      val s2 = ev.filter($"event_type" === "click").join(s1, "user_id")
+        .filter($"ts" > $"t1" &&
+          unix_micros($"ts") - unix_micros($"t1") <= winUs)
+        .groupBy($"user_id").agg(min($"ts").as("t2"))
+      val s3 = ev.filter($"event_type" === "purchase").join(s2, "user_id")
+        .filter($"ts" > $"t2" &&
+          unix_micros($"ts") - unix_micros($"t2") <= winUs)
+        .groupBy($"user_id").agg(min($"ts").as("t3"))
+      def cnt(df: org.apache.spark.sql.DataFrame, tag: String) =
+        df.agg(count(lit(1)).as("n_users")).select(lit(tag).as("step"), $"n_users")
+      cnt(s1, "step1_view")
+        .unionByName(cnt(s2, "step2_click"))
+        .unionByName(cnt(s3, "step3_purchase"))
+        .orderBy($"step")
+    },
+
+    // ---- Cohort retention: users bucketed by first-seen day, activity
+    // counted as distinct users per (cohort_day, day_offset) — the
+    // retention-curve table. Day buckets are integer floor-divisions of
+    // the µs epoch (exact both engines). Shape: one user-keyed MIN
+    // aggregate, one co-partitioned join back (both sides hashed on
+    // user_id), one distinct + count on the tiny (cohort, offset) grid.
+    entry("q_cohort",
+      """WITH f AS (SELECT user_id, CAST(epoch_us(MIN(ts)) // 86400000000 AS BIGINT) cohort_day
+        |           FROM events GROUP BY 1),
+        | a AS (SELECT DISTINCT e.user_id, f.cohort_day,
+        |        CAST(epoch_us(e.ts) // 86400000000 AS BIGINT) - f.cohort_day AS day_offset
+        |       FROM events e JOIN f ON e.user_id = f.user_id)
+        |SELECT cohort_day, day_offset, COUNT(*) n_users FROM a
+        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val ev = Tables(s, dir, "events")
+      val f = ev.groupBy($"user_id".as("f_user"))
+        .agg(expr("unix_micros(MIN(ts)) DIV 86400000000").as("cohort_day"))
+      ev.select($"user_id", expr("unix_micros(ts) DIV 86400000000").as("day"))
+        .join(f, $"user_id" === $"f_user")
+        .select($"user_id", $"cohort_day", ($"day" - $"cohort_day").as("day_offset"))
+        .distinct()
+        .groupBy($"cohort_day", $"day_offset")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy($"cohort_day", $"day_offset")
+    },
+
+    // ---- Blocked fuzzy matching: near-identical part names found by
+    // Levenshtein distance ≤ 2 on the adjective, blocked on the noun —
+    // the entity-resolution shape (block key cuts the quadratic pair
+    // space to within-block pairs). Dedup-to-distinct-names runs FIRST,
+    // so the pair join sees |distinct names|, not |parts| (64 vs 2000
+    // here; the same orders-of-magnitude cut at 100 TB). Levenshtein is
+    // the classic integer DP in both engines — no tolerance needed.
+    entry("q_fuzzy_match",
+      """WITH names AS (SELECT p_name, string_split(p_name,' ')[1] adj, string_split(p_name,' ')[2] noun,
+        |                 COUNT(*) n_parts FROM part GROUP BY 1,2,3),
+        | pairs AS (SELECT a.p_name a_name, b.p_name b_name, levenshtein(a.adj, b.adj) dist,
+        |             a.n_parts a_parts, b.n_parts b_parts
+        |           FROM names a JOIN names b ON a.noun = b.noun AND a.p_name < b.p_name
+        |           WHERE levenshtein(a.adj, b.adj) <= 2)
+        |SELECT a_name, b_name, dist, a_parts, b_parts FROM pairs
+        |ORDER BY a_name, b_name""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val names = Tables(s, dir, "part")
+        .groupBy($"p_name").agg(count(lit(1)).as("n_parts"))
+        .select($"p_name", split($"p_name", " ")(0).as("adj"),
+          split($"p_name", " ")(1).as("noun"), $"n_parts")
+      val a = names.toDF("a_name", "a_adj", "noun", "a_parts") // fresh names: self-join
+      val b = names.toDF("b_name", "b_adj", "b_noun", "b_parts")
+      a.join(b, $"noun" === $"b_noun" && $"a_name" < $"b_name")
+        .withColumn("dist", levenshtein($"a_adj", $"b_adj"))
+        .filter($"dist" <= 2)
+        .select($"a_name", $"b_name", $"dist", $"a_parts", $"b_parts")
+        .orderBy($"a_name", $"b_name")
+    },
+
     // ---- Two-phase salted aggregation: the skew-proof rollup. Phase 1
     // aggregates on (key, salt = event_id % 16) so one hot key spreads
     // over 16 reducers; phase 2 merges the 16 partials per key. Decimal
