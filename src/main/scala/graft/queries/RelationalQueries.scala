@@ -659,6 +659,57 @@ object RelationalQueries {
         .orderBy($"o_custkey")
     },
 
+    // ---- Range-frame rolling aggregate: per-user trailing-1 h event
+    // count and exact value sum AT EVERY event — the time-decayed feature
+    // shape (rate limits, burst detection, rolling engagement). A RANGE
+    // frame over the integer µs epoch includes ties identically in both
+    // engines; the sum accumulates in decimal and surfaces as one double.
+    // Shape: ONE window shuffle keyed on user_id; the frame is evaluated
+    // by Spark's sliding-window accumulator (O(n) per partition, not
+    // O(n·frame)).
+    entry("q_rolling_range",
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) us, CAST(value AS DECIMAL(18,3)) v FROM events)
+        |SELECT event_id, user_id,
+        |  COUNT(*) OVER w AS n_1h,
+        |  CAST(SUM(v) OVER w AS DOUBLE) AS sum_1h
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY us RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy(unix_micros($"ts"))
+        .rangeBetween(-3600000000L, Window.currentRow)
+      Tables(s, dir, "events")
+        .select($"event_id", $"user_id", $"ts", Exact.dec($"value").as("v"))
+        .select($"event_id", $"user_id",
+          count(lit(1)).over(w).as("n_1h"),
+          sum($"v").over(w).cast("double").as("sum_1h"))
+        .orderBy($"event_id")
+    },
+
+    // ---- Unpivot (wide → long): per-flag aggregates melted into
+    // (metric, value) rows via `stack` — the inverse of q_pivot, used to
+    // normalize wide stats tables for storage or plotting. The melt is a
+    // zero-shuffle generator over the already-aggregated wide table.
+    entry("q_unpivot",
+      """WITH w AS (SELECT l_returnflag,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,3))) AS DOUBLE) sum_qty,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,3))) AS DOUBLE) sum_price,
+        |    CAST(COUNT(*) AS DOUBLE) n_rows
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, metric, val FROM w
+        |UNPIVOT (val FOR metric IN (sum_qty, sum_price, n_rows))
+        |ORDER BY l_returnflag, metric""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(Exact.dsum($"l_quantity").as("sum_qty"),
+          Exact.dsum($"l_extendedprice").as("sum_price"),
+          count(lit(1)).cast("double").as("n_rows"))
+        .selectExpr("l_returnflag",
+          "stack(3, 'sum_qty', sum_qty, 'sum_price', sum_price, 'n_rows', n_rows) AS (metric, val)")
+        .orderBy($"l_returnflag", $"metric")
+    },
+
     // ---- Funnel analysis: users progressing view → click → purchase,
     // each step strictly after the previous and within 12 h of it — the
     // ordered-sequence conversion metric. Each step is one user-keyed
