@@ -96,4 +96,40 @@ class PlanSpec extends SparkSpec {
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("*("), p)
   }
+
+  test("q_heavy_hitters top-k is TakeOrderedAndProject over the reduced term table") {
+    val p = plan("q_heavy_hitters")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q_quantile_filter broadcasts the per-lang bounds into the second pass") {
+    val p = plan("q_quantile_filter")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), "bounds join fell back to SMJ:\n" + p)
+  }
+
+  test("q_funnel funnels through co-partitioned joins — one exchange per distinct key shape") {
+    val df = SparkEntry.queries("q_funnel")(spark, sf001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // events is scanned once per step (3 predicate-pushed scans), but every
+    // stage keys on user_id: AQE must not insert extra hash exchanges beyond
+    // one per aggregate/join input (filter predicates pushed to the scans)
+    assert(p.contains("PushedFilters"), p)
+    assert(p.contains("EqualTo(event_type,view)") || p.contains("event_type"), p)
+  }
+
+  test("q_agg_salted keeps two aggregation phases (partial merge shape)") {
+    val p = plan("q_agg_salted")
+    // 4 HashAggregate nodes: partial+final for each of the two phases
+    val n = "HashAggregate".r.findAllIn(p).length
+    assert(n >= 4, s"expected the two-phase salted shape, got $n HashAggregates:\n$p")
+  }
+
+  test("q_rolling_range runs a single window over one user_id exchange") {
+    val p = plan("q_rolling_range")
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"), p)
+    val n = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(n <= 1, s"rolling window re-shuffled:\n$p")
+  }
 }
