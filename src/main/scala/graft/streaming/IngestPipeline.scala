@@ -198,6 +198,31 @@ object IngestPipeline {
         TimeMode.EventTime(), OutputMode.Append())
   }
 
+  /** Continuous heavy hitters: per-shard Misra–Gries summaries maintained
+    * in stream state ([[graft.functions.Sketches.MisraGries]] — the same
+    * mergeable summary the batch path uses), keyed by a hash shard so no
+    * single task owns the whole vocabulary. Each trigger emits every
+    * touched shard's current sketch; a reader merges the ≤ `shards`
+    * k-entry maps with `MisraGries.merge` (associative, guarantee-
+    * preserving — SketchProps) to get corpus-wide candidates at any point
+    * in the stream's life. State is bounded at shards × k entries
+    * regardless of vocabulary size — the streaming analog of
+    * `q_heavy_hitters_sketch`'s no-token-shuffle contract. */
+  def streamingHeavyHitters(tokens: Dataset[String], k: Int = 64,
+                            shards: Int = 8): Dataset[(Int, Map[String, Long])] = {
+    import tokens.sparkSession.implicits._
+    val mg = graft.functions.Sketches.MisraGries(k)
+    tokens
+      .groupByKey(t => math.floorMod(t.##, shards))
+      .mapGroupsWithState[Map[String, Long], (Int, Map[String, Long])](
+        GroupStateTimeout.NoTimeout()) {
+        (shard: Int, rows: Iterator[String], state: GroupState[Map[String, Long]]) =>
+          val cur = rows.foldLeft(state.getOption.getOrElse(mg.zero))(mg.reduce)
+          state.update(cur)
+          (shard, cur)
+      }
+  }
+
   def sessionize(events: Dataset[Evt], gapMinutes: Int = 30): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     val gapMs = gapMinutes * 60000L

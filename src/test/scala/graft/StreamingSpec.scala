@@ -199,4 +199,31 @@ class StreamingSpec extends SparkSpec {
     // the 10h-later event closes session A; session B and user 2 stay open in state
     assert(sessions.contains(SessionOut(1, base, base + 60000, 2, 3.0)))
   }
+
+  test("streaming heavy hitters: sharded MG state accumulates across batches, merge recovers the heavies") {
+    import graft.functions.Sketches.MisraGries
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val out = IngestPipeline.streamingHeavyHitters(mem.toDS(), k = 8, shards = 4)
+    val q = out.writeStream.format("memory").queryName("mg_out")
+      .outputMode(OutputMode.Update()).start()
+    // batch 1: 'hot' dominates; batch 2 continues the stream — state must
+    // carry counts over, not restart per trigger
+    val b1 = Seq.fill(30)("hot") ++ (1 to 10).map("t" + _)
+    val b2 = Seq.fill(20)("hot") ++ Seq.fill(15)("warm") ++ (11 to 20).map("t" + _)
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable()
+    // latest sketch per shard (Update mode re-emits touched shards)
+    val latest = spark.table("mg_out").as[(Int, Map[String, Long])].collect()
+      .zipWithIndex.groupBy(_._1._1).map { case (_, rs) => rs.maxBy(_._2)._1._2 }
+    val mg = MisraGries(8)
+    val merged = latest.reduce(mg.merge)
+    q.stop()
+    val n = (b1 ++ b2).size.toLong
+    val truth = (b1 ++ b2).groupBy(identity).map { case (t, v) => t -> v.size.toLong }
+    // guarantee carries over the whole stream: heavies present, no overshoot
+    assert(merged.contains("hot") && merged.contains("warm"))
+    merged.foreach { case (t, est) => assert(est <= truth(t), s"$t overshoots") }
+    assert(merged("hot") >= truth("hot") - n / 9 - 1)
+  }
 }
