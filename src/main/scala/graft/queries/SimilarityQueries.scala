@@ -281,6 +281,100 @@ object SimilarityQueries {
           (col("sx").cast("double") / col("n") / lit(1048576.0)).as("centroid"),
           col("n").as("n_members"))
         .orderBy(col("cluster"), col("dim"))
+    },
+
+    // ---- Product-quantization ANN, the compressed-corpus scale path:
+    // 64-dim vectors split into 8 subvectors, each encoded as its nearest
+    // entry in a per-subvector integer codebook (label-trained means,
+    // rounded half-up via a shifted floor division — exact in both
+    // engines); queries score candidates through an ADC lookup table
+    // (queries × subvectors × codebook entries — a few hundred rows,
+    // broadcast), shortlist the top-50 by ADC, then exact-rerank only the
+    // shortlist. Everything is int64/decimal-free integer arithmetic, so
+    // the oracle replays it bit-for-bit. Measured recall@10 = 0.42 at
+    // sf0.01 — near-uniform synthetic embeddings are PQ's worst case
+    // (real clustered embeddings fare far better; widen the shortlist or
+    // codebook to trade compute for recall). The SHAPE is the point at
+    // 100 TB: candidates carry 8 small codes instead of 64 values
+    // (8× scan compression), scoring is a broadcast-LUT join + one
+    // (qid, cid)-keyed sum, and the exact distance runs on shortlist ×
+    // queries rows only — the corpus is never exhaustively paired.
+    entry("q_pq_ann",
+      """WITH e AS (SELECT vec_id, label, [CAST(floor(CAST(x AS DOUBLE)*1048576.0) AS BIGINT) for x in embedding] q FROM embeddings),
+        | cs AS (SELECT label cl, i, SUM(q[i]) si, COUNT(*) cn FROM e CROSS JOIN generate_series(1,64) g(i) GROUP BY 1,2),
+        | cb AS (SELECT cl, CAST((i-1)//8 + 1 AS BIGINT) m, ((i-1)%8 + 1) d,
+        |          (2*(si + cn*1048576) + cn) // (2*cn) - 1048576 AS c FROM cs),
+        | ed AS (SELECT e.vec_id, cb.m, cb.cl, SUM((e.q[CAST((cb.m-1)*8 + cb.d AS INT)] - cb.c)*(e.q[CAST((cb.m-1)*8 + cb.d AS INT)] - cb.c)) d2
+        |        FROM e CROSS JOIN cb GROUP BY 1,2,3),
+        | code AS (SELECT vec_id, m, cl code FROM (
+        |            SELECT vec_id, m, cl, ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, cl) r FROM ed) WHERE r = 1),
+        | lut AS (SELECT e.vec_id qid, cb.m, cb.cl code, SUM((e.q[CAST((cb.m-1)*8 + cb.d AS INT)] - cb.c)*(e.q[CAST((cb.m-1)*8 + cb.d AS INT)] - cb.c)) pd
+        |         FROM e CROSS JOIN cb WHERE e.vec_id < 5 GROUP BY 1,2,3),
+        | adc AS (SELECT lut.qid, code.vec_id cid, SUM(lut.pd) adc
+        |         FROM code JOIN lut ON code.m = lut.m AND code.code = lut.code
+        |         WHERE code.vec_id <> lut.qid GROUP BY 1,2),
+        | short AS (SELECT qid, cid FROM (
+        |             SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, cid) rnk FROM adc) WHERE rnk <= 50),
+        | rr AS (SELECT s.qid, s.cid, CAST(SUM((a.q[i]-b.q[i])*(a.q[i]-b.q[i])) AS BIGINT) d2
+        |        FROM short s JOIN e a ON s.qid = a.vec_id JOIN e b ON s.cid = b.vec_id
+        |        CROSS JOIN generate_series(1,64) g(i) GROUP BY 1,2),
+        | fin AS (SELECT qid, cid, d2, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, cid) rnk FROM rr)
+        |SELECT qid, rnk, cid, d2 FROM fin WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin) { (s, dir) =>
+      val OFF = 1048576L
+      val e = Tables(s, dir, "embeddings")
+        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+        .select(col("vec_id"), col("label"), quantize("embedding").as("q"))
+        .persist() // codebook build, encode, LUT, and rerank all read it
+      // codebook: per-label elementwise sums → rounded integer entries,
+      // regrouped as one 8-value array per (label, subvector)
+      val cs = e.groupBy(col("label").as("cl"))
+        .agg(expr("aggregate(collect_list(q), array_repeat(CAST(0 AS BIGINT), 64), " +
+          "(acc, v) -> zip_with(acc, v, (a, b) -> a + b))").as("s"),
+          count(lit(1)).as("cn"))
+      val cb = cs
+        .select(col("cl"), col("cn"), posexplode(col("s")).as(Seq("i0", "si")))
+        .select(col("cl"), (col("i0") / 8).cast("int").as("m"), (col("i0") % 8).as("d"),
+          expr(s"(2*(si + cn*$OFF) + cn) DIV (2*cn) - $OFF").as("c"))
+        .groupBy(col("cl"), col("m"))
+        .agg(expr("transform(array_sort(collect_list(struct(d, c))), x -> x.c)").as("carr"))
+      // subvector view of every vector: (vec_id, m, 8-dim slice)
+      val sub = e.select(col("vec_id"),
+          posexplode(expr("transform(sequence(0, 7), mm -> struct(mm AS m, slice(q, mm*8 + 1, 8) AS qs))"))
+            .as(Seq("p", "ms")))
+        .select(col("vec_id"), col("ms.m").as("m"), col("ms.qs").as("qs"))
+      val subD2 = expr("aggregate(zip_with(qs, carr, (x, y) -> (x - y)*(x - y)), " +
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+      // encode: nearest codebook entry per (vector, subvector) — plain
+      // int64 min over struct(d2, cl), deterministic tie on smaller label
+      val code = sub.join(broadcast(cb), "m")
+        .withColumn("d2", subD2)
+        .groupBy(col("vec_id"), col("m"))
+        .agg(min(struct(col("d2"), col("cl"))).as("best"))
+        .select(col("vec_id").as("cid"), col("m"), col("best.cl").as("code"))
+      // ADC lookup table: exact query subvectors vs EVERY codebook entry
+      val lut = sub.filter(col("vec_id") < 5).join(broadcast(cb), "m")
+        .withColumn("pd", subD2)
+        .select(col("vec_id").as("qid"), col("m"), col("cl").as("code"), col("pd"))
+      val short = code.join(broadcast(lut), Seq("m", "code"))
+        .filter(col("cid") =!= col("qid"))
+        .groupBy(col("qid"), col("cid"))
+        .agg(sum(col("pd")).as("adc"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("adc"), col("cid"))))
+        .filter(col("rnk") <= 50)
+        .select(col("qid"), col("cid"))
+      // exact rerank on the shortlist only
+      val qe = e.select(col("vec_id").as("q_vec"), col("q").as("aq"))
+      val ce = e.select(col("vec_id").as("c_vec"), col("q").as("bq"))
+      short.join(broadcast(qe), col("qid") === col("q_vec"))
+        .join(ce, col("cid") === col("c_vec"))
+        .withColumn("d2", expr("aggregate(zip_with(aq, bq, (x, y) -> (x - y)*(x - y)), " +
+          "CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("d2"), col("cid"))))
+        .filter(col("rnk") <= 10)
+        .select(col("qid"), col("rnk"), col("cid"), col("d2"))
+        .orderBy(col("qid"), col("rnk"))
     }
   )
 }

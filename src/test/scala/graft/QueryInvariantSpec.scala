@@ -109,6 +109,18 @@ class QueryInvariantSpec extends SparkSpec {
     assert(got == expSizes, s"cluster sizes differ: got $got expected $expSizes")
   }
 
+  test("pq ann: dense ranks, ascending exact distances, no self-matches") {
+    val out = SparkEntry.queries("q_pq_ann")(spark, sf001)
+      .select($"qid", $"rnk", $"cid", $"d2").as[(Long, Int, Long, Long)].collect()
+    out.groupBy(_._1).foreach { case (qid, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to rows.length), s"query $qid ranks not dense")
+      assert(sorted.map(_._4).toSeq == sorted.map(_._4).sorted.toSeq,
+        s"query $qid rerank distances not ascending")
+      assert(!rows.exists(_._3 == qid), s"query $qid matched itself")
+    }
+  }
+
   /** Exact rational d/(den) comparable via cross-multiplication. */
   private case class ExactFrac(num: BigInt, den: BigInt)
   private object ExactFrac {
