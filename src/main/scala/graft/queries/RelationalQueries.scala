@@ -659,6 +659,104 @@ object RelationalQueries {
         .orderBy($"o_custkey")
     },
 
+    // ---- Markov transition matrix: per-user consecutive event-type
+    // pairs with conditional probabilities — the sequence-statistics
+    // table behind next-action models and anomaly scoring. One window
+    // shuffle on user_id (lag), then the count aggregate collapses to the
+    // tiny (prev, next) grid; row-conditional p is a single double
+    // division of exact int64s with the row totals joined back from the
+    // same grid (broadcast).
+    entry("q_transition_matrix",
+      """WITH o AS (SELECT user_id, event_type,
+        |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) prev
+        |  FROM events),
+        | c AS (SELECT prev, event_type nxt, COUNT(*) n FROM o WHERE prev IS NOT NULL GROUP BY 1,2),
+        | tot AS (SELECT prev, CAST(SUM(n) AS BIGINT) tn FROM c GROUP BY 1)
+        |SELECT c.prev, c.nxt, c.n, CAST(c.n AS DOUBLE)/tot.tn AS p
+        |FROM c JOIN tot ON c.prev = tot.prev ORDER BY c.prev, c.nxt""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val c = Tables(s, dir, "events")
+        .select($"user_id", $"event_type", lag($"event_type", 1).over(w).as("prev"))
+        .filter($"prev".isNotNull)
+        .groupBy($"prev", $"event_type".as("nxt"))
+        .agg(count(lit(1)).as("n"))
+      val tot = c.groupBy($"prev".as("t_prev")).agg(sum($"n").as("tn"))
+      c.join(broadcast(tot), $"prev" === $"t_prev")
+        .select($"prev", $"nxt", $"n", ($"n".cast("double") / $"tn").as("p"))
+        .orderBy($"prev", $"nxt")
+    },
+
+    // ---- Association rules (co-purchase mining): part pairs sharing an
+    // order, support-filtered BEFORE the confidence joins — the a-priori
+    // pruning that keeps pair mining tractable (pair space is quadratic
+    // only within a basket, and baskets are small). Support counts are
+    // exact ints; each confidence is one double division. Top-25 by
+    // support with deterministic ties.
+    entry("q_assoc_rules",
+      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        | supp1 AS (SELECT l_partkey, COUNT(*) s FROM items GROUP BY 1),
+        | pairs AS (SELECT a.l_partkey pa, b.l_partkey pb, COUNT(*) s
+        |           FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |           GROUP BY 1,2 HAVING COUNT(*) >= 2),
+        | r AS (SELECT pa, pb, pairs.s su, CAST(pairs.s AS DOUBLE)/sa.s conf_ab, CAST(pairs.s AS DOUBLE)/sb.s conf_ba
+        |       FROM pairs JOIN supp1 sa ON pa = sa.l_partkey JOIN supp1 sb ON pb = sb.l_partkey)
+        |SELECT pa, pb, su, conf_ab, conf_ba FROM r
+        |ORDER BY su DESC, pa, pb LIMIT 25""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val items = Tables(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_partkey").distinct()
+      val supp1 = items.groupBy($"l_partkey").agg(count(lit(1)).as("s"))
+      val a = items.toDF("o", "pa") // fresh names: self-join
+      val b = items.toDF("b_o", "pb")
+      val pairs = a.join(b, $"o" === $"b_o" && $"pa" < $"pb")
+        .groupBy($"pa", $"pb").agg(count(lit(1)).as("su"))
+        .filter($"su" >= 2)
+      val sa = supp1.toDF("sa_key", "sa_s")
+      val sb = supp1.toDF("sb_key", "sb_s")
+      pairs.join(broadcast(sa), $"pa" === $"sa_key")
+        .join(broadcast(sb), $"pb" === $"sb_key")
+        .select($"pa", $"pb", $"su",
+          ($"su".cast("double") / $"sa_s").as("conf_ab"),
+          ($"su".cast("double") / $"sb_s").as("conf_ba"))
+        .orderBy($"su".desc, $"pa", $"pb")
+        .limit(25)
+    },
+
+    // ---- Triangle counting on the co-purchase graph: the clustering-
+    // coefficient / community-density primitive. Edges are oriented
+    // (pa < pb), so each triangle is enumerated exactly once as
+    // a < b < c via two equi-joins on the endpoints — the standard
+    // distributed node-iterator; at scale the orientation would be by
+    // DEGREE (low→high) so no hub explodes the wedge count. Support ≥ 2
+    // prunes the edge set first.
+    entry("q_triangle_count",
+      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        | pairs AS (SELECT a.l_partkey pa, b.l_partkey pb
+        |           FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |           GROUP BY 1,2 HAVING COUNT(*) >= 2),
+        | tri AS (SELECT e1.pa a, e1.pb b, e2.pb c
+        |         FROM pairs e1 JOIN pairs e2 ON e1.pb = e2.pa
+        |         JOIN pairs e3 ON e3.pa = e1.pa AND e3.pb = e2.pb)
+        |SELECT COUNT(*) AS n_triangles, COUNT(DISTINCT a) AS n_apex FROM tri""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val items = Tables(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_partkey").distinct()
+      val ia = items.toDF("o", "pa")
+      val ib = items.toDF("b_o", "pb")
+      val pairs = ia.join(ib, $"o" === $"b_o" && $"pa" < $"pb")
+        .groupBy($"pa", $"pb").agg(count(lit(1)).as("su"))
+        .filter($"su" >= 2)
+        .select($"pa", $"pb")
+      val e1 = pairs.toDF("a", "b")
+      val e2 = pairs.toDF("e2a", "c")
+      val e3 = pairs.toDF("e3a", "e3b")
+      e1.join(e2, $"b" === $"e2a")
+        .join(e3, $"e3a" === $"a" && $"e3b" === $"c")
+        .agg(count(lit(1)).as("n_triangles"),
+          countDistinct($"a").as("n_apex"))
+    },
+
     // ---- Range-frame rolling aggregate: per-user trailing-1 h event
     // count and exact value sum AT EVERY event — the time-decayed feature
     // shape (rate limits, burst detection, rolling engagement). A RANGE
