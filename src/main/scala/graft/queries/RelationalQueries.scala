@@ -659,6 +659,76 @@ object RelationalQueries {
         .orderBy($"o_custkey")
     },
 
+    // ---- Time-series gap filling: the sparse hourly counts densified
+    // onto a complete (event_type × hour) grid with zero-fill — what
+    // every downstream rolling/forecast step assumes. The grid generates
+    // from one tiny span aggregate (broadcast) × the distinct key list;
+    // the left join back is keyed on the grid, so at 100 TB the dense
+    // grid is |keys| × |hours| rows (bounded by time, not data volume)
+    // and the heavy side stays a pre-aggregated count table.
+    entry("q_gap_fill",
+      """WITH e AS (SELECT event_type, CAST(epoch_us(ts) // 3600000000 AS BIGINT) h FROM events),
+        | span AS (SELECT MIN(h) lo, MAX(h) hi FROM e),
+        | grid AS (SELECT t.event_type, g.h
+        |          FROM (SELECT DISTINCT event_type FROM e) t
+        |          CROSS JOIN (SELECT unnest(generate_series(lo, hi)) h FROM span) g),
+        | c AS (SELECT event_type, h, COUNT(*) n FROM e GROUP BY 1,2)
+        |SELECT grid.event_type, grid.h AS hour_bucket, COALESCE(c.n, 0) AS n
+        |FROM grid LEFT JOIN c ON grid.event_type = c.event_type AND grid.h = c.h
+        |ORDER BY grid.event_type, grid.h""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val e = Tables(s, dir, "events")
+        .select($"event_type", expr("unix_micros(ts) DIV 3600000000").as("h"))
+      val span = e.agg(min($"h").as("lo"), max($"h").as("hi"))
+      val grid = e.select($"event_type").distinct()
+        .crossJoin(broadcast(span))
+        .select($"event_type", explode(sequence($"lo", $"hi")).as("hour_bucket"))
+      val c = e.groupBy($"event_type".as("c_type"), $"h").agg(count(lit(1)).as("cn"))
+      grid.join(c, $"event_type" === $"c_type" && $"hour_bucket" === $"h", "left")
+        .select($"event_type", $"hour_bucket", coalesce($"cn", lit(0L)).as("n"))
+        .orderBy($"event_type", $"hour_bucket")
+    },
+
+    // ---- Spearman rank correlation per group: character length vs token
+    // count ranked within language, rho rebuilt from exact integer rank
+    // moments (n·Σxy − ΣxΣy over the sqrt product) — one double
+    // expression at the end, identical in both engines. Ranks are made
+    // UNIQUE by a doc_id tie-break (documented deviation from
+    // average-rank Spearman — deterministic across engines, which
+    // average ranks of ties also are, but this keeps every moment an
+    // integer). Shape: two rank windows per group, then a per-group
+    // 5-sum aggregate — rows leaving the window stage are one per doc,
+    // rows leaving the aggregate are one per group.
+    entry("q_spearman",
+      """WITH t AS (SELECT doc_id, lang, n_chars, len(string_split(text,' ')) n_tok FROM documents),
+        | rk AS (SELECT lang, doc_id,
+        |    RANK() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) rx,
+        |    RANK() OVER (PARTITION BY lang ORDER BY n_tok, doc_id) ry
+        |  FROM t),
+        | m AS (SELECT lang, COUNT(*) n, CAST(SUM(rx) AS BIGINT) sx, CAST(SUM(ry) AS BIGINT) sy,
+        |    CAST(SUM(rx*ry) AS BIGINT) sxy, CAST(SUM(rx*rx) AS BIGINT) sxx, CAST(SUM(ry*ry) AS BIGINT) syy
+        |   FROM rk GROUP BY 1)
+        |SELECT lang, n, CAST(n*sxy - sx*sy AS DOUBLE) /
+        |  (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) AS rho
+        |FROM m ORDER BY lang""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.functions.TextFunctions.tokens
+      val wx = Window.partitionBy($"lang").orderBy($"n_chars", $"doc_id")
+      val wy = Window.partitionBy($"lang").orderBy($"n_tok", $"doc_id")
+      val rk = Tables(s, dir, "documents")
+        .select($"doc_id", $"lang", $"n_chars", size(tokens("text")).cast("long").as("n_tok"))
+        .select($"lang", rank().over(wx).as("rx"), rank().over(wy).as("ry"))
+      val m = rk.groupBy($"lang")
+        .agg(count(lit(1)).as("n"), sum($"rx").as("sx"), sum($"ry").as("sy"),
+          sum($"rx" * $"ry").as("sxy"), sum($"rx" * $"rx").as("sxx"),
+          sum($"ry" * $"ry").as("syy"))
+      m.select($"lang", $"n",
+          (($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+            (sqrt(($"n" * $"sxx" - $"sx" * $"sx").cast("double")) *
+              sqrt(($"n" * $"syy" - $"sy" * $"sy").cast("double")))).as("rho"))
+        .orderBy($"lang")
+    },
+
     // ---- Markov transition matrix: per-user consecutive event-type
     // pairs with conditional probabilities — the sequence-statistics
     // table behind next-action models and anomaly scoring. One window

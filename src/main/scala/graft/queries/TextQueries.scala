@@ -378,6 +378,44 @@ object TextQueries {
         .orderBy(col("rk"))
     },
 
+    // ---- Out-of-vocabulary rate: tokenizer-coverage analysis against a
+    // frequency-derived vocabulary (top-25 tokens here; a real run
+    // broadcasts the released tokenizer vocab). Per-language corpus OOV
+    // rate is ONE double division of exact int64 totals, and "high-OOV
+    // docs" compares 2·oov > n in integers — no per-doc double ratios are
+    // ever summed (order-dependent) or compared (ulp-fragile). Shape: the
+    // vocab is tiny and broadcast, the left join is map-side, and both
+    // aggregations combine partials map-side.
+    entry("q_oov_rate",
+      """WITH t AS (SELECT doc_id, lang, unnest(string_split(text,' ')) term FROM documents),
+        | vocab AS (SELECT term FROM (
+        |    SELECT term, COUNT(*) n, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, term) rk
+        |    FROM t GROUP BY term) WHERE rk <= 25),
+        | d AS (SELECT t.doc_id, t.lang, COUNT(*) n_tok,
+        |         COUNT(CASE WHEN v.term IS NULL THEN 1 END) n_oov
+        |       FROM t LEFT JOIN vocab v ON t.term = v.term GROUP BY 1,2)
+        |SELECT lang, COUNT(*) n_docs,
+        |  CAST(SUM(n_oov) AS BIGINT) total_oov, CAST(SUM(n_tok) AS BIGINT) total_tok,
+        |  CAST(CAST(SUM(n_oov) AS BIGINT) AS DOUBLE)/CAST(SUM(n_tok) AS BIGINT) AS oov_rate,
+        |  COUNT(CASE WHEN 2*n_oov > n_tok THEN 1 END) AS n_high_oov_docs
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), explode(tokens("text")).as("term"))
+      val vocab = t.groupBy(col("term")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("term").asc).limit(25)
+        .select(col("term").as("v_term"))
+      val d = t.join(broadcast(vocab), col("term") === col("v_term"), "left")
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("n_tok"),
+          count(when(col("v_term").isNull, 1)).as("n_oov"))
+      d.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_oov")).as("total_oov"), sum(col("n_tok")).as("total_tok"),
+          (sum(col("n_oov")).cast("double") / sum(col("n_tok"))).as("oov_rate"),
+          count(when(lit(2) * col("n_oov") > col("n_tok"), 1)).as("n_high_oov_docs"))
+        .orderBy(col("lang"))
+    },
+
     // ---- Token co-occurrence: top-15 unordered token pairs by the number
     // of documents containing both — the PMI/embedding-context building
     // block. The pair explosion runs AFTER per-document distinct (quadratic
