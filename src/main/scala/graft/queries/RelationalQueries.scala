@@ -23,6 +23,36 @@ object RelationalQueries {
   // Shared oracle fragments (DuckDB SQL, ANSI).
   private def dsum(x: String) = s"CAST(SUM(CAST($x AS DECIMAL(18,3))) AS DOUBLE)"
 
+  /** Oriented, support-≥2 co-purchase edges (pa < pb, count of shared
+    * orders) — the one edge-set definition q_assoc_rules and
+    * q_triangle_count must agree on. Spark builds it WITHOUT a self-join:
+    * baskets collapse to sorted part arrays (one shuffle on the order
+    * key) and pairs explode basket-locally — quadratic only in basket
+    * size, never a corpus × corpus join. */
+  private def copurchaseEdges(s: org.apache.spark.sql.SparkSession, dir: String,
+                              minSupport: Long): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_partkey").distinct()
+      .groupBy($"l_orderkey")
+      .agg(sort_array(collect_set($"l_partkey")).as("parts"))
+      .select(explode(expr(
+        "flatten(transform(parts, (x, i) -> " +
+          "transform(slice(parts, i + 2, size(parts)), y -> struct(x AS pa, y AS pb))))")).as("e"))
+      .select($"e.pa", $"e.pb")
+      .groupBy($"pa", $"pb").agg(count(lit(1)).as("su"))
+      .filter($"su" >= minSupport)
+  }
+
+  /** The matching DuckDB CTE text (`items` + support-filtered `pairs`),
+    * shared by both graph-query oracles so the edge definition cannot
+    * drift between them. */
+  private val copurchaseCte: String =
+    """items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      | pairs AS (SELECT a.l_partkey pa, b.l_partkey pb, COUNT(*) s
+      |           FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |           GROUP BY 1,2 HAVING COUNT(*) >= 2)""".stripMargin
+
   val entries: Seq[Entry] = Seq(
 
     // ---- A-family: group-by aggregation (TPC-H Q1 shape). One shuffle on
@@ -759,16 +789,14 @@ object RelationalQueries {
 
     // ---- Association rules (co-purchase mining): part pairs sharing an
     // order, support-filtered BEFORE the confidence joins — the a-priori
-    // pruning that keeps pair mining tractable (pair space is quadratic
-    // only within a basket, and baskets are small). Support counts are
-    // exact ints; each confidence is one double division. Top-25 by
-    // support with deterministic ties.
+    // pruning that keeps pair mining tractable. Edges come from the
+    // shared [[copurchaseEdges]] builder (basket-local pair explosion —
+    // no self-join shuffle). Support counts are exact ints; each
+    // confidence is one double division. Top-25 by support with
+    // deterministic ties.
     entry("q_assoc_rules",
-      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      s"""WITH $copurchaseCte,
         | supp1 AS (SELECT l_partkey, COUNT(*) s FROM items GROUP BY 1),
-        | pairs AS (SELECT a.l_partkey pa, b.l_partkey pb, COUNT(*) s
-        |           FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-        |           GROUP BY 1,2 HAVING COUNT(*) >= 2),
         | r AS (SELECT pa, pb, pairs.s su, CAST(pairs.s AS DOUBLE)/sa.s conf_ab, CAST(pairs.s AS DOUBLE)/sb.s conf_ba
         |       FROM pairs JOIN supp1 sa ON pa = sa.l_partkey JOIN supp1 sb ON pb = sb.l_partkey)
         |SELECT pa, pb, su, conf_ab, conf_ba FROM r
@@ -777,11 +805,7 @@ object RelationalQueries {
       val items = Tables(s, dir, "lineitem")
         .select($"l_orderkey", $"l_partkey").distinct()
       val supp1 = items.groupBy($"l_partkey").agg(count(lit(1)).as("s"))
-      val a = items.toDF("o", "pa") // fresh names: self-join
-      val b = items.toDF("b_o", "pb")
-      val pairs = a.join(b, $"o" === $"b_o" && $"pa" < $"pb")
-        .groupBy($"pa", $"pb").agg(count(lit(1)).as("su"))
-        .filter($"su" >= 2)
+      val pairs = copurchaseEdges(s, dir, minSupport = 2L)
       val sa = supp1.toDF("sa_key", "sa_s")
       val sb = supp1.toDF("sb_key", "sb_s")
       pairs.join(broadcast(sa), $"pa" === $"sa_key")
@@ -795,29 +819,19 @@ object RelationalQueries {
 
     // ---- Triangle counting on the co-purchase graph: the clustering-
     // coefficient / community-density primitive. Edges are oriented
-    // (pa < pb), so each triangle is enumerated exactly once as
-    // a < b < c via two equi-joins on the endpoints — the standard
-    // distributed node-iterator; at scale the orientation would be by
-    // DEGREE (low→high) so no hub explodes the wedge count. Support ≥ 2
-    // prunes the edge set first.
+    // (pa < pb) by the shared [[copurchaseEdges]] builder, so each
+    // triangle is enumerated exactly once as a < b < c via two
+    // equi-joins on the endpoints — the standard distributed
+    // node-iterator; at scale the orientation would be by DEGREE
+    // (low→high) so no hub explodes the wedge count.
     entry("q_triangle_count",
-      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-        | pairs AS (SELECT a.l_partkey pa, b.l_partkey pb
-        |           FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-        |           GROUP BY 1,2 HAVING COUNT(*) >= 2),
+      s"""WITH $copurchaseCte,
         | tri AS (SELECT e1.pa a, e1.pb b, e2.pb c
         |         FROM pairs e1 JOIN pairs e2 ON e1.pb = e2.pa
         |         JOIN pairs e3 ON e3.pa = e1.pa AND e3.pb = e2.pb)
         |SELECT COUNT(*) AS n_triangles, COUNT(DISTINCT a) AS n_apex FROM tri""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val items = Tables(s, dir, "lineitem")
-        .select($"l_orderkey", $"l_partkey").distinct()
-      val ia = items.toDF("o", "pa")
-      val ib = items.toDF("b_o", "pb")
-      val pairs = ia.join(ib, $"o" === $"b_o" && $"pa" < $"pb")
-        .groupBy($"pa", $"pb").agg(count(lit(1)).as("su"))
-        .filter($"su" >= 2)
-        .select($"pa", $"pb")
+      val pairs = copurchaseEdges(s, dir, minSupport = 2L).select($"pa", $"pb")
       val e1 = pairs.toDF("a", "b")
       val e2 = pairs.toDF("e2a", "c")
       val e3 = pairs.toDF("e3a", "e3b")

@@ -21,7 +21,11 @@ object SimilarityQueries {
     * (the products exceed int64 already at sf0.01), ties by cl. Clusters
     * carry unequal cardinalities cn, so comparing raw d2 = cn²·dist²
     * would bias the ordering toward small clusters; this comparator is
-    * what makes "nearest centroid" exact in q_kmeans_step / q_knn_ivf. */
+    * what makes "nearest centroid" exact in q_kmeans_step / q_knn_ivf.
+    * Past the documented headroom both engines fail LOUDLY rather than
+    * diverging silently: Spark 4 runs ANSI mode by default, so the int64
+    * d2 accumulation and the decimal(38,0) products throw on overflow —
+    * the same contract as the oracle's HUGEINT arithmetic erroring. */
   private val exactNearestSort: String =
     "array_sort(collect_list(struct(cl, cn, d2)), (a, b) -> CASE " +
       "WHEN CAST(a.d2 AS DECIMAL(38,0))*b.cn*b.cn < CAST(b.d2 AS DECIMAL(38,0))*a.cn*a.cn THEN -1 " +
@@ -363,8 +367,10 @@ object SimilarityQueries {
           Window.partitionBy(col("qid")).orderBy(col("adc"), col("cid"))))
         .filter(col("rnk") <= 50)
         .select(col("qid"), col("cid"))
-      // exact rerank on the shortlist only
-      val qe = e.select(col("vec_id").as("q_vec"), col("q").as("aq"))
+      // exact rerank on the shortlist only; the broadcast side is the 5
+      // query vectors, never the corpus
+      val qe = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_vec"), col("q").as("aq"))
       val ce = e.select(col("vec_id").as("c_vec"), col("q").as("bq"))
       short.join(broadcast(qe), col("qid") === col("q_vec"))
         .join(ce, col("cid") === col("c_vec"))

@@ -335,13 +335,7 @@ object TextQueries {
         .select(explode(tokens("text")).as("term"))
         .groupBy(col("term")).agg(count(lit(1)).as("n"))
       val tot = c.agg(sum(col("n")).as("s"))
-      // top-k via distributed sort+limit (TakeOrderedAndProject: per-
-      // partition heads merged on the driver), then the rank window runs
-      // over only the 20 survivors — never a global single-partition sort
-      val top = c.orderBy(col("n").desc, col("term").asc).limit(20)
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("n").desc, col("term").asc)
-      top.withColumn("rk", row_number().over(w))
+      topKRanked(c, 20, "rk", col("n").desc, col("term").asc)
         .crossJoin(broadcast(tot))
         .select(col("rk"), col("term"), col("n"),
           (col("n").cast("double") / col("s")).as("share"))
@@ -370,10 +364,7 @@ object TextQueries {
         .select(explode(map_keys(col("mg"))).as("term"))
       val exact = t.join(broadcast(cands), "term")
         .groupBy(col("term")).agg(count(lit(1)).as("n"))
-      val top = exact.orderBy(col("n").desc, col("term").asc).limit(20)
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("n").desc, col("term").asc)
-      top.withColumn("rk", row_number().over(w))
+      topKRanked(exact, 20, "rk", col("n").desc, col("term").asc)
         .select(col("rk"), col("term"), col("n"))
         .orderBy(col("rk"))
     },
@@ -436,11 +427,7 @@ object TextQueries {
       val b = t.toDF("b_doc_id", "tb")
       val pr = a.join(b, col("doc_id") === col("b_doc_id") && col("ta") < col("tb"))
         .groupBy(col("ta"), col("tb")).agg(count(lit(1)).as("n_docs"))
-      // distributed sort+limit first; the rank window sees only 15 rows
-      val top = pr.orderBy(col("n_docs").desc, col("ta").asc, col("tb").asc).limit(15)
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("n_docs").desc, col("ta").asc, col("tb").asc)
-      top.withColumn("rk", row_number().over(w))
+      topKRanked(pr, 15, "rk", col("n_docs").desc, col("ta").asc, col("tb").asc)
         .select(col("rk"), col("ta"), col("tb"), col("n_docs"))
         .orderBy(col("rk"))
     }

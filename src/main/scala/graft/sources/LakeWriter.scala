@@ -127,21 +127,25 @@ object LakeWriter {
     * footer reads, no effective row-group pruning). Rewrites a path to
     * `ceil(rows / targetRowsPerFile)` files. With `clusterBy`, files are
     * RANGE-partitioned on the cluster keys and sorted within, so each file
-    * tiles a disjoint key range and parquet min/max stats actually prune
+    * tiles a narrow key range and parquet min/max stats actually prune
     * point/range scans (a round-robin shuffle would hand every file a
     * uniform sample of the whole domain — full-span stats, no pruning).
-    * Range partitioning samples the key distribution, so skewed keys
-    * still yield ~equal-row files. Same stage-and-swap as
-    * [[rewriteInPlace]] (atomic, crash-leaves-old). */
+    * A row-unique tiebreaker is appended to the range keys so a HOT key
+    * (more rows than targetRowsPerFile) can still split across files and
+    * the file-size contract holds even for constant/low-cardinality
+    * cluster keys — adjacent files then share only that boundary key.
+    * Same stage-and-swap as [[rewriteInPlace]] (atomic, crash-leaves-old). */
   def compact(spark: SparkSession, path: String, targetRowsPerFile: Long,
               clusterBy: Seq[String] = Nil): Unit = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, monotonically_increasing_id}
     val rows = spark.read.parquet(path).count()
     val nFiles = math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
     rewriteInPlace(spark, path) { df =>
       if (clusterBy.isEmpty) df.repartition(nFiles)
-      else df.repartitionByRange(nFiles, clusterBy.map(col): _*)
+      else df.withColumn("_rr_tiebreak", monotonically_increasing_id())
+        .repartitionByRange(nFiles, (clusterBy.map(col) :+ col("_rr_tiebreak")): _*)
         .sortWithinPartitions(clusterBy.map(col): _*)
+        .drop("_rr_tiebreak")
     }
   }
 

@@ -205,21 +205,27 @@ object IngestPipeline {
     * touched shard's current sketch; a reader merges the ≤ `shards`
     * k-entry maps with `MisraGries.merge` (associative, guarantee-
     * preserving — SketchProps) to get corpus-wide candidates at any point
-    * in the stream's life. State is bounded at shards × k entries
-    * regardless of vocabulary size — the streaming analog of
-    * `q_heavy_hitters_sketch`'s no-token-shuffle contract. */
+    * in the stream's life. Each emission carries a per-shard update
+    * sequence number so readers can pick the LATEST sketch per shard
+    * without relying on sink row order. State is bounded at shards × k
+    * entries regardless of vocabulary size — the streaming analog of
+    * `q_heavy_hitters_sketch`'s no-token-shuffle contract. Null tokens
+    * shard to 0 and are dropped by the MG reduce (matching the batch
+    * path's null tolerance). */
   def streamingHeavyHitters(tokens: Dataset[String], k: Int = 64,
-                            shards: Int = 8): Dataset[(Int, Map[String, Long])] = {
+                            shards: Int = 8): Dataset[(Int, Long, Map[String, Long])] = {
     import tokens.sparkSession.implicits._
     val mg = graft.functions.Sketches.MisraGries(k)
     tokens
-      .groupByKey(t => math.floorMod(t.##, shards))
-      .mapGroupsWithState[Map[String, Long], (Int, Map[String, Long])](
+      .groupByKey(t => math.floorMod(if (t == null) 0 else t.##, shards))
+      .mapGroupsWithState[(Long, Map[String, Long]), (Int, Long, Map[String, Long])](
         GroupStateTimeout.NoTimeout()) {
-        (shard: Int, rows: Iterator[String], state: GroupState[Map[String, Long]]) =>
-          val cur = rows.foldLeft(state.getOption.getOrElse(mg.zero))(mg.reduce)
-          state.update(cur)
-          (shard, cur)
+        (shard: Int, rows: Iterator[String],
+         state: GroupState[(Long, Map[String, Long])]) =>
+          val (seq, prev) = state.getOption.getOrElse((0L, mg.zero))
+          val cur = rows.foldLeft(prev)(mg.reduce)
+          state.update((seq + 1, cur))
+          (shard, seq + 1, cur)
       }
   }
 

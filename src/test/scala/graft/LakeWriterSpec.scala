@@ -144,4 +144,18 @@ class LakeWriterSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("compaction honors the file-size contract even when one cluster key owns every row") {
+    import org.apache.spark.sql.functions.lit
+    val dest = java.nio.file.Files.createTempDirectory("compacthot").toString + "/hot"
+    val ev = Tables(spark, sf001, "events").withColumn("hot_key", lit(42L))
+    ev.repartition(20).write.parquet(dest)
+    // a pure repartitionByRange(clusterBy) would put ALL rows in one file;
+    // the row-unique tiebreaker must still split the hot key into 4 files
+    LakeWriter.compact(spark, dest, targetRowsPerFile = ev.count() / 4 + 1,
+      clusterBy = Seq("hot_key"))
+    val files = new java.io.File(dest).listFiles.count(_.getName.endsWith(".parquet"))
+    assert(files == 4, s"hot key collapsed the size contract: $files files")
+    assert(spark.read.parquet(dest).count() == ev.count())
+  }
 }

@@ -108,15 +108,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), "bounds join fell back to SMJ:\n" + p)
   }
 
-  test("q_funnel funnels through co-partitioned joins — one exchange per distinct key shape") {
+  test("q_funnel pushes the step predicates to the scans and bounds its exchanges") {
     val df = SparkEntry.queries("q_funnel")(spark, sf001)
     df.collect()
     val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
-    // events is scanned once per step (3 predicate-pushed scans), but every
-    // stage keys on user_id: AQE must not insert extra hash exchanges beyond
-    // one per aggregate/join input (filter predicates pushed to the scans)
-    assert(p.contains("PushedFilters"), p)
-    assert(p.contains("EqualTo(event_type,view)") || p.contains("event_type"), p)
+    // each step's event_type filter must reach its parquet scan
+    Seq("view", "click", "purchase").foreach(step =>
+      assert(p.contains(s"EqualTo(event_type,$step)"),
+        s"step filter $step not pushed to the scan:\n$p"))
+    // every stage keys on user_id: at most one hash exchange per
+    // aggregate/join input (3 scans + 3 aggregates → ≤ 6), no AQE extras
+    val hashShuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashShuffles <= 6, s"funnel re-shuffled beyond its stage inputs:\n$p")
   }
 
   test("q_agg_salted keeps two aggregation phases (partial merge shape)") {

@@ -213,9 +213,10 @@ class StreamingSpec extends SparkSpec {
     val b2 = Seq.fill(20)("hot") ++ Seq.fill(15)("warm") ++ (11 to 20).map("t" + _)
     mem.addData(b1: _*); q.processAllAvailable()
     mem.addData(b2: _*); q.processAllAvailable()
-    // latest sketch per shard (Update mode re-emits touched shards)
-    val latest = spark.table("mg_out").as[(Int, Map[String, Long])].collect()
-      .zipWithIndex.groupBy(_._1._1).map { case (_, rs) => rs.maxBy(_._2)._1._2 }
+    // latest sketch per shard by the emitted sequence number (sink row
+    // order is not a contract)
+    val latest = spark.table("mg_out").as[(Int, Long, Map[String, Long])].collect()
+      .groupBy(_._1).map { case (_, rs) => rs.maxBy(_._2)._3 }
     val mg = MisraGries(8)
     val merged = latest.reduce(mg.merge)
     q.stop()
