@@ -69,6 +69,23 @@ object Analyzer {
     }.toMap
   }
 
+  /** Column profile: one row per requested column with row/non-null/
+    * distinct counts and min/max rendered as strings — the data-profiling
+    * table a lake catalog shows per dataset. One aggregation pass per
+    * column (each is map-side combined; the union is k tiny one-row
+    * frames). Callers should pre-cast doubles to DECIMAL if the profile
+    * crosses engines: double→string formatting is engine-specific,
+    * decimal→string is not. */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame =
+    cols.map { c =>
+      df.agg(count(lit(1)).as("n"), count(col(c)).as("n_nonnull"),
+          countDistinct(col(c)).as("n_distinct"),
+          min(col(c)).cast("string").as("min_v"),
+          max(col(c)).cast("string").as("max_v"))
+        .select(lit(c).as("col"), col("n"), col("n_nonnull"),
+          col("n_distinct"), col("min_v"), col("max_v"))
+    }.reduce(_.unionByName(_))
+
   /** A8: per-numeric-column min/max/mean/std + per-column null counts in a
     * single aggregation pass (`R:377-443`). One row out per input column. */
   def describeStats(df: DataFrame): DataFrame = {

@@ -689,6 +689,63 @@ object RelationalQueries {
         .orderBy($"o_custkey")
     },
 
+    // ---- Referential-integrity audit: orphaned foreign keys counted per
+    // relationship — the post-ingest validation a lake needs after
+    // independent topic loads (the reference only count-validates against
+    // watermarks; this checks CROSS-table consistency). Each check is one
+    // anti-join whose dim side's key projection broadcasts; a healthy
+    // lake reports zeros, and the query IS the assertion.
+    entry("q_fk_integrity",
+      """SELECT 'lineitem->orders' rel,
+        |  (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) n_orphans,
+        |  (SELECT COUNT(*) FROM lineitem) n_rows
+        |UNION ALL
+        |SELECT 'orders->customer',
+        |  (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+        |  (SELECT COUNT(*) FROM orders)
+        |ORDER BY rel""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      def audit(rel: String, fact: org.apache.spark.sql.DataFrame, fk: String,
+                dim: org.apache.spark.sql.DataFrame, pk: String) = {
+        val orphans = fact.join(broadcast(dim.select(col(pk)).distinct()),
+            fact(fk) === dim(pk), "left_anti")
+          .agg(count(lit(1)).as("n_orphans"))
+        val rows = fact.agg(count(lit(1)).as("n_rows"))
+        orphans.crossJoin(rows).select(lit(rel).as("rel"), $"n_orphans", $"n_rows")
+      }
+      val li = Tables(s, dir, "lineitem")
+      val o = Tables(s, dir, "orders")
+      val c = Tables(s, dir, "customer")
+      audit("lineitem->orders", li, "l_orderkey", o, "o_orderkey")
+        .unionByName(audit("orders->customer", o, "o_custkey", c, "c_custkey"))
+        .orderBy($"rel")
+    },
+
+    // ---- Column profiling: counts, distinct cardinality, and min/max
+    // per column — the catalog-facing dataset profile
+    // ([[graft.analyze.Analyzer.profile]]). The double column is
+    // pre-cast to DECIMAL so min/max render identically in both engines
+    // (double→string formatting is engine-specific; decimal→string is
+    // not).
+    entry("q_data_profile",
+      """WITH src AS (SELECT o_custkey, o_orderstatus, CAST(o_totalprice AS DECIMAL(18,3)) o_totalprice FROM orders),
+        | p AS (
+        |  SELECT 'o_custkey' col, COUNT(*) n, COUNT(o_custkey) n_nonnull, COUNT(DISTINCT o_custkey) n_distinct,
+        |    CAST(MIN(o_custkey) AS VARCHAR) min_v, CAST(MAX(o_custkey) AS VARCHAR) max_v FROM src
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', COUNT(*), COUNT(o_orderstatus), COUNT(DISTINCT o_orderstatus),
+        |    CAST(MIN(o_orderstatus) AS VARCHAR), CAST(MAX(o_orderstatus) AS VARCHAR) FROM src
+        |  UNION ALL
+        |  SELECT 'o_totalprice', COUNT(*), COUNT(o_totalprice), COUNT(DISTINCT o_totalprice),
+        |    CAST(MIN(o_totalprice) AS VARCHAR), CAST(MAX(o_totalprice) AS VARCHAR) FROM src)
+        |SELECT * FROM p ORDER BY col""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val src = Tables(s, dir, "orders")
+        .select($"o_custkey", $"o_orderstatus", Exact.dec($"o_totalprice").as("o_totalprice"))
+      graft.analyze.Analyzer.profile(src, Seq("o_custkey", "o_orderstatus", "o_totalprice"))
+        .orderBy($"col")
+    },
+
     // ---- Time-series gap filling: the sparse hourly counts densified
     // onto a complete (event_type × hour) grid with zero-fill — what
     // every downstream rolling/forecast step assumes. The grid generates
