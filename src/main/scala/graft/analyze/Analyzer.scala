@@ -76,7 +76,8 @@ object Analyzer {
     * frames). Callers should pre-cast doubles to DECIMAL if the profile
     * crosses engines: double→string formatting is engine-specific,
     * decimal→string is not. */
-  def profile(df: DataFrame, cols: Seq[String]): DataFrame =
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
     cols.map { c =>
       df.agg(count(lit(1)).as("n"), count(col(c)).as("n_nonnull"),
           countDistinct(col(c)).as("n_distinct"),
@@ -85,6 +86,7 @@ object Analyzer {
         .select(lit(c).as("col"), col("n"), col("n_nonnull"),
           col("n_distinct"), col("min_v"), col("max_v"))
     }.reduce(_.unionByName(_))
+  }
 
   /** A8: per-numeric-column min/max/mean/std + per-column null counts in a
     * single aggregation pass (`R:377-443`). One row out per input column. */

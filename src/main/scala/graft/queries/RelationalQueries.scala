@@ -23,35 +23,49 @@ object RelationalQueries {
   // Shared oracle fragments (DuckDB SQL, ANSI).
   private def dsum(x: String) = s"CAST(SUM(CAST($x AS DECIMAL(18,3))) AS DOUBLE)"
 
-  /** Oriented, support-≥2 co-purchase edges (pa < pb, count of shared
-    * orders) — the one edge-set definition q_assoc_rules and
-    * q_triangle_count must agree on. Spark builds it WITHOUT a self-join:
-    * baskets collapse to sorted part arrays (one shuffle on the order
-    * key) and pairs explode basket-locally — quadratic only in basket
-    * size, never a corpus × corpus join. */
-  private def copurchaseEdges(s: org.apache.spark.sql.SparkSession, dir: String,
-                              minSupport: Long): org.apache.spark.sql.DataFrame = {
+  /** The ONE support threshold both co-purchase graph queries and their
+    * oracles derive from — a single constant so Spark and SQL cannot
+    * drift. */
+  private val CopurchaseMinSupport = 2L
+
+  /** Distinct (order, part) basket items — defined once so callers that
+    * also need per-item supports reuse the same projection instead of
+    * re-scanning lineitem. */
+  private def copurchaseItems(s: org.apache.spark.sql.SparkSession,
+                              dir: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
-    Tables(s, dir, "lineitem")
-      .select($"l_orderkey", $"l_partkey").distinct()
-      .groupBy($"l_orderkey")
-      .agg(sort_array(collect_set($"l_partkey")).as("parts"))
+    Tables(s, dir, "lineitem").select($"l_orderkey", $"l_partkey").distinct()
+  }
+
+  /** Oriented, support-filtered co-purchase edges (pa < pb, count of
+    * shared orders ≥ [[CopurchaseMinSupport]]) — the one edge-set
+    * definition q_assoc_rules and q_triangle_count must agree on. Spark
+    * builds it WITHOUT a self-join: baskets collapse to sorted part
+    * arrays (one shuffle on the order key) and pairs explode
+    * basket-locally — quadratic only in basket size, never a
+    * corpus × corpus join. */
+  private def copurchaseEdges(items: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col => c}
+    items
+      .groupBy(c("l_orderkey"))
+      .agg(sort_array(collect_set(c("l_partkey"))).as("parts"))
       .select(explode(expr(
         "flatten(transform(parts, (x, i) -> " +
           "transform(slice(parts, i + 2, size(parts)), y -> struct(x AS pa, y AS pb))))")).as("e"))
-      .select($"e.pa", $"e.pb")
-      .groupBy($"pa", $"pb").agg(count(lit(1)).as("su"))
-      .filter($"su" >= minSupport)
+      .select(c("e.pa"), c("e.pb"))
+      .groupBy(c("pa"), c("pb")).agg(count(lit(1)).as("su"))
+      .filter(c("su") >= CopurchaseMinSupport)
   }
 
   /** The matching DuckDB CTE text (`items` + support-filtered `pairs`),
-    * shared by both graph-query oracles so the edge definition cannot
-    * drift between them. */
+    * shared by both graph-query oracles; the HAVING threshold
+    * interpolates [[CopurchaseMinSupport]] so the edge definition cannot
+    * drift between Spark and SQL. */
   private val copurchaseCte: String =
-    """items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    s"""items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
       | pairs AS (SELECT a.l_partkey pa, b.l_partkey pb, COUNT(*) s
       |           FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-      |           GROUP BY 1,2 HAVING COUNT(*) >= 2)""".stripMargin
+      |           GROUP BY 1,2 HAVING COUNT(*) >= $CopurchaseMinSupport)""".stripMargin
 
   val entries: Seq[Entry] = Seq(
 
@@ -705,13 +719,15 @@ object RelationalQueries {
         |  (SELECT COUNT(*) FROM orders)
         |ORDER BY rel""".stripMargin) { (s, dir) =>
       import s.implicits._
+      // one pass per fact table: a broadcast LEFT join marks orphans and
+      // a single aggregate counts rows and null-matched rows together
       def audit(rel: String, fact: org.apache.spark.sql.DataFrame, fk: String,
                 dim: org.apache.spark.sql.DataFrame, pk: String) = {
-        val orphans = fact.join(broadcast(dim.select(col(pk)).distinct()),
-            fact(fk) === dim(pk), "left_anti")
-          .agg(count(lit(1)).as("n_orphans"))
-        val rows = fact.agg(count(lit(1)).as("n_rows"))
-        orphans.crossJoin(rows).select(lit(rel).as("rel"), $"n_orphans", $"n_rows")
+        val keys = dim.select(col(pk).as("_pk")).distinct()
+        fact.join(broadcast(keys), fact(fk) === col("_pk"), "left")
+          .agg(count(when(col("_pk").isNull, 1)).as("n_orphans"),
+            count(lit(1)).as("n_rows"))
+          .select(lit(rel).as("rel"), $"n_orphans", $"n_rows")
       }
       val li = Tables(s, dir, "lineitem")
       val o = Tables(s, dir, "orders")
@@ -783,9 +799,13 @@ object RelationalQueries {
     // UNIQUE by a doc_id tie-break (documented deviation from
     // average-rank Spearman — deterministic across engines, which
     // average ranks of ties also are, but this keeps every moment an
-    // integer). Shape: two rank windows per group, then a per-group
-    // 5-sum aggregate — rows leaving the window stage are one per doc,
-    // rows leaving the aggregate are one per group.
+    // integer). Headroom: n·Σxy ~ n⁴ must stay under 2^63, i.e. n ≲
+    // 55 000 docs per group — past that both engines fail loudly (Spark
+    // ANSI overflow / DuckDB bigint overflow); shift the moment math into
+    // decimal(38,0) if a group ever grows that large. Shape: two rank
+    // windows per group, then a per-group 5-sum aggregate — rows leaving
+    // the window stage are one per doc, rows leaving the aggregate are
+    // one per group.
     entry("q_spearman",
       """WITH t AS (SELECT doc_id, lang, n_chars, len(string_split(text,' ')) n_tok FROM documents),
         | rk AS (SELECT lang, doc_id,
@@ -859,10 +879,9 @@ object RelationalQueries {
         |SELECT pa, pb, su, conf_ab, conf_ba FROM r
         |ORDER BY su DESC, pa, pb LIMIT 25""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val items = Tables(s, dir, "lineitem")
-        .select($"l_orderkey", $"l_partkey").distinct()
+      val items = copurchaseItems(s, dir)
       val supp1 = items.groupBy($"l_partkey").agg(count(lit(1)).as("s"))
-      val pairs = copurchaseEdges(s, dir, minSupport = 2L)
+      val pairs = copurchaseEdges(items)
       val sa = supp1.toDF("sa_key", "sa_s")
       val sb = supp1.toDF("sb_key", "sb_s")
       pairs.join(broadcast(sa), $"pa" === $"sa_key")
@@ -888,7 +907,7 @@ object RelationalQueries {
         |         JOIN pairs e3 ON e3.pa = e1.pa AND e3.pb = e2.pb)
         |SELECT COUNT(*) AS n_triangles, COUNT(DISTINCT a) AS n_apex FROM tri""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val pairs = copurchaseEdges(s, dir, minSupport = 2L).select($"pa", $"pb")
+      val pairs = copurchaseEdges(copurchaseItems(s, dir)).select($"pa", $"pb")
       val e1 = pairs.toDF("a", "b")
       val e2 = pairs.toDF("e2a", "c")
       val e3 = pairs.toDF("e3a", "e3b")

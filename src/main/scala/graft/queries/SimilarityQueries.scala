@@ -32,6 +32,22 @@ object SimilarityQueries {
       "WHEN CAST(a.d2 AS DECIMAL(38,0))*b.cn*b.cn > CAST(b.d2 AS DECIMAL(38,0))*a.cn*a.cn THEN 1 " +
       "WHEN a.cl < b.cl THEN -1 WHEN a.cl > b.cl THEN 1 ELSE 0 END)"
 
+  /** Exact per-label element sums of quantized vectors as (cl, s[64], cn).
+    * Built with BOUNDED aggregation state: posexplode to (label, dim)
+    * int64 partials (map-side combinable, 64 rows per label per task),
+    * then the k×64 result regroups into one array per label — never
+    * `collect_list(q)`, whose buffer would hold every vector of a label
+    * and OOM a task at corpus scale. */
+  private def labelSums(emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val dims = emb.select(col("label"), posexplode(col("q")).as(Seq("p", "x")))
+      .groupBy(col("label"), col("p")).agg(sum(col("x")).as("sx"))
+    val arrs = dims.groupBy(col("label").as("cl"))
+      .agg(expr("transform(array_sort(collect_list(struct(p, sx))), t -> t.sx)").as("s"))
+    val counts = emb.groupBy(col("label").as("c_cl")).agg(count(lit(1)).as("cn"))
+    arrs.join(counts, col("cl") === col("c_cl"))
+      .select(col("cl"), col("s"), col("cn"))
+  }
+
   val entries: Seq[Entry] = Seq(
 
     // ---- Brute-force cosine top-k for a pinned query set (vec_id < 5).
@@ -106,12 +122,8 @@ object SimilarityQueries {
         .repartition(s.sparkContext.defaultParallelism, col("vec_id")) // single-file input → spread assignment + search
         .select(col("vec_id"), col("label"), quantize("embedding").as("q"))
         .withColumn("nrm", qnorm("q"))
-      // exact centroid sums per cell: element-wise vector sum via fold;
-      // dim fixed at 64 (testdata) — at scale this is one tiny groupBy.
-      val cs = e.groupBy(col("label").as("cl"))
-        .agg(expr("aggregate(collect_list(q), array_repeat(CAST(0 AS BIGINT), 64), " +
-          "(acc, v) -> zip_with(acc, v, (a, b) -> a + b))").as("s"),
-          count(lit(1)).as("cn"))
+      // exact centroid sums per cell via bounded (label, dim) partials
+      val cs = labelSums(e)
       val dt = e.crossJoin(broadcast(cs))
         .withColumn("d2", expr("aggregate(zip_with(q, s, (x, y) -> (cn*x - y)*(cn*x - y)), " +
           "CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
@@ -263,10 +275,7 @@ object SimilarityQueries {
         .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
         .select(col("vec_id"), col("label"), quantize("embedding").as("q"))
         .persist()
-      val cs = emb.groupBy(col("label").as("cl"))
-        .agg(expr("aggregate(collect_list(q), array_repeat(CAST(0 AS BIGINT), 64), " +
-          "(acc, v) -> zip_with(acc, v, (a, b) -> a + b))").as("s"),
-          count(lit(1)).as("cn"))
+      val cs = labelSums(emb)
       val dt = emb.crossJoin(broadcast(cs))
         .withColumn("d2", expr("aggregate(zip_with(q, s, (x, y) -> (cn*x - y)*(cn*x - y)), " +
           "CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
@@ -329,12 +338,9 @@ object SimilarityQueries {
         .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
         .select(col("vec_id"), col("label"), quantize("embedding").as("q"))
         .persist() // codebook build, encode, LUT, and rerank all read it
-      // codebook: per-label elementwise sums → rounded integer entries,
-      // regrouped as one 8-value array per (label, subvector)
-      val cs = e.groupBy(col("label").as("cl"))
-        .agg(expr("aggregate(collect_list(q), array_repeat(CAST(0 AS BIGINT), 64), " +
-          "(acc, v) -> zip_with(acc, v, (a, b) -> a + b))").as("s"),
-          count(lit(1)).as("cn"))
+      // codebook: per-label elementwise sums (bounded partials) → rounded
+      // integer entries, regrouped as one 8-value array per (label, sub)
+      val cs = labelSums(e)
       val cb = cs
         .select(col("cl"), col("cn"), posexplode(col("s")).as(Seq("i0", "si")))
         .select(col("cl"), (col("i0") / 8).cast("int").as("m"), (col("i0") % 8).as("d"),
