@@ -61,4 +61,16 @@ class AnalyzerSpec extends SparkSpec {
     assert(stats("s").isNullAt(2))                  // no numeric stats for strings
     assert(stats("id").getLong(1) == 0)
   }
+
+  test("profile: counts, distincts, and string-rendered extremes per column") {
+    val df = Seq((1L, Option("a")), (2L, Option("b")), (2L, None))
+      .toDF("id", "s")
+    val p = Analyzer.profile(df, Seq("id", "s")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(p("id").getLong(1) == 3 && p("id").getLong(2) == 3 && p("id").getLong(3) == 2)
+    assert(p("id").getString(4) == "1" && p("id").getString(5) == "2")
+    assert(p("s").getLong(2) == 2, "null must not count as non-null") // one null
+    assert(p("s").getString(4) == "a" && p("s").getString(5) == "b")
+    intercept[IllegalArgumentException](Analyzer.profile(df, Seq.empty))
+  }
 }
