@@ -703,6 +703,40 @@ object RelationalQueries {
         .orderBy($"o_custkey")
     },
 
+    // ---- Robust outlier detection via median absolute deviation: flag
+    // rows deviating > 1.5·MAD from their group median (production data
+    // uses the classic 3×; this synthetic column is uniform, where max
+    // deviation is exactly 2·MAD, so 1.5 keeps the query discriminative).
+    // MAD tolerates the heavy tails that wreck mean/stddev fences. Two
+    // exact interpolated percentiles (same cross-engine contract as
+    // q_percentile), each bound broadcast back into a narrow pass — the
+    // corpus is scanned, never sorted globally.
+    entry("q_mad_outliers",
+      """WITH med AS (SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) med FROM lineitem GROUP BY 1),
+        | dev AS (SELECT l.l_returnflag, abs(l.l_extendedprice - m.med) ad
+        |         FROM lineitem l JOIN med m ON l.l_returnflag = m.l_returnflag),
+        | mad AS (SELECT l_returnflag, quantile_cont(ad, 0.5) mad FROM dev GROUP BY 1)
+        |SELECT d.l_returnflag, COUNT(*) n_rows,
+        |  COUNT(CASE WHEN d.ad > 1.5*mad.mad THEN 1 END) n_outliers,
+        |  CAST(MAX(mad.mad) AS DOUBLE) mad
+        |FROM dev d JOIN mad ON d.l_returnflag = mad.l_returnflag
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val li = Tables(s, dir, "lineitem")
+      val med = li.groupBy($"l_returnflag".as("m_flag"))
+        .agg(expr("percentile(l_extendedprice, 0.5)").as("med"))
+      val dev = li.join(broadcast(med), $"l_returnflag" === $"m_flag")
+        .select($"l_returnflag", abs($"l_extendedprice" - $"med").as("ad"))
+      val mad = dev.groupBy($"l_returnflag".as("d_flag"))
+        .agg(expr("percentile(ad, 0.5)").as("mad"))
+      dev.join(broadcast(mad), $"l_returnflag" === $"d_flag")
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          count(when($"ad" > lit(1.5) * $"mad", 1)).as("n_outliers"),
+          max($"mad").cast("double").as("mad"))
+        .orderBy($"l_returnflag")
+    },
+
     // ---- Referential-integrity audit: orphaned foreign keys counted per
     // relationship — the post-ingest validation a lake needs after
     // independent topic loads (the reference only count-validates against
