@@ -870,6 +870,33 @@ object RelationalQueries {
         .orderBy($"lang")
     },
 
+    // ---- Path analysis: the most common 3-step event sequences across
+    // users (double lag over the per-user timeline) — the n-gram
+    // generalization of the transition matrix, behind journey mining and
+    // funnel discovery. One window shuffle on user_id produces all
+    // trigrams in place; the count collapses to the tiny type³ grid
+    // before the top-k.
+    entry("q_path_trigrams",
+      """WITH o AS (SELECT user_id, event_type c,
+        |    LAG(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) b,
+        |    LAG(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) a
+        |  FROM events),
+        | t AS (SELECT a, b, c, COUNT(*) n FROM o WHERE a IS NOT NULL GROUP BY 1,2,3),
+        | r AS (SELECT a, b, c, n, ROW_NUMBER() OVER (ORDER BY n DESC, a, b, c) rk FROM t)
+        |SELECT rk, a, b, c, n FROM r WHERE rk <= 10 ORDER BY rk""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val t = Tables(s, dir, "events")
+        .select($"event_type".as("c"),
+          lag($"event_type", 1).over(w).as("b"),
+          lag($"event_type", 2).over(w).as("a"))
+        .filter($"a".isNotNull)
+        .groupBy($"a", $"b", $"c").agg(count(lit(1)).as("n"))
+      topKRanked(t, 10, "rk", $"n".desc, $"a", $"b", $"c")
+        .select($"rk", $"a", $"b", $"c", $"n")
+        .orderBy($"rk")
+    },
+
     // ---- Markov transition matrix: per-user consecutive event-type
     // pairs with conditional probabilities — the sequence-statistics
     // table behind next-action models and anomaly scoring. One window
