@@ -710,7 +710,13 @@ object RelationalQueries {
     // MAD tolerates the heavy tails that wreck mean/stddev fences. Two
     // exact interpolated percentiles (same cross-engine contract as
     // q_percentile), each bound broadcast back into a narrow pass — the
-    // corpus is scanned, never sorted globally.
+    // corpus is scanned, never sorted globally. The deviation frame is
+    // deliberately recomputed for the final fence count rather than
+    // persisted — it is one cheap scan+broadcast-join, and measured
+    // caching 600k rows cost more than recomputing them. Scale note:
+    // EXACT percentile buffers a group's values in its reducer — at
+    // 100 TB swap in approx_percentile (fixed memory, bounded error) and
+    // keep the identical fence shape.
     entry("q_mad_outliers",
       """WITH med AS (SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) med FROM lineitem GROUP BY 1),
         | dev AS (SELECT l.l_returnflag, abs(l.l_extendedprice - m.med) ad
