@@ -109,6 +109,70 @@ class QueryInvariantSpec extends SparkSpec {
     assert(got == expSizes, s"cluster sizes differ: got $got expected $expSizes")
   }
 
+  test("funnel: step counts never increase down the funnel") {
+    val steps = SparkEntry.queries("q_funnel")(spark, sf001)
+      .select($"step", $"n_users").as[(String, Long)].collect().sortBy(_._1).map(_._2)
+    assert(steps.length == 3)
+    assert(steps(0) >= steps(1) && steps(1) >= steps(2),
+      s"funnel counts increased: ${steps.toSeq}")
+  }
+
+  test("transition matrix: conditional probabilities sum to 1 per source state") {
+    val rows = SparkEntry.queries("q_transition_matrix")(spark, sf001)
+      .select($"prev", $"n", $"p").as[(String, Long, Double)].collect()
+    rows.groupBy(_._1).foreach { case (prev, g) =>
+      val total = g.map(_._3).sum
+      assert(math.abs(total - 1.0) < 1e-9, s"P(next | $prev) sums to $total")
+    }
+  }
+
+  test("cohort: every user is active at day offset 0 of their own cohort") {
+    val grid = SparkEntry.queries("q_cohort")(spark, sf001)
+      .select($"cohort_day", $"day_offset", $"n_users").as[(Long, Long, Long)].collect()
+    val day0 = grid.filter(_._2 == 0L).map(r => r._1 -> r._3).toMap
+    val users = Tables(spark, sf001, "events")
+      .select($"user_id", expr("unix_micros(MIN(ts) OVER (PARTITION BY user_id)) DIV 86400000000").as("c"))
+      .distinct().groupBy($"c").count()
+      .as[(Long, Long)].collect().toMap
+    assert(day0 == users, "day-0 actives must equal cohort sizes")
+    grid.groupBy(_._1).foreach { case (c, g) =>
+      g.foreach { case (_, off, n) =>
+        assert(n <= day0(c), s"cohort $c offset $off actives $n exceed cohort size") }
+    }
+  }
+
+  test("gap fill: grid is complete and zero-fill preserves the event total") {
+    val grid = SparkEntry.queries("q_gap_fill")(spark, sf001)
+      .select($"event_type", $"hour_bucket", $"n").as[(String, Long, Long)].collect()
+    val types = grid.map(_._1).distinct.length
+    val hours = grid.map(_._2).distinct.sorted
+    assert(grid.length == types * hours.length, "grid not dense")
+    assert(hours.zip(hours.tail).forall { case (a, b) => b == a + 1 }, "hour gaps remain")
+    val total = Tables(spark, sf001, "events").count()
+    assert(grid.map(_._3).sum == total, "zero-fill changed the event total")
+  }
+
+  test("oov rate: bounded by totals and consistent with the flagged-doc test") {
+    val rows = SparkEntry.queries("q_oov_rate")(spark, sf001)
+      .select($"total_oov", $"total_tok", $"oov_rate", $"n_high_oov_docs", $"n_docs")
+      .as[(Long, Long, Double, Long, Long)].collect()
+    rows.foreach { case (oov, tok, rate, hi, docs) =>
+      assert(oov <= tok && rate >= 0.0 && rate <= 1.0)
+      assert(math.abs(rate - oov.toDouble / tok) < 1e-15)
+      assert(hi <= docs)
+    }
+  }
+
+  test("association rules: confidences in (0,1], pair support bounded by either side") {
+    val rows = SparkEntry.queries("q_assoc_rules")(spark, sf001)
+      .select($"su", $"conf_ab", $"conf_ba").as[(Long, Double, Double)].collect()
+    rows.foreach { case (su, ab, ba) =>
+      assert(su >= 2)
+      assert(ab > 0.0 && ab <= 1.0 && ba > 0.0 && ba <= 1.0,
+        s"confidence out of range: $ab / $ba")
+    }
+  }
+
   test("pq ann: dense ranks, ascending exact distances, no self-matches") {
     val out = SparkEntry.queries("q_pq_ann")(spark, sf001)
       .select($"qid", $"rnk", $"cid", $"d2").as[(Long, Int, Long, Long)].collect()
