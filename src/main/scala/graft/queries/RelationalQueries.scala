@@ -743,6 +743,53 @@ object RelationalQueries {
         .orderBy($"l_returnflag")
     },
 
+    // ---- Digit-distribution audit (Benford-style): first significant
+    // digit shares of a monetary column — the fraud/synthetic-data smell
+    // test (natural multiplicative data follows log10(1+1/d); this
+    // synthetic uniform column visibly does NOT, which is exactly what
+    // the audit is for). Decimal-rendered first digit (engine-stable),
+    // exact counts, one double division against the broadcast total.
+    entry("q_digit_audit",
+      """WITH d AS (SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,3)) AS VARCHAR), 1, 1) AS BIGINT) fd FROM orders),
+        | c AS (SELECT fd, COUNT(*) n FROM d GROUP BY 1),
+        | t AS (SELECT CAST(SUM(n) AS BIGINT) tot FROM c)
+        |SELECT fd, n, CAST(n AS DOUBLE)/(SELECT tot FROM t) AS share
+        |FROM c ORDER BY fd""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val c = Tables(s, dir, "orders")
+        .select(substring(Exact.dec($"o_totalprice").cast("string"), 1, 1)
+          .cast("long").as("fd"))
+        .groupBy($"fd").agg(count(lit(1)).as("n"))
+      val tot = c.agg(sum($"n").as("tot"))
+      c.crossJoin(broadcast(tot))
+        .select($"fd", $"n", ($"n".cast("double") / $"tot").as("share"))
+        .orderBy($"fd")
+    },
+
+    // ---- Table digest: an order-independent content checksum (XOR of
+    // md5-derived per-row hashes over the key columns) — the replica-
+    // comparison primitive: two lakes holding the same rows produce the
+    // same digest regardless of file layout, partitioning, or row order,
+    // and a single changed row flips it. XOR aggregates map-side with
+    // fixed state; unit-separator joints (chr(31)) prevent column-
+    // boundary collisions like ('ab','c') vs ('a','bc').
+    entry("q_table_digest",
+      """WITH h AS (SELECT CAST(('0x' || substr(md5(
+        |    CAST(event_id AS VARCHAR) || chr(31) || CAST(user_id AS VARCHAR) || chr(31) || event_type), 1, 15)) AS BIGINT) hv
+        |  FROM events)
+        |SELECT COUNT(*) n_rows, CAST(bit_xor(hv) AS BIGINT) digest_xor,
+        |  CAST(MIN(hv) AS BIGINT) digest_min, CAST(MAX(hv) AS BIGINT) digest_max
+        |FROM h""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir, "events")
+        .select(expr("CAST(conv(substring(md5(concat(" +
+          "CAST(event_id AS STRING), chr(31), CAST(user_id AS STRING), chr(31), event_type" +
+          ")), 1, 15), 16, 10) AS BIGINT)").as("hv"))
+        .agg(count(lit(1)).as("n_rows"),
+          expr("bit_xor(hv)").as("digest_xor"),
+          min($"hv").as("digest_min"), max($"hv").as("digest_max"))
+    },
+
     // ---- Referential-integrity audit: orphaned foreign keys counted per
     // relationship — the post-ingest validation a lake needs after
     // independent topic loads (the reference only count-validates against

@@ -173,6 +173,22 @@ class QueryInvariantSpec extends SparkSpec {
     }
   }
 
+  test("table digest is invariant to partitioning and flips on a single changed row") {
+    val digest = SparkEntry.queries("q_table_digest")(spark, sf001)
+      .select($"digest_xor").as[Long].head()
+    val hv = "CAST(conv(substring(md5(concat(" +
+      "CAST(event_id AS STRING), chr(31), CAST(user_id AS STRING), chr(31), event_type" +
+      ")), 1, 15), 16, 10) AS BIGINT)"
+    def digestOf(df: org.apache.spark.sql.DataFrame): Long =
+      df.selectExpr(s"$hv AS hv").agg(expr("bit_xor(hv)")).as[Long].head()
+    val ev = Tables(spark, sf001, "events")
+    assert(digestOf(ev.repartition(17)) == digest, "digest depends on partitioning")
+    assert(digestOf(ev.orderBy($"event_type")) == digest, "digest depends on row order")
+    val tampered = ev.withColumn("user_id",
+      when($"event_id" === 0L, $"user_id" + 1).otherwise($"user_id"))
+    assert(digestOf(tampered) != digest, "digest missed a changed row")
+  }
+
   test("pq ann: dense ranks, ascending exact distances, no self-matches") {
     val out = SparkEntry.queries("q_pq_ann")(spark, sf001)
       .select($"qid", $"rnk", $"cid", $"d2").as[(Long, Int, Long, Long)].collect()
