@@ -743,6 +743,54 @@ object RelationalQueries {
         .orderBy($"l_returnflag")
     },
 
+    // ---- Activity seasonality: the (day-of-week × hour-of-day) traffic
+    // matrix with exact value sums — the load-profile table behind
+    // capacity planning and anomaly baselines. One aggregation onto a
+    // fixed 168-cell grid (map-side combined); the day-of-week origin
+    // shift between engines (Spark Sunday=1, DuckDB Sunday=0) is
+    // normalized here, same convention as q_datetime_funcs.
+    entry("q_seasonality",
+      """SELECT CAST(dayofweek(ts) AS BIGINT) dow, CAST(hour(ts) AS BIGINT) hod,
+        |  COUNT(*) n, CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DOUBLE) sum_value
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir, "events")
+        .groupBy((dayofweek($"ts") - 1).cast("long").as("dow"),
+          hour($"ts").cast("long").as("hod"))
+        .agg(count(lit(1)).as("n"), Exact.dsum($"value").as("sum_value"))
+        .orderBy($"dow", $"hod")
+    },
+
+    // ---- Customer segmentation: revenue deciles via NTILE over exact
+    // decimal revenue (unique ordering → identical bucket boundaries in
+    // both engines), rolled up to per-decile totals — the LTV/whale
+    // analysis table. The per-customer aggregate shrinks the corpus to
+    // one row per customer BEFORE the decile window, so the global
+    // NTILE sorts customers, never orders; at larger customer counts the
+    // window would range-partition on the pre-computed revenue.
+    entry("q_user_segments",
+      """WITH u AS (SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,3))) rev, COUNT(*) n_orders
+        |           FROM orders GROUP BY 1),
+        | d AS (SELECT o_custkey, rev, n_orders, NTILE(10) OVER (ORDER BY rev DESC, o_custkey) decile FROM u)
+        |SELECT decile, COUNT(*) n_customers, CAST(SUM(rev) AS DOUBLE) total_rev,
+        |  CAST(SUM(n_orders) AS BIGINT) total_orders,
+        |  CAST(MIN(rev) AS DOUBLE) min_rev, CAST(MAX(rev) AS DOUBLE) max_rev
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val u = Tables(s, dir, "orders")
+        .groupBy($"o_custkey")
+        .agg(sum(Exact.dec($"o_totalprice")).as("rev"), count(lit(1)).as("n_orders"))
+      val w = Window.orderBy($"rev".desc, $"o_custkey")
+      u.withColumn("decile", ntile(10).over(w))
+        .groupBy($"decile")
+        .agg(count(lit(1)).as("n_customers"),
+          sum($"rev").cast("double").as("total_rev"),
+          sum($"n_orders").as("total_orders"),
+          min($"rev").cast("double").as("min_rev"),
+          max($"rev").cast("double").as("max_rev"))
+        .orderBy($"decile")
+    },
+
     // ---- Digit-distribution audit (Benford-style): first significant
     // digit shares of a monetary column — the fraud/synthetic-data smell
     // test (natural multiplicative data follows log10(1+1/d); this
