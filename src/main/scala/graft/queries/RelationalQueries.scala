@@ -28,6 +28,15 @@ object RelationalQueries {
     * drift. */
   private val CopurchaseMinSupport = 2L
 
+  /** The per-row digest hash of `q_table_digest` as a Spark SQL
+    * expression — public so the invariance spec exercises the SAME
+    * formula the query ships (15 md5 hex chars → int64; chr(31)
+    * unit-separator joints prevent column-boundary collisions). */
+  val digestHashExpr: String =
+    "CAST(conv(substring(md5(concat(" +
+      "CAST(event_id AS STRING), chr(31), CAST(user_id AS STRING), chr(31), event_type" +
+      ")), 1, 15), 16, 10) AS BIGINT)"
+
   /** Distinct (order, part) basket items — defined once so callers that
     * also need per-item supports reuse the same projection instead of
     * re-scanning lineitem. */
@@ -830,9 +839,7 @@ object RelationalQueries {
         |FROM h""".stripMargin) { (s, dir) =>
       import s.implicits._
       Tables(s, dir, "events")
-        .select(expr("CAST(conv(substring(md5(concat(" +
-          "CAST(event_id AS STRING), chr(31), CAST(user_id AS STRING), chr(31), event_type" +
-          ")), 1, 15), 16, 10) AS BIGINT)").as("hv"))
+        .select(expr(digestHashExpr).as("hv"))
         .agg(count(lit(1)).as("n_rows"),
           expr("bit_xor(hv)").as("digest_xor"),
           min($"hv").as("digest_min"), max($"hv").as("digest_max"))

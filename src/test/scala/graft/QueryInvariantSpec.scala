@@ -176,9 +176,7 @@ class QueryInvariantSpec extends SparkSpec {
   test("table digest is invariant to partitioning and flips on a single changed row") {
     val digest = SparkEntry.queries("q_table_digest")(spark, sf001)
       .select($"digest_xor").as[Long].head()
-    val hv = "CAST(conv(substring(md5(concat(" +
-      "CAST(event_id AS STRING), chr(31), CAST(user_id AS STRING), chr(31), event_type" +
-      ")), 1, 15), 16, 10) AS BIGINT)"
+    val hv = queries.RelationalQueries.digestHashExpr // the SAME formula the query ships
     def digestOf(df: org.apache.spark.sql.DataFrame): Long =
       df.selectExpr(s"$hv AS hv").agg(expr("bit_xor(hv)")).as[Long].head()
     val ev = Tables(spark, sf001, "events")
