@@ -146,6 +146,58 @@ object DedupQueries {
       verified(lshCandidates(sh), sh, 0.5)
     },
 
+    // ---- Sketch-quality evaluation: MinHash-estimated Jaccard (matching
+    // signature slots / 16) against the EXACT Jaccard for every LSH
+    // candidate pair — the accuracy audit a pipeline runs before trusting
+    // a sketch family at a new corpus (here it also shows why candidates
+    // are VERIFIED before dedup: 16 slots estimate coarsely). Everything
+    // is exact integers until two single double divisions per pair and
+    // their difference — deterministic in both engines. Shape: the same
+    // no-all-pairs LSH candidate generation, one signature join per side.
+    entry("q_sketch_quality",
+      """WITH t AS (SELECT doc_id, string_split(text,' ') toks FROM documents),
+        | s AS (SELECT doc_id, list_distinct([array_to_string(toks[i:i+2],' ')
+        |        for i in generate_series(1, greatest(len(toks)-2,1))]) sh FROM t),
+        | bs AS (SELECT doc_id, sh, [list_sum([(strpos('0123456789abcdef', substr(md5(x), j, 1)) - 1)
+        |        * CAST(pow(16, 8-j) AS BIGINT) for j in generate_series(1,8)]) for x in sh] bases FROM s),
+        | sig AS (SELECT doc_id, [list_min([((2*i+1)*b + 1000003*i) % 2147483647 for b in bases])
+        |        for i in generate_series(1,16)] mh FROM bs),
+        | bandkeys AS (SELECT doc_id, [CAST(mh[2*j-1] AS VARCHAR)||'|'||CAST(mh[2*j] AS VARCHAR)
+        |        for j in generate_series(1,8)] bk FROM sig),
+        | bands AS (SELECT doc_id, generate_subscripts(bk,1) band, unnest(bk) bkey FROM bandkeys),
+        | cand AS (SELECT DISTINCT a.doc_id a_id, b.doc_id b_id
+        |          FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        | q AS (SELECT c.a_id, c.b_id,
+        |         CAST(list_sum([CASE WHEN sa.mh[i] = sb.mh[i] THEN 1 ELSE 0 END for i in generate_series(1,16)]) AS BIGINT) matches,
+        |         CAST(len(list_intersect(ha.sh, hb.sh)) AS BIGINT) inter,
+        |         CAST(len(ha.sh) + len(hb.sh) - len(list_intersect(ha.sh, hb.sh)) AS BIGINT) uni
+        |       FROM cand c JOIN sig sa ON c.a_id = sa.doc_id JOIN sig sb ON c.b_id = sb.doc_id
+        |         JOIN s ha ON c.a_id = ha.doc_id JOIN s hb ON c.b_id = hb.doc_id)
+        |SELECT a_id, b_id, CAST(matches AS DOUBLE)/16 AS est_jac,
+        |  CAST(inter AS DOUBLE)/uni AS true_jac,
+        |  abs(CAST(matches AS DOUBLE)/16 - CAST(inter AS DOUBLE)/uni) AS abs_err
+        |FROM q ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+      val sh = shingled(s, dir).persist()
+      val sig = sh.withColumn("mh", minhashSignature("sh", 16))
+      val siga = sig.select(col("doc_id").as("a_id"), col("mh").as("ma"))
+      val sigb = sig.select(col("doc_id").as("b_id"), col("mh").as("mb"))
+      val sa = sh.select(col("doc_id").as("a_id"), col("sh").as("sha"))
+      val sb = sh.select(col("doc_id").as("b_id"), col("sh").as("shb"))
+      lshCandidates(sh)
+        .join(siga, "a_id").join(sigb, "b_id")
+        .join(sa, "a_id").join(sb, "b_id")
+        .withColumn("matches",
+          expr("size(filter(zip_with(ma, mb, (x, y) -> x = y), b -> b))").cast("long"))
+        .withColumn("inter", expr("size(array_intersect(sha, shb))").cast("long"))
+        .withColumn("uni", (size(col("sha")) + size(col("shb")) - col("inter")).cast("long"))
+        .select(col("a_id"), col("b_id"),
+          (col("matches").cast("double") / 16).as("est_jac"),
+          (col("inter").cast("double") / col("uni")).as("true_jac"),
+          abs(col("matches").cast("double") / 16
+            - col("inter").cast("double") / col("uni")).as("abs_err"))
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
     // ---- Near-dup CLUSTERING — the step a real dedup pipeline runs AFTER
     // pair generation: connected components over the verified LSH pair
     // graph, so every group of transitively-similar documents collapses to
