@@ -752,6 +752,45 @@ object RelationalQueries {
         .orderBy($"l_returnflag")
     },
 
+    // ---- Growth accounting: daily active / new / resurrected users and
+    // the cumulative user count — the canonical product-analytics rollup.
+    // "New" = first-seen day, "resurrected" = returning after a > 7-day
+    // gap (per-user lag over day buckets). Integer day arithmetic
+    // end-to-end; the only global window (cumulative sum) runs over the
+    // per-DAY frame — rows = days, not users, so a single partition is
+    // fine at any corpus size.
+    entry("q_user_growth",
+      """WITH a AS (SELECT DISTINCT user_id, CAST(epoch_us(ts) // 86400000000 AS BIGINT) d FROM events),
+        | f AS (SELECT user_id, MIN(d) first_d FROM a GROUP BY 1),
+        | g AS (SELECT a.user_id, a.d, f.first_d,
+        |         LAG(a.d) OVER (PARTITION BY a.user_id ORDER BY a.d) prev_d
+        |       FROM a JOIN f ON a.user_id = f.user_id),
+        | daily AS (SELECT d,
+        |    COUNT(*) n_active,
+        |    COUNT(CASE WHEN d = first_d THEN 1 END) n_new,
+        |    COUNT(CASE WHEN prev_d IS NOT NULL AND d - prev_d > 7 THEN 1 END) n_resurrected
+        |  FROM g GROUP BY 1)
+        |SELECT d AS day_bucket, n_active, n_new, n_resurrected,
+        |  CAST(SUM(n_new) OVER (ORDER BY d) AS BIGINT) cum_users
+        |FROM daily ORDER BY d""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val a = Tables(s, dir, "events")
+        .select($"user_id", expr("unix_micros(ts) DIV 86400000000").as("d"))
+        .distinct()
+      val f = a.groupBy($"user_id".as("f_user")).agg(min($"d").as("first_d"))
+      val wu = Window.partitionBy($"user_id").orderBy($"d")
+      val daily = a.join(f, $"user_id" === $"f_user")
+        .withColumn("prev_d", lag($"d", 1).over(wu))
+        .groupBy($"d")
+        .agg(count(lit(1)).as("n_active"),
+          count(when($"d" === $"first_d", 1)).as("n_new"),
+          count(when($"prev_d".isNotNull && $"d" - $"prev_d" > 7, 1)).as("n_resurrected"))
+      val wc = Window.orderBy($"d")
+      daily.select($"d".as("day_bucket"), $"n_active", $"n_new", $"n_resurrected",
+          sum($"n_new").over(wc).as("cum_users"))
+        .orderBy($"day_bucket")
+    },
+
     // ---- Activity seasonality: the (day-of-week × hour-of-day) traffic
     // matrix with exact value sums — the load-profile table behind
     // capacity planning and anomaly baselines. One aggregation onto a
