@@ -752,6 +752,34 @@ object RelationalQueries {
         .orderBy($"l_returnflag")
     },
 
+    // ---- Concentration audit: the exact Gini coefficient of per-user
+    // event counts — the load-skew metric that says whether "10% of keys
+    // own 90% of traffic" BEFORE a hot key melts a reducer (0 = uniform,
+    // →1 = one user owns everything). Rank-weighted integer moments
+    // (Σi·x with unique (x, user) ordering), one final double expression
+    // — same moment discipline as q_spearman, same ~n·Σi·x < 2^63
+    // headroom bound, loud overflow past it. The rank window orders
+    // USERS (post-aggregation), not events.
+    entry("q_concentration",
+      """WITH u AS (SELECT user_id, COUNT(*) x FROM events GROUP BY 1),
+        | r AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x, user_id) i FROM u),
+        | m AS (SELECT COUNT(*) n, CAST(SUM(x) AS BIGINT) sx, CAST(SUM(i*x) AS BIGINT) six FROM r)
+        |SELECT n AS n_users, sx AS n_events,
+        |  CAST(2*six - (n+1)*sx AS DOUBLE) / (CAST(n AS DOUBLE) * sx) AS gini,
+        |  CAST(sx AS DOUBLE) / n AS mean_events
+        |FROM m""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val u = Tables(s, dir, "events")
+        .groupBy($"user_id").agg(count(lit(1)).as("x"))
+      val w = Window.orderBy($"x", $"user_id")
+      u.withColumn("i", row_number().over(w).cast("long"))
+        .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"i" * $"x").as("six"))
+        .select($"n".as("n_users"), $"sx".as("n_events"),
+          ((lit(2) * $"six" - ($"n" + 1) * $"sx").cast("double")
+            / ($"n".cast("double") * $"sx")).as("gini"),
+          ($"sx".cast("double") / $"n").as("mean_events"))
+    },
+
     // ---- Growth accounting: daily active / new / resurrected users and
     // the cumulative user count — the canonical product-analytics rollup.
     // "New" = first-seen day, "resurrected" = returning after a > 7-day
