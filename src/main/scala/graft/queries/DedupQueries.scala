@@ -37,30 +37,36 @@ object DedupQueries {
       .withColumn("toks", tokens("text"))
       .select(col("doc_id"), shingles("toks", 3).as("sh"))
 
-  /** Exact-Jaccard verification of candidate pairs — unsorted (cluster
-    * queries feed this into further joins where a sort would be wasted). */
-  private def verifiedPairs(cand: DataFrame, sh: DataFrame, thresh: Double): DataFrame = {
+  /** Exact per-pair Jaccard over the shingle sets: (a_id, b_id, inter,
+    * uni, jac) — the ONE intersection/union computation every verify and
+    * sketch-evaluation path shares (the intersection size materializes
+    * once; a naive jac expression would evaluate array_intersect twice
+    * per pair). */
+  private def jaccardPairs(cand: DataFrame, sh: DataFrame): DataFrame = {
     val sa = sh.select(col("doc_id").as("a_id"), col("sh").as("sha"))
     val sb = sh.select(col("doc_id").as("b_id"), col("sh").as("shb"))
     cand.join(sa, "a_id").join(sb, "b_id")
-      // materialize the intersection size once — the naive jac expression
-      // would evaluate array_intersect twice per pair
       .withColumn("inter", expr("size(array_intersect(sha, shb))"))
-      .withColumn("jac", col("inter").cast("double")
-        / (size(col("sha")) + size(col("shb")) - col("inter")))
+      .withColumn("uni", size(col("sha")) + size(col("shb")) - col("inter"))
+      .withColumn("jac", col("inter").cast("double") / col("uni"))
+  }
+
+  /** Exact-Jaccard verification of candidate pairs — unsorted (cluster
+    * queries feed this into further joins where a sort would be wasted). */
+  private def verifiedPairs(cand: DataFrame, sh: DataFrame, thresh: Double): DataFrame =
+    jaccardPairs(cand, sh)
       .filter(col("jac") >= thresh)
       .select(col("a_id"), col("b_id"), col("jac"))
-  }
 
   private def verified(cand: DataFrame, sh: DataFrame, thresh: Double): DataFrame =
     verifiedPairs(cand, sh, thresh).orderBy(col("a_id"), col("b_id"))
 
-  /** MinHash-LSH candidate pairs (a_id < b_id): 16-slot signatures, 8
-    * bands × r=2, equi-join on (band, key) — shared by the pair query and
-    * the clustering query. */
-  private def lshCandidates(sh: DataFrame): DataFrame = {
-    val bands = sh
-      .withColumn("mh", minhashSignature("sh", 16))
+  /** LSH candidate pairs (a_id < b_id) from an already-SIGNED frame
+    * (doc_id, sh, mh): 8 bands × r=2, equi-join on (band, key). Taking
+    * the signed frame lets callers that need the signatures elsewhere
+    * (sketch evaluation) hash each shingle exactly once. */
+  private def lshCandidatesFromSig(sig: DataFrame): DataFrame = {
+    val bands = sig
       .select(col("doc_id"), posexplode(bandKeys("mh", 8)).as(Seq("band", "bkey")))
     bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
@@ -68,6 +74,11 @@ object DedupQueries {
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
   }
+
+  /** MinHash-LSH candidate pairs (a_id < b_id): 16-slot signatures, 8
+    * bands × r=2 — shared by the pair query and the clustering query. */
+  private def lshCandidates(sh: DataFrame): DataFrame =
+    lshCandidatesFromSig(sh.withColumn("mh", minhashSignature("sh", 16)))
 
   val entries: Seq[Entry] = Seq(
 
@@ -177,24 +188,21 @@ object DedupQueries {
         |  CAST(inter AS DOUBLE)/uni AS true_jac,
         |  abs(CAST(matches AS DOUBLE)/16 - CAST(inter AS DOUBLE)/uni) AS abs_err
         |FROM q ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
-      val sh = shingled(s, dir).persist()
-      val sig = sh.withColumn("mh", minhashSignature("sh", 16))
+      val sh = shingled(s, dir)
+      // sign ONCE and persist: bands, both signature join sides, and the
+      // exact-Jaccard verify all read the same frame — without this the
+      // md5-per-shingle signing would run three times
+      val sig = sh.withColumn("mh", minhashSignature("sh", 16)).persist()
       val siga = sig.select(col("doc_id").as("a_id"), col("mh").as("ma"))
       val sigb = sig.select(col("doc_id").as("b_id"), col("mh").as("mb"))
-      val sa = sh.select(col("doc_id").as("a_id"), col("sh").as("sha"))
-      val sb = sh.select(col("doc_id").as("b_id"), col("sh").as("shb"))
-      lshCandidates(sh)
+      jaccardPairs(lshCandidatesFromSig(sig), sig)
         .join(siga, "a_id").join(sigb, "b_id")
-        .join(sa, "a_id").join(sb, "b_id")
         .withColumn("matches",
           expr("size(filter(zip_with(ma, mb, (x, y) -> x = y), b -> b))").cast("long"))
-        .withColumn("inter", expr("size(array_intersect(sha, shb))").cast("long"))
-        .withColumn("uni", (size(col("sha")) + size(col("shb")) - col("inter")).cast("long"))
         .select(col("a_id"), col("b_id"),
           (col("matches").cast("double") / 16).as("est_jac"),
-          (col("inter").cast("double") / col("uni")).as("true_jac"),
-          abs(col("matches").cast("double") / 16
-            - col("inter").cast("double") / col("uni")).as("abs_err"))
+          col("jac").as("true_jac"),
+          abs(col("matches").cast("double") / 16 - col("jac")).as("abs_err"))
         .orderBy(col("a_id"), col("b_id"))
     },
 

@@ -755,15 +755,16 @@ object RelationalQueries {
     // ---- Concentration audit: the exact Gini coefficient of per-user
     // event counts — the load-skew metric that says whether "10% of keys
     // own 90% of traffic" BEFORE a hot key melts a reducer (0 = uniform,
-    // →1 = one user owns everything). Rank-weighted integer moments
-    // (Σi·x with unique (x, user) ordering), one final double expression
-    // — same moment discipline as q_spearman, same ~n·Σi·x < 2^63
-    // headroom bound, loud overflow past it. The rank window orders
-    // USERS (post-aggregation), not events.
+    // →1 = one user owns everything). Rank-weighted moments: each i·x
+    // product fits int64 (rank ≤ n, count bounded by partition volume),
+    // but Σi·x ~ n²·avg blows past 2^63 around 10^9 keys, so the SUM
+    // accumulates in decimal(38,0) (HUGEINT in the oracle) — good to
+    // 10^38. One final double expression. The rank window orders USERS
+    // (post-aggregation), not events.
     entry("q_concentration",
       """WITH u AS (SELECT user_id, COUNT(*) x FROM events GROUP BY 1),
         | r AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x, user_id) i FROM u),
-        | m AS (SELECT COUNT(*) n, CAST(SUM(x) AS BIGINT) sx, CAST(SUM(i*x) AS BIGINT) six FROM r)
+        | m AS (SELECT COUNT(*) n, CAST(SUM(x) AS BIGINT) sx, SUM(CAST(i*x AS HUGEINT)) six FROM r)
         |SELECT n AS n_users, sx AS n_events,
         |  CAST(2*six - (n+1)*sx AS DOUBLE) / (CAST(n AS DOUBLE) * sx) AS gini,
         |  CAST(sx AS DOUBLE) / n AS mean_events
@@ -773,7 +774,8 @@ object RelationalQueries {
         .groupBy($"user_id").agg(count(lit(1)).as("x"))
       val w = Window.orderBy($"x", $"user_id")
       u.withColumn("i", row_number().over(w).cast("long"))
-        .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"i" * $"x").as("six"))
+        .agg(count(lit(1)).as("n"), sum($"x").as("sx"),
+          sum(($"i" * $"x").cast("decimal(38,0)")).as("six"))
         .select($"n".as("n_users"), $"sx".as("n_events"),
           ((lit(2) * $"six" - ($"n" + 1) * $"sx").cast("double")
             / ($"n".cast("double") * $"sx")).as("gini"),
@@ -782,21 +784,21 @@ object RelationalQueries {
 
     // ---- Growth accounting: daily active / new / resurrected users and
     // the cumulative user count — the canonical product-analytics rollup.
-    // "New" = first-seen day, "resurrected" = returning after a > 7-day
-    // gap (per-user lag over day buckets). Integer day arithmetic
+    // ONE per-user lag over day buckets yields everything: a NULL lag IS
+    // the first-seen day (new), a > 7-day gap is a resurrection — no
+    // separate first-seen aggregate or join. Integer day arithmetic
     // end-to-end; the only global window (cumulative sum) runs over the
     // per-DAY frame — rows = days, not users, so a single partition is
     // fine at any corpus size.
     entry("q_user_growth",
       """WITH a AS (SELECT DISTINCT user_id, CAST(epoch_us(ts) // 86400000000 AS BIGINT) d FROM events),
-        | f AS (SELECT user_id, MIN(d) first_d FROM a GROUP BY 1),
-        | g AS (SELECT a.user_id, a.d, f.first_d,
-        |         LAG(a.d) OVER (PARTITION BY a.user_id ORDER BY a.d) prev_d
-        |       FROM a JOIN f ON a.user_id = f.user_id),
+        | g AS (SELECT user_id, d,
+        |         LAG(d) OVER (PARTITION BY user_id ORDER BY d) prev_d
+        |       FROM a),
         | daily AS (SELECT d,
         |    COUNT(*) n_active,
-        |    COUNT(CASE WHEN d = first_d THEN 1 END) n_new,
-        |    COUNT(CASE WHEN prev_d IS NOT NULL AND d - prev_d > 7 THEN 1 END) n_resurrected
+        |    COUNT(CASE WHEN prev_d IS NULL THEN 1 END) n_new,
+        |    COUNT(CASE WHEN d - prev_d > 7 THEN 1 END) n_resurrected
         |  FROM g GROUP BY 1)
         |SELECT d AS day_bucket, n_active, n_new, n_resurrected,
         |  CAST(SUM(n_new) OVER (ORDER BY d) AS BIGINT) cum_users
@@ -805,14 +807,13 @@ object RelationalQueries {
       val a = Tables(s, dir, "events")
         .select($"user_id", expr("unix_micros(ts) DIV 86400000000").as("d"))
         .distinct()
-      val f = a.groupBy($"user_id".as("f_user")).agg(min($"d").as("first_d"))
       val wu = Window.partitionBy($"user_id").orderBy($"d")
-      val daily = a.join(f, $"user_id" === $"f_user")
+      val daily = a
         .withColumn("prev_d", lag($"d", 1).over(wu))
         .groupBy($"d")
         .agg(count(lit(1)).as("n_active"),
-          count(when($"d" === $"first_d", 1)).as("n_new"),
-          count(when($"prev_d".isNotNull && $"d" - $"prev_d" > 7, 1)).as("n_resurrected"))
+          count(when($"prev_d".isNull, 1)).as("n_new"),
+          count(when($"d" - $"prev_d" > 7, 1)).as("n_resurrected"))
       val wc = Window.orderBy($"d")
       daily.select($"d".as("day_bucket"), $"n_active", $"n_new", $"n_resurrected",
           sum($"n_new").over(wc).as("cum_users"))

@@ -393,14 +393,18 @@ object SimilarityQueries {
     // quantized squared norms (int64 via the native QuantizedDot self-
     // product) — the sanity pass before any cosine math trusts the
     // vectors (zero/exploded norms = corrupt rows; per-label drift =
-    // training bugs). min/max stay exact integers; the mean is one
-    // double division chain of exact int64s (÷ n ÷ 2^40 rescales to
-    // unit norm²). One narrow map, one tiny per-label aggregate.
+    // training bugs). min/max stay exact integers; per-row sq is ~2^46
+    // for unit-norm vectors, so the per-label SUM accumulates in
+    // decimal(38,0) (HUGEINT in the oracle) — int64 would overflow at
+    // only ~2^17 rows/label, far below corpus scale; decimal holds to
+    // 10^38. The mean is then one double division chain of the same
+    // exact integer (÷ n ÷ 2^40 rescales to unit norm²). One narrow
+    // map, one tiny per-label aggregate.
     entry("q_embed_norm_stats",
       """WITH e AS (SELECT label, [CAST(floor(CAST(x AS DOUBLE)*1048576.0) AS BIGINT) for x in embedding] q FROM embeddings),
         | n AS (SELECT label, CAST(list_sum([x*x for x in q]) AS BIGINT) sq FROM e)
         |SELECT label, COUNT(*) n_vecs, MIN(sq) min_sq, MAX(sq) max_sq,
-        |  CAST(CAST(SUM(sq) AS BIGINT) AS DOUBLE)/COUNT(*)/1099511627776 AS mean_sq_norm
+        |  CAST(SUM(CAST(sq AS HUGEINT)) AS DOUBLE)/COUNT(*)/1099511627776 AS mean_sq_norm
         |FROM n GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
       Tables(s, dir, "embeddings")
         .select(col("label"), quantize("embedding").as("q"))
@@ -408,8 +412,8 @@ object SimilarityQueries {
         .groupBy(col("label"))
         .agg(count(lit(1)).as("n_vecs"), min(col("sq")).as("min_sq"),
           max(col("sq")).as("max_sq"),
-          (sum(col("sq")).cast("double") / count(lit(1)) / lit(1099511627776.0))
-            .as("mean_sq_norm"))
+          (sum(col("sq").cast("decimal(38,0)")).cast("double")
+            / count(lit(1)) / lit(1099511627776.0)).as("mean_sq_norm"))
         .orderBy(col("label"))
     }
   )
