@@ -130,22 +130,28 @@ object LakeWriter {
     * tiles a narrow key range and parquet min/max stats actually prune
     * point/range scans (a round-robin shuffle would hand every file a
     * uniform sample of the whole domain — full-span stats, no pruning).
-    * A row-unique tiebreaker is appended to the range keys so a HOT key
-    * (more rows than targetRowsPerFile) can still split across files and
-    * the file-size contract holds even for constant/low-cardinality
+    * A row-unique tiebreaker (uniquified temp name, so it can never
+    * collide with a user column) is appended to the range keys so a HOT
+    * key (more rows than targetRowsPerFile) can still split across files
+    * and the file-size contract holds even for constant/low-cardinality
     * cluster keys — adjacent files then share only that boundary key.
+    * Caveat: the tiebreaker is `monotonically_increasing_id`, which is
+    * NOT stable under task retry — a retried stage can land rows on the
+    * other side of a sampled range boundary, skewing file BALANCE (never
+    * content: every row still lands in exactly one file).
     * Same stage-and-swap as [[rewriteInPlace]] (atomic, crash-leaves-old). */
   def compact(spark: SparkSession, path: String, targetRowsPerFile: Long,
               clusterBy: Seq[String] = Nil): Unit = {
     import org.apache.spark.sql.functions.{col, monotonically_increasing_id}
     val rows = spark.read.parquet(path).count()
     val nFiles = math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+    val tiebreak = s"_rr_tiebreak_${java.util.UUID.randomUUID().toString.take(8)}"
     rewriteInPlace(spark, path) { df =>
       if (clusterBy.isEmpty) df.repartition(nFiles)
-      else df.withColumn("_rr_tiebreak", monotonically_increasing_id())
-        .repartitionByRange(nFiles, (clusterBy.map(col) :+ col("_rr_tiebreak")): _*)
+      else df.withColumn(tiebreak, monotonically_increasing_id())
+        .repartitionByRange(nFiles, (clusterBy.map(col) :+ col(tiebreak)): _*)
         .sortWithinPartitions(clusterBy.map(col): _*)
-        .drop("_rr_tiebreak")
+        .drop(tiebreak)
     }
   }
 
