@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.Exact
+import graft.functions.{Exact, Ranking}
 
 /** The relational operator surface (SURVEY §2.2-§2.6 plus the full join
   * surface the reference lacks): scans with pushdown, projections, filters,
@@ -719,36 +719,44 @@ object RelationalQueries {
     // MAD tolerates the heavy tails that wreck mean/stddev fences. Two
     // exact interpolated percentiles (same cross-engine contract as
     // q_percentile), each bound broadcast back into a narrow pass — the
-    // corpus is scanned, never sorted globally. The deviation frame is
-    // deliberately recomputed for the final fence count rather than
-    // persisted — it is one cheap scan+broadcast-join, and measured
-    // caching 600k rows cost more than recomputing them. Scale note:
-    // EXACT percentile buffers a group's values in its reducer — at
-    // 100 TB swap in approx_percentile (fixed memory, bounded error) and
-    // keep the identical fence shape.
+    // corpus is scanned, never sorted globally. Prices are scaled to
+    // INTEGER mils (decimal(18,3)·1000 → bigint, exact in both engines)
+    // before any percentile, so the median is an exact half-integer, the
+    // deviations are exact 0.5-multiples, the MAD is an exact
+    // 0.25-multiple, and the strict fence ad > 1.5·mad can never flip on
+    // an interpolation ulp — the one double division back to price units
+    // happens after all comparisons. The deviation frame is deliberately
+    // recomputed for the final fence count rather than persisted — it is
+    // one cheap scan+broadcast-join, and measured caching 600k rows cost
+    // more than recomputing them. Scale note: EXACT percentile buffers a
+    // group's values in its reducer — at 100 TB swap in the mergeable
+    // [[graft.functions.Sketches.quantileSketch]] (q_percentile_sketch)
+    // and keep the identical fence shape.
     entry("q_mad_outliers",
-      """WITH med AS (SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) med FROM lineitem GROUP BY 1),
-        | dev AS (SELECT l.l_returnflag, abs(l.l_extendedprice - m.med) ad
-        |         FROM lineitem l JOIN med m ON l.l_returnflag = m.l_returnflag),
+      """WITH v AS (SELECT l_returnflag, CAST(CAST(l_extendedprice AS DECIMAL(18,3)) * 1000 AS BIGINT) pm FROM lineitem),
+        | med AS (SELECT l_returnflag, quantile_cont(pm, 0.5) med FROM v GROUP BY 1),
+        | dev AS (SELECT v.l_returnflag, abs(v.pm - m.med) ad
+        |         FROM v JOIN med m ON v.l_returnflag = m.l_returnflag),
         | mad AS (SELECT l_returnflag, quantile_cont(ad, 0.5) mad FROM dev GROUP BY 1)
         |SELECT d.l_returnflag, COUNT(*) n_rows,
         |  COUNT(CASE WHEN d.ad > 1.5*mad.mad THEN 1 END) n_outliers,
-        |  CAST(MAX(mad.mad) AS DOUBLE) mad
+        |  CAST(MAX(mad.mad) AS DOUBLE) / 1000 mad
         |FROM dev d JOIN mad ON d.l_returnflag = mad.l_returnflag
         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
       import s.implicits._
       val li = Tables(s, dir, "lineitem")
+        .select($"l_returnflag", (Exact.dec($"l_extendedprice") * 1000).cast("long").as("pm"))
       val med = li.groupBy($"l_returnflag".as("m_flag"))
-        .agg(expr("percentile(l_extendedprice, 0.5)").as("med"))
+        .agg(expr("percentile(pm, 0.5)").as("med"))
       val dev = li.join(broadcast(med), $"l_returnflag" === $"m_flag")
-        .select($"l_returnflag", abs($"l_extendedprice" - $"med").as("ad"))
+        .select($"l_returnflag", abs($"pm" - $"med").as("ad"))
       val mad = dev.groupBy($"l_returnflag".as("d_flag"))
         .agg(expr("percentile(ad, 0.5)").as("mad"))
       dev.join(broadcast(mad), $"l_returnflag" === $"d_flag")
         .groupBy($"l_returnflag")
         .agg(count(lit(1)).as("n_rows"),
           count(when($"ad" > lit(1.5) * $"mad", 1)).as("n_outliers"),
-          max($"mad").cast("double").as("mad"))
+          (max($"mad").cast("double") / 1000).as("mad"))
         .orderBy($"l_returnflag")
     },
 
@@ -759,8 +767,11 @@ object RelationalQueries {
     // product fits int64 (rank ≤ n, count bounded by partition volume),
     // but Σi·x ~ n²·avg blows past 2^63 around 10^9 keys, so the SUM
     // accumulates in decimal(38,0) (HUGEINT in the oracle) — good to
-    // 10^38. One final double expression. The rank window orders USERS
-    // (post-aggregation), not events.
+    // 10^38. One final double expression. The rank runs over USERS
+    // (post-aggregation), not events, and is DISTRIBUTED
+    // ([[graft.functions.Ranking]]: value-bucketed per-partition
+    // row_number + offset merge) — no single-reducer global window even
+    // at 10^9 users.
     entry("q_concentration",
       """WITH u AS (SELECT user_id, COUNT(*) x FROM events GROUP BY 1),
         | r AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x, user_id) i FROM u),
@@ -772,8 +783,8 @@ object RelationalQueries {
       import s.implicits._
       val u = Tables(s, dir, "events")
         .groupBy($"user_id").agg(count(lit(1)).as("x"))
-      val w = Window.orderBy($"x", $"user_id")
-      u.withColumn("i", row_number().over(w).cast("long"))
+      Ranking.withGlobalRowNumber(u, $"x", primaryAsc = true,
+          Seq($"x", $"user_id"), "i")
         .agg(count(lit(1)).as("n"), sum($"x").as("sx"),
           sum(($"i" * $"x").cast("decimal(38,0)")).as("six"))
         .select($"n".as("n_users"), $"sx".as("n_events"),
@@ -842,9 +853,11 @@ object RelationalQueries {
     // decimal revenue (unique ordering → identical bucket boundaries in
     // both engines), rolled up to per-decile totals — the LTV/whale
     // analysis table. The per-customer aggregate shrinks the corpus to
-    // one row per customer BEFORE the decile window, so the global
-    // NTILE sorts customers, never orders; at larger customer counts the
-    // window would range-partition on the pre-computed revenue.
+    // one row per customer BEFORE the decile assignment, and the NTILE
+    // itself is DISTRIBUTED ([[graft.functions.Ranking.withGlobalNtile]]:
+    // value-bucketed per-partition rank + offset merge + the SQL NTILE
+    // tile formula) — no single-reducer global window even at 10^9
+    // customers.
     entry("q_user_segments",
       """WITH u AS (SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,3))) rev, COUNT(*) n_orders
         |           FROM orders GROUP BY 1),
@@ -857,8 +870,8 @@ object RelationalQueries {
       val u = Tables(s, dir, "orders")
         .groupBy($"o_custkey")
         .agg(sum(Exact.dec($"o_totalprice")).as("rev"), count(lit(1)).as("n_orders"))
-      val w = Window.orderBy($"rev".desc, $"o_custkey")
-      u.withColumn("decile", ntile(10).over(w))
+      Ranking.withGlobalNtile(u, 10, $"rev", primaryAsc = false,
+          Seq($"rev".desc, $"o_custkey"), "decile")
         .groupBy($"decile")
         .agg(count(lit(1)).as("n_customers"),
           sum($"rev").cast("double").as("total_rev"),
@@ -917,8 +930,11 @@ object RelationalQueries {
     // relationship — the post-ingest validation a lake needs after
     // independent topic loads (the reference only count-validates against
     // watermarks; this checks CROSS-table consistency). Each check is one
-    // anti-join whose dim side's key projection broadcasts; a healthy
-    // lake reports zeros, and the query IS the assertion.
+    // left join whose dim side is a distinct key projection; no explicit
+    // broadcast hint — at fact-vs-fact framings (orders IS fact-sized) a
+    // forced broadcast would OOM, while AQE broadcasts automatically
+    // whenever the key projection measures small. A healthy lake reports
+    // zeros, and the query IS the assertion.
     entry("q_fk_integrity",
       """SELECT 'lineitem->orders' rel,
         |  (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) n_orphans,
@@ -934,7 +950,7 @@ object RelationalQueries {
       def audit(rel: String, fact: org.apache.spark.sql.DataFrame, fk: String,
                 dim: org.apache.spark.sql.DataFrame, pk: String) = {
         val keys = dim.select(col(pk).as("_pk")).distinct()
-        fact.join(broadcast(keys), fact(fk) === col("_pk"), "left")
+        fact.join(keys, fact(fk) === col("_pk"), "left")
           .agg(count(when(col("_pk").isNull, 1)).as("n_orphans"),
             count(lit(1)).as("n_rows"))
           .select(lit(rel).as("rel"), $"n_orphans", $"n_rows")

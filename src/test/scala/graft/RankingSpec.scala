@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Ranking
+
+/** [[graft.functions.Ranking]] must agree EXACTLY with Spark's own
+  * single-reducer `Window.orderBy` row_number/ntile on every input —
+  * including heavy ties on the primary key (all rows in one value-bucket)
+  * and n < k (more tiles than rows). The helper exists so the plan
+  * distributes; the answer must be indistinguishable. */
+class RankingSpec extends SparkSpec {
+
+  private def df(rows: Seq[(Long, Long)]) = {
+    import spark.implicits._
+    rows.toDF("k", "id").repartition(4)
+  }
+
+  // deterministic pseudo-random rows: value collisions guaranteed (k % 17)
+  private val rows: Seq[(Long, Long)] =
+    (1L to 500L).map(i => ((i * 2654435761L) % 17, i))
+
+  test("withGlobalRowNumber matches Window.orderBy row_number (asc, ties)") {
+    val d = df(rows)
+    val want = d.withColumn("i",
+        row_number().over(Window.orderBy(col("k"), col("id"))).cast("long"))
+      .select("id", "i").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Ranking.withGlobalRowNumber(d, col("k"), primaryAsc = true,
+        Seq(col("k"), col("id")), "i", buckets = 8)
+      .select("id", "i").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === want)
+  }
+
+  test("withGlobalRowNumber matches on a descending primary") {
+    val d = df(rows)
+    val want = d.withColumn("i",
+        row_number().over(Window.orderBy(col("k").desc, col("id"))).cast("long"))
+      .select("id", "i").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Ranking.withGlobalRowNumber(d, col("k"), primaryAsc = false,
+        Seq(col("k").desc, col("id")), "i", buckets = 8)
+      .select("id", "i").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === want)
+  }
+
+  test("withGlobalNtile matches Window.orderBy ntile for k in 1..13") {
+    val d = df(rows)
+    for (k <- Seq(1, 3, 10, 13)) {
+      val want = d.withColumn("t",
+          ntile(k).over(Window.orderBy(col("k").desc, col("id"))))
+        .select("id", "t").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val got = Ranking.withGlobalNtile(d, k, col("k"), primaryAsc = false,
+          Seq(col("k").desc, col("id")), "t", buckets = 8)
+        .select("id", "t").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(got === want, s"ntile($k)")
+    }
+  }
+
+  test("withGlobalNtile handles n < k (more tiles than rows)") {
+    val d = df(rows.take(7))
+    val want = d.withColumn("t",
+        ntile(10).over(Window.orderBy(col("k"), col("id"))))
+      .select("id", "t").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val got = Ranking.withGlobalNtile(d, 10, col("k"), primaryAsc = true,
+        Seq(col("k"), col("id")), "t", buckets = 4)
+      .select("id", "t").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === want)
+  }
+
+  test("all-equal primary keys still rank correctly (single bucket)") {
+    val d = df((1L to 100L).map(i => (42L, i)))
+    val got = Ranking.withGlobalRowNumber(d, col("k"), primaryAsc = true,
+        Seq(col("k"), col("id")), "i", buckets = 8)
+      .select("id", "i").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === (1L to 100L).map(i => i -> i).toMap)
+  }
+
+  test("the ranking plan contains no partition-less window at all") {
+    val d = df(rows)
+    val plan = Ranking.withGlobalRowNumber(d, col("k"), primaryAsc = true,
+        Seq(col("k"), col("id")), "i", buckets = 8)
+      .queryExecution.executedPlan.toString
+    // the ONLY window in the plan must be the bucket-partitioned
+    // row_number — windowspecdefinition's first argument must be the
+    // bucket key, not an ORDER BY expression (which is what an empty
+    // partition spec degenerates to, and exactly the WindowExec
+    // single-reducer alarm this helper exists to eliminate; note Spark
+    // 4's EliminateWindowPartitions folds away constant partition keys,
+    // so a lit() partition would NOT count as partitioned)
+    val specs = plan.linesIterator
+      .filter(_.contains("windowspecdefinition(")).toSeq
+    assert(specs.nonEmpty, plan)
+    specs.foreach { l =>
+      assert(l.contains("windowspecdefinition(_graft_bkt#"),
+        s"partition-less window found:\n$l\n$plan")
+    }
+  }
+}
