@@ -71,21 +71,33 @@ object Analyzer {
 
   /** Column profile: one row per requested column with row/non-null/
     * distinct counts and min/max rendered as strings — the data-profiling
-    * table a lake catalog shows per dataset. One aggregation pass per
-    * column (each is map-side combined; the union is k tiny one-row
-    * frames). Callers should pre-cast doubles to DECIMAL if the profile
-    * crosses engines: double→string formatting is engine-specific,
+    * table a lake catalog shows per dataset. ONE aggregation pass over
+    * ONE scan for all k columns (at 100 TB, k scans would profile the
+    * corpus k times): every per-column aggregate lands in a single wide
+    * one-row frame, then an in-plan explode-of-structs unpivots it to
+    * k rows — no collect, no union of k subplans. The k countDistincts
+    * plan as one Expand-based aggregate (rows × (k+1) inside the scan
+    * stage, still a single pass — Spark's standard multi-distinct shape).
+    * Callers should pre-cast doubles to DECIMAL if the profile crosses
+    * engines: double→string formatting is engine-specific,
     * decimal→string is not. */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
-    cols.map { c =>
-      df.agg(count(lit(1)).as("n"), count(col(c)).as("n_nonnull"),
-          countDistinct(col(c)).as("n_distinct"),
-          min(col(c)).cast("string").as("min_v"),
-          max(col(c)).cast("string").as("max_v"))
-        .select(lit(c).as("col"), col("n"), col("n_nonnull"),
-          col("n_distinct"), col("min_v"), col("max_v"))
-    }.reduce(_.unionByName(_))
+    // positional names (dots in user column names would read as struct
+    // access if spliced into the agg aliases)
+    val aggs = count(lit(1)).as("_n") +: cols.zipWithIndex.flatMap { case (c, i) => Seq(
+      count(col(c)).as(s"_nn_$i"),
+      countDistinct(col(c)).as(s"_nd_$i"),
+      min(col(c)).cast("string").as(s"_min_$i"),
+      max(col(c)).cast("string").as(s"_max_$i"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val unpivoted = cols.zipWithIndex.map { case (c, i) =>
+      struct(lit(c).as("col"), col("_n").as("n"),
+        col(s"_nn_$i").as("n_nonnull"), col(s"_nd_$i").as("n_distinct"),
+        col(s"_min_$i").as("min_v"), col(s"_max_$i").as("max_v"))
+    }
+    wide.select(explode(array(unpivoted: _*)).as("p")).select("p.*")
   }
 
   /** A8: per-numeric-column min/max/mean/std + per-column null counts in a

@@ -135,4 +135,10 @@ class PlanSpec extends SparkSpec {
     val n = "Exchange hashpartitioning".r.findAllIn(p).length
     assert(n <= 1, s"rolling window re-shuffled:\n$p")
   }
+
+  test("q_data_profile reads the corpus exactly once (single-pass profile)") {
+    val p = plan("q_data_profile")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"profile must be one wide agg over one scan, got $scans scans:\n$p")
+  }
 }
