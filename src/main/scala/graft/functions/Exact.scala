@@ -22,6 +22,12 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
 object Exact {
   val D: DecimalType = DecimalType(18, 3)
 
+  /** Wide exact-integer accumulator for rank/count MOMENTS (Σi·x, Σr²…):
+    * decimal(38,0), the Spark twin of DuckDB's HUGEINT. Per-row products
+    * can stay int64 (safe to ~3·10⁹ ranks); the SUM is what crosses 2^63
+    * around n ≈ 10⁴·⁵-10⁹ depending on the moment's degree. */
+  val Moment: DecimalType = DecimalType(38, 0)
+
   def dec(c: Column): Column = c.cast(D)
 
   /** Exact sum, surfaced as double: CAST(SUM(CAST(x AS DECIMAL(18,3))) AS DOUBLE). */

@@ -1025,21 +1025,22 @@ object RelationalQueries {
     // UNIQUE by a doc_id tie-break (documented deviation from
     // average-rank Spearman — deterministic across engines, which
     // average ranks of ties also are, but this keeps every moment an
-    // integer). Headroom: n·Σxy ~ n⁴ must stay under 2^63, i.e. n ≲
-    // 55 000 docs per group — past that both engines fail loudly (Spark
-    // ANSI overflow / DuckDB bigint overflow); shift the moment math into
-    // decimal(38,0) if a group ever grows that large. Shape: two rank
-    // windows per group, then a per-group 5-sum aggregate — rows leaving
-    // the window stage are one per doc, rows leaving the aggregate are
-    // one per group.
+    // integer). Moments accumulate in decimal(38,0) (HUGEINT in the
+    // oracle): n·Σxy ~ n⁴, which blows past int64 around 73 K docs per
+    // group but is good to ~10^9.5 docs in 38 digits — the per-row
+    // products stay in int64 (rank² < 2^63 up to 3·10^9 rows), only the
+    // SUMs and the final cross terms widen. One double expression at the
+    // very end. Shape: two rank windows per group, then a per-group
+    // 5-sum aggregate — rows leaving the window stage are one per doc,
+    // rows leaving the aggregate are one per group.
     entry("q_spearman",
       """WITH t AS (SELECT doc_id, lang, n_chars, len(string_split(text,' ')) n_tok FROM documents),
         | rk AS (SELECT lang, doc_id,
         |    RANK() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) rx,
         |    RANK() OVER (PARTITION BY lang ORDER BY n_tok, doc_id) ry
         |  FROM t),
-        | m AS (SELECT lang, COUNT(*) n, CAST(SUM(rx) AS BIGINT) sx, CAST(SUM(ry) AS BIGINT) sy,
-        |    CAST(SUM(rx*ry) AS BIGINT) sxy, CAST(SUM(rx*rx) AS BIGINT) sxx, CAST(SUM(ry*ry) AS BIGINT) syy
+        | m AS (SELECT lang, COUNT(*) n, SUM(CAST(rx AS HUGEINT)) sx, SUM(CAST(ry AS HUGEINT)) sy,
+        |    SUM(CAST(rx AS HUGEINT)*ry) sxy, SUM(CAST(rx AS HUGEINT)*rx) sxx, SUM(CAST(ry AS HUGEINT)*ry) syy
         |   FROM rk GROUP BY 1)
         |SELECT lang, n, CAST(n*sxy - sx*sy AS DOUBLE) /
         |  (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) AS rho
@@ -1052,9 +1053,11 @@ object RelationalQueries {
         .select($"doc_id", $"lang", $"n_chars", size(tokens("text")).cast("long").as("n_tok"))
         .select($"lang", rank().over(wx).as("rx"), rank().over(wy).as("ry"))
       val m = rk.groupBy($"lang")
-        .agg(count(lit(1)).as("n"), sum($"rx").as("sx"), sum($"ry").as("sy"),
-          sum($"rx" * $"ry").as("sxy"), sum($"rx" * $"rx").as("sxx"),
-          sum($"ry" * $"ry").as("syy"))
+        .agg(count(lit(1)).as("n"),
+          sum($"rx".cast(Exact.Moment)).as("sx"), sum($"ry".cast(Exact.Moment)).as("sy"),
+          sum(($"rx" * $"ry").cast(Exact.Moment)).as("sxy"),
+          sum(($"rx" * $"rx").cast(Exact.Moment)).as("sxx"),
+          sum(($"ry" * $"ry").cast(Exact.Moment)).as("syy"))
       m.select($"lang", $"n",
           (($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
             (sqrt(($"n" * $"sxx" - $"sx" * $"sx").cast("double")) *
@@ -1147,12 +1150,17 @@ object RelationalQueries {
     },
 
     // ---- Triangle counting on the co-purchase graph: the clustering-
-    // coefficient / community-density primitive. Edges are oriented
-    // (pa < pb) by the shared [[copurchaseEdges]] builder, so each
-    // triangle is enumerated exactly once as a < b < c via two
-    // equi-joins on the endpoints — the standard distributed
-    // node-iterator; at scale the orientation would be by DEGREE
-    // (low→high) so no hub explodes the wedge count.
+    // coefficient / community-density primitive, DEGREE-ORIENTED: each
+    // undirected edge points low-degree → high-degree (ties by id), so a
+    // node's out-degree is O(√m) and no hub ever fans out a quadratic
+    // wedge set — the node-iterator variant that survives power-law
+    // graphs (a by-ID orientation would hand a celebrity node its full
+    // neighborhood²). Every triangle has exactly ONE apex in orientation
+    // order (two out-edges, and exactly one directed edge between its
+    // endpoints), so two equi-joins count each triangle once; the
+    // reported apex is the by-ID minimum, which is orientation-
+    // independent — the oracle states the same count/apex declaratively
+    // with the simple a < b < c form.
     entry("q_triangle_count",
       s"""WITH $copurchaseCte,
         | tri AS (SELECT e1.pa a, e1.pb b, e2.pb c
@@ -1161,13 +1169,24 @@ object RelationalQueries {
         |SELECT COUNT(*) AS n_triangles, COUNT(DISTINCT a) AS n_apex FROM tri""".stripMargin) { (s, dir) =>
       import s.implicits._
       val pairs = copurchaseEdges(copurchaseItems(s, dir)).select($"pa", $"pb")
-      val e1 = pairs.toDF("a", "b")
-      val e2 = pairs.toDF("e2a", "c")
-      val e3 = pairs.toDF("e3a", "e3b")
-      e1.join(e2, $"b" === $"e2a")
-        .join(e3, $"e3a" === $"a" && $"e3b" === $"c")
+      val deg = pairs.select($"pa".as("node")).unionAll(pairs.select($"pb".as("node")))
+        .groupBy($"node").agg(count(lit(1)).as("dg"))
+      val da = deg.toDF("na", "dega")
+      val db = deg.toDF("nb", "degb")
+      // builder emits pa < pb, so the tie-break keeps (pa → pb)
+      val directed = pairs
+        .join(da, $"pa" === $"na").join(db, $"pb" === $"nb")
+        .select(when($"dega" < $"degb" || ($"dega" === $"degb" && $"pa" < $"pb"),
+            struct($"pa".as("src"), $"pb".as("dst")))
+          .otherwise(struct($"pb".as("src"), $"pa".as("dst"))).as("e"))
+        .select($"e.src", $"e.dst")
+      val e1 = directed.toDF("u", "v")
+      val e2 = directed.toDF("e2u", "w")
+      val e3 = directed.toDF("e3s", "e3d")
+      e1.join(e2, $"u" === $"e2u" && $"v" =!= $"w")
+        .join(e3, $"e3s" === $"v" && $"e3d" === $"w")
         .agg(count(lit(1)).as("n_triangles"),
-          countDistinct($"a").as("n_apex"))
+          countDistinct(least($"u", $"v", $"w")).as("n_apex"))
     },
 
     // ---- Range-frame rolling aggregate: per-user trailing-1 h event

@@ -199,6 +199,31 @@ class QueryInvariantSpec extends SparkSpec {
     }
   }
 
+  test("spearman moment math survives groups past the old int64 ceiling") {
+    // 100 K ranks: n·Σxy ≈ n⁴/3 ≈ 3.3·10¹⁹ > 2^63 — int64 moments would
+    // throw under ANSI; the decimal(38,0) accumulators must not. Same
+    // moment expressions as q_spearman, ranks supplied directly (the
+    // windows are not under test). Anti-monotone y ⇒ rho = −1 (up to
+    // the final double division's ulp: the exact integer numerator and
+    // denominator round to double independently).
+    import graft.functions.Exact
+    val n = 100000L
+    val d = spark.range(1, n + 1)
+      .select(col("id").as("rx"), (lit(n + 1) - col("id")).as("ry"))
+    val m = d.agg(count(lit(1)).as("n"),
+      sum(col("rx").cast(Exact.Moment)).as("sx"),
+      sum(col("ry").cast(Exact.Moment)).as("sy"),
+      sum((col("rx") * col("ry")).cast(Exact.Moment)).as("sxy"),
+      sum((col("rx") * col("rx")).cast(Exact.Moment)).as("sxx"),
+      sum((col("ry") * col("ry")).cast(Exact.Moment)).as("syy"))
+    val rho = m.select(
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+            sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double")))).as("rho"))
+      .head().getDouble(0)
+    assert(math.abs(rho + 1.0) < 1e-12, s"rho = $rho")
+  }
+
   /** Exact rational d/(den) comparable via cross-multiplication. */
   private case class ExactFrac(num: BigInt, den: BigInt)
   private object ExactFrac {
