@@ -209,20 +209,21 @@ object DedupQueries {
     // ---- Near-dup CLUSTERING — the step a real dedup pipeline runs AFTER
     // pair generation: connected components over the verified LSH pair
     // graph, so every group of transitively-similar documents collapses to
-    // one canonical survivor (the min doc_id). Implementation is iterative
-    // min-label propagation (the Pregel formulation): each round joins the
-    // bidirected edge list with current labels, takes the per-neighbor min,
-    // and stops when no label moves — O(component diameter) rounds, and
-    // near-dup components are shallow (pair graphs are dense within a
-    // cluster), so 2-3 rounds in practice. Each round is ONE shuffle join +
-    // ONE shuffle aggregate on the doc key; labels persist round-to-round
-    // and the convergence check doubles as the materialization action. At
-    // 1000-executor scale the same loop holds (this is how GraphX/
-    // GraphFrames run CC); for adversarially-long chains swap in the
-    // large-star/small-star variant for O(log n) rounds. The DuckDB oracle
-    // states the fixpoint declaratively as a recursive CTE over the same
-    // replayed LSH pairs — label propagation and transitive-closure-min
-    // provably agree on connected components.
+    // one canonical survivor (the min doc_id). Implementation is
+    // [[graft.functions.ConnectedComponents]]: partition-local UNION-FIND
+    // contraction — each task resolves every chain it holds in one narrow
+    // pass, a per-node min merges the local roots, edges contract through
+    // the mapping, and only task-boundary-crossing edges survive to the
+    // next (geometrically narrower) round. One round suffices whenever the
+    // pair graph fits one task (pair graphs are orders smaller than the
+    // corpus); adversarial cross-partition chains terminate in ≤ log₄ P
+    // + 1 rounds regardless of diameter — strictly better than min-label
+    // propagation (diameter rounds) or star-contraction (log² n), and
+    // each round is ONE narrow mapPartitions + one aggregate + one
+    // contraction join. The DuckDB oracle states the fixpoint
+    // declaratively as a recursive CTE over the same replayed LSH pairs —
+    // union-find and transitive-closure-min provably agree on connected
+    // components.
     entry("q_dedup_clusters",
       """WITH RECURSIVE t AS (SELECT doc_id, string_split(text,' ') toks FROM documents),
         | s AS (SELECT doc_id, list_distinct([array_to_string(toks[i:i+2],' ')
@@ -251,41 +252,13 @@ object DedupQueries {
         |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
       val sh = shingled(s, dir).persist()
       val pairs = verifiedPairs(lshCandidates(sh), sh, 0.5)
-        .select(col("a_id"), col("b_id")).persist()
-      val edges = pairs.union(pairs.select(col("b_id"), col("a_id")))
-        .toDF("src", "dst").persist()
-      var labels = edges.select(col("src").as("doc_id")).distinct()
-        .withColumn("lbl", col("doc_id")).persist()
-      // materialize the heavy candidate-generation chain (shingles → LSH →
-      // verify → edges) at FULL shuffle width before narrowing
-      labels.count()
-      var moved = 1L
-      // The iteration frames are the PAIR GRAPH, orders of magnitude
-      // smaller than the corpus (near-dup pairs ≪ docs) — but persist()
-      // pins plans outside AQE's partition coalescing, so each round
-      // would otherwise schedule full-width shuffle stages of near-empty
-      // tasks. Scope the shuffle width down for the loop only (queries
-      // run sequentially in this engine's mains; restored in `finally`).
-      val spKey = "spark.sql.shuffle.partitions"
-      val prevSp = s.conf.get(spKey)
-      s.conf.set(spKey, math.max(4, s.sparkContext.defaultParallelism / 4).toString)
-      try {
-        while (moved > 0) {
-          val prop = edges.join(labels, edges("src") === labels("doc_id"))
-            .groupBy(col("dst")).agg(min(col("lbl")).as("plbl"))
-          val next = labels.join(prop, labels("doc_id") === prop("dst"), "left")
-            .select(labels("doc_id"),
-              least(coalesce(col("plbl"), col("lbl")), col("lbl")).as("lbl"),
-              (coalesce(col("plbl"), col("lbl")) < col("lbl")).as("chg"))
-            .persist()
-          moved = next.filter(col("chg")).count()
-          labels.unpersist()
-          labels = next.drop("chg")
-        }
-        // materialize the final labels at the narrow width so the plan
-        // below doesn't re-run loop stages after the conf is restored
-        labels.count()
-      } finally s.conf.set(spKey, prevSp)
+        .select(col("a_id"), col("b_id"))
+      // (node → component min) via union-find contraction; the heavy
+      // candidate chain (shingles → LSH → verify) materializes inside at
+      // full shuffle width, the contraction itself runs at a width sized
+      // by the PAIR count (orders smaller than the corpus)
+      val labels = graft.functions.ConnectedComponents.labels(pairs)
+        .toDF("doc_id", "lbl")
       // Cluster sizes come from the LABELS frame (edge nodes only — tiny:
       // every labeled node's component has ≥ 2 members, every unlabeled doc
       // is a singleton of size 1). A window over the full corpus would
