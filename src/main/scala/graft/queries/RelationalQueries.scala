@@ -564,6 +564,28 @@ object RelationalQueries {
         .orderBy($"l_returnflag")
     },
 
+    // ---- Mergeable sketch percentile under the ENGINE'S OWN control
+    // ([[graft.functions.Sketches.QuantileSketch]], a deterministic
+    // Munro–Paterson compactor stack): the 100 TB replacement for exact
+    // `percentile`, whose reducer buffers a whole group's values. The
+    // sketch keeps O(k·log n) doubles per group, builds map-side, and
+    // merges associatively like any partial aggregate. Sketch values are
+    // implementation-specific → rows-only driver check; SketchSpec pins
+    // the rank-error envelope property-style and ApproxSpec-style bounds
+    // vs the exact q_percentile answers.
+    entryNoOracle("q_percentile_sketch") { (s, dir) =>
+      import s.implicits._
+      import graft.functions.Sketches.quantileSketch
+      Tables(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(quantileSketch(256, Seq(0.25, 0.5, 0.9))($"l_quantity".cast("double")).as("qsk"))
+        .select($"l_returnflag",
+          $"qsk".getItem(0).as("q1_qty"),
+          $"qsk".getItem(1).as("med_qty"),
+          $"qsk".getItem(2).as("p90_qty"))
+        .orderBy($"l_returnflag")
+    },
+
     // ---- String-function surface (F6/F7/F11-family, widened): the scalar
     // string ops a text pipeline leans on, all codegen'd built-ins.
     entry("q_string_funcs",

@@ -25,4 +25,48 @@ class SketchSpec extends SparkSpec {
       assert(cands.contains(term), s"top-20 token $term missing from candidates")
     }
   }
+
+  test("sketch percentile lands within 2% rank error of the exact data, per group") {
+    import spark.implicits._
+    val qs = Seq(0.25, 0.5, 0.9)
+    val est = SparkEntry.queries("q_percentile_sketch")(spark, sf001)
+      .as[(String, Double, Double, Double)].collect()
+      .map(r => r._1 -> Array(r._2, r._3, r._4)).toMap
+    val groups = Tables(spark, sf001, "lineitem")
+      .select($"l_returnflag", $"l_quantity".cast("double"))
+      .as[(String, Double)].collect().groupBy(_._1)
+    assert(est.keySet == groups.keySet)
+    groups.foreach { case (flag, rows) =>
+      val sorted = rows.map(_._2).sorted
+      val n = sorted.length
+      qs.zip(est(flag)).foreach { case (q, e) =>
+        val lo = sorted.count(_ < e)
+        val hi = sorted.count(_ <= e)
+        val t = math.max(1, math.ceil(q * n).toInt)
+        val err = if (t < lo + 1) lo + 1 - t else if (t > hi) t - hi else 0
+        assert(err <= math.max(1, (0.02 * n).toInt),
+          s"group $flag q=$q est=$e rank error $err of $n")
+      }
+    }
+    // adversarial partitioning: many tiny partials must merge to the
+    // same answer the single-partition fold produces
+    val one = Tables(spark, sf001, "lineitem").coalesce(1)
+      .agg(Sketches.quantileSketch(256, qs)($"l_quantity".cast("double")))
+      .head().getSeq[Double](0)
+    val many = Tables(spark, sf001, "lineitem").repartition(37)
+      .agg(Sketches.quantileSketch(256, qs)($"l_quantity".cast("double")))
+      .head().getSeq[Double](0)
+    val all = Tables(spark, sf001, "lineitem")
+      .select($"l_quantity".cast("double")).as[Double].collect().sorted
+    qs.zipWithIndex.foreach { case (q, i) =>
+      val t = math.max(1, math.ceil(q * all.length).toInt)
+      Seq(one(i), many(i)).foreach { e =>
+        val lo = all.count(_ < e)
+        val hi = all.count(_ <= e)
+        val err = if (t < lo + 1) lo + 1 - t else if (t > hi) t - hi else 0
+        assert(err <= math.max(1, (0.02 * all.length).toInt),
+          s"q=$q est=$e err=$err over ${all.length}")
+      }
+    }
+  }
 }
