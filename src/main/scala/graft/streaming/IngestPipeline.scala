@@ -229,6 +229,34 @@ object IngestPipeline {
       }
   }
 
+  /** Continuous quantiles: per-shard [[graft.functions.Sketches
+    * .QuantileSketch]] compactor states maintained in stream state — the
+    * streaming twin of `q_percentile_sketch`, same shape as
+    * [[streamingHeavyHitters]]. Values shard by hash so no single task
+    * owns the whole stream; each trigger emits every touched shard's
+    * current sketch state with an update sequence number, and a reader
+    * merges the latest ≤ `shards` states with `QuantileSketch.merge`
+    * (associative — SketchProps) then `finish`es for corpus-lifetime
+    * quantiles at any point in the stream's life. State is bounded at
+    * shards × O(k·log n) doubles regardless of stream length. */
+  def streamingQuantiles(values: Dataset[Double], k: Int = 256, shards: Int = 8)
+      : Dataset[(Int, Long, graft.functions.Sketches.QSketchState)] = {
+    import values.sparkSession.implicits._
+    val qsk = graft.functions.Sketches.QuantileSketch(k, Seq(0.5))
+    values
+      .groupByKey(v => math.floorMod(java.lang.Double.hashCode(v), shards))
+      .mapGroupsWithState[(Long, graft.functions.Sketches.QSketchState),
+        (Int, Long, graft.functions.Sketches.QSketchState)](
+        GroupStateTimeout.NoTimeout()) {
+        (shard: Int, rows: Iterator[Double],
+         state: GroupState[(Long, graft.functions.Sketches.QSketchState)]) =>
+          val (seq, prev) = state.getOption.getOrElse((0L, qsk.zero))
+          val cur = rows.foldLeft(prev)(qsk.reduce)
+          state.update((seq + 1, cur))
+          (shard, seq + 1, cur)
+      }
+  }
+
   def sessionize(events: Dataset[Evt], gapMinutes: Int = 30): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     val gapMs = gapMinutes * 60000L

@@ -227,4 +227,38 @@ class StreamingSpec extends SparkSpec {
     merged.foreach { case (t, est) => assert(est <= truth(t), s"$t overshoots") }
     assert(merged("hot") >= truth("hot") - n / 9 - 1)
   }
+
+  test("continuous quantiles: sharded compactor states merge to the stream-lifetime answer") {
+    import graft.functions.Sketches.{QSketchState, QuantileSketch}
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Double]
+    val out = IngestPipeline.streamingQuantiles(mem.toDS(), k = 64, shards = 4)
+    val q = out.writeStream.format("memory").queryName("qsk_out")
+      .outputMode(OutputMode.Update()).start()
+    // two triggers — state must carry the sketch across triggers, not
+    // restart per batch
+    val rnd = new scala.util.Random(7)
+    val b1 = Vector.fill(800)(rnd.nextInt(500).toDouble)
+    val b2 = Vector.fill(1200)(rnd.nextInt(500).toDouble + 250.0)
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable()
+    val latest = spark.table("qsk_out").as[(Int, Long, QSketchState)].collect()
+      .groupBy(_._1).map { case (_, rs) => rs.maxBy(_._2)._3 }
+    q.stop()
+    val agg = QuantileSketch(64, Seq(0.25, 0.5, 0.9))
+    val merged = latest.reduce(agg.merge)
+    val est = agg.finish(merged)
+    val all = (b1 ++ b2).sorted
+    val n = all.length
+    // total weight across shards must be the exact stream length
+    val weight = merged.levels.zipWithIndex.map { case (l, i) => l.length.toLong << i }.sum
+    assert(weight == n.toLong)
+    Seq(0.25, 0.5, 0.9).zip(est).foreach { case (p, e) =>
+      val lo = all.count(_ < e)
+      val hi = all.count(_ <= e)
+      val t = math.max(1, math.ceil(p * n).toInt)
+      val err = if (t < lo + 1) lo + 1 - t else if (t > hi) t - hi else 0
+      assert(err <= 0.04 * n, s"p=$p est=$e rank err $err of $n")
+    }
+  }
 }
