@@ -26,9 +26,12 @@ import org.apache.spark.sql.functions._
   *
   * Every remaining single-task structure is bounded by `buckets`
   * (default 32) — by configuration, not by data.
-  * The input frame is referenced by three plan branches (boundaries,
-  * counts, ranking); they share one scan/shuffle via ReuseExchange, so
-  * callers need not persist.
+  * Cost shape: TWO passes over the input — a narrow boundary-sampling
+  * aggregate (column-pruned to the primary key; the same extra pass
+  * RangePartitioner's sampler pays) and the ranking pass, whose two
+  * references (rank window, bucket counts) share their exchange via
+  * AQE reuse. NTILE's total row count derives from the B-row counts
+  * frame, never from a third aggregation of the input.
   *
   * Caveats: `primary` must be non-null; rows that tie on `primary` all
   * land in one bucket (bucketing can only see the primary key), so a key
@@ -37,18 +40,19 @@ import org.apache.spark.sql.functions._
   */
 object Ranking {
 
-  /** Append a 1-based global `row_number` (long) over the total order
-    * `order` (must include a unique tie-break). `primary` is the leading
-    * sort expression of `order`, given separately (and direction via
-    * `primaryAsc`) because bucket boundaries derive from it. */
-  def withGlobalRowNumber(df: DataFrame, primary: Column, primaryAsc: Boolean,
-                          order: Seq[Column], out: String,
-                          buckets: Int = 32): DataFrame = {
+  private val bkt = "_graft_bkt"
+  private val li = "_graft_li"
+  private val cnt = "_graft_cnt"
+  private val off = "_graft_off"
+
+  /** The shared two-pass core: (locally-ranked frame with bucket +
+    * local-rank columns, B-row per-bucket (bkt, cnt, off) frame).
+    * Pass 1 is the narrow boundary-sampling aggregate (column-pruned to
+    * the primary key — the same extra pass RangePartitioner's sampler
+    * pays); pass 2 is the ranking itself. */
+  private def rankedParts(df: DataFrame, primary: Column, primaryAsc: Boolean,
+                          order: Seq[Column], buckets: Int): (DataFrame, DataFrame) = {
     require(buckets > 1, "buckets must exceed 1 — otherwise use Window.orderBy directly")
-    val bkt = "_graft_bkt"
-    val li = "_graft_li"
-    val cnt = "_graft_cnt"
-    val off = "_graft_off"
     val bnds = "_graft_bounds"
     val probs = (1 until buckets).map(i => i.toDouble / buckets)
     val bounds = df.agg(
@@ -72,9 +76,20 @@ object Ranking {
     val counts = withB.groupBy(col(bkt)).agg(count(lit(1)).as(cnt))
     val lower = counts.select(col(bkt).as(s"${bkt}_lo"), col(cnt).as(s"${cnt}_lo"))
     val offs = counts.join(lower, col(s"${bkt}_lo") < col(bkt), "left")
-      .groupBy(col(bkt))
+      .groupBy(col(bkt), col(cnt))
       .agg(coalesce(sum(col(s"${cnt}_lo")), lit(0L)).as(off))
-    local.join(broadcast(offs), bkt)
+    (local, offs)
+  }
+
+  /** Append a 1-based global `row_number` (long) over the total order
+    * `order` (must include a unique tie-break). `primary` is the leading
+    * sort expression of `order`, given separately (and direction via
+    * `primaryAsc`) because bucket boundaries derive from it. */
+  def withGlobalRowNumber(df: DataFrame, primary: Column, primaryAsc: Boolean,
+                          order: Seq[Column], out: String,
+                          buckets: Int = 32): DataFrame = {
+    val (local, offs) = rankedParts(df, primary, primaryAsc, order, buckets)
+    local.join(broadcast(offs.select(col(bkt), col(off))), bkt)
       .withColumn(out, col(li) + col(off))
       .drop(bkt, li, off)
   }
@@ -89,8 +104,14 @@ object Ranking {
     require(k > 0)
     val gi = "_graft_gi"
     val tot = "_graft_n"
-    val ranked = withGlobalRowNumber(df, primary, primaryAsc, order, gi, buckets)
-    val total = df.agg(count(lit(1)).as(tot))
+    val (local, offs) = rankedParts(df, primary, primaryAsc, order, buckets)
+    val ranked = local.join(broadcast(offs.select(col(bkt), col(off))), bkt)
+      .withColumn(gi, col(li) + col(off))
+      .drop(bkt, li, off)
+    // total row count comes from the B-row offsets frame — deriving it
+    // from `df` again would re-aggregate the corpus under a different
+    // column pruning (no exchange reuse): a third pass for one number
+    val total = offs.agg(sum(col(cnt)).as(tot))
     // all-integer arithmetic (DIV, never `/` — Column./ is double division):
     // q = small-tile size, r = number of (q+1)-row large tiles, th = rows
     // covered by the large tiles; greatest(q,1) guards the n < k case
