@@ -157,6 +157,55 @@ object DedupQueries {
       verified(lshCandidates(sh), sh, 0.5)
     },
 
+    // ---- INCREMENTAL near-dup dedup — the shape a daily ingest actually
+    // runs: a NEW BATCH (here the deterministic doc_id % 10 slice)
+    // screened against the EXISTING LAKE, with candidates from
+    // batch-bands ⋈ lake-bands only — never lake × lake, so the daily
+    // cost scales with the batch's band collisions, not with the corpus.
+    // In production the lake side's signatures/bands are PRECOMPUTED and
+    // stored beside the documents (signing here simulates that store);
+    // the batch side is small, so its exploded bands broadcast and the
+    // 100 TB lake band index is probed in place. Exact-Jaccard verify on
+    // the (few) candidates, same 0.5 threshold as the full-corpus pass.
+    entry("q_dedup_incremental_lsh",
+      """WITH t AS (SELECT doc_id, string_split(text,' ') toks FROM documents),
+        | s AS (SELECT doc_id, list_distinct([array_to_string(toks[i:i+2],' ')
+        |        for i in generate_series(1, greatest(len(toks)-2,1))]) sh FROM t),
+        | bs AS (SELECT doc_id, sh, [list_sum([(strpos('0123456789abcdef', substr(md5(x), j, 1)) - 1)
+        |        * CAST(pow(16, 8-j) AS BIGINT) for j in generate_series(1,8)]) for x in sh] bases FROM s),
+        | sig AS (SELECT doc_id, [list_min([((2*i+1)*b + 1000003*i) % 2147483647 for b in bases])
+        |        for i in generate_series(1,16)] mh FROM bs),
+        | bandkeys AS (SELECT doc_id, [CAST(mh[2*j-1] AS VARCHAR)||'|'||CAST(mh[2*j] AS VARCHAR)
+        |        for j in generate_series(1,8)] bk FROM sig),
+        | bands AS (SELECT doc_id, generate_subscripts(bk,1) band, unnest(bk) bkey FROM bandkeys),
+        | cand AS (SELECT DISTINCT a.doc_id new_id, b.doc_id lake_id
+        |          FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+        |            AND a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0),
+        | v AS (SELECT new_id, lake_id,
+        |         CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)/(len(sa.sh)+len(sb.sh)-len(list_intersect(sa.sh, sb.sh))) jac
+        |       FROM cand JOIN s sa ON cand.new_id = sa.doc_id JOIN s sb ON cand.lake_id = sb.doc_id)
+        |SELECT new_id, lake_id, jac FROM v WHERE jac >= 0.5 ORDER BY new_id, lake_id""".stripMargin) { (s, dir) =>
+      val sh = shingled(s, dir).persist()
+      val bands = sh.withColumn("mh", minhashSignature("sh", 16))
+        .select(col("doc_id"), posexplode(bandKeys("mh", 8)).as(Seq("band", "bkey")))
+      val batchBands = bands.filter(col("doc_id") % 10 === 0)
+        .toDF("new_id", "band", "bkey")
+      val lakeBands = bands.filter(col("doc_id") % 10 =!= 0)
+        .toDF("lake_id", "l_band", "l_bkey")
+      val cand = batchBands.join(lakeBands,
+          col("band") === col("l_band") && col("bkey") === col("l_bkey"))
+        .select(col("new_id"), col("lake_id")).distinct()
+      val sa = sh.select(col("doc_id").as("new_id"), col("sh").as("sha"))
+      val sb = sh.select(col("doc_id").as("lake_id"), col("sh").as("shb"))
+      cand.join(sa, "new_id").join(sb, "lake_id")
+        .withColumn("inter", expr("size(array_intersect(sha, shb))"))
+        .withColumn("jac",
+          col("inter").cast("double") / (size(col("sha")) + size(col("shb")) - col("inter")))
+        .filter(col("jac") >= 0.5)
+        .select(col("new_id"), col("lake_id"), col("jac"))
+        .orderBy(col("new_id"), col("lake_id"))
+    },
+
     // ---- Sketch-quality evaluation: MinHash-estimated Jaccard (matching
     // signature slots / 16) against the EXACT Jaccard for every LSH
     // candidate pair — the accuracy audit a pipeline runs before trusting

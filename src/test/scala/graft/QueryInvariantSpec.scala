@@ -199,6 +199,20 @@ class QueryInvariantSpec extends SparkSpec {
     }
   }
 
+  test("incremental LSH equals the full-corpus pass restricted to batch x lake") {
+    val full = SparkEntry.queries("q_dedup_minhash_lsh")(spark, sf001)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    val inc = SparkEntry.queries("q_dedup_incremental_lsh")(spark, sf001)
+      .select($"new_id", $"lake_id").as[(Long, Long)].collect().toSet
+    // full pass emits a < b; incremental emits (batch doc, lake doc) —
+    // exactly the full pairs with one end in the % 10 batch slice
+    val expected = full.collect {
+      case (a, b) if a % 10 == 0 && b % 10 != 0 => (a, b)
+      case (a, b) if b % 10 == 0 && a % 10 != 0 => (b, a)
+    }
+    assert(inc === expected)
+  }
+
   test("spearman moment math survives groups past the old int64 ceiling") {
     // 100 K ranks: n·Σxy ≈ n⁴/3 ≈ 3.3·10¹⁹ > 2^63 — int64 moments would
     // throw under ANSI; the decimal(38,0) accumulators must not. Same
