@@ -16,37 +16,14 @@ import graft.functions.VectorFunctions._
   */
 object SimilarityQueries {
 
-  /** SQL fragment sorting collected (cl, cn, d2) cell candidates by the
-    * EXACT rational distance d2/cn² — cross-multiplied in decimal(38,0)
-    * (the products exceed int64 already at sf0.01), ties by cl. Clusters
-    * carry unequal cardinalities cn, so comparing raw d2 = cn²·dist²
-    * would bias the ordering toward small clusters; this comparator is
-    * what makes "nearest centroid" exact in q_kmeans_step / q_knn_ivf.
-    * Past the documented headroom both engines fail LOUDLY rather than
-    * diverging silently: Spark 4 runs ANSI mode by default, so the int64
-    * d2 accumulation and the decimal(38,0) products throw on overflow —
-    * the same contract as the oracle's HUGEINT arithmetic erroring. */
-  private val exactNearestSort: String =
-    "array_sort(collect_list(struct(cl, cn, d2)), (a, b) -> CASE " +
-      "WHEN CAST(a.d2 AS DECIMAL(38,0))*b.cn*b.cn < CAST(b.d2 AS DECIMAL(38,0))*a.cn*a.cn THEN -1 " +
-      "WHEN CAST(a.d2 AS DECIMAL(38,0))*b.cn*b.cn > CAST(b.d2 AS DECIMAL(38,0))*a.cn*a.cn THEN 1 " +
-      "WHEN a.cl < b.cl THEN -1 WHEN a.cl > b.cl THEN 1 ELSE 0 END)"
+  /** Exact rational nearest-centroid comparator + bounded-state label
+    * sums — shared with the full Lloyd loop; see
+    * [[graft.functions.KMeans]] for the exactness/headroom contract
+    * (ANSI overflow = loud failure in BOTH engines past it). */
+  private val exactNearestSort: String = graft.functions.KMeans.exactNearestSort
 
-  /** Exact per-label element sums of quantized vectors as (cl, s[64], cn).
-    * Built with BOUNDED aggregation state: posexplode to (label, dim)
-    * int64 partials (map-side combinable, 64 rows per label per task),
-    * then the k×64 result regroups into one array per label — never
-    * `collect_list(q)`, whose buffer would hold every vector of a label
-    * and OOM a task at corpus scale. */
-  private def labelSums(emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val dims = emb.select(col("label"), posexplode(col("q")).as(Seq("p", "x")))
-      .groupBy(col("label"), col("p")).agg(sum(col("x")).as("sx"))
-    val arrs = dims.groupBy(col("label").as("cl"))
-      .agg(expr("transform(array_sort(collect_list(struct(p, sx))), t -> t.sx)").as("s"))
-    val counts = emb.groupBy(col("label").as("c_cl")).agg(count(lit(1)).as("cn"))
-    arrs.join(counts, col("cl") === col("c_cl"))
-      .select(col("cl"), col("s"), col("cn"))
-  }
+  private def labelSums(emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    graft.functions.KMeans.labelSums(emb)
 
   val entries: Seq[Entry] = Seq(
 
@@ -275,16 +252,12 @@ object SimilarityQueries {
         .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
         .select(col("vec_id"), col("label"), quantize("embedding").as("q"))
         .persist()
-      val cs = labelSums(emb)
-      val dt = emb.crossJoin(broadcast(cs))
-        .withColumn("d2", expr("aggregate(zip_with(q, s, (x, y) -> (cn*x - y)*(cn*x - y)), " +
-          "CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
-        .select(col("vec_id"), col("cl"), col("cn"), col("d2"))
-      // exact rational argmin in ONE aggregation: the k candidates fold
-      // into a sorted array under the cross-multiplied comparator — no
-      // self-join, no persist, one shuffle keyed on vec_id
-      val asg = dt.groupBy(col("vec_id"))
-        .agg(expr(s"element_at($exactNearestSort, 1).cl").as("cl"))
+      // exact rational argmin in ONE aggregation (KMeans.assign): the k
+      // candidates fold into a sorted array under the cross-multiplied
+      // comparator — no self-join, no extra persist, one shuffle keyed
+      // on vec_id; this is literally iteration 1 of KMeans.fit
+      val asg = graft.functions.KMeans.assign(emb, labelSums(emb))
+        .select(col("vec_id"), col("cl"))
         .toDF("a_vec_id", "cl") // fresh names: derives from emb
       emb.join(asg, col("vec_id") === col("a_vec_id"))
         .select(col("cl"), posexplode(col("q")).as(Seq("p", "xq")))
@@ -293,6 +266,34 @@ object SimilarityQueries {
         .select(col("cluster"), col("dim"),
           (col("sx").cast("double") / col("n") / lit(1048576.0)).as("centroid"),
           col("n").as("n_members"))
+        .orderBy(col("cluster"), col("dim"))
+    },
+
+    // ---- Full k-means FIT ([[graft.functions.KMeans.fit]]): Lloyd
+    // iterations from the label init until the assignment FIXPOINT (an
+    // exact, deterministic stop — assignments are exact integers, so
+    // "no vector moved" is a real condition, not a double-tolerance) or
+    // maxIter. Per iteration the corpus is read twice (assign +
+    // recompute) and shuffles only aggregate partials; cluster sums
+    // broadcast. No DuckDB oracle — a multi-round fixpoint is not
+    // SQL-expressible without a recursive CTE over the argmin — so the
+    // driver does the rows-only check and KMeansSpec carries the
+    // contract: iteration 1 ≡ the oracle-gated q_kmeans_step, the
+    // objective is non-increasing (Lloyd), and the fixpoint re-assigns
+    // to itself.
+    entryNoOracle("q_kmeans_fit") { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+        .select(col("vec_id"), col("label"), quantize("embedding").as("q"))
+      val fit = graft.functions.KMeans.fit(emb, maxIter = 5)
+      fit.clusters
+        .select(col("cl").as("cluster"), col("cn"),
+          posexplode(col("s")).as(Seq("p", "sx")))
+        .select(col("cluster"), (col("p") + 1).cast("long").as("dim"),
+          (col("sx").cast("double") / col("cn") / lit(1048576.0)).as("centroid"),
+          col("cn").as("n_members"),
+          lit(fit.iterations.toLong).as("n_iterations"),
+          lit(fit.converged).as("converged"))
         .orderBy(col("cluster"), col("dim"))
     },
 
