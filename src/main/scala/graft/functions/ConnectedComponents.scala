@@ -100,7 +100,7 @@ object ConnectedComponents {
         .select(col("a_root").as("u"), col("b_root").as("v"))
         .filter(col("u") =!= col("v"))
         .distinct()
-        .localCheckpoint(true)
+        .localCheckpoint(false) // lazy: the count below materializes it
       n = e2.count()
       m.unpersist()
       e.unpersist()

@@ -101,14 +101,19 @@ object KMeans {
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      val cs = clusterSums(e, asg.select(col("vec_id"), col("cl"))).localCheckpoint(true)
-      val next = assign(e, cs).localCheckpoint(true)
+      // LAZY checkpoints: the one stats action below computes (and
+      // thereby checkpoints) cs and next in a single job — eager
+      // checkpoints would spend three jobs per iteration on the same
+      // work. Unpersists follow the action, so nothing recomputes.
+      val cs = clusterSums(e, asg.select(col("vec_id"), col("cl"))).localCheckpoint(false)
+      val next = assign(e, cs).localCheckpoint(false)
       val prev = asg.select(col("vec_id").as("p_vec"), col("cl").as("p_cl"))
       val stats = next.join(prev, col("vec_id") === col("p_vec"))
         .agg(count(when(col("cl") =!= col("p_cl"), 1)).as("moved"),
           sum(col("d2n")).as("obj"))
         .head()
       obj ::= stats.getDouble(1)
+      cs.unpersist()
       asg.unpersist()
       asg = next
       iter += 1
