@@ -141,4 +141,19 @@ class PlanSpec extends SparkSpec {
     val scans = "Scan parquet".r.findAllIn(p).length
     assert(scans == 1, s"profile must be one wide agg over one scan, got $scans scans:\n$p")
   }
+
+  test("global-rank queries carry no partition-less window (single-reducer guard)") {
+    // q_user_segments and q_concentration went through one round of being
+    // single-reducer global windows; pin the distributed shape so a
+    // refactor can't quietly reintroduce `Window.orderBy` over the data
+    for (name <- Seq("q_user_segments", "q_concentration")) {
+      val p = plan(name)
+      val specs = p.linesIterator.filter(_.contains("windowspecdefinition(")).toSeq
+      assert(specs.nonEmpty, s"$name: expected the bucket-partitioned rank window:\n$p")
+      specs.foreach { l =>
+        assert(l.contains("windowspecdefinition(_graft_bkt#"),
+          s"$name: partition-less window found:\n$l")
+      }
+    }
+  }
 }
