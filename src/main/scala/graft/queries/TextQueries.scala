@@ -430,6 +430,48 @@ object TextQueries {
       topKRanked(pr, 15, "rk", col("n_docs").desc, col("ta").asc, col("tb").asc)
         .select(col("rk"), col("ta"), col("tb"), col("n_docs"))
         .orderBy(col("rk"))
+    },
+
+    // ---- BOILERPLATE detection (C4-style line dedup adapted to
+    // newline-free token streams): chop each document into fixed 3-token
+    // pseudo-sentences, count how many DISTINCT documents each one
+    // appears in, and flag chunks shared by ≥ 3 docs as boilerplate —
+    // headers, footers, navigation chrome, license blurbs in real
+    // corpora. Per-doc output: chunk count, boilerplate count, ratio (a
+    // curation filter input alongside q_text_quality). Scale shape: one
+    // narrow chunk explosion, one map-side-combined (chunk → distinct
+    // docs) aggregate whose result (shared chunks only) is small enough
+    // to broadcast back — the corpus is never self-joined; with a
+    // boilerplate list too big to broadcast this becomes one equi-join
+    // keyed on the chunk, still no n².
+    entry("q_boilerplate",
+      """WITH t AS (SELECT doc_id, string_split(text,' ') toks FROM documents),
+        | c AS (SELECT doc_id, unnest([array_to_string(toks[i*3+1:i*3+3],' ')
+        |        for i in generate_series(0, CAST(ceil(len(toks)/3.0) AS INT)-1)]) chunk FROM t),
+        | b AS (SELECT chunk FROM c GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 3),
+        | s AS (SELECT c.doc_id, COUNT(*) n_chunks,
+        |         COUNT(CASE WHEN b.chunk IS NOT NULL THEN 1 END) n_boiler
+        |       FROM c LEFT JOIN b USING (chunk) GROUP BY 1)
+        |SELECT doc_id, n_chunks, n_boiler,
+        |  CAST(n_boiler AS DOUBLE)/n_chunks AS boiler_ratio
+        |FROM s ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val c = Tables(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"), tokens("text").as("toks"))
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, CAST(ceil(size(toks)/3.0) AS INT) - 1), " +
+            "i -> array_join(slice(toks, i*3 + 1, 3), ' '))")).as("chunk"))
+      val boiler = c.groupBy(col("chunk").as("b_chunk"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 3)
+        .select(col("b_chunk"))
+      c.join(broadcast(boiler), col("chunk") === col("b_chunk"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          count(when(col("b_chunk").isNotNull, 1)).as("n_boiler"))
+        .select(col("doc_id"), col("n_chunks"), col("n_boiler"),
+          (col("n_boiler").cast("double") / col("n_chunks")).as("boiler_ratio"))
+        .orderBy(col("doc_id"))
     }
   )
 }
