@@ -44,8 +44,11 @@ import org.apache.spark.sql.functions._
   * component MINIMUM — the deterministic canonical survivor the dedup
   * contract wants, identical to what the recursive-CTE oracle computes.
   *
-  * Memory: one LongMap of ≤ 2·maxEdgesPerTask entries per task (~64 MB at
-  * the 4M default) — sized for executors, spill-free by construction.
+  * Memory: one open-addressed LongMap of ≤ 2·maxEdgesPerTask entries per
+  * task — two Long arrays at ~2× load factor ≈ 64·maxEdgesPerTask bytes,
+  * i.e. ~64 MB at the 1M-edge default — sized for executors, spill-free
+  * by construction; raise it when executors have headroom (fewer
+  * rounds), lower it for small executors.
   */
 object ConnectedComponents {
 
@@ -57,7 +60,7 @@ object ConnectedComponents {
     * executor loss mid-query fails the query (acceptable for a batch
     * operator — rerun) rather than silently recomputing nondeterministic
     * lineage. */
-  def labels(edges: DataFrame, maxEdgesPerTask: Long = 4L << 20): DataFrame = {
+  def labels(edges: DataFrame, maxEdgesPerTask: Long = 1L << 20): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     val cols = edges.columns
