@@ -71,7 +71,11 @@ object SimilarityQueries {
     // regardless of how unbalanced the cells are. At 100 TB the corpus
     // scan partitions BY
     // CELL (partition pruning on the probe list) — only probed cells are
-    // read at all.
+    // read at all. Measured recall@10 vs brute: 0.26 at sf0.001 / 0.38 at
+    // sf0.01 (AnnRecallSpec pins the floor) — near-uniform synthetic
+    // embeddings bound the expectation near nprobe/cells; raise nprobe
+    // (here AND in the oracle's `r <= 2`) to trade probe cost for recall
+    // on real clustered data.
     entry("q_knn_ivf",
       """WITH e AS (SELECT vec_id, label, [CAST(floor(CAST(x AS DOUBLE)*1048576.0) AS BIGINT) for x in embedding] q FROM embeddings),
         | nt AS (SELECT vec_id, x*x t FROM (SELECT vec_id, unnest(q) x FROM e)),
