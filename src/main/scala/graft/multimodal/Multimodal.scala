@@ -9,11 +9,17 @@ import org.apache.spark.sql.functions._
   * analog of PySpark's `mapInPandas` batch shape (one iterator per
   * partition, streaming through rows without materializing the partition).
   *
-  * The container ships no image/audio codecs, so the decode step is a
-  * DETERMINISTIC STUB — a byte-histogram "feature vector" and byte-slice
-  * "frames" — while everything Spark-side is real: binary columns, explicit
-  * schemas, partition-batched UDF signature, and downstream joins/aggs.
-  * Swap `decodeStub` for a real codec call and nothing else changes.
+  * The container ships no image/audio codec LIBRARIES, but two image
+  * formats need none: uncompressed 24-bit BMP and binary PPM (P6) parse
+  * with plain byte arithmetic, and [[Multimodal.decodeImage]] implements
+  * both for real (magic-sniffed; MultimodalSpec drives hand-built images
+  * through the full Spark path). Payloads that are not recognized
+  * images — including this repo's synthetic corpus — fall back to the
+  * DETERMINISTIC STUB (byte-histogram "features", byte-slice "frames"),
+  * so gate-query outputs are unchanged. Everything Spark-side is real
+  * either way: binary columns, explicit schemas, partition-batched UDF
+  * signature, downstream joins/aggs. A JPEG/PNG codec would slot into
+  * `decodeImage` and nothing else changes.
   *
   * Scale: narrow maps, no shuffle; binary payloads stay columnar in
   * parquet; feature vectors are small fixed-size arrays suitable for the
@@ -33,9 +39,107 @@ object Multimodal {
     hist
   }
 
+  /** A really-decoded image: dimensions + row-major top-down RGB bytes
+    * (3 per pixel). */
+  final case class DecodedImage(width: Int, height: Int, rgb: Array[Byte])
+
+  /** REAL image decode for the two codec-free formats, magic-sniffed:
+    * uncompressed 24-bit BMP ('BM', BITMAPINFOHEADER, biCompression=0)
+    * and binary PPM ('P6', maxval 255). Returns None for anything else
+    * (callers fall back to the stub), and None — never garbage — for
+    * truncated/malformed payloads of either format. */
+  def decodeImage(bytes: Array[Byte]): Option[DecodedImage] =
+    if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') decodeBmp(bytes)
+    else if (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6') decodePpm(bytes)
+    else None
+
+  private def le32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+
+  private def le16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+
+  private def decodeBmp(b: Array[Byte]): Option[DecodedImage] = {
+    if (b.length < 54) return None
+    val pixelOff = le32(b, 10)
+    val width = le32(b, 18)
+    val heightRaw = le32(b, 22)
+    val bpp = le16(b, 28)
+    val compression = le32(b, 30)
+    if (bpp != 24 || compression != 0 || width <= 0 || heightRaw == 0) return None
+    val height = math.abs(heightRaw)
+    val topDown = heightRaw < 0
+    val rowSize = ((24 * width + 31) / 32) * 4 // rows pad to 4 bytes
+    if (pixelOff < 54 || pixelOff.toLong + rowSize.toLong * height > b.length) return None
+    val out = new Array[Byte](width * height * 3)
+    var y = 0
+    while (y < height) {
+      val srcRow = if (topDown) y else height - 1 - y // stored bottom-up
+      var x = 0
+      while (x < width) {
+        val s = pixelOff + srcRow * rowSize + x * 3 // BGR on disk
+        val d = (y * width + x) * 3
+        out(d) = b(s + 2)
+        out(d + 1) = b(s + 1)
+        out(d + 2) = b(s)
+        x += 1
+      }
+      y += 1
+    }
+    Some(DecodedImage(width, height, out))
+  }
+
+  private def decodePpm(b: Array[Byte]): Option[DecodedImage] = {
+    // header: "P6" <ws> width <ws> height <ws> maxval <single ws> raw RGB;
+    // '#' comments run to end-of-line anywhere whitespace is allowed
+    var i = 2
+    def skipWs(): Unit = {
+      var go = true
+      while (go && i < b.length) {
+        val c = b(i).toChar
+        if (c == '#') { while (i < b.length && b(i) != '\n') i += 1 }
+        else if (c.isWhitespace) i += 1
+        else go = false
+      }
+    }
+    def readInt(): Option[Int] = {
+      skipWs()
+      val start = i
+      while (i < b.length && (b(i) >= '0' && b(i) <= '9')) i += 1
+      if (i == start || i - start > 9) None
+      else Some(new String(b, start, i - start, "US-ASCII").toInt)
+    }
+    for {
+      w <- readInt()
+      h <- readInt()
+      maxv <- readInt()
+      if w > 0 && h > 0 && maxv == 255 && i < b.length
+      _ = { i += 1 } // exactly one whitespace before the raster
+      if i.toLong + 3L * w * h <= b.length
+    } yield DecodedImage(w, h, java.util.Arrays.copyOfRange(b, i, i + 3 * w * h))
+  }
+
+  /** Luminance histogram of a decoded image over `dim` bins (integer
+    * BT.601 weights) — the "real decode" feature path. */
+  private[multimodal] def luminanceHist(img: DecodedImage, dim: Int): Array[Long] = {
+    val hist = new Array[Long](dim)
+    var p = 0
+    while (p < img.rgb.length) {
+      val lum = (299 * (img.rgb(p) & 0xff) + 587 * (img.rgb(p + 1) & 0xff) +
+        114 * (img.rgb(p + 2) & 0xff)) / 1000
+      hist(lum * dim / 256) += 1
+      p += 3
+    }
+    hist
+  }
+
   /** Feature extraction over a binary payload column, one output row per
-    * (item, feature-slot), normalized by payload length. Partition-batched:
-    * the lambda sees a whole partition's iterator (mapInPandas shape). */
+    * (item, feature-slot). Recognized images decode for REAL (luminance
+    * histogram over the pixels, normalized by pixel count); anything else
+    * takes the byte-histogram stub normalized by payload length.
+    * Partition-batched: the lambda sees a whole partition's iterator
+    * (mapInPandas shape). */
   def extractFeatures(df: DataFrame, idCol: String, payloadCol: String,
                       dim: Int = 16): Dataset[MediaFeature] = {
     val spark = df.sparkSession
@@ -44,8 +148,11 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.flatMap { case (id, bytes) =>
-          val n = math.max(bytes.length, 1)
-          decodeStub(bytes, dim).iterator.zipWithIndex.map { case (c, i) =>
+          val (hist, n) = decodeImage(bytes) match {
+            case Some(img) => (luminanceHist(img, dim), math.max(img.width * img.height, 1))
+            case None => (decodeStub(bytes, dim), math.max(bytes.length, 1))
+          }
+          hist.iterator.zipWithIndex.map { case (c, i) =>
             MediaFeature(id, i, c.toDouble / n)
           }
         }
@@ -54,9 +161,11 @@ object Multimodal {
 
   case class ResizedMedia(doc_id: Long, resized_len: Int, resized_md5: String)
 
-  /** RESIZE STUB: stands in for an image/audio resampler — keeps every
-    * `stride`-th byte of the payload (a real resizer swaps only the inner
-    * function; schema, batch shape, and downstream metadata stay fixed). */
+  /** Resize: recognized images get a REAL nearest-neighbor downscale by
+    * `stride` over pixels (output = row-major RGB of the ⌈w/stride⌉ ×
+    * ⌈h/stride⌉ image); other payloads keep every `stride`-th byte (the
+    * resampler stub). Schema, batch shape, and downstream metadata are
+    * identical either way. */
   def resize(df: DataFrame, idCol: String, payloadCol: String,
              stride: Int = 4): Dataset[ResizedMedia] = {
     val spark = df.sparkSession
@@ -66,7 +175,25 @@ object Multimodal {
       .mapPartitions { rows =>
         val md = java.security.MessageDigest.getInstance("MD5")
         rows.map { case (id, bytes) =>
-          val out = Array.range(0, bytes.length, stride).map(bytes(_))
+          val out = decodeImage(bytes) match {
+            case Some(img) =>
+              val w2 = (img.width + stride - 1) / stride
+              val h2 = (img.height + stride - 1) / stride
+              val o = new Array[Byte](w2 * h2 * 3)
+              var y = 0
+              while (y < h2) {
+                var x = 0
+                while (x < w2) {
+                  val s = ((y * stride) * img.width + x * stride) * 3
+                  val d = (y * w2 + x) * 3
+                  o(d) = img.rgb(s); o(d + 1) = img.rgb(s + 1); o(d + 2) = img.rgb(s + 2)
+                  x += 1
+                }
+                y += 1
+              }
+              o
+            case None => Array.range(0, bytes.length, stride).map(bytes(_))
+          }
           ResizedMedia(id, out.length, md.digest(out).map("%02x".format(_)).mkString)
         }
       }

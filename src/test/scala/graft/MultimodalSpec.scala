@@ -40,4 +40,66 @@ class MultimodalSpec extends SparkSpec {
     assert(back.schema("payload").dataType.typeName == "binary")
     assert(back.count() == 10)
   }
+
+  /** Hand-built 4×2 uncompressed 24-bit BMP: top row (255,0,0) (0,255,0)
+    * (0,0,255) (255,255,255), bottom row (0,0,0) (64,64,64) (128,128,128)
+    * (192,192,192); stored bottom-up, BGR, rows already 4-byte aligned. */
+  private def tinyBmp: Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(54 + 24).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(54 + 24)
+      .putShort(0).putShort(0).putInt(54) // reserved + pixel offset
+    bb.putInt(40).putInt(4).putInt(2).putShort(1).putShort(24)
+      .putInt(0).putInt(24).putInt(0).putInt(0).putInt(0).putInt(0)
+    def px(r: Int, g: Int, b: Int): Unit = // disk order is BGR
+      bb.put(b.toByte).put(g.toByte).put(r.toByte)
+    // bottom row first (bottom-up storage)
+    px(0, 0, 0); px(64, 64, 64); px(128, 128, 128); px(192, 192, 192)
+    px(255, 0, 0); px(0, 255, 0); px(0, 0, 255); px(255, 255, 255)
+    bb.array()
+  }
+
+  private def tinyPpm: Array[Byte] = {
+    val header = "P6\n# a comment\n2 2\n255\n".getBytes("US-ASCII")
+    val pixels = Array(255, 0, 0, 0, 255, 0, 0, 0, 255, 10, 20, 30).map(_.toByte)
+    header ++ pixels
+  }
+
+  test("real BMP decode: dimensions, top-down RGB order, comment-tolerant PPM") {
+    val bmp = Multimodal.decodeImage(tinyBmp).get
+    assert(bmp.width == 4 && bmp.height == 2)
+    // first decoded pixel must be the TOP-left (255,0,0), despite
+    // bottom-up BGR storage
+    assert((bmp.rgb(0) & 0xff, bmp.rgb(1) & 0xff, bmp.rgb(2) & 0xff) == ((255, 0, 0)))
+    assert((bmp.rgb(21) & 0xff, bmp.rgb(22) & 0xff, bmp.rgb(23) & 0xff) == ((192, 192, 192)))
+    val ppm = Multimodal.decodeImage(tinyPpm).get
+    assert(ppm.width == 2 && ppm.height == 2)
+    assert((ppm.rgb(9) & 0xff, ppm.rgb(10) & 0xff, ppm.rgb(11) & 0xff) == ((10, 20, 30)))
+    // garbage and truncations stay None, never garbage pixels
+    assert(Multimodal.decodeImage("not an image".getBytes).isEmpty)
+    assert(Multimodal.decodeImage(tinyBmp.take(40)).isEmpty)
+    assert(Multimodal.decodeImage(tinyPpm.take(10)).isEmpty)
+  }
+
+  test("recognized images take the real feature/resize path through Spark") {
+    val df = Seq((1L, tinyBmp), (2L, "plain bytes".getBytes)).toDF("doc_id", "payload")
+    val feats = Multimodal.extractFeatures(df, "doc_id", "payload", dim = 4)
+      .collect().groupBy(_.doc_id)
+    // BMP: luminance bins of the 8 known pixels, normalized by PIXELS.
+    // BT.601 lums: 76,149,29,255 / 0,64,128,192 → bins (lum*4/256):
+    // {29,0}→0, {76,64}→1, {149,128}→2, {255,192}→3 — two each
+    val expect = Array(2, 2, 2, 2).map(_ / 8.0)
+    val got = feats(1L).sortBy(_.feat_idx).map(_.feat_value)
+    assert(got.toSeq == expect.toSeq, got.mkString(","))
+    // the stub path still normalizes by byte length
+    assert(math.abs(feats(2L).map(_.feat_value).sum - 1.0) < 1e-9)
+    // resize: stride 2 on the 4×2 BMP → 2×1 RGB = 6 bytes, top-left and
+    // top-third pixels survive
+    val rz = Multimodal.resize(df, "doc_id", "payload", stride = 2)
+      .collect().map(r => r.doc_id -> r).toMap
+    assert(rz(1L).resized_len == 6)
+    val expectBytes = Array(255, 0, 0, 0, 0, 255).map(_.toByte)
+    val expectMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(expectBytes).map("%02x".format(_)).mkString
+    assert(rz(1L).resized_md5 == expectMd5)
+  }
 }
