@@ -71,7 +71,9 @@ object SimilarityQueries {
     // regardless of how unbalanced the cells are. At 100 TB the corpus
     // scan partitions BY
     // CELL (partition pruning on the probe list) — only probed cells are
-    // read at all. Measured recall@10 vs brute: 0.26 at sf0.001 / 0.38 at
+    // read at all; AnnStorageSpec PROVES that layout (cell-partitioned
+    // parquet + probe-list filter → pruned partition listing = probe
+    // list, nothing else listed). Measured recall@10 vs brute: 0.26 at sf0.001 / 0.38 at
     // sf0.01 (AnnRecallSpec pins the floor) — near-uniform synthetic
     // embeddings bound the expectation near nprobe/cells; raise nprobe
     // (here AND in the oracle's `r <= 2`) to trade probe cost for recall
