@@ -99,15 +99,18 @@ object Sketches {
     * percentiles).
     */
   final case class QuantileSketch(k: Int, qs: Seq[Double])
-      extends Aggregator[Double, QSketchState, Array[Double]] {
+      extends Aggregator[java.lang.Double, QSketchState, Array[Double]] {
     require(k >= 8, "compactor capacity k must be >= 8")
     require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0))
     private val cap = 2 * k
 
     override def zero: QSketchState = QSketchState(Vector(Vector.empty), 0L)
 
-    override def reduce(s: QSketchState, x: Double): QSketchState =
-      compact(QSketchState(s.levels.updated(0, s.levels(0) :+ x), s.flips))
+    // boxed input: a primitive Double would decode SQL NULL as 0.0 and
+    // COUNT it — SQL aggregates skip nulls, and so does this one
+    override def reduce(s: QSketchState, x: java.lang.Double): QSketchState =
+      if (x == null) s
+      else compact(QSketchState(s.levels.updated(0, s.levels(0) :+ x.doubleValue), s.flips))
 
     override def merge(a: QSketchState, b: QSketchState): QSketchState = {
       val n = math.max(a.levels.length, b.levels.length)

@@ -251,7 +251,7 @@ object IngestPipeline {
         (shard: Int, rows: Iterator[Double],
          state: GroupState[(Long, graft.functions.Sketches.QSketchState)]) =>
           val (seq, prev) = state.getOption.getOrElse((0L, qsk.zero))
-          val cur = rows.foldLeft(prev)(qsk.reduce)
+          val cur = rows.foldLeft(prev)((st, v) => qsk.reduce(st, v))
           state.update((seq + 1, cur))
           (shard, seq + 1, cur)
       }

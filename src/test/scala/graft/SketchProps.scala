@@ -85,7 +85,7 @@ object SketchProps extends Properties("graft.sketches") {
       val chunks = (0 +: bounds).zip(bounds).collect {
         case (a, b) if b > a => data.slice(a, b)
       }
-      val sketches = chunks.map(_.foldLeft(agg.zero)(agg.reduce))
+      val sketches = chunks.map(_.foldLeft(agg.zero)((st, v) => agg.reduce(st, v)))
       val merged = new scala.util.Random(seed).shuffle(sketches)
         .foldLeft(agg.zero)(agg.merge)
       val est = agg.finish(merged)
@@ -106,7 +106,7 @@ object SketchProps extends Properties("graft.sketches") {
         case (a, b) if b > a => data.slice(a, b)
       }
       val merged = new scala.util.Random(seed)
-        .shuffle(chunks.map(_.foldLeft(agg.zero)(agg.reduce)))
+        .shuffle(chunks.map(_.foldLeft(agg.zero)((st, v) => agg.reduce(st, v))))
         .foldLeft(agg.zero)(agg.merge)
       val weight = merged.levels.zipWithIndex
         .map { case (lvl, i) => lvl.length.toLong << i }.sum
@@ -116,7 +116,7 @@ object SketchProps extends Properties("graft.sketches") {
   property("quantile sketch: exact below the first compaction") =
     Prop.forAll(Gen.listOfN(30, Gen.choose(-1000, 1000).map(_.toDouble))) { xs =>
       val agg = QuantileSketch(16, QS) // cap 32 > 30 items -> never compacts
-      val est = agg.finish(xs.foldLeft(agg.zero)(agg.reduce))
+      val est = agg.finish(xs.foldLeft(agg.zero)((st, v) => agg.reduce(st, v)))
       val sorted = xs.toVector.sorted
       xs.isEmpty || QS.zip(est).forall { case (q, e) =>
         e == sorted(math.max(1, math.ceil(q * xs.length).toInt) - 1)

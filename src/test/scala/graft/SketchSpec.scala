@@ -26,6 +26,16 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("sketch percentile skips SQL NULLs like every other aggregate") {
+    import spark.implicits._
+    val df = Seq(Some(1.0), None, Some(3.0), Some(5.0), None).toDF("x")
+    val med = df.agg(Sketches.quantileSketch(16, Seq(0.5))($"x"))
+      .head().getSeq[Double](0).head
+    // {1,3,5} median — a primitive-input aggregator would decode the
+    // nulls as 0.0, count them, and answer 1.0
+    assert(med == 3.0, s"nulls were counted: median = $med")
+  }
+
   test("sketch percentile lands within 2% rank error of the exact data, per group") {
     import spark.implicits._
     val qs = Seq(0.25, 0.5, 0.9)
