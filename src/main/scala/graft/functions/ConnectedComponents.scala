@@ -79,7 +79,10 @@ object ConnectedComponents {
     var w = width(spark, n, maxEdgesPerTask)
     var lab: DataFrame = null
     while (n > 0) {
-      val contracted = e.repartition(w, col("u"))
+      // hash on BOTH endpoints: union-find needs no key locality, and
+      // hashing on u alone would hand a hub node's entire edge set to one
+      // task, voiding the per-task memory bound
+      val contracted = e.repartition(w, col("u"), col("v"))
         .as[(Long, Long)].mapPartitions(localUnionFind)
         .toDF("node", "root")
       val m = contracted.groupBy($"node").agg(min($"root").as("root")).persist()

@@ -40,32 +40,49 @@ import org.apache.spark.sql.functions._
   */
 object Ranking {
 
-  private val bkt = "_graft_bkt"
-  private val li = "_graft_li"
-  private val cnt = "_graft_cnt"
-  private val off = "_graft_off"
+  /** Internal column names, deterministically renamed away from any
+    * collision with the caller's columns (a fixed name would silently
+    * overwrite and then drop a same-named user column). Deterministic —
+    * not UUIDs — so plans and EXPLAIN dumps stay stable run to run. */
+  private final case class Cols(bkt: String, li: String, cnt: String,
+                                off: String, bnds: String, gi: String,
+                                tot: String, q: String, r: String, th: String)
+
+  private val baseNames = Seq("_graft_bkt", "_graft_li", "_graft_cnt",
+    "_graft_off", "_graft_bounds", "_graft_gi", "_graft_n", "_graft_q",
+    "_graft_r", "_graft_th")
+
+  private def internalCols(df: DataFrame): Cols = {
+    val taken = df.columns.toSet
+    val sfx = Iterator.from(0)
+      .map(i => if (i == 0) "" else s"_$i")
+      .find(s => !baseNames.exists(n => taken(n + s) || taken(n + s + "_lo")))
+      .get
+    Cols(s"_graft_bkt$sfx", s"_graft_li$sfx", s"_graft_cnt$sfx",
+      s"_graft_off$sfx", s"_graft_bounds$sfx", s"_graft_gi$sfx",
+      s"_graft_n$sfx", s"_graft_q$sfx", s"_graft_r$sfx", s"_graft_th$sfx")
+  }
 
   /** The shared two-pass core: (locally-ranked frame with bucket +
-    * local-rank columns, B-row per-bucket (bkt, cnt, off) frame).
-    * Pass 1 is the narrow boundary-sampling aggregate (column-pruned to
-    * the primary key — the same extra pass RangePartitioner's sampler
-    * pays); pass 2 is the ranking itself. */
+    * local-rank columns, B-row per-bucket (bkt, cnt, off) frame, the
+    * internal names in use). Pass 1 is the narrow boundary-sampling
+    * aggregate; pass 2 is the ranking itself. */
   private def rankedParts(df: DataFrame, primary: Column, primaryAsc: Boolean,
-                          order: Seq[Column], buckets: Int): (DataFrame, DataFrame) = {
+                          order: Seq[Column], buckets: Int): (DataFrame, DataFrame, Cols) = {
     require(buckets > 1, "buckets must exceed 1 — otherwise use Window.orderBy directly")
-    val bnds = "_graft_bounds"
+    val c = internalCols(df)
     val probs = (1 until buckets).map(i => i.toDouble / buckets)
     val bounds = df.agg(
-      percentile_approx(primary, array(probs.map(lit): _*), lit(10000)).as(bnds))
+      percentile_approx(primary, array(probs.map(lit): _*), lit(10000)).as(c.bnds))
     // bucket = how many boundaries the row has passed, counted in sort
     // direction — all ties on a boundary value collapse into one bucket
     // (strict comparison), which only affects balance, never rank.
     val cmp: Column => Column = b => if (primaryAsc) b < primary else b > primary
     val withB = df.crossJoin(broadcast(bounds))
-      .withColumn(bkt, size(filter(col(bnds), cmp)))
-      .drop(bnds)
-    val local = withB.withColumn(li,
-      row_number().over(Window.partitionBy(col(bkt)).orderBy(order: _*)).cast("long"))
+      .withColumn(c.bkt, size(filter(col(c.bnds), cmp)))
+      .drop(c.bnds)
+    val local = withB.withColumn(c.li,
+      row_number().over(Window.partitionBy(col(c.bkt)).orderBy(order: _*)).cast("long"))
     // bucket offsets: offset(b) = Σ counts of strictly-lower buckets,
     // computed as a B×B triangle join over the B-row counts frame (B =
     // `buckets` ≤ a few dozen) — deliberately NOT a cumulative window,
@@ -73,12 +90,12 @@ object Ranking {
     // this helper exists to eliminate (Spark 4's
     // EliminateWindowPartitions folds away a constant PARTITION BY, so
     // there is no way to declare one bounded)
-    val counts = withB.groupBy(col(bkt)).agg(count(lit(1)).as(cnt))
-    val lower = counts.select(col(bkt).as(s"${bkt}_lo"), col(cnt).as(s"${cnt}_lo"))
-    val offs = counts.join(lower, col(s"${bkt}_lo") < col(bkt), "left")
-      .groupBy(col(bkt), col(cnt))
-      .agg(coalesce(sum(col(s"${cnt}_lo")), lit(0L)).as(off))
-    (local, offs)
+    val counts = withB.groupBy(col(c.bkt)).agg(count(lit(1)).as(c.cnt))
+    val lower = counts.select(col(c.bkt).as(s"${c.bkt}_lo"), col(c.cnt).as(s"${c.cnt}_lo"))
+    val offs = counts.join(lower, col(s"${c.bkt}_lo") < col(c.bkt), "left")
+      .groupBy(col(c.bkt), col(c.cnt))
+      .agg(coalesce(sum(col(s"${c.cnt}_lo")), lit(0L)).as(c.off))
+    (local, offs, c)
   }
 
   /** Append a 1-based global `row_number` (long) over the total order
@@ -88,10 +105,10 @@ object Ranking {
   def withGlobalRowNumber(df: DataFrame, primary: Column, primaryAsc: Boolean,
                           order: Seq[Column], out: String,
                           buckets: Int = 32): DataFrame = {
-    val (local, offs) = rankedParts(df, primary, primaryAsc, order, buckets)
-    local.join(broadcast(offs.select(col(bkt), col(off))), bkt)
-      .withColumn(out, col(li) + col(off))
-      .drop(bkt, li, off)
+    val (local, offs, c) = rankedParts(df, primary, primaryAsc, order, buckets)
+    local.join(broadcast(offs.select(col(c.bkt), col(c.off))), c.bkt)
+      .withColumn(out, col(c.li) + col(c.off))
+      .drop(c.bkt, c.li, c.off)
   }
 
   /** Append a 1-based `NTILE(k)`-equivalent bucket (int) over the total
@@ -102,30 +119,28 @@ object Ranking {
                       order: Seq[Column], out: String,
                       buckets: Int = 32): DataFrame = {
     require(k > 0)
-    val gi = "_graft_gi"
-    val tot = "_graft_n"
-    val (local, offs) = rankedParts(df, primary, primaryAsc, order, buckets)
-    val ranked = local.join(broadcast(offs.select(col(bkt), col(off))), bkt)
-      .withColumn(gi, col(li) + col(off))
-      .drop(bkt, li, off)
+    val (local, offs, c) = rankedParts(df, primary, primaryAsc, order, buckets)
+    val ranked = local.join(broadcast(offs.select(col(c.bkt), col(c.off))), c.bkt)
+      .withColumn(c.gi, col(c.li) + col(c.off))
+      .drop(c.bkt, c.li, c.off)
     // total row count comes from the B-row offsets frame — deriving it
     // from `df` again would re-aggregate the corpus under a different
     // column pruning (no exchange reuse): a third pass for one number
-    val total = offs.agg(sum(col(cnt)).as(tot))
+    val total = offs.agg(sum(col(c.cnt)).as(c.tot))
     // all-integer arithmetic (DIV, never `/` — Column./ is double division):
     // q = small-tile size, r = number of (q+1)-row large tiles, th = rows
     // covered by the large tiles; greatest(q,1) guards the n < k case
     // (where every row satisfies the first branch anyway).
     ranked.crossJoin(broadcast(total))
-      .withColumn("_graft_q", expr(s"$tot DIV $k"))
-      .withColumn("_graft_r", col(tot) % k)
-      .withColumn("_graft_th", (col("_graft_q") + 1) * col("_graft_r"))
+      .withColumn(c.q, expr(s"${c.tot} DIV $k"))
+      .withColumn(c.r, col(c.tot) % k)
+      .withColumn(c.th, (col(c.q) + 1) * col(c.r))
       .withColumn(out,
-        when(col(gi) <= col("_graft_th"),
-          expr(s"($gi + _graft_q) DIV (_graft_q + 1)"))
-          .otherwise(col("_graft_r") +
-            expr(s"($gi - _graft_th + _graft_q - 1) DIV greatest(_graft_q, 1)"))
+        when(col(c.gi) <= col(c.th),
+          expr(s"(${c.gi} + ${c.q}) DIV (${c.q} + 1)"))
+          .otherwise(col(c.r) +
+            expr(s"(${c.gi} - ${c.th} + ${c.q} - 1) DIV greatest(${c.q}, 1)"))
           .cast("int"))
-      .drop(gi, tot, "_graft_q", "_graft_r", "_graft_th")
+      .drop(c.gi, c.tot, c.q, c.r, c.th)
   }
 }

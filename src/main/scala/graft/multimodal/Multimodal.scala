@@ -68,17 +68,25 @@ object Multimodal {
     val bpp = le16(b, 28)
     val compression = le32(b, 30)
     if (bpp != 24 || compression != 0 || width <= 0 || heightRaw == 0) return None
-    val height = math.abs(heightRaw)
+    val height = math.abs(heightRaw.toLong)
     val topDown = heightRaw < 0
-    val rowSize = ((24 * width + 31) / 32) * 4 // rows pad to 4 bytes
-    if (pixelOff < 54 || pixelOff.toLong + rowSize.toLong * height > b.length) return None
-    val out = new Array[Byte](width * height * 3)
+    // ALL size arithmetic in Long: a hostile declared width would wrap
+    // int32 (24*width, width*height*3), slip past the bounds check, and
+    // crash the allocation instead of returning None; the payload-length
+    // bound below also caps the output allocation at ~|payload|
+    val rowSize = ((24L * width + 31) / 32) * 4 // rows pad to 4 bytes
+    if (pixelOff < 54 || pixelOff.toLong + rowSize * height > b.length) return None
+    // past the bound, rowSize*height <= |payload| implies width*height*3
+    // and height both fit comfortably in Int
+    val h = height.toInt
+    val rs = rowSize.toInt
+    val out = new Array[Byte](width * h * 3)
     var y = 0
-    while (y < height) {
-      val srcRow = if (topDown) y else height - 1 - y // stored bottom-up
+    while (y < h) {
+      val srcRow = if (topDown) y else h - 1 - y // stored bottom-up
       var x = 0
       while (x < width) {
-        val s = pixelOff + srcRow * rowSize + x * 3 // BGR on disk
+        val s = pixelOff + srcRow * rs + x * 3 // BGR on disk
         val d = (y * width + x) * 3
         out(d) = b(s + 2)
         out(d + 1) = b(s + 1)
@@ -87,7 +95,7 @@ object Multimodal {
       }
       y += 1
     }
-    Some(DecodedImage(width, height, out))
+    Some(DecodedImage(width, h, out))
   }
 
   private def decodePpm(b: Array[Byte]): Option[DecodedImage] = {
@@ -114,8 +122,11 @@ object Multimodal {
       w <- readInt()
       h <- readInt()
       maxv <- readInt()
-      if w > 0 && h > 0 && maxv == 255 && i < b.length
-      _ = { i += 1 } // exactly one whitespace before the raster
+      // the byte after maxval must BE whitespace (a CRLF-written header
+      // would otherwise shift the raster by one byte — garbage pixels,
+      // not a detected failure)
+      if w > 0 && h > 0 && maxv == 255 && i < b.length && b(i).toChar.isWhitespace
+      _ = { i += 1 } // consume exactly that one whitespace
       if i.toLong + 3L * w * h <= b.length
     } yield DecodedImage(w, h, java.util.Arrays.copyOfRange(b, i, i + 3 * w * h))
   }

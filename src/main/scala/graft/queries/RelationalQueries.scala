@@ -1073,7 +1073,10 @@ object RelationalQueries {
       val wy = Window.partitionBy($"lang").orderBy($"n_tok", $"doc_id")
       val rk = Tables(s, dir, "documents")
         .select($"doc_id", $"lang", $"n_chars", size(tokens("text")).cast("long").as("n_tok"))
-        .select($"lang", rank().over(wx).as("rx"), rank().over(wy).as("ry"))
+        // rank() yields IntegerType — widen to long BEFORE any product,
+        // or rx*ry would overflow int32 at ~46K docs/group
+        .select($"lang", rank().over(wx).cast("long").as("rx"),
+          rank().over(wy).cast("long").as("ry"))
       val m = rk.groupBy($"lang")
         .agg(count(lit(1)).as("n"),
           sum($"rx".cast(Exact.Moment)).as("sx"), sum($"ry".cast(Exact.Moment)).as("sy"),

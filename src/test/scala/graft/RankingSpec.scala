@@ -67,6 +67,25 @@ class RankingSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("user columns named like the internals survive untouched") {
+    import spark.implicits._
+    val d = rows.map { case (k, id) => (k, id, s"keep-$id") }
+      .toDF("k", "id", "_graft_bkt").repartition(4)
+    val out = Ranking.withGlobalRowNumber(d, col("k"), primaryAsc = true,
+      Seq(col("k"), col("id")), "i", buckets = 8)
+    assert(out.columns.contains("_graft_bkt"), out.columns.mkString(","))
+    val kept = out.select("id", "_graft_bkt").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(kept.forall { case (id, v) => v == s"keep-$id" },
+      "internal bucketing clobbered the user's _graft_bkt column")
+    // and the rank itself is still correct
+    val want = d.withColumn("i",
+        row_number().over(Window.orderBy(col("k"), col("id"))).cast("long"))
+      .select("id", "i").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = out.select("id", "i").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === want)
+  }
+
   test("all-equal primary keys still rank correctly (single bucket)") {
     val d = df((1L to 100L).map(i => (42L, i)))
     val got = Ranking.withGlobalRowNumber(d, col("k"), primaryAsc = true,
