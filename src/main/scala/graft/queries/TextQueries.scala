@@ -472,6 +472,54 @@ object TextQueries {
         .select(col("doc_id"), col("n_chunks"), col("n_boiler"),
           (col("n_boiler").cast("double") / col("n_chunks")).as("boiler_ratio"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- Boilerplate REMOVAL — the transformation the detection above
+    // feeds (C4 drops the shared lines; we drop the shared chunks and
+    // reassemble what remains in original order). Reassembly is
+    // inherently doc-local, so the per-doc collect_list is bounded by a
+    // single document's length — never corpus-shaped state; the shared-
+    // chunk index broadcasts exactly as in q_boilerplate. Documents
+    // whose every chunk is boilerplate surface with cleaned_chars = 0
+    // rather than vanishing.
+    entry("q_boilerplate_clean",
+      """WITH t AS (SELECT doc_id, string_split(text,' ') toks FROM documents),
+        | ch AS (SELECT doc_id, [array_to_string(toks[i*3+1:i*3+3],' ')
+        |        for i in generate_series(0, CAST(ceil(len(toks)/3.0) AS INT)-1)] chunks FROM t),
+        | c AS (SELECT doc_id, generate_subscripts(chunks,1) pos, unnest(chunks) chunk FROM ch),
+        | b AS (SELECT chunk FROM c GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 3),
+        | kept AS (SELECT c.doc_id, c.pos, c.chunk FROM c LEFT JOIN b USING (chunk) WHERE b.chunk IS NULL),
+        | agg AS (SELECT doc_id, COUNT(*) n_kept,
+        |           length(array_to_string(list(chunk ORDER BY pos), ' ')) cleaned_chars
+        |         FROM kept GROUP BY 1),
+        | tot AS (SELECT doc_id, COUNT(*) n_chunks FROM c GROUP BY 1)
+        |SELECT tot.doc_id, tot.n_chunks,
+        |  COALESCE(agg.n_kept, 0) AS n_kept,
+        |  CAST(COALESCE(agg.cleaned_chars, 0) AS BIGINT) AS cleaned_chars
+        |FROM tot LEFT JOIN agg ON tot.doc_id = agg.doc_id
+        |ORDER BY tot.doc_id""".stripMargin) { (s, dir) =>
+      val c = Tables(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"), tokens("text").as("toks"))
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(0, CAST(ceil(size(toks)/3.0) AS INT) - 1), " +
+            "i -> array_join(slice(toks, i*3 + 1, 3), ' '))")).as(Seq("pos", "chunk")))
+      val boiler = c.groupBy(col("chunk").as("b_chunk"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 3)
+        .select(col("b_chunk"))
+      val kept = c.join(broadcast(boiler), col("chunk") === col("b_chunk"), "left_anti")
+      val agg = kept.groupBy(col("doc_id").as("a_doc"))
+        .agg(count(lit(1)).as("n_kept"),
+          length(array_join(expr(
+            "transform(array_sort(collect_list(struct(pos, chunk))), t -> t.chunk)"),
+            " ")).cast("long").as("cleaned_chars"))
+      val tot = c.groupBy(col("doc_id")).agg(count(lit(1)).as("n_chunks"))
+      tot.join(agg, col("doc_id") === col("a_doc"), "left")
+        .select(col("doc_id"), col("n_chunks"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("cleaned_chars"), lit(0L)).as("cleaned_chars"))
+        .orderBy(col("doc_id"))
     }
   )
 }
