@@ -112,7 +112,10 @@ object KMeans {
         .agg(count(when(col("cl") =!= col("p_cl"), 1)).as("moved"),
           sum(col("d2n")).as("obj"))
         .head()
-      obj ::= stats.getDouble(1)
+      // empty input: sum(d2n) aggregates to NULL (SQL semantics) — read
+      // it as a zero objective instead of NPEing; moved=0 then ends the
+      // loop at the fixpoint with well-formed empty frames
+      obj ::= (if (stats.isNullAt(1)) 0.0 else stats.getDouble(1))
       cs.unpersist()
       asg.unpersist()
       asg = next

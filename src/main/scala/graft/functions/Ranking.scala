@@ -13,30 +13,45 @@ import org.apache.spark.sql.functions._
   * classic two-phase alternative:
   *
   *   1. bucket rows by VALUE — `approx_percentile` boundaries of the
-  *      primary sort key, broadcast, bucket = #boundaries beyond the row
-  *      (a pure function of the row, so every branch of the plan assigns
-  *      identical buckets — no reliance on a sampled partitioner agreeing
-  *      with itself across executions);
+  *      primary sort key, collected to the driver and re-shipped as a
+  *      LITERAL (the exact round-trip Spark's own RangePartitioner makes
+  *      for its sampled bounds); bucket = #boundaries beyond the row, a
+  *      pure function of the row, so every job sees identical buckets;
   *   2. rank locally inside each bucket (`row_number` over PARTITION BY
   *      bucket — B reducers, each holding ~1/B of the rows);
-  *   3. add each bucket's global offset (the summed size of all lower
-  *      buckets — a B×B triangle join over the B-row counts frame,
-  *      broadcast back; NOT a cumulative window, so no unpartitioned
-  *      WindowExec anywhere in the plan).
+  *   3. add each bucket's global offset. The per-bucket counts frame is
+  *      bounded BY CONFIGURATION (≤ B·(B+1) rows however big the data),
+  *      so it too collects to the driver; offsets, and NTILE's total,
+  *      come back as one literal map + constants — no triangle join, no
+  *      broadcast exchanges, no second aggregation of the input.
   *
   * Every remaining single-task structure is bounded by `buckets`
   * (default 32) — by configuration, not by data.
-  * Cost shape: TWO passes over the input — a narrow boundary-sampling
-  * aggregate (column-pruned to the primary key; the same extra pass
-  * RangePartitioner's sampler pays) and the ranking pass, whose two
-  * references (rank window, bucket counts) share their exchange via
-  * AQE reuse. NTILE's total row count derives from the B-row counts
-  * frame, never from a third aggregation of the input.
+  * Cost shape: the input subtree (typically itself a per-key aggregate of
+  * the corpus) is LAZILY `localCheckpoint`ed, so the corpus-side work is
+  * paid exactly once no matter how many jobs consume it — the boundary
+  * sample, the counts pass, and the ranking pass all re-read the
+  * checkpointed partitions. (Round-6 plans without the checkpoint
+  * recomputed the aggregate 4×: 8 scans of the fact table for one
+  * NTILE.) Note the builders are therefore EAGER — they run two bounded
+  * driver actions while assembling the frame, the same contract as any
+  * sampled-sort/RangePartitioner pipeline.
   *
-  * Caveats: `primary` must be non-null; rows that tie on `primary` all
-  * land in one bucket (bucketing can only see the primary key), so a key
-  * with a billion identical values still needs the salting treatment —
-  * same limitation as any range partitioner.
+  * Ties: `primary` must be non-null; rows that tie on `primary` all land
+  * in one bucket (bucketing can only see the primary key). A key with a
+  * dominant value — 90% constant, a billion identical primaries — would
+  * funnel those rows through one reducer, the same failure mode as any
+  * range partitioner. The escape hatch is `salt`: pass the SECOND sort
+  * expression (which must be numeric, non-null, and ascending in `order`
+  * immediately after `primary`) and every value that spans ≥ 1/B of the
+  * distribution (detected as a repeated boundary) is sub-bucketed by
+  * that expression's own quantile boundaries — exact global ranks, still
+  * no reducer holding more than ~1/B of the rows. Correctness of the
+  * composite blocks: a heavy value v occupies its boundary-count bucket
+  * together only with rows strictly BEFORE it in sort order (rows past v
+  * have passed ≥ 2 more boundaries — v's own repeats), so (bucket, 0) <
+  * (bucket, 1..B) blocks stay contiguous in the global order, and two
+  * heavy values can never share a bucket.
   */
 object Ranking {
 
@@ -44,103 +59,141 @@ object Ranking {
     * collision with the caller's columns (a fixed name would silently
     * overwrite and then drop a same-named user column). Deterministic —
     * not UUIDs — so plans and EXPLAIN dumps stay stable run to run. */
-  private final case class Cols(bkt: String, li: String, cnt: String,
-                                off: String, bnds: String, gi: String,
-                                tot: String, q: String, r: String, th: String)
+  private final case class Cols(bkt: String, sub: String, li: String, gi: String)
 
-  private val baseNames = Seq("_graft_bkt", "_graft_li", "_graft_cnt",
-    "_graft_off", "_graft_bounds", "_graft_gi", "_graft_n", "_graft_q",
-    "_graft_r", "_graft_th")
+  private val baseNames = Seq("_graft_bkt", "_graft_sub", "_graft_li", "_graft_gi")
 
   private def internalCols(df: DataFrame): Cols = {
     val taken = df.columns.toSet
     val sfx = Iterator.from(0)
       .map(i => if (i == 0) "" else s"_$i")
-      .find(s => !baseNames.exists(n => taken(n + s) || taken(n + s + "_lo")))
+      .find(s => !baseNames.exists(n => taken(n + s)))
       .get
-    Cols(s"_graft_bkt$sfx", s"_graft_li$sfx", s"_graft_cnt$sfx",
-      s"_graft_off$sfx", s"_graft_bounds$sfx", s"_graft_gi$sfx",
-      s"_graft_n$sfx", s"_graft_q$sfx", s"_graft_r$sfx", s"_graft_th$sfx")
+    Cols(s"_graft_bkt$sfx", s"_graft_sub$sfx", s"_graft_li$sfx", s"_graft_gi$sfx")
   }
 
-  /** The shared two-pass core: (locally-ranked frame with bucket +
-    * local-rank columns, B-row per-bucket (bkt, cnt, off) frame, the
-    * internal names in use). Pass 1 is the narrow boundary-sampling
-    * aggregate; pass 2 is the ranking itself. */
+  /** The shared core: (locally-ranked frame carrying bucket + sub-bucket
+    * + local-rank columns, the global-offset expression for those
+    * columns, the total row count, the internal names). Runs two bounded
+    * driver actions (boundary sample; per-bucket counts) against the
+    * lazily-checkpointed input. */
   private def rankedParts(df: DataFrame, primary: Column, primaryAsc: Boolean,
-                          order: Seq[Column], buckets: Int): (DataFrame, DataFrame, Cols) = {
+                          order: Seq[Column], buckets: Int,
+                          salt: Option[Column]): (DataFrame, Column, Long, Cols) = {
     require(buckets > 1, "buckets must exceed 1 — otherwise use Window.orderBy directly")
     val c = internalCols(df)
+    // LAZY checkpoint (same discipline as KMeans.fit): materialized by
+    // the first action below, then the counts job and the ranking job
+    // re-read the stored partitions instead of re-running the input
+    // lineage. Without it, round-6 plans evaluated the subtree 4×.
+    val in = df.localCheckpoint(eager = false)
     val probs = (1 until buckets).map(i => i.toDouble / buckets)
-    val bounds = df.agg(
-      percentile_approx(primary, array(probs.map(lit): _*), lit(10000)).as(c.bnds))
+    // accuracy 2000: boundary precision only moves bucket BALANCE (±n/2000
+    // rows per bucket), never a rank — the bucket test is a pure function
+    // of the row; 10000 measurably slowed the summary merge for nothing
+    val boundsRow = in.agg(
+      percentile_approx(primary, array(probs.map(lit): _*), lit(2000))).head()
+    val boundVals: Seq[Any] =
+      if (boundsRow.isNullAt(0)) Seq.empty else boundsRow.getSeq[Any](0)
     // bucket = how many boundaries the row has passed, counted in sort
     // direction — all ties on a boundary value collapse into one bucket
     // (strict comparison), which only affects balance, never rank.
     val cmp: Column => Column = b => if (primaryAsc) b < primary else b > primary
-    val withB = df.crossJoin(broadcast(bounds))
-      .withColumn(c.bkt, size(filter(col(c.bnds), cmp)))
-      .drop(c.bnds)
+    val bktExpr =
+      if (boundVals.isEmpty) lit(0) // empty input (or 1 distinct value)
+      else size(filter(array(boundVals.map(lit): _*), cmp))
+    val base = in.withColumn(c.bkt, bktExpr)
+    val withB = salt match {
+      case None => base.withColumn(c.sub, lit(0))
+      case Some(sc) =>
+        // heavy values = repeated boundaries (each repeat ≈ 1/B of the
+        // distribution); their rows sub-bucket by the salt expression's
+        // own per-value quantile boundaries — one extra filtered sample
+        // job over the checkpoint, only when heavy values exist.
+        val heavy = boundVals.groupBy(identity)
+          .collect { case (v, occ) if occ.size >= 2 => v }.toSeq
+        if (heavy.isEmpty) base.withColumn(c.sub, lit(0))
+        else {
+          val sb = in.filter(primary.isin(heavy: _*))
+            .groupBy(primary.as(c.bkt)) // name irrelevant, immediately collected
+            .agg(percentile_approx(sc, array(probs.map(lit): _*), lit(2000)))
+            .collect()
+            .map(r => r.get(0) -> r.getSeq[Any](1)).toMap
+          val subExpr = heavy.foldLeft(lit(0): Column) { (acc, v) =>
+            when(primary === lit(v),
+              size(filter(array(sb.getOrElse(v, Seq.empty).map(lit): _*),
+                b => b < sc)) + 1)
+              .otherwise(acc)
+          }
+          base.withColumn(c.sub, subExpr)
+        }
+    }
     val local = withB.withColumn(c.li,
-      row_number().over(Window.partitionBy(col(c.bkt)).orderBy(order: _*)).cast("long"))
-    // bucket offsets: offset(b) = Σ counts of strictly-lower buckets,
-    // computed as a B×B triangle join over the B-row counts frame (B =
-    // `buckets` ≤ a few dozen) — deliberately NOT a cumulative window,
-    // which would be the very unpartitioned single-reducer WindowExec
-    // this helper exists to eliminate (Spark 4's
-    // EliminateWindowPartitions folds away a constant PARTITION BY, so
-    // there is no way to declare one bounded)
-    val counts = withB.groupBy(col(c.bkt)).agg(count(lit(1)).as(c.cnt))
-    val lower = counts.select(col(c.bkt).as(s"${c.bkt}_lo"), col(c.cnt).as(s"${c.cnt}_lo"))
-    val offs = counts.join(lower, col(s"${c.bkt}_lo") < col(c.bkt), "left")
-      .groupBy(col(c.bkt), col(c.cnt))
-      .agg(coalesce(sum(col(s"${c.cnt}_lo")), lit(0L)).as(c.off))
-    (local, offs, c)
+      row_number().over(
+        Window.partitionBy(col(c.bkt), col(c.sub)).orderBy(order: _*)).cast("long"))
+    // Per-(bucket, sub) counts: ≤ B·(B+1) rows BY CONFIGURATION, so the
+    // offsets are driver arithmetic (exactly how RangePartitioner turns
+    // its sample into bounds) — deliberately NOT a cumulative window
+    // (the unpartitioned single-reducer WindowExec this helper exists to
+    // eliminate), and no longer a triangle join + broadcast chain: the
+    // offsets return as ONE literal map, the total as a constant.
+    val counts = withB.groupBy(col(c.bkt), col(c.sub))
+      .agg(count(lit(1)).as(c.li)).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+    var acc = 0L
+    val offMap = counts.map { case (b, s, n) =>
+      val off = acc; acc += n
+      (b.toLong * (buckets + 1) + s) -> off
+    }.toMap
+    val total = acc
+    val offExpr =
+      if (offMap.isEmpty) lit(0L)
+      else element_at(typedLit(offMap),
+        col(c.bkt).cast("long") * (buckets + 1) + col(c.sub))
+    (local, offExpr, total, c)
   }
 
   /** Append a 1-based global `row_number` (long) over the total order
     * `order` (must include a unique tie-break). `primary` is the leading
     * sort expression of `order`, given separately (and direction via
-    * `primaryAsc`) because bucket boundaries derive from it. */
+    * `primaryAsc`) because bucket boundaries derive from it. `salt`, if
+    * given, must be the numeric ascending second sort expression — see
+    * the tie discussion above. */
   def withGlobalRowNumber(df: DataFrame, primary: Column, primaryAsc: Boolean,
                           order: Seq[Column], out: String,
-                          buckets: Int = 32): DataFrame = {
-    val (local, offs, c) = rankedParts(df, primary, primaryAsc, order, buckets)
-    local.join(broadcast(offs.select(col(c.bkt), col(c.off))), c.bkt)
-      .withColumn(out, col(c.li) + col(c.off))
-      .drop(c.bkt, c.li, c.off)
+                          buckets: Int = 32,
+                          salt: Option[Column] = None): DataFrame = {
+    val (local, offExpr, _, c) = rankedParts(df, primary, primaryAsc, order, buckets, salt)
+    local.withColumn(out, col(c.li) + offExpr)
+      .drop(c.bkt, c.sub, c.li)
   }
 
   /** Append a 1-based `NTILE(k)`-equivalent bucket (int) over the total
     * order, rebuilt arithmetically from the distributed global row number
     * (SQL NTILE: the first n mod k tiles get ⌈n/k⌉ rows, the rest ⌊n/k⌋).
+    * The total row count is a driver constant (from the bounded counts
+    * pass), so the tile formula is pure literal arithmetic — no extra
+    * aggregation or broadcast anywhere.
     */
   def withGlobalNtile(df: DataFrame, k: Int, primary: Column, primaryAsc: Boolean,
                       order: Seq[Column], out: String,
-                      buckets: Int = 32): DataFrame = {
+                      buckets: Int = 32,
+                      salt: Option[Column] = None): DataFrame = {
     require(k > 0)
-    val (local, offs, c) = rankedParts(df, primary, primaryAsc, order, buckets)
-    val ranked = local.join(broadcast(offs.select(col(c.bkt), col(c.off))), c.bkt)
-      .withColumn(c.gi, col(c.li) + col(c.off))
-      .drop(c.bkt, c.li, c.off)
-    // total row count comes from the B-row offsets frame — deriving it
-    // from `df` again would re-aggregate the corpus under a different
-    // column pruning (no exchange reuse): a third pass for one number
-    val total = offs.agg(sum(col(c.cnt)).as(c.tot))
-    // all-integer arithmetic (DIV, never `/` — Column./ is double division):
-    // q = small-tile size, r = number of (q+1)-row large tiles, th = rows
-    // covered by the large tiles; greatest(q,1) guards the n < k case
-    // (where every row satisfies the first branch anyway).
-    ranked.crossJoin(broadcast(total))
-      .withColumn(c.q, expr(s"${c.tot} DIV $k"))
-      .withColumn(c.r, col(c.tot) % k)
-      .withColumn(c.th, (col(c.q) + 1) * col(c.r))
+    val (local, offExpr, total, c) = rankedParts(df, primary, primaryAsc, order, buckets, salt)
+    // all-integer arithmetic (DIV, never `/` — Column./ is double
+    // division): q = small-tile size, r = number of (q+1)-row large
+    // tiles, th = rows covered by the large tiles; max(q,1) guards the
+    // n < k case (where every row satisfies the first branch anyway).
+    val q = total / k
+    val r = total % k
+    val th = (q + 1) * r
+    local.withColumn(c.gi, col(c.li) + offExpr)
       .withColumn(out,
-        when(col(c.gi) <= col(c.th),
-          expr(s"(${c.gi} + ${c.q}) DIV (${c.q} + 1)"))
-          .otherwise(col(c.r) +
-            expr(s"(${c.gi} - ${c.th} + ${c.q} - 1) DIV greatest(${c.q}, 1)"))
+        when(col(c.gi) <= th, expr(s"(${c.gi} + $q) DIV ${q + 1}"))
+          .otherwise(expr(s"$r + ((${c.gi} - $th + $q - 1) DIV ${math.max(q, 1L)})"))
           .cast("int"))
-      .drop(c.gi, c.tot, c.q, c.r, c.th)
+      .drop(c.bkt, c.sub, c.li, c.gi)
   }
 }

@@ -9,17 +9,19 @@ import org.apache.spark.sql.functions._
   * analog of PySpark's `mapInPandas` batch shape (one iterator per
   * partition, streaming through rows without materializing the partition).
   *
-  * The container ships no image/audio codec LIBRARIES, but two image
+  * The container ships no image/audio codec LIBRARIES, but three image
   * formats need none: uncompressed 24-bit BMP and binary PPM (P6) parse
-  * with plain byte arithmetic, and [[Multimodal.decodeImage]] implements
-  * both for real (magic-sniffed; MultimodalSpec drives hand-built images
-  * through the full Spark path). Payloads that are not recognized
-  * images — including this repo's synthetic corpus — fall back to the
-  * DETERMINISTIC STUB (byte-histogram "features", byte-slice "frames"),
-  * so gate-query outputs are unchanged. Everything Spark-side is real
-  * either way: binary columns, explicit schemas, partition-batched UDF
-  * signature, downstream joins/aggs. A JPEG/PNG codec would slot into
-  * `decodeImage` and nothing else changes.
+  * with plain byte arithmetic, and non-interlaced 8-bit RGB/RGBA PNG
+  * decodes through the JDK's own zlib (`java.util.zip.Inflater`).
+  * [[Multimodal.decodeImage]] implements all three for real
+  * (magic-sniffed; MultimodalSpec drives hand-built images through the
+  * full Spark path). Payloads that are not recognized images — including
+  * this repo's synthetic corpus — fall back to the DETERMINISTIC STUB
+  * (byte-histogram "features", byte-slice "frames"), so gate-query
+  * outputs are unchanged. Everything Spark-side is real either way:
+  * binary columns, explicit schemas, partition-batched UDF signature,
+  * downstream joins/aggs. A JPEG codec would slot into `decodeImage`
+  * and nothing else changes.
   *
   * Scale: narrow maps, no shuffle; binary payloads stay columnar in
   * parquet; feature vectors are small fixed-size arrays suitable for the
@@ -43,14 +45,17 @@ object Multimodal {
     * (3 per pixel). */
   final case class DecodedImage(width: Int, height: Int, rgb: Array[Byte])
 
-  /** REAL image decode for the two codec-free formats, magic-sniffed:
-    * uncompressed 24-bit BMP ('BM', BITMAPINFOHEADER, biCompression=0)
-    * and binary PPM ('P6', maxval 255). Returns None for anything else
-    * (callers fall back to the stub), and None — never garbage — for
-    * truncated/malformed payloads of either format. */
+  /** REAL image decode for the three codec-free formats, magic-sniffed:
+    * uncompressed 24-bit BMP ('BM', BITMAPINFOHEADER, biCompression=0),
+    * binary PPM ('P6', maxval 255), and non-interlaced 8-bit RGB/RGBA
+    * PNG (the JDK ships zlib — `java.util.zip.Inflater` — so no codec
+    * dependency). Returns None for anything else (callers fall back to
+    * the stub), and None — never garbage — for truncated/malformed
+    * payloads of any format. */
   def decodeImage(bytes: Array[Byte]): Option[DecodedImage] =
     if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') decodeBmp(bytes)
     else if (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6') decodePpm(bytes)
+    else if (bytes.length >= 8 && bytes(0) == 0x89.toByte && bytes(1) == 'P') decodePng(bytes)
     else None
 
   private def le32(b: Array[Byte], off: Int): Int =
@@ -75,6 +80,10 @@ object Multimodal {
     // crash the allocation instead of returning None; the payload-length
     // bound below also caps the output allocation at ~|payload|
     val rowSize = ((24L * width + 31) / 32) * 4 // rows pad to 4 bytes
+    // rowSize·height itself can wrap Long (~6.4e9 × 2.1e9 ≈ 1.4e19 >
+    // 2^63) — reject each factor against the payload length FIRST, so
+    // the product below is ≤ 2^62 and the check cannot wrap negative
+    if (height > b.length || rowSize > b.length) return None
     if (pixelOff < 54 || pixelOff.toLong + rowSize * height > b.length) return None
     // past the bound, rowSize*height <= |payload| implies width*height*3
     // and height both fit comfortably in Int
@@ -129,6 +138,120 @@ object Multimodal {
       _ = { i += 1 } // consume exactly that one whitespace
       if i.toLong + 3L * w * h <= b.length
     } yield DecodedImage(w, h, java.util.Arrays.copyOfRange(b, i, i + 3 * w * h))
+  }
+
+  private def be32(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+
+  /** Non-interlaced 8-bit truecolor PNG (colorType 2 = RGB, 6 = RGBA;
+    * alpha dropped on output). zlib inflate via `java.util.zip.Inflater`
+    * (ships with the JDK — zero new dependencies), then the five
+    * standard per-row filters (None/Sub/Up/Average/Paeth) reconstructed
+    * exactly per the PNG spec. Hostile-input posture matches decodeBmp:
+    * every dimension product is Long-checked BEFORE allocation, the
+    * raster is capped at 64 MB (a declared-huge header or a deflate
+    * bomb returns None instead of allocating), truncated/garbage
+    * streams surface as None via inflate accounting, and chunk walking
+    * bounds-checks every length. CRCs are not verified — corruption
+    * the CRC would catch either fails inflation or yields a
+    * deterministic wrong-pixels image, never a crash. */
+  private def decodePng(b: Array[Byte]): Option[DecodedImage] = {
+    // 8-byte signature + the 25-byte IHDR chunk (len+type+13 data+crc)
+    if (b.length < 33) return None
+    val sig = Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt, 0x0d, 0x0a, 0x1a, 0x0a)
+    var i = 0
+    while (i < 8) { if ((b(i) & 0xff) != sig(i)) return None; i += 1 }
+    if (be32(b, 8) != 13 || b(12) != 'I' || b(13) != 'H' || b(14) != 'D' || b(15) != 'R')
+      return None
+    val width = be32(b, 16)
+    val height = be32(b, 20)
+    val bitDepth = b(24) & 0xff
+    val colorType = b(25) & 0xff
+    val comp = b(26) & 0xff
+    val filt = b(27) & 0xff
+    val inter = b(28) & 0xff
+    if (width <= 0 || height <= 0 || bitDepth != 8 ||
+      (colorType != 2 && colorType != 6) || comp != 0 || filt != 0 || inter != 0)
+      return None
+    val bpp = if (colorType == 2) 3 else 4
+    // Long math + absolute cap BEFORE any allocation: a 2^31-square
+    // header must not reach `new Array`
+    val rowBytes = 1L + bpp.toLong * width
+    val rasterLen = rowBytes * height
+    if (rasterLen > (1L << 26)) return None
+    // walk chunks, concatenating IDAT payloads until IEND
+    val idat = new java.io.ByteArrayOutputStream()
+    var off = 33
+    var done = false
+    while (!done) {
+      if (off + 8 > b.length) return None // ran out before IEND
+      val len = be32(b, off)
+      if (len < 0 || off + 12L + len > b.length) return None
+      if (b(off + 4) == 'I' && b(off + 5) == 'D' && b(off + 6) == 'A' && b(off + 7) == 'T')
+        idat.write(b, off + 8, len)
+      else if (b(off + 4) == 'I' && b(off + 5) == 'E' && b(off + 6) == 'N' && b(off + 7) == 'D')
+        done = true
+      off += 12 + len
+    }
+    val raw = new Array[Byte](rasterLen.toInt)
+    val inf = new java.util.zip.Inflater()
+    val ok = try {
+      inf.setInput(idat.toByteArray)
+      var n = 0
+      var stuck = false
+      while (n < raw.length && !inf.finished() && !stuck) {
+        val k = inf.inflate(raw, n, raw.length - n)
+        if (k == 0 && (inf.needsInput() || inf.needsDictionary())) stuck = true
+        n += k
+      }
+      !stuck && n == raw.length
+    } catch {
+      case _: java.util.zip.DataFormatException => false
+    } finally inf.end()
+    if (!ok) return None
+    // reconstruct the five row filters into packed pixel rows
+    val stride = bpp * width
+    val rb = rowBytes.toInt
+    val recon = new Array[Byte](stride * height)
+    var y = 0
+    while (y < height) {
+      val ft = raw(y * rb) & 0xff
+      val rs = y * rb + 1
+      val ds = y * stride
+      if (ft > 4) return None
+      var x = 0
+      while (x < stride) {
+        val cur = raw(rs + x) & 0xff
+        val left = if (x >= bpp) recon(ds + x - bpp) & 0xff else 0
+        val up = if (y > 0) recon(ds - stride + x) & 0xff else 0
+        val ul = if (x >= bpp && y > 0) recon(ds - stride + x - bpp) & 0xff else 0
+        val rec = ft match {
+          case 0 => cur
+          case 1 => cur + left
+          case 2 => cur + up
+          case 3 => cur + (left + up) / 2
+          case _ => // Paeth predictor
+            val p = left + up - ul
+            val pa = math.abs(p - left); val pb = math.abs(p - up); val pc = math.abs(p - ul)
+            cur + (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul)
+        }
+        recon(ds + x) = rec.toByte
+        x += 1
+      }
+      y += 1
+    }
+    if (bpp == 3) Some(DecodedImage(width, height, recon))
+    else { // RGBA → RGB (alpha dropped)
+      val out = new Array[Byte](width * height * 3)
+      var p = 0
+      var q = 0
+      while (q < recon.length) {
+        out(p) = recon(q); out(p + 1) = recon(q + 1); out(p + 2) = recon(q + 2)
+        p += 3; q += 4
+      }
+      Some(DecodedImage(width, height, out))
+    }
   }
 
   /** Luminance histogram of a decoded image over `dim` bins (integer

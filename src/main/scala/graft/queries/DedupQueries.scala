@@ -192,7 +192,10 @@ object DedupQueries {
         .toDF("new_id", "band", "bkey")
       val lakeBands = bands.filter(col("doc_id") % 10 =!= 0)
         .toDF("lake_id", "l_band", "l_bkey")
-      val cand = batchBands.join(lakeBands,
+      // the broadcast hint PINS the documented plan shape (small batch
+      // bands shipped to the lake side) instead of trusting AQE to
+      // measure the batch side under the threshold
+      val cand = broadcast(batchBands).join(lakeBands,
           col("band") === col("l_band") && col("bkey") === col("l_bkey"))
         .select(col("new_id"), col("lake_id")).distinct()
       val sa = sh.select(col("doc_id").as("new_id"), col("sh").as("sha"))
@@ -332,13 +335,21 @@ object DedupQueries {
     // side is a small fraction of the corpus, so its exploded shingle
     // index BROADCASTS to every executor — the 100 TB training side
     // streams through a map-side hash join with NO shuffle; the per-doc
-    // hit counts aggregate with map-side partials on doc_id.
+    // hit counts aggregate with map-side partials on doc_id. Grams are
+    // HASHED to int64 (md5-prefix, the same engine-portable family the
+    // MinHash bases use) before the explode/join, so the broadcast index
+    // and every join key carry 8 bytes instead of a 5-token string —
+    // several-fold fewer index bytes at any scale; the oracle replays the
+    // identical hex→int arithmetic, so even a hash collision (which would
+    // merge two grams in the distinct counts) cannot diverge the engines.
     entry("q_decontaminate",
       """WITH t AS (SELECT doc_id, string_split(text,' ') toks FROM documents),
         | s AS (SELECT doc_id, list_distinct([array_to_string(toks[i:i+4],' ')
         |        for i in generate_series(1, greatest(len(toks)-4,1))]) sh FROM t),
-        | ev AS (SELECT doc_id AS eval_id, unnest(sh) AS g FROM s WHERE doc_id % 20 = 0),
-        | tr AS (SELECT doc_id, unnest(sh) AS g FROM s WHERE doc_id % 20 <> 0),
+        | hsh AS (SELECT doc_id, [list_sum([(strpos('0123456789abcdef', substr(md5(x), j, 1)) - 1)
+        |        * CAST(pow(16, 8-j) AS BIGINT) for j in generate_series(1,8)]) for x in sh] gh FROM s),
+        | ev AS (SELECT doc_id AS eval_id, unnest(gh) AS g FROM hsh WHERE doc_id % 20 = 0),
+        | tr AS (SELECT doc_id, unnest(gh) AS g FROM hsh WHERE doc_id % 20 <> 0),
         | hits AS (SELECT tr.doc_id, COUNT(DISTINCT ev.eval_id) AS n_eval_docs,
         |            COUNT(DISTINCT tr.g) AS n_shared_grams
         |          FROM tr JOIN ev USING (g) GROUP BY tr.doc_id)
@@ -347,10 +358,11 @@ object DedupQueries {
         .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .withColumn("toks", tokens("text"))
         .select(col("doc_id"), shingles("toks", 5).as("sh"))
+        .select(col("doc_id"), shingleBases("sh").as("gh"))
       val ev = sh5.filter(col("doc_id") % 20 === 0)
-        .select(col("doc_id").as("eval_id"), explode(col("sh")).as("g"))
+        .select(col("doc_id").as("eval_id"), explode(col("gh")).as("g"))
       val tr = sh5.filter(col("doc_id") % 20 =!= 0)
-        .select(col("doc_id"), explode(col("sh")).as("g"))
+        .select(col("doc_id"), explode(col("gh")).as("g"))
       tr.join(broadcast(ev), "g")
         .groupBy(col("doc_id"))
         .agg(countDistinct(col("eval_id")).as("n_eval_docs"),

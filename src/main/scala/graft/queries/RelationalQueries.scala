@@ -751,9 +751,10 @@ object RelationalQueries {
     // recomputed for the final fence count rather than persisted — it is
     // one cheap scan+broadcast-join, and measured caching 600k rows cost
     // more than recomputing them. Scale note: EXACT percentile buffers a
-    // group's values in its reducer — at 100 TB swap in the mergeable
-    // [[graft.functions.Sketches.quantileSketch]] (q_percentile_sketch)
-    // and keep the identical fence shape.
+    // group's values in its reducer — this query is the bounded-scale
+    // oracle contract; `q_mad_outliers_sketch` below is the 100 TB twin
+    // (both passes through the mergeable
+    // [[graft.functions.Sketches.quantileSketch]], identical fence shape).
     entry("q_mad_outliers",
       """WITH v AS (SELECT l_returnflag, CAST(CAST(l_extendedprice AS DECIMAL(18,3)) * 1000 AS BIGINT) pm FROM lineitem),
         | med AS (SELECT l_returnflag, quantile_cont(pm, 0.5) med FROM v GROUP BY 1),
@@ -774,6 +775,34 @@ object RelationalQueries {
         .select($"l_returnflag", abs($"pm" - $"med").as("ad"))
       val mad = dev.groupBy($"l_returnflag".as("d_flag"))
         .agg(expr("percentile(ad, 0.5)").as("mad"))
+      dev.join(broadcast(mad), $"l_returnflag" === $"d_flag")
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          count(when($"ad" > lit(1.5) * $"mad", 1)).as("n_outliers"),
+          (max($"mad").cast("double") / 1000).as("mad"))
+        .orderBy($"l_returnflag")
+    },
+
+    // ---- Sketch-MAD twin of q_mad_outliers — the 100 TB path. The exact
+    // query's `percentile` buffers ~n/3 of the fact table per reducer
+    // (3 groups); here BOTH percentile passes run through the mergeable
+    // [[graft.functions.Sketches.QuantileSketch]] (O(k·log n) doubles per
+    // group, map-side partials), keeping the identical integer-mils fence
+    // shape: sketch median, sketch median-of-deviations, strict
+    // ad > 1.5·mad count. Sketch medians are implementation-specific →
+    // rows-only driver check; MadSketchSpec bounds the fence-count drift
+    // against the exact q_mad_outliers answers on the same data.
+    entryNoOracle("q_mad_outliers_sketch") { (s, dir) =>
+      import s.implicits._
+      import graft.functions.Sketches.quantileSketch
+      val li = Tables(s, dir, "lineitem")
+        .select($"l_returnflag", (Exact.dec($"l_extendedprice") * 1000).cast("long").as("pm"))
+      val med = li.groupBy($"l_returnflag".as("m_flag"))
+        .agg(quantileSketch(256, Seq(0.5))($"pm".cast("double")).getItem(0).as("med"))
+      val dev = li.join(broadcast(med), $"l_returnflag" === $"m_flag")
+        .select($"l_returnflag", abs($"pm" - $"med").as("ad"))
+      val mad = dev.groupBy($"l_returnflag".as("d_flag"))
+        .agg(quantileSketch(256, Seq(0.5))($"ad").getItem(0).as("mad"))
       dev.join(broadcast(mad), $"l_returnflag" === $"d_flag")
         .groupBy($"l_returnflag")
         .agg(count(lit(1)).as("n_rows"),

@@ -136,6 +136,51 @@ object SimilarityQueries {
         .orderBy(col("qid"), col("rnk"))
     },
 
+    // ---- IVF with a TRAINED coarse quantizer: identical probe/search
+    // shape to q_knn_ivf, but the cells come from the full Lloyd fit
+    // ([[graft.functions.KMeans.fit]], 5 iterations from the label init)
+    // instead of the raw label slices — k-means cells are Voronoi-compact
+    // around their centroids, so the nearest-2-cells probe captures more
+    // true neighbors: measured recall@10 0.32 at sf0.001 / 0.42 at
+    // sf0.01 vs the label cells' 0.26 / 0.38 (AnnRecallSpec pins both
+    // the lift and the raised floor). No DuckDB oracle — the multi-round
+    // fixpoint is not
+    // SQL-expressible — so the driver rows-only gate applies and
+    // q_kmeans_fit/KMeansSpec carry the fit's own contract. Scale shape
+    // unchanged: corpus partitioned by fitted cell, probe list prunes
+    // partitions, cluster sums broadcast.
+    entryNoOracle("q_knn_ivf_fitted") { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+        .select(col("vec_id"), col("label"), quantize("embedding").as("q"))
+        .withColumn("nrm", qnorm("q"))
+      val fit = graft.functions.KMeans.fit(e, maxIter = 5)
+      // corpus cell = the fit's converged rank-1 assignment (computed
+      // under the same exact rational comparator the probe uses)
+      val cell = fit.assignments.select(col("vec_id"), col("cl"))
+      // probe = top-2 FITTED cells, ranked exactly, for the query set only
+      val dt = e.filter(col("vec_id") < 5).crossJoin(broadcast(fit.clusters))
+        .withColumn("d2", expr("aggregate(zip_with(q, s, (x, y) -> (cn*x - y)*(cn*x - y)), " +
+          "CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+        .select(col("vec_id"), col("cl"), col("cn"), col("d2"))
+      val probe = dt.groupBy(col("vec_id"))
+        .agg(expr(s"slice($exactNearestSort, 1, 2)").as("top2"))
+        .select(col("vec_id").as("qid"),
+          explode(expr("transform(top2, c -> c.cl)")).as("cl"))
+      val cands = broadcast(probe).join(cell, "cl")
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("cid"))
+      val qe = e.select(col("vec_id").as("qid"), col("q").as("aq"), col("nrm").as("qnrm"))
+      val ce = e.select(col("vec_id").as("cid"), col("q").as("bq"), col("nrm").as("cnrm"))
+      cands.join(broadcast(qe), "qid").join(ce, "cid")
+        .withColumn("cosine", cosineFrom(qdot("aq", "bq"), col("qnrm"), col("cnrm")))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid").asc)))
+        .filter(col("rnk") <= 10)
+        .select(col("qid"), col("rnk"), col("cid"), col("cosine"))
+        .orderBy(col("qid"), col("rnk"))
+    },
+
     // ---- Random-hyperplane LSH ANN: 8 md5-derived integer hyperplanes
     // give an 8-bit bucket code; candidates share the query's bucket;
     // exact cosine ranks only those. Bucketing is a narrow map + one

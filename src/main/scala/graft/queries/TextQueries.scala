@@ -440,10 +440,13 @@ object TextQueries {
     // corpora. Per-doc output: chunk count, boilerplate count, ratio (a
     // curation filter input alongside q_text_quality). Scale shape: one
     // narrow chunk explosion, one map-side-combined (chunk → distinct
-    // docs) aggregate whose result (shared chunks only) is small enough
-    // to broadcast back — the corpus is never self-joined; with a
-    // boilerplate list too big to broadcast this becomes one equi-join
-    // keyed on the chunk, still no n².
+    // docs) aggregate whose result (shared chunks only) joins back with
+    // NO explicit broadcast hint — the corpus is never self-joined. At
+    // this scale AQE measures the shared-chunk index small and picks the
+    // broadcast itself; at 100 TB a cross-corpus chunk list is plausibly
+    // GBs, where a forced broadcast would OOM the driver while the
+    // unhinted plan degrades gracefully to a shuffled equi-join keyed on
+    // the chunk — still no n² (same reasoning as q_fk_integrity).
     entry("q_boilerplate",
       """WITH t AS (SELECT doc_id, string_split(text,' ') toks FROM documents),
         | c AS (SELECT doc_id, unnest([array_to_string(toks[i*3+1:i*3+3],' ')
@@ -459,13 +462,18 @@ object TextQueries {
         .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(col("doc_id"), tokens("text").as("toks"))
         .select(col("doc_id"), explode(expr(
-          "transform(sequence(0, CAST(ceil(size(toks)/3.0) AS INT) - 1), " +
-            "i -> array_join(slice(toks, i*3 + 1, 3), ' '))")).as("chunk"))
+          // size=0 guard: Spark's sequence(0,-1) yields [0,-1] (descending)
+          // where DuckDB's generate_series(0,-1) is empty — unreachable
+          // today (split() never returns []) but clamped so a tokenizer
+          // change can't silently diverge the engines
+          "CASE WHEN size(toks) < 1 THEN CAST(array() AS ARRAY<STRING>) " +
+            "ELSE transform(sequence(0, CAST(ceil(size(toks)/3.0) AS INT) - 1), " +
+            "i -> array_join(slice(toks, i*3 + 1, 3), ' ')) END")).as("chunk"))
       val boiler = c.groupBy(col("chunk").as("b_chunk"))
         .agg(countDistinct(col("doc_id")).as("nd"))
         .filter(col("nd") >= 3)
         .select(col("b_chunk"))
-      c.join(broadcast(boiler), col("chunk") === col("b_chunk"), "left")
+      c.join(boiler, col("chunk") === col("b_chunk"), "left")
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_chunks"),
           count(when(col("b_chunk").isNotNull, 1)).as("n_boiler"))
@@ -479,9 +487,10 @@ object TextQueries {
     // reassemble what remains in original order). Reassembly is
     // inherently doc-local, so the per-doc collect_list is bounded by a
     // single document's length — never corpus-shaped state; the shared-
-    // chunk index broadcasts exactly as in q_boilerplate. Documents
-    // whose every chunk is boilerplate surface with cleaned_chars = 0
-    // rather than vanishing.
+    // chunk index joins back unhinted exactly as in q_boilerplate (AQE
+    // broadcasts it while it measures small). Documents whose every
+    // chunk is boilerplate surface with cleaned_chars = 0 rather than
+    // vanishing.
     entry("q_boilerplate_clean",
       """WITH t AS (SELECT doc_id, string_split(text,' ') toks FROM documents),
         | ch AS (SELECT doc_id, [array_to_string(toks[i*3+1:i*3+3],' ')
@@ -502,13 +511,18 @@ object TextQueries {
         .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(col("doc_id"), tokens("text").as("toks"))
         .select(col("doc_id"), posexplode(expr(
-          "transform(sequence(0, CAST(ceil(size(toks)/3.0) AS INT) - 1), " +
-            "i -> array_join(slice(toks, i*3 + 1, 3), ' '))")).as(Seq("pos", "chunk")))
+          // size=0 guard: Spark's sequence(0,-1) yields [0,-1] (descending)
+          // where DuckDB's generate_series(0,-1) is empty — unreachable
+          // today (split() never returns []) but clamped so a tokenizer
+          // change can't silently diverge the engines
+          "CASE WHEN size(toks) < 1 THEN CAST(array() AS ARRAY<STRING>) " +
+            "ELSE transform(sequence(0, CAST(ceil(size(toks)/3.0) AS INT) - 1), " +
+            "i -> array_join(slice(toks, i*3 + 1, 3), ' ')) END")).as(Seq("pos", "chunk")))
       val boiler = c.groupBy(col("chunk").as("b_chunk"))
         .agg(countDistinct(col("doc_id")).as("nd"))
         .filter(col("nd") >= 3)
         .select(col("b_chunk"))
-      val kept = c.join(broadcast(boiler), col("chunk") === col("b_chunk"), "left_anti")
+      val kept = c.join(boiler, col("chunk") === col("b_chunk"), "left_anti")
       val agg = kept.groupBy(col("doc_id").as("a_doc"))
         .agg(count(lit(1)).as("n_kept"),
           length(array_join(expr(

@@ -27,6 +27,23 @@ class AnnRecallSpec extends SparkSpec {
     assert(mean >= 0.2, f"IVF recall@10 regressed: $mean%.2f")
   }
 
+  test("k-means-fitted IVF lifts recall above the label-cell floor") {
+    val brute = topSets("q_knn_brute")
+    val label = topSets("q_knn_ivf")
+    val fitted = topSets("q_knn_ivf_fitted")
+    assert(brute.keySet == fitted.keySet)
+    def recall(m: Map[Long, Set[Long]]) = brute.map { case (q, b) =>
+      (b intersect m.getOrElse(q, Set.empty)).size.toDouble / b.size
+    }.sum / brute.size
+    val (rl, rf) = (recall(label), recall(fitted))
+    // measured 0.26 label vs 0.32 fitted at sf0.001 (0.38 vs 0.42 at
+    // sf0.01): Lloyd-trained Voronoi cells beat arbitrary label slices
+    // even on structureless synthetic data — the deterministic corpus
+    // makes both numbers stable, so pin the lift AND a raised floor
+    assert(rf >= rl, f"fitted IVF ($rf%.2f) fell below label cells ($rl%.2f)")
+    assert(rf >= 0.28, f"fitted-IVF recall@10 regressed: $rf%.2f")
+  }
+
   test("hyperplane-LSH candidates stay within the exact top-10's score range") {
     val brute = SparkEntry.queries("q_knn_brute")(spark, sf001)
       .select("qid", "cosine").collect()

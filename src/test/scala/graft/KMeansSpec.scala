@@ -49,6 +49,14 @@ class KMeansSpec extends SparkSpec {
     assert(moved == 0, s"$moved vectors moved after claimed convergence")
   }
 
+  test("empty input yields a well-formed empty Fit, not an NPE") {
+    val fit = KMeans.fit(emb.filter(col("vec_id") < 0), maxIter = 3)
+    assert(fit.assignments.count() == 0)
+    assert(fit.clusters.count() == 0)
+    assert(fit.converged) // zero moved vectors IS the fixpoint
+    assert(fit.objective.forall(_ == 0.0))
+  }
+
   test("every vector keeps exactly one assignment, every cluster count adds up") {
     val fit = KMeans.fit(emb, maxIter = 3)
     val n = emb.count()

@@ -80,6 +80,86 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeImage(tinyPpm.take(10)).isEmpty)
   }
 
+  /** Hand-built 2×2 non-interlaced 8-bit PNG, deflated with the JDK's
+    * own Deflater and CRC'd properly: row 0 carries filter 0 (None),
+    * row 1 filter 2 (Up) — so the unfilter path is actually exercised —
+    * and the IDAT stream is split across TWO chunks to exercise
+    * concatenation. Pixels: (255,0,0) (0,255,0) / (0,0,255) (10,20,30). */
+  private def tinyPng(colorType: Int): Array[Byte] = {
+    val bpp = if (colorType == 2) 3 else 4
+    val px = Array(Array(255, 0, 0), Array(0, 255, 0), Array(0, 0, 255), Array(10, 20, 30))
+    val rows = Array.tabulate(2, 2 * bpp) { (y, x) =>
+      val p = px(y * 2 + x / bpp)
+      (if (x % bpp < 3) p(x % bpp) else 128).toByte // alpha = 128 when RGBA
+    }
+    val sc = new java.io.ByteArrayOutputStream()
+    sc.write(0); sc.write(rows(0)) // filter None
+    sc.write(2) // filter Up: stored byte = cur - up
+    for (x <- 0 until 2 * bpp) sc.write((rows(1)(x) - rows(0)(x)) & 0xff)
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(sc.toByteArray); defl.finish()
+    val buf = new Array[Byte](1024)
+    val comp = new java.io.ByteArrayOutputStream()
+    while (!defl.finished()) { val n = defl.deflate(buf); comp.write(buf, 0, n) }
+    defl.end()
+    def chunk(ty: String, data: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(12 + data.length)
+      bb.putInt(data.length).put(ty.getBytes("US-ASCII")).put(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(ty.getBytes("US-ASCII")); crc.update(data)
+      bb.putInt(crc.getValue.toInt)
+      bb.array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13).putInt(2).putInt(2)
+      .put(8.toByte).put(colorType.toByte).put(0.toByte).put(0.toByte).put(0.toByte).array()
+    val cz = comp.toByteArray
+    val (c1, c2) = cz.splitAt(cz.length / 2)
+    Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      chunk("IHDR", ihdr) ++ chunk("IDAT", c1) ++ chunk("IDAT", c2) ++
+      chunk("IEND", Array.empty[Byte])
+  }
+
+  test("real PNG decode: RGB and RGBA, Up-filtered row, split IDAT, hostile headers") {
+    val wantRgb = Array(255, 0, 0, 0, 255, 0, 0, 0, 255, 10, 20, 30).map(_.toByte)
+    for (ct <- Seq(2, 6)) {
+      val img = Multimodal.decodeImage(tinyPng(ct)).get
+      assert(img.width == 2 && img.height == 2, s"colorType $ct")
+      assert(img.rgb.toSeq == wantRgb.toSeq, s"colorType $ct: ${img.rgb.mkString(",")}")
+    }
+    // truncations and garbage stay None, never garbage pixels
+    val png = tinyPng(2)
+    assert(Multimodal.decodeImage(png.take(20)).isEmpty)
+    assert(Multimodal.decodeImage(png.dropRight(15)).isEmpty) // mid-IDAT cut
+    // a declared-huge header (2^24 square ≈ 800 GB raster) must return
+    // None before allocating anything
+    val huge = png.clone()
+    huge(16) = 1; huge(20) = 1 // width, height high bytes → 2^24
+    assert(Multimodal.decodeImage(huge).isEmpty)
+    // corrupt deflate stream → None via inflate accounting
+    val corrupt = png.clone()
+    corrupt(41) = (corrupt(41) ^ 0x55).toByte
+    assert(Multimodal.decodeImage(corrupt).isEmpty ||
+      Multimodal.decodeImage(corrupt).get.rgb.length == 12) // wrong pixels ok, crash not
+  }
+
+  test("PNG payloads take the real feature/resize path through Spark") {
+    val df = Seq((1L, tinyPng(2)), (2L, "plain bytes".getBytes)).toDF("doc_id", "payload")
+    val feats = Multimodal.extractFeatures(df, "doc_id", "payload", dim = 4)
+      .collect().groupBy(_.doc_id)
+    // luminance bins of the 4 known pixels: lums 76,149,29,18 →
+    // bins (lum*4/256): 1, 2, 0, 0 — normalized by 4 pixels
+    val got = feats(1L).sortBy(_.feat_idx).map(_.feat_value)
+    assert(got.toSeq == Seq(2 / 4.0, 1 / 4.0, 1 / 4.0, 0.0), got.mkString(","))
+    assert(math.abs(feats(2L).map(_.feat_value).sum - 1.0) < 1e-9) // stub preserved
+    // resize stride 2 on 2×2 → 1×1: the top-left pixel survives
+    val rz = Multimodal.resize(df, "doc_id", "payload", stride = 2)
+      .collect().map(r => r.doc_id -> r).toMap
+    assert(rz(1L).resized_len == 3)
+    val expectMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(Array(255, 0, 0).map(_.toByte)).map("%02x".format(_)).mkString
+    assert(rz(1L).resized_md5 == expectMd5)
+  }
+
   test("recognized images take the real feature/resize path through Spark") {
     val df = Seq((1L, tinyBmp), (2L, "plain bytes".getBytes)).toDF("doc_id", "payload")
     val feats = Multimodal.extractFeatures(df, "doc_id", "payload", dim = 4)

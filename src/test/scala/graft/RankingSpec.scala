@@ -94,6 +94,61 @@ class RankingSpec extends SparkSpec {
     assert(got === (1L to 100L).map(i => i -> i).toMap)
   }
 
+  test("salt escape hatch: 90%-constant primary still ranks exactly") {
+    // the range-partitioner failure mode: one value owns 90% of the rows,
+    // so every one of them lands in a single value-bucket. With `salt`
+    // (the ascending second sort key) the dominant value — detected as a
+    // repeated approx_percentile boundary — sub-buckets by the salt's own
+    // quantiles, and the answer must STILL be bit-identical to the
+    // single-reducer oracle, for both directions and both operators.
+    val skewed: Seq[(Long, Long)] =
+      (1L to 1000L).map(i => (if (i % 10 != 0) 7L else (i * 2654435761L) % 17, i))
+    val d = df(skewed)
+    for (asc <- Seq(true, false)) {
+      val ord = if (asc) Seq(col("k"), col("id")) else Seq(col("k").desc, col("id"))
+      val wantRn = d.withColumn("i",
+          row_number().over(Window.orderBy(ord: _*)).cast("long"))
+        .select("id", "i").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val gotRn = Ranking.withGlobalRowNumber(d, col("k"), primaryAsc = asc,
+          ord, "i", buckets = 8, salt = Some(col("id")))
+        .select("id", "i").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotRn === wantRn, s"row_number asc=$asc")
+      val wantNt = d.withColumn("t", ntile(10).over(Window.orderBy(ord: _*)))
+        .select("id", "t").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val gotNt = Ranking.withGlobalNtile(d, 10, col("k"), primaryAsc = asc,
+          ord, "t", buckets = 8, salt = Some(col("id")))
+        .select("id", "t").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(gotNt === wantNt, s"ntile asc=$asc")
+    }
+  }
+
+  test("salted plan partitions its window by (bucket, sub-bucket)") {
+    val skewed = (1L to 1000L).map(i => (if (i % 10 != 0) 7L else i % 17, i))
+    val plan = Ranking.withGlobalRowNumber(df(skewed), col("k"), primaryAsc = true,
+        Seq(col("k"), col("id")), "i", buckets = 8, salt = Some(col("id")))
+      .queryExecution.executedPlan.toString
+    val specs = plan.linesIterator.filter(_.contains("windowspecdefinition(")).toSeq
+    assert(specs.nonEmpty, plan)
+    // the sub-bucket key must SURVIVE into the window partition spec —
+    // were it constant (no salt effect) Spark 4's
+    // EliminateWindowPartitions would have folded it away
+    specs.foreach { l =>
+      assert(l.contains("windowspecdefinition(_graft_bkt#") && l.contains("_graft_sub#"),
+        s"window not partitioned by (bucket, sub):\n$l\n$plan")
+    }
+  }
+
+  test("salt with no dominant value degrades to the unsalted answer") {
+    val d = df(rows)
+    val want = Ranking.withGlobalRowNumber(d, col("k"), primaryAsc = true,
+        Seq(col("k"), col("id")), "i", buckets = 8)
+      .select("id", "i").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Ranking.withGlobalRowNumber(d, col("k"), primaryAsc = true,
+        Seq(col("k"), col("id")), "i", buckets = 8, salt = Some(col("id")))
+      .select("id", "i").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === want)
+  }
+
   test("the ranking plan contains no partition-less window at all") {
     val d = df(rows)
     val plan = Ranking.withGlobalRowNumber(d, col("k"), primaryAsc = true,

@@ -36,6 +36,26 @@ class SketchSpec extends SparkSpec {
     assert(med == 3.0, s"nulls were counted: median = $med")
   }
 
+  test("sketch-MAD twin tracks the exact MAD fences (same rows, bounded drift)") {
+    val exact = SparkEntry.queries("q_mad_outliers")(spark, sf001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val sk = SparkEntry.queries("q_mad_outliers_sketch")(spark, sf001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(exact.keySet == sk.keySet)
+    exact.foreach { case (flag, (n, out, mad)) =>
+      val (n2, out2, mad2) = sk(flag)
+      // identical population per group; the sketch only moves the fences
+      assert(n2 == n, s"$flag: row count diverged")
+      assert(math.abs(mad2 - mad) / mad <= 0.05,
+        s"$flag: sketch MAD $mad2 drifted > 5% from exact $mad")
+      // the fence count may drift with the median estimates, but bounded:
+      // a ≤ 2% rank-error median on this uniform column moves the strict
+      // ad > 1.5·mad cut by a few percent of the group at most
+      assert(math.abs(out2 - out).toDouble / n <= 0.10,
+        s"$flag: outlier count $out2 drifted > 10% of group from exact $out")
+    }
+  }
+
   test("sketch percentile lands within 2% rank error of the exact data, per group") {
     import spark.implicits._
     val qs = Seq(0.25, 0.5, 0.9)
