@@ -72,14 +72,12 @@ object Ranking {
     Cols(s"_graft_bkt$sfx", s"_graft_sub$sfx", s"_graft_li$sfx", s"_graft_gi$sfx")
   }
 
-  /** The shared core: (locally-ranked frame carrying bucket + sub-bucket
-    * + local-rank columns, the global-offset expression for those
-    * columns, the total row count, the internal names). Runs two bounded
-    * driver actions (boundary sample; per-bucket counts) against the
-    * lazily-checkpointed input. */
-  private def rankedParts(df: DataFrame, primary: Column, primaryAsc: Boolean,
-                          order: Seq[Column], buckets: Int,
-                          salt: Option[Column]): (DataFrame, Column, Long, Cols) = {
+  /** The shared bucketing stage: the lazily-checkpointed input with the
+    * bucket + sub-bucket columns attached (both pure functions of the
+    * row, from driver-collected boundary literals). Runs one bounded
+    * driver action (two with `salt` + detected heavy values). */
+  private def bucketed(df: DataFrame, primary: Column, primaryAsc: Boolean,
+                       buckets: Int, salt: Option[Column]): (DataFrame, Cols) = {
     require(buckets > 1, "buckets must exceed 1 — otherwise use Window.orderBy directly")
     val c = internalCols(df)
     // LAZY checkpoint (same discipline as KMeans.fit): materialized by
@@ -128,6 +126,18 @@ object Ranking {
           base.withColumn(c.sub, subExpr)
         }
     }
+    (withB, c)
+  }
+
+  /** The shared ranking core: (locally-ranked frame carrying bucket +
+    * sub-bucket + local-rank columns, the global-offset expression for
+    * those columns, the total row count, the internal names). Runs two
+    * bounded driver actions (boundary sample; per-bucket counts) against
+    * the lazily-checkpointed input. */
+  private def rankedParts(df: DataFrame, primary: Column, primaryAsc: Boolean,
+                          order: Seq[Column], buckets: Int,
+                          salt: Option[Column]): (DataFrame, Column, Long, Cols) = {
+    val (withB, c) = bucketed(df, primary, primaryAsc, buckets, salt)
     val local = withB.withColumn(c.li,
       row_number().over(
         Window.partitionBy(col(c.bkt), col(c.sub)).orderBy(order: _*)).cast("long"))
@@ -167,6 +177,52 @@ object Ranking {
     val (local, offExpr, _, c) = rankedParts(df, primary, primaryAsc, order, buckets, salt)
     local.withColumn(out, col(c.li) + offExpr)
       .drop(c.bkt, c.sub, c.li)
+  }
+
+  /** Append a running SUM of `value` (long, inclusive of the current
+    * row) over the total order — `SUM(value) OVER (ORDER BY ...)`
+    * without the single-reducer window. Same two-phase scheme as the
+    * global row_number: per-bucket running sums locally, bucket offsets
+    * (the summed `value` of all lower buckets) from the bounded counts
+    * pass as one literal map. This is the distributed prefix-scan that
+    * sequence-packing / token-budget pipelines need. */
+  def withGlobalRunningSum(df: DataFrame, value: Column,
+                           primary: Column, primaryAsc: Boolean,
+                           order: Seq[Column], out: String,
+                           buckets: Int = 32,
+                           salt: Option[Column] = None): DataFrame = {
+    val (local, c, offMap) =
+      prefixParts(df, value, primary, primaryAsc, order, buckets, salt)
+    val offExpr =
+      if (offMap.isEmpty) lit(0L)
+      else element_at(typedLit(offMap),
+        col(c.bkt).cast("long") * (buckets + 1) + col(c.sub))
+    local.withColumn(out, col(c.li) + offExpr)
+      .drop(c.bkt, c.sub, c.li)
+  }
+
+  /** Shared with [[withGlobalRunningSum]]: locally-scanned frame (the
+    * `li` column holds the within-bucket running sum of `value`) plus
+    * the driver-computed per-(bucket, sub) value offsets. */
+  private def prefixParts(df: DataFrame, value: Column,
+                          primary: Column, primaryAsc: Boolean,
+                          order: Seq[Column], buckets: Int,
+                          salt: Option[Column]): (DataFrame, Cols, Map[Long, Long]) = {
+    val (withB, c) = bucketed(df, primary, primaryAsc, buckets, salt)
+    val local = withB.withColumn(c.li,
+      sum(value).over(
+        Window.partitionBy(col(c.bkt), col(c.sub)).orderBy(order: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("long"))
+    val sums = withB.groupBy(col(c.bkt), col(c.sub))
+      .agg(sum(value).as(c.li)).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+    var acc = 0L
+    val offMap = sums.map { case (b, s, n) =>
+      val off = acc; acc += n
+      (b.toLong * (buckets + 1) + s) -> off
+    }.toMap
+    (local, c, offMap)
   }
 
   /** Append a 1-based `NTILE(k)`-equivalent bucket (int) over the total

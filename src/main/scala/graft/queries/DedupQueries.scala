@@ -94,6 +94,30 @@ object DedupQueries {
         .orderBy(col("event_id"))
     },
 
+    // ---- Per-source duplication audit: docs vs distinct content hashes
+    // per `source` — the curation dashboard row that says WHICH feed is
+    // flooding the corpus with copies before any dedup runs (the global
+    // rate hides a single bad source). md5 of the text on both engines →
+    // identical hash space; COUNT(DISTINCT) shuffles one row per
+    // (source, hash), map-side combined; exact int counts, one double
+    // division at presentation.
+    entry("q_dup_by_source",
+      """SELECT source, COUNT(*) n_docs,
+        |  COUNT(DISTINCT md5(text)) n_unique,
+        |  COUNT(*) - COUNT(DISTINCT md5(text)) n_dup_docs,
+        |  CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS DOUBLE)/COUNT(*) dup_ratio
+        |FROM documents GROUP BY 1 ORDER BY source""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("source"), md5(col("text")).as("h"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("h")).as("n_unique"),
+          (count(lit(1)) - countDistinct(col("h"))).as("n_dup_docs"),
+          ((count(lit(1)) - countDistinct(col("h"))).cast("double")
+            / count(lit(1))).as("dup_ratio"))
+        .orderBy(col("source"))
+    },
+
     // ---- n-gram Jaccard near-dup pairs via PREFIX FILTERING (PPJoin-
     // style): sort each shingle set under a global order; for threshold
     // t=0.5 any pair with jac ≥ t must share a shingle within the first

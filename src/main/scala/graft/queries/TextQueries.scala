@@ -432,6 +432,98 @@ object TextQueries {
         .orderBy(col("rk"))
     },
 
+    // ---- Corpus-LM surprisal scoring: per-document mean unigram
+    // surprisal in whole bits — the frequency-weighted "how unusual is
+    // this document under the corpus's own unigram LM" quality signal
+    // (the cheap stand-in for perplexity filtering; rare-token-heavy docs
+    // surface for review, boilerplate-heavy docs score near zero).
+    // Exactness: surprisal = floor(log2(N DIV cnt)) — the division is
+    // INTEGER first, and log2 of an exact integer can only straddle an
+    // integer boundary at exact powers of two, where IEEE log2 is exact
+    // in both engines — so the summed bits are exact int64 and the one
+    // double division happens at presentation. Shape: one vocab-sized
+    // aggregate (map-side combined), the (doc, token, n) frame joins the
+    // frequency table on the token key (AQE broadcasts a small vocab),
+    // then one doc_id-keyed aggregate; the corpus is scanned twice
+    // (frequency pass + join pass), never self-joined.
+    entry("q_unigram_surprisal",
+      """WITH t AS (SELECT doc_id, unnest(string_split(text,' ')) tok FROM documents),
+        | dt AS (SELECT doc_id, tok, COUNT(*) n FROM t GROUP BY 1,2),
+        | f AS (SELECT tok, CAST(SUM(n) AS BIGINT) cnt FROM dt GROUP BY 1),
+        | tot AS (SELECT CAST(SUM(cnt) AS BIGINT) tn FROM f),
+        | s AS (SELECT dt.doc_id, dt.n,
+        |         CAST(floor(log2(CAST((SELECT tn FROM tot) // f.cnt AS DOUBLE))) AS BIGINT) sur
+        |       FROM dt JOIN f USING (tok))
+        |SELECT doc_id, CAST(SUM(n) AS BIGINT) n_tokens,
+        |  CAST(SUM(n * sur) AS BIGINT) sur_bits,
+        |  CAST(SUM(n * sur) AS DOUBLE) / SUM(n) mean_surprisal,
+        |  CAST(COALESCE(SUM(CASE WHEN sur >= 10 THEN n END), 0) AS BIGINT) n_rare
+        |FROM s GROUP BY 1 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val dt = Tables(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"), explode(tokens("text")).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("n"))
+      val f = dt.groupBy(col("tok")).agg(sum(col("n")).as("cnt"))
+      val tot = f.agg(sum(col("cnt")).as("tn"))
+      dt.join(f, "tok").crossJoin(broadcast(tot))
+        .withColumn("sur", expr("CAST(floor(log2(CAST(tn DIV cnt AS DOUBLE))) AS BIGINT)"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("n")).as("n_tokens"),
+          sum(col("n") * col("sur")).as("sur_bits"),
+          (sum(col("n") * col("sur")).cast("double") / sum(col("n"))).as("mean_surprisal"),
+          coalesce(sum(when(col("sur") >= 10, col("n"))), lit(0L)).as("n_rare"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- Vocabulary frequency spectrum: token types and occurrences per
+    // frequency OCTAVE (floor(log2(count)) buckets) — the corpus-health
+    // Zipf audit: a natural corpus slopes smoothly down the octaves, a
+    // template-generated or deduplicated-to-death one shows cliffs. Pure
+    // integer counts into ≤ ~40 cells; one vocab aggregate, map-side
+    // combined, nothing else.
+    entry("q_freq_spectrum",
+      """WITH t AS (SELECT unnest(string_split(text,' ')) tok FROM documents),
+        | f AS (SELECT tok, COUNT(*) cnt FROM t GROUP BY 1)
+        |SELECT CAST(floor(log2(CAST(cnt AS DOUBLE))) AS BIGINT) octave,
+        |  COUNT(*) n_types, CAST(SUM(cnt) AS BIGINT) n_tokens
+        |FROM f GROUP BY 1 ORDER BY octave""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(explode(tokens("text")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        .groupBy(expr("CAST(floor(log2(CAST(cnt AS DOUBLE))) AS BIGINT)").as("octave"))
+        .agg(count(lit(1)).as("n_types"), sum(col("cnt")).as("n_tokens"))
+        .orderBy(col("octave"))
+    },
+
+    // ---- Sequence packing: docs packed in doc_id order into contiguous
+    // 512-token context windows (tokens attributed to the window a doc
+    // STARTS in; docs crossing a boundary counted as spanning) — the
+    // token-budget planning table behind training-batch assembly. The
+    // prefix sum is [[graft.functions.Ranking.withGlobalRunningSum]]:
+    // value-bucketed per-partition running sums + driver offsets from
+    // the bounded counts pass — a distributed scan, NO single-reducer
+    // cumulative window even at 10⁹ documents.
+    entry("q_seq_packing",
+      """WITH t AS (SELECT doc_id, len(string_split(text,' ')) n_tok FROM documents),
+        | c AS (SELECT doc_id, n_tok, CAST(SUM(n_tok) OVER (ORDER BY doc_id) AS BIGINT) cum FROM t),
+        | w AS (SELECT doc_id, n_tok, (cum - n_tok) // 512 ws, (cum - 1) // 512 we FROM c)
+        |SELECT ws AS window_id, COUNT(*) n_docs, CAST(SUM(n_tok) AS BIGINT) n_tokens,
+        |  COUNT(CASE WHEN we > ws THEN 1 END) n_spanning
+        |FROM w GROUP BY 1 ORDER BY window_id""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"), size(tokens("text")).cast("long").as("n_tok"))
+      graft.functions.Ranking.withGlobalRunningSum(t, col("n_tok"),
+          col("doc_id"), primaryAsc = true, Seq(col("doc_id")), "cum")
+        .withColumn("ws", expr("(cum - n_tok) DIV 512"))
+        .withColumn("we", expr("(cum - 1) DIV 512"))
+        .groupBy(col("ws").as("window_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+          count(when(col("we") > col("ws"), 1)).as("n_spanning"))
+        .orderBy(col("window_id"))
+    },
+
     // ---- BOILERPLATE detection (C4-style line dedup adapted to
     // newline-free token streams): chop each document into fixed 3-token
     // pseudo-sentences, count how many DISTINCT documents each one

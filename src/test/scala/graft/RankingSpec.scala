@@ -149,6 +149,32 @@ class RankingSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("withGlobalRunningSum matches SUM OVER (ORDER BY ...), salted and not") {
+    import spark.implicits._
+    val data = rows.map { case (k, id) => (k, id, (id * 7) % 23 + 1) }
+    val d = data.toDF("k", "id", "v").repartition(4)
+    val want = d.withColumn("c",
+        sum(col("v")).over(Window.orderBy(col("k"), col("id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("long"))
+      .select("id", "c").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Ranking.withGlobalRunningSum(d, col("v"), col("k"), primaryAsc = true,
+        Seq(col("k"), col("id")), "c", buckets = 8)
+      .select("id", "c").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === want)
+    // 90%-constant primary + salt: the prefix scan must stay exact
+    val skew = (1L to 1000L).map(i =>
+      (if (i % 10 != 0) 7L else (i * 2654435761L) % 17, i, (i * 13) % 31 + 1))
+    val ds = skew.toDF("k", "id", "v").repartition(4)
+    val wantS = ds.withColumn("c",
+        sum(col("v")).over(Window.orderBy(col("k"), col("id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("long"))
+      .select("id", "c").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val gotS = Ranking.withGlobalRunningSum(ds, col("v"), col("k"), primaryAsc = true,
+        Seq(col("k"), col("id")), "c", buckets = 8, salt = Some(col("id")))
+      .select("id", "c").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotS === wantS)
+  }
+
   test("the ranking plan contains no partition-less window at all") {
     val d = df(rows)
     val plan = Ranking.withGlobalRowNumber(d, col("k"), primaryAsc = true,
