@@ -268,6 +268,92 @@ object Multimodal {
     hist
   }
 
+  /** A really-decoded audio clip: sample rate + mono-mixed signed
+    * samples (stereo averages the two channels in exact integer
+    * arithmetic, truncating toward zero). */
+  final case class DecodedAudio(sampleRate: Int, samples: Array[Int])
+
+  /** REAL audio decode for the codec-free format: RIFF/WAVE PCM
+    * (audioFormat 1), 16-bit, mono or stereo. Same hostile-input posture
+    * as the image decoders: every chunk length is Long-bounds-checked
+    * against the payload before any read, malformed/truncated streams
+    * return None (callers fall back to the byte-sample stub), and the
+    * sample allocation is capped by the actual data chunk length. */
+  def decodeWav(b: Array[Byte]): Option[DecodedAudio] = {
+    if (b.length < 44) return None
+    if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return None
+    var off = 12
+    var fmtOk = false
+    var channels = 0
+    var rate = 0
+    var dataOff = -1
+    var dataLen = 0
+    while (off + 8 <= b.length && (dataOff < 0 || !fmtOk)) {
+      val len = le32(b, off + 4)
+      if (len < 0 || off + 8L + len > b.length) return None
+      if (b(off) == 'f' && b(off + 1) == 'm' && b(off + 2) == 't' && b(off + 3) == ' ' && len >= 16) {
+        val audioFormat = le16(b, off + 8)
+        channels = le16(b, off + 10)
+        rate = le32(b, off + 12)
+        val bits = le16(b, off + 22)
+        fmtOk = audioFormat == 1 && bits == 16 && (channels == 1 || channels == 2) && rate > 0
+        if (!fmtOk) return None
+      } else if (b(off) == 'd' && b(off + 1) == 'a' && b(off + 2) == 't' && b(off + 3) == 'a') {
+        dataOff = off + 8; dataLen = len
+      }
+      off += 8 + len + (len & 1) // RIFF chunks pad to even offsets
+    }
+    if (!fmtOk || dataOff < 0) return None
+    val bytesPerFrame = 2 * channels
+    val n = dataLen / bytesPerFrame
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      var acc = 0
+      var ch = 0
+      while (ch < channels) {
+        val o = dataOff + i * bytesPerFrame + ch * 2
+        acc += (((b(o + 1) & 0xff) << 8) | (b(o) & 0xff)).toShort.toInt
+        ch += 1
+      }
+      out(i) = acc / channels
+      i += 1
+    }
+    Some(DecodedAudio(rate, out))
+  }
+
+  case class AudioWindow(doc_id: Long, window_idx: Int, n_samples: Long, energy: Long)
+
+  /** Windowed audio energy — Σ sample² per `window`-sample window, exact
+    * int64 (a full 256-sample window of int16 peaks at ~2.7×10¹¹, eight
+    * orders under the long ceiling). Recognized WAV payloads use the
+    * REAL decoded samples; anything else takes the unsigned-byte stub
+    * (payload bytes AS samples — deterministic, and character-replayable
+    * by the DuckDB oracle over ASCII text payloads). Partition-batched
+    * like the image paths. */
+  def audioEnergy(df: DataFrame, idCol: String, payloadCol: String,
+                  window: Int = 256): Dataset[AudioWindow] = {
+    require(window > 0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          val samples: Array[Int] = decodeWav(bytes) match {
+            case Some(a) => a.samples
+            case None => bytes.map(x => x & 0xff)
+          }
+          samples.grouped(window).zipWithIndex.map { case (w, i) =>
+            var e = 0L
+            w.foreach(s => e += s.toLong * s)
+            AudioWindow(id, i, w.length.toLong, e)
+          }
+        }
+      }
+  }
+
   /** Feature extraction over a binary payload column, one output row per
     * (item, feature-slot). Recognized images decode for REAL (luminance
     * histogram over the pixels, normalized by pixel count); anything else

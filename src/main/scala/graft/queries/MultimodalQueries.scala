@@ -69,6 +69,26 @@ object MultimodalQueries {
         .orderBy(col("doc_id"))
     },
 
+    // ---- Windowed audio energy: Σ sample² per 256-sample window, exact
+    // int64 end-to-end. Real RIFF/WAVE PCM16 payloads decode for real
+    // (graft.multimodal.Multimodal.decodeWav — MultimodalSpec drives
+    // hand-built mono/stereo WAVs through this path); these synthetic
+    // text payloads take the unsigned-byte stub, which the oracle
+    // replays character-wise (ASCII ⇒ chars == bytes, energy = Σ ascii²).
+    entry("q_mm_audio_energy",
+      """WITH w AS (SELECT doc_id, unnest(generate_series(0, CAST(ceil(octet_length(encode(text))/256.0) AS INT) - 1)) window_idx, text FROM documents)
+        |SELECT doc_id, window_idx,
+        |  CAST(length(substr(text, window_idx*256 + 1, 256)) AS BIGINT) n_samples,
+        |  CAST(list_sum([ascii(c)*ascii(c) for c in regexp_extract_all(substr(text, window_idx*256 + 1, 256), '.')]) AS BIGINT) energy
+        |FROM w ORDER BY doc_id, window_idx""".stripMargin) { (s, dir) =>
+      import graft.multimodal.Multimodal
+      Multimodal.audioEnergy(
+          Tables(s, dir, "documents").withColumn("payload", col("text").cast("binary")),
+          "doc_id", "payload", window = 256)
+        .toDF()
+        .orderBy(col("doc_id"), col("window_idx"))
+    },
+
     // ---- Frame sampling (video-decoder stub): 256-byte frames, every 4th
     // sampled, md5-fingerprinted — mapPartitions batch shape again; the
     // oracle slices the same bytes with substr (ASCII ⇒ chars == bytes).

@@ -160,6 +160,44 @@ class MultimodalSpec extends SparkSpec {
     assert(rz(1L).resized_md5 == expectMd5)
   }
 
+  /** Hand-built RIFF/WAVE PCM16: canonical 44-byte header + LE samples. */
+  private def tinyWav(channels: Int, samples: Seq[Seq[Int]]): Array[Byte] = {
+    val dataLen = 2 * channels * samples.length
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(36 + dataLen).put("WAVE".getBytes)
+    bb.put("fmt ".getBytes).putInt(16).putShort(1).putShort(channels.toShort)
+      .putInt(8000).putInt(8000 * 2 * channels).putShort((2 * channels).toShort).putShort(16)
+    bb.put("data".getBytes).putInt(dataLen)
+    samples.foreach(frame => frame.foreach(s => bb.putShort(s.toShort)))
+    bb.array()
+  }
+
+  test("real WAV decode: mono samples, stereo integer mix, windowed energy") {
+    val mono = tinyWav(1, Seq(Seq(100), Seq(-200), Seq(32767), Seq(-32768)))
+    val a = Multimodal.decodeWav(mono).get
+    assert(a.sampleRate == 8000)
+    assert(a.samples.toSeq == Seq(100, -200, 32767, -32768))
+    // stereo mixes channels in exact integer arithmetic
+    val st = tinyWav(2, Seq(Seq(100, 200), Seq(-100, -301)))
+    assert(Multimodal.decodeWav(st).get.samples.toSeq == Seq(150, -200))
+    // garbage and truncations fall to None (callers stub), never garbage
+    assert(Multimodal.decodeWav("not audio at all - too short".getBytes).isEmpty)
+    assert(Multimodal.decodeWav(mono.dropRight(3)).isEmpty)
+    // the Spark path: real WAV → real samples; text → byte stub
+    val df = Seq((1L, mono), (2L, "abc".getBytes)).toDF("doc_id", "payload")
+    val win = Multimodal.audioEnergy(df, "doc_id", "payload", window = 2)
+      .collect().groupBy(_.doc_id)
+    val w1 = win(1L).sortBy(_.window_idx)
+    assert(w1.map(_.energy).toSeq ==
+      Seq(100L * 100 + 200L * 200, 32767L * 32767 + 32768L * 32768))
+    assert(w1.forall(_.n_samples == 2))
+    // stub: unsigned bytes as samples — 'a'²+'b'² then 'c'²
+    val w2 = win(2L).sortBy(_.window_idx)
+    assert(w2.map(_.energy).toSeq == Seq(97L * 97 + 98L * 98, 99L * 99))
+    assert(w2.map(_.n_samples).toSeq == Seq(2L, 1L))
+  }
+
   test("recognized images take the real feature/resize path through Spark") {
     val df = Seq((1L, tinyBmp), (2L, "plain bytes".getBytes)).toDF("doc_id", "payload")
     val feats = Multimodal.extractFeatures(df, "doc_id", "payload", dim = 4)
