@@ -463,7 +463,11 @@ object TextQueries {
         .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(col("doc_id"), explode(tokens("text")).as("tok"))
         .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("n"))
+      // checkpoint the DATA-REDUCED frame (vocab-sized), not the
+      // corpus-shaped dt: the total and the join both re-read it, so the
+      // corpus is tokenized exactly twice (frequency pass + join pass)
       val f = dt.groupBy(col("tok")).agg(sum(col("n")).as("cnt"))
+        .localCheckpoint(false)
       val tot = f.agg(sum(col("cnt")).as("tn"))
       dt.join(f, "tok").crossJoin(broadcast(tot))
         .withColumn("sur", expr("CAST(floor(log2(CAST(tn DIV cnt AS DOUBLE))) AS BIGINT)"))
