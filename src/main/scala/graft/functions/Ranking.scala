@@ -43,10 +43,13 @@ import org.apache.spark.sql.functions._
   * funnel those rows through one reducer, the same failure mode as any
   * range partitioner. The escape hatch is `salt`: pass the SECOND sort
   * expression (which must be numeric, non-null, and ascending in `order`
-  * immediately after `primary`) and every value that spans ≥ 1/B of the
-  * distribution (detected as a repeated boundary) is sub-bucketed by
-  * that expression's own quantile boundaries — exact global ranks, still
-  * no reducer holding more than ~1/B of the rows. Correctness of the
+  * immediately after `primary`) and every value detected as a REPEATED
+  * quantile boundary is sub-bucketed by that expression's own quantile
+  * boundaries — exact global ranks with bounded reducers. Detection is
+  * guaranteed for values spanning ≥ 2/B of the distribution (two
+  * boundary repeats); a value spanning between 1/B and 2/B may straddle
+  * only one boundary and stay unsalted, costing at most a ~2×-balanced
+  * bucket, never correctness. Correctness of the
   * composite blocks: a heavy value v occupies its boundary-count bucket
   * together only with rows strictly BEFORE it in sort order (rows past v
   * have passed ≥ 2 more boundaries — v's own repeats), so (bucket, 0) <
@@ -141,27 +144,36 @@ object Ranking {
     val local = withB.withColumn(c.li,
       row_number().over(
         Window.partitionBy(col(c.bkt), col(c.sub)).orderBy(order: _*)).cast("long"))
-    // Per-(bucket, sub) counts: ≤ B·(B+1) rows BY CONFIGURATION, so the
-    // offsets are driver arithmetic (exactly how RangePartitioner turns
-    // its sample into bounds) — deliberately NOT a cumulative window
-    // (the unpartitioned single-reducer WindowExec this helper exists to
-    // eliminate), and no longer a triangle join + broadcast chain: the
-    // offsets return as ONE literal map, the total as a constant.
-    val counts = withB.groupBy(col(c.bkt), col(c.sub))
-      .agg(count(lit(1)).as(c.li)).collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    val (offExpr, total) = driverOffsets(withB, c, buckets, count(lit(1)))
+    (local, offExpr, total, c)
+  }
+
+  /** Driver-side offsets over the configuration-bounded (bucket, sub)
+    * frame: collects `groupBy(bkt, sub).agg(aggCol)` (≤ B·(B+1) rows BY
+    * CONFIGURATION, however big the data — the same driver round-trip
+    * RangePartitioner makes for its sampled bounds), prefix-scans in
+    * (bucket, sub) order, and returns the offset expression (one literal
+    * map lookup) plus the grand total. Deliberately NOT a cumulative
+    * window (the unpartitioned single-reducer WindowExec this module
+    * exists to eliminate) and not a triangle join + broadcast chain.
+    * `aggCol` must aggregate to a long (count, or sum of an integral
+    * column); an all-NULL group reads as 0. */
+  private def driverOffsets(withB: DataFrame, c: Cols, buckets: Int,
+                            aggCol: Column): (Column, Long) = {
+    val rows = withB.groupBy(col(c.bkt), col(c.sub))
+      .agg(aggCol.as(c.li)).collect()
+      .map(r => (r.getInt(0), r.getInt(1), if (r.isNullAt(2)) 0L else r.getLong(2)))
       .sortBy(t => (t._1, t._2))
     var acc = 0L
-    val offMap = counts.map { case (b, s, n) =>
+    val offMap = rows.map { case (b, s, n) =>
       val off = acc; acc += n
       (b.toLong * (buckets + 1) + s) -> off
     }.toMap
-    val total = acc
     val offExpr =
       if (offMap.isEmpty) lit(0L)
       else element_at(typedLit(offMap),
         col(c.bkt).cast("long") * (buckets + 1) + col(c.sub))
-    (local, offExpr, total, c)
+    (offExpr, acc)
   }
 
   /** Append a 1-based global `row_number` (long) over the total order
@@ -179,50 +191,34 @@ object Ranking {
       .drop(c.bkt, c.sub, c.li)
   }
 
-  /** Append a running SUM of `value` (long, inclusive of the current
-    * row) over the total order — `SUM(value) OVER (ORDER BY ...)`
-    * without the single-reducer window. Same two-phase scheme as the
-    * global row_number: per-bucket running sums locally, bucket offsets
-    * (the summed `value` of all lower buckets) from the bounded counts
-    * pass as one literal map. This is the distributed prefix-scan that
-    * sequence-packing / token-budget pipelines need. */
+  /** Append a running SUM of `value` (inclusive of the current row)
+    * over the total order — `SUM(value) OVER (ORDER BY ...)` without
+    * the single-reducer window. Same two-phase scheme as the global
+    * row_number: per-bucket running sums locally, bucket offsets (the
+    * summed `value` of all lower buckets) from the bounded counts pass
+    * as one literal map. This is the distributed prefix-scan that
+    * sequence-packing / token-budget pipelines need. `value` must be an
+    * INTEGRAL non-null column (the repo-wide exactness contract — scale
+    * doubles/decimals to integer units first); anything else is
+    * rejected at build time rather than silently truncated. */
   def withGlobalRunningSum(df: DataFrame, value: Column,
                            primary: Column, primaryAsc: Boolean,
                            order: Seq[Column], out: String,
                            buckets: Int = 32,
                            salt: Option[Column] = None): DataFrame = {
-    val (local, c, offMap) =
-      prefixParts(df, value, primary, primaryAsc, order, buckets, salt)
-    val offExpr =
-      if (offMap.isEmpty) lit(0L)
-      else element_at(typedLit(offMap),
-        col(c.bkt).cast("long") * (buckets + 1) + col(c.sub))
-    local.withColumn(out, col(c.li) + offExpr)
-      .drop(c.bkt, c.sub, c.li)
-  }
-
-  /** Shared with [[withGlobalRunningSum]]: locally-scanned frame (the
-    * `li` column holds the within-bucket running sum of `value`) plus
-    * the driver-computed per-(bucket, sub) value offsets. */
-  private def prefixParts(df: DataFrame, value: Column,
-                          primary: Column, primaryAsc: Boolean,
-                          order: Seq[Column], buckets: Int,
-                          salt: Option[Column]): (DataFrame, Cols, Map[Long, Long]) = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val vt = df.select(value).schema.head.dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(vt),
+      s"withGlobalRunningSum requires an integral value column, got $vt — " +
+        "scale to integer units first")
     val (withB, c) = bucketed(df, primary, primaryAsc, buckets, salt)
     val local = withB.withColumn(c.li,
       sum(value).over(
         Window.partitionBy(col(c.bkt), col(c.sub)).orderBy(order: _*)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("long"))
-    val sums = withB.groupBy(col(c.bkt), col(c.sub))
-      .agg(sum(value).as(c.li)).collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
-      .sortBy(t => (t._1, t._2))
-    var acc = 0L
-    val offMap = sums.map { case (b, s, n) =>
-      val off = acc; acc += n
-      (b.toLong * (buckets + 1) + s) -> off
-    }.toMap
-    (local, c, offMap)
+    val (offExpr, _) = driverOffsets(withB, c, buckets, sum(value))
+    local.withColumn(out, col(c.li) + offExpr)
+      .drop(c.bkt, c.sub, c.li)
   }
 
   /** Append a 1-based `NTILE(k)`-equivalent bucket (int) over the total

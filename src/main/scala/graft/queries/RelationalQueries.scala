@@ -799,8 +799,13 @@ object RelationalQueries {
         .select($"l_returnflag", (Exact.dec($"l_extendedprice") * 1000).cast("long").as("pm"))
       val med = li.groupBy($"l_returnflag".as("m_flag"))
         .agg(quantileSketch(256, Seq(0.5))($"pm".cast("double")).getItem(0).as("med"))
+      // the deviation frame feeds BOTH the MAD sketch and the fence
+      // count; unlike the exact twin (where recomputing one cheap
+      // scan+join measured faster than caching), here each re-evaluation
+      // would repeat the median SKETCH aggregation pass — checkpoint it
       val dev = li.join(broadcast(med), $"l_returnflag" === $"m_flag")
         .select($"l_returnflag", abs($"pm" - $"med").as("ad"))
+        .localCheckpoint(false)
       val mad = dev.groupBy($"l_returnflag".as("d_flag"))
         .agg(quantileSketch(256, Seq(0.5))($"ad").getItem(0).as("mad"))
       dev.join(broadcast(mad), $"l_returnflag" === $"d_flag")

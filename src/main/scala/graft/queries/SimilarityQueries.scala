@@ -124,7 +124,10 @@ object SimilarityQueries {
         .select(col("vec_id").as("qid"), col("cl"))
       val cands = probe.join(cell, "cl").filter(col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id").as("cid"))
-      val qe = e.select(col("vec_id").as("qid"), col("q").as("aq"), col("nrm").as("qnrm"))
+      // broadcast only the QUERY vectors — every cands.qid < 5, so an
+      // unfiltered qe would ship the whole corpus to every executor
+      val qe = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("q").as("aq"), col("nrm").as("qnrm"))
       val ce = e.select(col("vec_id").as("cid"), col("q").as("bq"), col("nrm").as("cnrm"))
       val scored = cands.join(broadcast(qe), "qid").join(ce, "cid")
         .withColumn("cosine", cosineFrom(qdot("aq", "bq"), col("qnrm"), col("cnrm")))
@@ -175,7 +178,9 @@ object SimilarityQueries {
       val cands = broadcast(probe).join(cell, "cl")
         .filter(col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id").as("cid"))
-      val qe = e.select(col("vec_id").as("qid"), col("q").as("aq"), col("nrm").as("qnrm"))
+      // broadcast only the QUERY vectors (see q_knn_ivf)
+      val qe = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("q").as("aq"), col("nrm").as("qnrm"))
       val ce = e.select(col("vec_id").as("cid"), col("q").as("bq"), col("nrm").as("cnrm"))
       cands.join(broadcast(qe), "qid").join(ce, "cid")
         .withColumn("cosine", cosineFrom(qdot("aq", "bq"), col("qnrm"), col("cnrm")))

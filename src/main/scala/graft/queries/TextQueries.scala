@@ -437,11 +437,14 @@ object TextQueries {
     // this document under the corpus's own unigram LM" quality signal
     // (the cheap stand-in for perplexity filtering; rare-token-heavy docs
     // surface for review, boilerplate-heavy docs score near zero).
-    // Exactness: surprisal = floor(log2(N DIV cnt)) — the division is
-    // INTEGER first, and log2 of an exact integer can only straddle an
-    // integer boundary at exact powers of two, where IEEE log2 is exact
-    // in both engines — so the summed bits are exact int64 and the one
-    // double division happens at presentation. Shape: one vocab-sized
+    // Exactness: surprisal = floor(log2(N DIV cnt)) computed WITHOUT
+    // libm as length(bin(x)) - 1 — pure integer in both engines (Spark's
+    // log2 is ln(x)/ln(2), which rounds UP to an exact integer at inputs
+    // like 2^48-1 where a correctly-rounded log2 does not, so a
+    // double-based floor would diverge exactly at the 10^14-token
+    // corpus sizes this engine targets) — so the summed bits are exact
+    // int64 and the one double division happens at presentation. Shape:
+    // one vocab-sized
     // aggregate (map-side combined), the (doc, token, n) frame joins the
     // frequency table on the token key (AQE broadcasts a small vocab),
     // then one doc_id-keyed aggregate; the corpus is scanned twice
@@ -452,7 +455,7 @@ object TextQueries {
         | f AS (SELECT tok, CAST(SUM(n) AS BIGINT) cnt FROM dt GROUP BY 1),
         | tot AS (SELECT CAST(SUM(cnt) AS BIGINT) tn FROM f),
         | s AS (SELECT dt.doc_id, dt.n,
-        |         CAST(floor(log2(CAST((SELECT tn FROM tot) // f.cnt AS DOUBLE))) AS BIGINT) sur
+        |         CAST(length(bin((SELECT tn FROM tot) // f.cnt)) - 1 AS BIGINT) sur
         |       FROM dt JOIN f USING (tok))
         |SELECT doc_id, CAST(SUM(n) AS BIGINT) n_tokens,
         |  CAST(SUM(n * sur) AS BIGINT) sur_bits,
@@ -470,7 +473,7 @@ object TextQueries {
         .localCheckpoint(false)
       val tot = f.agg(sum(col("cnt")).as("tn"))
       dt.join(f, "tok").crossJoin(broadcast(tot))
-        .withColumn("sur", expr("CAST(floor(log2(CAST(tn DIV cnt AS DOUBLE))) AS BIGINT)"))
+        .withColumn("sur", expr("CAST(length(bin(tn DIV cnt)) - 1 AS BIGINT)"))
         .groupBy(col("doc_id"))
         .agg(sum(col("n")).as("n_tokens"),
           sum(col("n") * col("sur")).as("sur_bits"),
@@ -483,19 +486,20 @@ object TextQueries {
     // frequency OCTAVE (floor(log2(count)) buckets) — the corpus-health
     // Zipf audit: a natural corpus slopes smoothly down the octaves, a
     // template-generated or deduplicated-to-death one shows cliffs. Pure
-    // integer counts into ≤ ~40 cells; one vocab aggregate, map-side
+    // integer counts into ≤ ~40 cells (floor-log2 as length(bin(x)) - 1,
+    // no libm — see q_unigram_surprisal); one vocab aggregate, map-side
     // combined, nothing else.
     entry("q_freq_spectrum",
       """WITH t AS (SELECT unnest(string_split(text,' ')) tok FROM documents),
         | f AS (SELECT tok, COUNT(*) cnt FROM t GROUP BY 1)
-        |SELECT CAST(floor(log2(CAST(cnt AS DOUBLE))) AS BIGINT) octave,
+        |SELECT CAST(length(bin(cnt)) - 1 AS BIGINT) octave,
         |  COUNT(*) n_types, CAST(SUM(cnt) AS BIGINT) n_tokens
         |FROM f GROUP BY 1 ORDER BY octave""".stripMargin) { (s, dir) =>
       Tables(s, dir, "documents")
         .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(explode(tokens("text")).as("tok"))
         .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
-        .groupBy(expr("CAST(floor(log2(CAST(cnt AS DOUBLE))) AS BIGINT)").as("octave"))
+        .groupBy(expr("CAST(length(bin(cnt)) - 1 AS BIGINT)").as("octave"))
         .agg(count(lit(1)).as("n_types"), sum(col("cnt")).as("n_tokens"))
         .orderBy(col("octave"))
     },
