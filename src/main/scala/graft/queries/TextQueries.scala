@@ -539,22 +539,28 @@ object TextQueries {
     // headers, footers, navigation chrome, license blurbs in real
     // corpora. Per-doc output: chunk count, boilerplate count, ratio (a
     // curation filter input alongside q_text_quality). Scale shape: one
-    // narrow chunk explosion, one map-side-combined (chunk → distinct
-    // docs) aggregate whose result (shared chunks only) joins back with
-    // NO explicit broadcast hint — the corpus is never self-joined. At
-    // this scale AQE measures the shared-chunk index small and picks the
-    // broadcast itself; at 100 TB a cross-corpus chunk list is plausibly
-    // GBs, where a forced broadcast would OOM the driver while the
-    // unhinted plan degrades gracefully to a shuffled equi-join keyed on
-    // the chunk — still no n² (same reasoning as q_fk_integrity).
+    // narrow chunk explosion; chunks are HASHED to int64 (md5-prefix,
+    // the same engine-portable family decontamination and the MinHash
+    // bases use) before anything wide, so the (hash → distinct docs)
+    // aggregate and the join back carry 8-byte keys instead of 3-token
+    // strings; the shared-chunk index joins back with NO explicit
+    // broadcast hint — at this scale AQE measures it small and picks
+    // the broadcast itself, at 100 TB the unhinted plan degrades
+    // gracefully to a shuffled equi-join (same reasoning as
+    // q_fk_integrity). The corpus is never self-joined. The oracle
+    // replays the identical hex→int arithmetic, so a hash collision
+    // (~1 in 4×10⁹ chunk pairs, which would merge two chunks' doc
+    // counts) cannot diverge the engines.
     entry("q_boilerplate",
       """WITH t AS (SELECT doc_id, string_split(text,' ') toks FROM documents),
         | c AS (SELECT doc_id, unnest([array_to_string(toks[i*3+1:i*3+3],' ')
         |        for i in generate_series(0, CAST(ceil(len(toks)/3.0) AS INT)-1)]) chunk FROM t),
-        | b AS (SELECT chunk FROM c GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 3),
-        | s AS (SELECT c.doc_id, COUNT(*) n_chunks,
-        |         COUNT(CASE WHEN b.chunk IS NOT NULL THEN 1 END) n_boiler
-        |       FROM c LEFT JOIN b USING (chunk) GROUP BY 1)
+        | h AS (SELECT doc_id, list_sum([(strpos('0123456789abcdef', substr(md5(chunk), j, 1)) - 1)
+        |        * CAST(pow(16, 8-j) AS BIGINT) for j in generate_series(1,8)]) ch FROM c),
+        | b AS (SELECT ch FROM h GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 3),
+        | s AS (SELECT h.doc_id, COUNT(*) n_chunks,
+        |         COUNT(CASE WHEN b.ch IS NOT NULL THEN 1 END) n_boiler
+        |       FROM h LEFT JOIN b USING (ch) GROUP BY 1)
         |SELECT doc_id, n_chunks, n_boiler,
         |  CAST(n_boiler AS DOUBLE)/n_chunks AS boiler_ratio
         |FROM s ORDER BY doc_id""".stripMargin) { (s, dir) =>
@@ -569,14 +575,16 @@ object TextQueries {
           "CASE WHEN size(toks) < 1 THEN CAST(array() AS ARRAY<STRING>) " +
             "ELSE transform(sequence(0, CAST(ceil(size(toks)/3.0) AS INT) - 1), " +
             "i -> array_join(slice(toks, i*3 + 1, 3), ' ')) END")).as("chunk"))
-      val boiler = c.groupBy(col("chunk").as("b_chunk"))
+        .select(col("doc_id"),
+          expr("CAST(conv(substring(md5(chunk), 1, 8), 16, 10) AS BIGINT)").as("ch"))
+      val boiler = c.groupBy(col("ch").as("b_ch"))
         .agg(countDistinct(col("doc_id")).as("nd"))
         .filter(col("nd") >= 3)
-        .select(col("b_chunk"))
-      c.join(boiler, col("chunk") === col("b_chunk"), "left")
+        .select(col("b_ch"))
+      c.join(boiler, col("ch") === col("b_ch"), "left")
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_chunks"),
-          count(when(col("b_chunk").isNotNull, 1)).as("n_boiler"))
+          count(when(col("b_ch").isNotNull, 1)).as("n_boiler"))
         .select(col("doc_id"), col("n_chunks"), col("n_boiler"),
           (col("n_boiler").cast("double") / col("n_chunks")).as("boiler_ratio"))
         .orderBy(col("doc_id"))
@@ -587,21 +595,24 @@ object TextQueries {
     // reassemble what remains in original order). Reassembly is
     // inherently doc-local, so the per-doc collect_list is bounded by a
     // single document's length — never corpus-shaped state; the shared-
-    // chunk index joins back unhinted exactly as in q_boilerplate (AQE
-    // broadcasts it while it measures small). Documents whose every
-    // chunk is boilerplate surface with cleaned_chars = 0 rather than
-    // vanishing.
+    // chunk index is int64 HASHES (md5-prefix, as in q_boilerplate — the
+    // chunk TEXT rides only on the doc-local side for reassembly) and
+    // joins back unhinted (AQE broadcasts it while it measures small).
+    // Documents whose every chunk is boilerplate surface with
+    // cleaned_chars = 0 rather than vanishing.
     entry("q_boilerplate_clean",
       """WITH t AS (SELECT doc_id, string_split(text,' ') toks FROM documents),
         | ch AS (SELECT doc_id, [array_to_string(toks[i*3+1:i*3+3],' ')
         |        for i in generate_series(0, CAST(ceil(len(toks)/3.0) AS INT)-1)] chunks FROM t),
         | c AS (SELECT doc_id, generate_subscripts(chunks,1) pos, unnest(chunks) chunk FROM ch),
-        | b AS (SELECT chunk FROM c GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 3),
-        | kept AS (SELECT c.doc_id, c.pos, c.chunk FROM c LEFT JOIN b USING (chunk) WHERE b.chunk IS NULL),
+        | hh AS (SELECT doc_id, pos, chunk, list_sum([(strpos('0123456789abcdef', substr(md5(chunk), j, 1)) - 1)
+        |        * CAST(pow(16, 8-j) AS BIGINT) for j in generate_series(1,8)]) chash FROM c),
+        | b AS (SELECT chash FROM hh GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 3),
+        | kept AS (SELECT hh.doc_id, hh.pos, hh.chunk FROM hh LEFT JOIN b USING (chash) WHERE b.chash IS NULL),
         | agg AS (SELECT doc_id, COUNT(*) n_kept,
         |           length(array_to_string(list(chunk ORDER BY pos), ' ')) cleaned_chars
         |         FROM kept GROUP BY 1),
-        | tot AS (SELECT doc_id, COUNT(*) n_chunks FROM c GROUP BY 1)
+        | tot AS (SELECT doc_id, COUNT(*) n_chunks FROM hh GROUP BY 1)
         |SELECT tot.doc_id, tot.n_chunks,
         |  COALESCE(agg.n_kept, 0) AS n_kept,
         |  CAST(COALESCE(agg.cleaned_chars, 0) AS BIGINT) AS cleaned_chars
@@ -618,11 +629,13 @@ object TextQueries {
           "CASE WHEN size(toks) < 1 THEN CAST(array() AS ARRAY<STRING>) " +
             "ELSE transform(sequence(0, CAST(ceil(size(toks)/3.0) AS INT) - 1), " +
             "i -> array_join(slice(toks, i*3 + 1, 3), ' ')) END")).as(Seq("pos", "chunk")))
-      val boiler = c.groupBy(col("chunk").as("b_chunk"))
+        .withColumn("chash",
+          expr("CAST(conv(substring(md5(chunk), 1, 8), 16, 10) AS BIGINT)"))
+      val boiler = c.groupBy(col("chash").as("b_ch"))
         .agg(countDistinct(col("doc_id")).as("nd"))
         .filter(col("nd") >= 3)
-        .select(col("b_chunk"))
-      val kept = c.join(boiler, col("chunk") === col("b_chunk"), "left_anti")
+        .select(col("b_ch"))
+      val kept = c.join(boiler, col("chash") === col("b_ch"), "left_anti")
       val agg = kept.groupBy(col("doc_id").as("a_doc"))
         .agg(count(lit(1)).as("n_kept"),
           length(array_join(expr(
