@@ -238,6 +238,47 @@ class QueryInvariantSpec extends SparkSpec {
     assert(math.abs(rho + 1.0) < 1e-12, s"rho = $rho")
   }
 
+  test("boilerplate detection and removal agree per document") {
+    val det = SparkEntry.queries("q_boilerplate")(spark, sf001)
+      .select($"doc_id", $"n_chunks", $"n_boiler").as[(Long, Long, Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val cln = SparkEntry.queries("q_boilerplate_clean")(spark, sf001)
+      .select($"doc_id", $"n_chunks", $"n_kept").as[(Long, Long, Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(det.keySet == cln.keySet)
+    det.foreach { case (doc, (nc, nb)) =>
+      val (nc2, nk) = cln(doc)
+      assert(nc2 == nc, s"doc $doc: chunk counts diverge ($nc vs $nc2)")
+      // what detection flags is exactly what removal drops
+      assert(nk == nc - nb, s"doc $doc: kept $nk != $nc - $nb")
+    }
+  }
+
+  test("sequence packing conserves every token and every document") {
+    val packed = SparkEntry.queries("q_seq_packing")(spark, sf001)
+      .select($"window_id", $"n_docs", $"n_tokens").as[(Long, Long, Long)]
+      .collect()
+    val docs = Tables(spark, sf001, "documents")
+      .select(size(split($"text", " ")).cast("long").as("n"))
+      .agg(count(lit(1)), sum($"n")).as[(Long, Long)].head()
+    assert(packed.map(_._2).sum == docs._1, "every document starts in exactly one window")
+    assert(packed.map(_._3).sum == docs._2, "token totals must be conserved")
+    assert(packed.forall(_._2 >= 1), "emitted windows hold at least one doc start")
+    // start-window ids never exceed the token budget's last window
+    val maxWin = (docs._2 - 1) / 512
+    assert(packed.forall(w => w._1 >= 0 && w._1 <= maxWin))
+  }
+
+  test("unigram surprisal: rare tokens bounded, mean consistent with bits") {
+    val out = SparkEntry.queries("q_unigram_surprisal")(spark, sf001)
+      .select($"n_tokens", $"sur_bits", $"mean_surprisal", $"n_rare")
+      .as[(Long, Long, Double, Long)].collect()
+    out.foreach { case (n, bits, mean, rare) =>
+      assert(n > 0 && bits >= 0 && rare >= 0 && rare <= n)
+      assert(math.abs(mean - bits.toDouble / n) < 1e-12)
+    }
+  }
+
   /** Exact rational d/(den) comparable via cross-multiplication. */
   private case class ExactFrac(num: BigInt, den: BigInt)
   private object ExactFrac {
