@@ -1,0 +1,95 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** BPE-style vocabulary induction over a tokenized corpus — the
+  * canonical tokenizer-training loop (Sennrich et al. 2016), distributed:
+  * each round counts ADJACENT token pairs corpus-wide (one map-side-
+  * combined aggregation — the same shape as the oracle-gated
+  * `q_ngram_stats` bigram count), picks the most frequent pair on the
+  * driver (a 1-row argmax with a deterministic (freq desc, pair asc)
+  * tie-break), and rewrites every document by greedy leftmost
+  * non-overlapping substitution of that pair with its merged symbol.
+  *
+  * Scale shape per round: the pair count shuffles only (l, r, n)
+  * aggregate partials (vocabulary-sized, not corpus-sized); the merge is
+  * a narrow per-row array fold (no shuffle); iteration hygiene is the
+  * [[KMeans.fit]] discipline — each round's corpus is lazily
+  * localCheckpoint'ed so round k+1's pair count never re-runs round k's
+  * rewrite chain, and the superseded checkpoint is unpersisted after its
+  * successor materializes.
+  *
+  * Exactness: counts are exact longs; the argmax tie-break is total
+  * (freq desc, left asc, right asc), so the learned merge table is
+  * deterministic for any partitioning — BpeSpec pins round 1 against an
+  * independent recount and the repartition-invariance.
+  */
+object BpeVocab {
+
+  final case class Merge(step: Int, left: String, right: String, pair_freq: Long)
+
+  /** Learned merge table + the corpus after all merges (doc_id, toks). */
+  final case class Fit(merges: Seq[Merge], corpus: DataFrame)
+
+  /** Adjacent-pair frame (l, r, n) of a (doc_id, toks) corpus. */
+  def pairCounts(corpus: DataFrame): DataFrame =
+    corpus.select(explode(expr(
+        // size < 2 guard: Spark's sequence(1, 0) DESCENDS ([1, 0]) where
+        // "no pairs" is meant — same clamp convention as TextFunctions
+        "CASE WHEN size(toks) < 2 THEN CAST(array() AS ARRAY<STRUCT<l: STRING, r: STRING>>) " +
+          "ELSE transform(sequence(1, size(toks) - 1), " +
+          "i -> struct(toks[i-1] AS l, toks[i] AS r)) END")).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Greedy leftmost non-overlapping substitution of the (left, right)
+    * pair with the merged symbol "left right": a single array fold — when
+    * the running output ends with `left` and the next token is `right`,
+    * the tail is replaced by the merged symbol (which then participates
+    * in FURTHER comparisons, so "a a a" under (a,a) yields [aa, a] — the
+    * standard BPE overlap rule). */
+  private[functions] def mergeExpr(left: String, right: String): Column = {
+    def q(s: String) = s.replace("\\", "\\\\").replace("'", "\\'")
+    expr(
+      s"aggregate(toks, CAST(array() AS ARRAY<STRING>), (acc, x) -> " +
+        s"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '${q(left)}' AND x = '${q(right)}' " +
+        s"THEN concat(slice(acc, 1, size(acc) - 1), array('${q(left)} ${q(right)}')) " +
+        s"ELSE concat(acc, array(x)) END)")
+  }
+
+  /** Run `rounds` merge rounds (fewer if the corpus runs out of pairs).
+    * `docs` must carry (doc_id, toks: array<string>). */
+  def fit(docs: DataFrame, rounds: Int): Fit = {
+    require(rounds >= 1)
+    var corpus = docs.select(col("doc_id"), col("toks")).localCheckpoint(false)
+    // deferred unpersist (one job per round, not two): round k+1's argmax
+    // action is what materializes round k's rewrite checkpoint, and only
+    // THEN is round k-1's checkpoint safe to drop — a localCheckpoint's
+    // lineage is cut, so unpersisting a parent before its child
+    // materializes would lose the data unrecoverably (KMeans discipline)
+    var prev: Option[DataFrame] = None
+    val merges = List.newBuilder[Merge]
+    var step = 1
+    var dry = false
+    while (step <= rounds && !dry) {
+      val best = pairCounts(corpus)
+        .orderBy(col("n").desc, col("l").asc, col("r").asc)
+        .limit(1).collect().headOption
+      prev.foreach(_.unpersist()) // `corpus` just materialized above
+      prev = None
+      best match {
+        case None => dry = true // empty corpus or all single-token docs
+        case Some(row) =>
+          val (l, r, n) = (row.getString(0), row.getString(1), row.getLong(2))
+          merges += Merge(step, l, r, n)
+          prev = Some(corpus)
+          corpus = corpus.withColumn("toks", mergeExpr(l, r)).localCheckpoint(false)
+          step += 1
+      }
+    }
+    // the final corpus is still lazy over `prev` — which stays persisted
+    // exactly for that reason; the caller's first action materializes it
+    Fit(merges.result(), corpus)
+  }
+}

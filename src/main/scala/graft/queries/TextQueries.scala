@@ -532,6 +532,31 @@ object TextQueries {
         .orderBy(col("window_id"))
     },
 
+    // ---- BPE-style vocabulary induction
+    // ([[graft.functions.BpeVocab.fit]]): 5 rounds of count-adjacent-
+    // pairs → driver argmax (deterministic (freq desc, pair asc)
+    // tie-break) → greedy leftmost merge rewrite — the tokenizer-training
+    // loop every LLM data pipeline runs before anything else. Per round
+    // the corpus shuffles only vocabulary-sized aggregate partials and
+    // the rewrite is a narrow array fold; iteration state is
+    // checkpointed KMeans-style. No DuckDB oracle — an iterative argmax
+    // is not SQL-expressible — so the driver rows-only gate applies and
+    // BpeSpec carries the contract (round 1 ≡ an independent pair
+    // recount with the q_ngram_stats tokenization; token totals strictly
+    // decrease; merged pairs vanish from adjacency; repartition-
+    // invariant).
+    entryNoOracle("q_bpe_vocab") { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"), tokens("text").as("toks"))
+      val fit = graft.functions.BpeVocab.fit(docs, rounds = 5)
+      import s.implicits._
+      fit.merges.toDF()
+        .select(col("step").cast("long").as("step"), col("left"),
+          col("right"), col("pair_freq"))
+        .orderBy(col("step"))
+    },
+
     // ---- BOILERPLATE detection (C4-style line dedup adapted to
     // newline-free token streams): chop each document into fixed 3-token
     // pseudo-sentences, count how many DISTINCT documents each one
