@@ -118,6 +118,64 @@ object DedupQueries {
         .orderBy(col("source"))
     },
 
+    // ---- EXACT SUBSTRING dedup (the "Deduplicating Training Data Makes
+    // Language Models Better" operator, scaled down from 50-token to
+    // 8-token windows for this corpus): every 8-token window that appears
+    // in ≥ 2 distinct documents is a duplicated substring HIT; per
+    // document, overlapping/adjacent hits merge into SPANS (the classic
+    // islands-and-gaps: a running max of span ends partitioned by doc),
+    // reporting span count and duplicated token mass — position-aware
+    // where the chunk/boilerplate operators are alignment-bound. Scale
+    // shape: the window explosion carries (doc, pos, int64 md5-prefix
+    // hash) — ~1 row per corpus token, 8-byte keys; the shared-window
+    // index is one map-side-combined aggregate joined back AQE-sized; the
+    // island windows partition BY DOCUMENT (bounded by doc length, never
+    // corpus-wide). The oracle replays hashing and island arithmetic.
+    entry("q_dedup_substring",
+      """WITH t AS (SELECT doc_id, string_split(text,' ') toks FROM documents),
+        | wp AS (SELECT doc_id, unnest(generate_series(1, greatest(len(toks)-7, 0))) pos, toks FROM t),
+        | w AS (SELECT doc_id, pos, list_sum([(strpos('0123456789abcdef', substr(md5(array_to_string(toks[pos:pos+7],' ')), j, 1)) - 1)
+        |        * CAST(pow(16, 8-j) AS BIGINT) for j in generate_series(1,8)]) h FROM wp),
+        | d AS (SELECT h FROM w GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2),
+        | hit AS (SELECT w.doc_id, w.pos FROM w JOIN d USING (h)),
+        | isl AS (SELECT doc_id, pos,
+        |     CASE WHEN pos > COALESCE(MAX(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1 THEN 1 ELSE 0 END ni
+        |   FROM hit),
+        | i2 AS (SELECT doc_id, pos, SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos) island FROM isl),
+        | sp AS (SELECT doc_id, island, MAX(pos) + 7 - MIN(pos) + 1 span_tokens FROM i2 GROUP BY 1,2)
+        |SELECT doc_id, COUNT(*) n_dup_spans, CAST(SUM(span_tokens) AS BIGINT) dup_tokens
+        |FROM sp GROUP BY 1 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val byDoc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("pos"))
+      val w = Tables(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"), tokens("text").as("toks"))
+        .select(col("doc_id"), posexplode(expr(
+          "CASE WHEN size(toks) < 8 THEN CAST(array() AS ARRAY<BIGINT>) " +
+            "ELSE transform(sequence(1, size(toks) - 7), " +
+            "i -> CAST(conv(substring(md5(array_join(slice(toks, i, 8), ' ')), 1, 8), 16, 10) AS BIGINT)) END"))
+          .as(Seq("p", "h")))
+        .select(col("doc_id"), (col("p") + 1).as("pos"), col("h"))
+      val dup = w.groupBy(col("h").as("d_h"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2)
+        .select(col("d_h"))
+      val hits = w.join(dup, col("h") === col("d_h"))
+        .select(col("doc_id"), col("pos"))
+      val prevMaxEnd = max(col("pos") + 7)
+        .over(byDoc.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1))
+      hits
+        .withColumn("ni", when(col("pos") > coalesce(prevMaxEnd, lit(-1)) + 1, 1).otherwise(0))
+        .withColumn("island", sum(col("ni")).over(byDoc))
+        .groupBy(col("doc_id"), col("island"))
+        .agg((max(col("pos")) + 7 - min(col("pos")) + 1).as("span_tokens"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_dup_spans"),
+          sum(col("span_tokens")).cast("long").as("dup_tokens"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- n-gram Jaccard near-dup pairs via PREFIX FILTERING (PPJoin-
     // style): sort each shingle set under a global order; for threshold
     // t=0.5 any pair with jac ≥ t must share a shingle within the first
