@@ -29,8 +29,14 @@ object BpeVocab {
 
   final case class Merge(step: Int, left: String, right: String, pair_freq: Long)
 
-  /** Learned merge table + the corpus after all merges (doc_id, toks). */
-  final case class Fit(merges: Seq[Merge], corpus: DataFrame)
+  /** Learned merge table + the corpus after all merges (doc_id, toks).
+    * The corpus is a materialized localCheckpoint — call [[Fit.release]]
+    * when done with it (the merge table is plain driver data and
+    * survives), otherwise the checkpointed blocks live for the session
+    * (`spark.catalog.clearCache` does NOT drop RDD-level checkpoints). */
+  final case class Fit(merges: Seq[Merge], corpus: DataFrame) {
+    def release(): Unit = corpus.unpersist()
+  }
 
   /** Adjacent-pair frame (l, r, n) of a (doc_id, toks) corpus. */
   def pairCounts(corpus: DataFrame): DataFrame =
@@ -44,18 +50,40 @@ object BpeVocab {
       .agg(count(lit(1)).as("n"))
 
   /** Greedy leftmost non-overlapping substitution of the (left, right)
-    * pair with the merged symbol "left right": a single array fold — when
+    * pair with the merged symbol "left right".
+    *
+    * left ≠ right (the common case): two (l, r) windows can only overlap
+    * when l = r (window i+1 would need toks[i+1] = l AND = r), so every
+    * match merges independently — one LINEAR transform over indices
+    * (emit merged at a match, drop the consumed right half, copy
+    * everything else) and a null-filter. No sequential state.
+    *
+    * left == right (a self-pair like (a, a)): within a run of equal
+    * tokens greedy leftmost takes every OTHER window, which is
+    * inherently sequential, so this branch keeps the array fold — when
     * the running output ends with `left` and the next token is `right`,
-    * the tail is replaced by the merged symbol (which then participates
-    * in FURTHER comparisons, so "a a a" under (a,a) yields [aa, a] — the
-    * standard BPE overlap rule). */
-  private[functions] def mergeExpr(left: String, right: String): Column = {
+    * the tail is replaced by the merged symbol (so "a a a" yields
+    * [aa, a] — the standard BPE overlap rule). The fold copies its
+    * accumulator per step (O(len²) per doc) — acceptable because
+    * self-pairs are rare in real merge tables and the linear branch
+    * handles everything else. */
+  private[graft] def mergeExpr(left: String, right: String): Column = {
     def q(s: String) = s.replace("\\", "\\\\").replace("'", "\\'")
-    expr(
-      s"aggregate(toks, CAST(array() AS ARRAY<STRING>), (acc, x) -> " +
-        s"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '${q(left)}' AND x = '${q(right)}' " +
-        s"THEN concat(slice(acc, 1, size(acc) - 1), array('${q(left)} ${q(right)}')) " +
-        s"ELSE concat(acc, array(x)) END)")
+    val (l, r, m) = (q(left), q(right), q(left) + " " + q(right))
+    if (left != right)
+      expr(
+        // size < 2 guard: sequence(0, -1) DESCENDS on an empty array
+        s"CASE WHEN size(toks) < 2 THEN toks ELSE " +
+          s"filter(transform(sequence(0, size(toks) - 1), i -> " +
+          s"CASE WHEN toks[i] = '$l' AND i + 1 < size(toks) AND toks[i+1] = '$r' THEN '$m' " +
+          s"WHEN i > 0 AND toks[i-1] = '$l' AND toks[i] = '$r' THEN CAST(NULL AS STRING) " +
+          s"ELSE toks[i] END), x -> x IS NOT NULL) END")
+    else
+      expr(
+        s"aggregate(toks, CAST(array() AS ARRAY<STRING>), (acc, x) -> " +
+          s"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '$l' AND x = '$r' " +
+          s"THEN concat(slice(acc, 1, size(acc) - 1), array('$m')) " +
+          s"ELSE concat(acc, array(x)) END)")
   }
 
   /** Run `rounds` merge rounds (fewer if the corpus runs out of pairs).
@@ -88,8 +116,11 @@ object BpeVocab {
           step += 1
       }
     }
-    // the final corpus is still lazy over `prev` — which stays persisted
-    // exactly for that reason; the caller's first action materializes it
+    // materialize the final corpus (it is lazy over `prev`), then drop
+    // the superseded parent — the returned Fit owns exactly ONE
+    // checkpointed frame, released via Fit.release()
+    corpus.count()
+    prev.foreach(_.unpersist())
     Fit(merges.result(), corpus)
   }
 }

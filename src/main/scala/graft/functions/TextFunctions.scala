@@ -48,12 +48,32 @@ object TextFunctions {
     expr(s"CAST(size(array_intersect($a, $b)) AS DOUBLE) / " +
       s"(size($a) + size($b) - size(array_intersect($a, $b)))")
 
+  /** SQL fragment hashing a string expression to a 60-bit int64 (first
+    * 15 hex digits of md5 — 16^15 = 2^60 < 2^63). The engine-portable
+    * JOIN/GROUP key compression used by decontamination, boilerplate,
+    * and substring dedup: 60 bits keep the birthday bound negligible at
+    * 10^13-key corpus scale, where the 32-bit MinHash bases (whose width
+    * is fixed by the affine mod-2^31-1 slot family) would saturate. The
+    * oracle replays it with strpos/pow arithmetic over 15 digits. */
+  def md5Prefix64Sql(inner: String): String =
+    s"CAST(conv(substring(md5($inner), 1, 15), 16, 10) AS BIGINT)"
+
+  /** Column form of [[md5Prefix64Sql]] over a column name. */
+  def md5Prefix64(c: String): Column = expr(md5Prefix64Sql(c))
+
+  /** The matching DuckDB oracle fragment for [[md5Prefix64Sql]]. */
+  def md5Prefix64Oracle(inner: String): String =
+    s"list_sum([(strpos('0123456789abcdef', substr(md5($inner), j, 1)) - 1) " +
+      s"* CAST(pow(16, 15-j) AS BIGINT) for j in generate_series(1,15)])"
+
   /** Per-shingle 32-bit base hash: the first 8 hex digits of md5 as int64.
     * One strong hash per shingle; the k MinHash functions are derived from
     * it with affine transforms (see [[graft.plans.MinHashSlots]]) — 16×
     * less hashing than the round-2 salted-md5-per-slot family, same
     * engine-portability (the oracle rebuilds the hex→int arithmetic with
-    * strpos/pow). */
+    * strpos/pow). The 32-bit width here is a property of the SKETCH hash
+    * family (collisions are inside MinHash's error envelope); exact
+    * join/group keys use the 60-bit [[md5Prefix64Sql]] instead. */
   def shingleBases(shCol: String): Column =
     expr(s"transform($shCol, x -> CAST(conv(substring(md5(x), 1, 8), 16, 10) AS BIGINT))")
 

@@ -135,7 +135,7 @@ object DedupQueries {
       """WITH t AS (SELECT doc_id, string_split(text,' ') toks FROM documents),
         | wp AS (SELECT doc_id, unnest(generate_series(1, greatest(len(toks)-7, 0))) pos, toks FROM t),
         | w AS (SELECT doc_id, pos, list_sum([(strpos('0123456789abcdef', substr(md5(array_to_string(toks[pos:pos+7],' ')), j, 1)) - 1)
-        |        * CAST(pow(16, 8-j) AS BIGINT) for j in generate_series(1,8)]) h FROM wp),
+        |        * CAST(pow(16, 15-j) AS BIGINT) for j in generate_series(1,15)]) h FROM wp),
         | d AS (SELECT h FROM w GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2),
         | hit AS (SELECT w.doc_id, w.pos FROM w JOIN d USING (h)),
         | isl AS (SELECT doc_id, pos,
@@ -154,7 +154,7 @@ object DedupQueries {
         .select(col("doc_id"), posexplode(expr(
           "CASE WHEN size(toks) < 8 THEN CAST(array() AS ARRAY<BIGINT>) " +
             "ELSE transform(sequence(1, size(toks) - 7), " +
-            "i -> CAST(conv(substring(md5(array_join(slice(toks, i, 8), ' ')), 1, 8), 16, 10) AS BIGINT)) END"))
+            s"i -> ${md5Prefix64Sql("array_join(slice(toks, i, 8), ' ')")}) END"))
           .as(Seq("p", "h")))
         .select(col("doc_id"), (col("p") + 1).as("pos"), col("h"))
       val dup = w.groupBy(col("h").as("d_h"))
@@ -418,18 +418,20 @@ object DedupQueries {
     // index BROADCASTS to every executor — the 100 TB training side
     // streams through a map-side hash join with NO shuffle; the per-doc
     // hit counts aggregate with map-side partials on doc_id. Grams are
-    // HASHED to int64 (md5-prefix, the same engine-portable family the
-    // MinHash bases use) before the explode/join, so the broadcast index
-    // and every join key carry 8 bytes instead of a 5-token string —
-    // several-fold fewer index bytes at any scale; the oracle replays the
-    // identical hex→int arithmetic, so even a hash collision (which would
-    // merge two grams in the distinct counts) cannot diverge the engines.
+    // HASHED to 60-bit int64 (md5-prefix,
+    // [[graft.functions.TextFunctions.md5Prefix64Sql]]) before the
+    // explode/join, so the broadcast index and every join key carry
+    // 8 bytes instead of a 5-token string — several-fold fewer index
+    // bytes at any scale, with a birthday bound that stays negligible at
+    // 10^13 grams; the oracle replays the identical hex→int arithmetic,
+    // so even a hash collision (which would merge two grams in the
+    // distinct counts) cannot diverge the engines.
     entry("q_decontaminate",
       """WITH t AS (SELECT doc_id, string_split(text,' ') toks FROM documents),
         | s AS (SELECT doc_id, list_distinct([array_to_string(toks[i:i+4],' ')
         |        for i in generate_series(1, greatest(len(toks)-4,1))]) sh FROM t),
         | hsh AS (SELECT doc_id, [list_sum([(strpos('0123456789abcdef', substr(md5(x), j, 1)) - 1)
-        |        * CAST(pow(16, 8-j) AS BIGINT) for j in generate_series(1,8)]) for x in sh] gh FROM s),
+        |        * CAST(pow(16, 15-j) AS BIGINT) for j in generate_series(1,15)]) for x in sh] gh FROM s),
         | ev AS (SELECT doc_id AS eval_id, unnest(gh) AS g FROM hsh WHERE doc_id % 20 = 0),
         | tr AS (SELECT doc_id, unnest(gh) AS g FROM hsh WHERE doc_id % 20 <> 0),
         | hits AS (SELECT tr.doc_id, COUNT(DISTINCT ev.eval_id) AS n_eval_docs,
@@ -440,7 +442,8 @@ object DedupQueries {
         .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .withColumn("toks", tokens("text"))
         .select(col("doc_id"), shingles("toks", 5).as("sh"))
-        .select(col("doc_id"), shingleBases("sh").as("gh"))
+        .select(col("doc_id"),
+          expr(s"transform(sh, x -> ${md5Prefix64Sql("x")})").as("gh"))
       val ev = sh5.filter(col("doc_id") % 20 === 0)
         .select(col("doc_id").as("eval_id"), explode(col("gh")).as("g"))
       val tr = sh5.filter(col("doc_id") % 20 =!= 0)

@@ -550,6 +550,9 @@ object TextQueries {
         .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(col("doc_id"), tokens("text").as("toks"))
       val fit = graft.functions.BpeVocab.fit(docs, rounds = 5)
+      // the merge table is plain driver data — drop the corpus
+      // checkpoint immediately (this query never reads it)
+      fit.release()
       import s.implicits._
       fit.merges.toDF()
         .select(col("step").cast("long").as("step"), col("left"),
@@ -572,16 +575,18 @@ object TextQueries {
     // broadcast hint — at this scale AQE measures it small and picks
     // the broadcast itself, at 100 TB the unhinted plan degrades
     // gracefully to a shuffled equi-join (same reasoning as
-    // q_fk_integrity). The corpus is never self-joined. The oracle
-    // replays the identical hex→int arithmetic, so a hash collision
-    // (~1 in 4×10⁹ chunk pairs, which would merge two chunks' doc
+    // q_fk_integrity). The corpus is never self-joined. Keys are 60-bit
+    // ([[graft.functions.TextFunctions.md5Prefix64Sql]]) — the birthday
+    // bound stays negligible even at 10^13 distinct chunks, unlike a
+    // 32-bit prefix, and the oracle replays the identical hex→int
+    // arithmetic so even a collision (which would merge two chunks' doc
     // counts) cannot diverge the engines.
     entry("q_boilerplate",
       """WITH t AS (SELECT doc_id, string_split(text,' ') toks FROM documents),
         | c AS (SELECT doc_id, unnest([array_to_string(toks[i*3+1:i*3+3],' ')
         |        for i in generate_series(0, CAST(ceil(len(toks)/3.0) AS INT)-1)]) chunk FROM t),
         | h AS (SELECT doc_id, list_sum([(strpos('0123456789abcdef', substr(md5(chunk), j, 1)) - 1)
-        |        * CAST(pow(16, 8-j) AS BIGINT) for j in generate_series(1,8)]) ch FROM c),
+        |        * CAST(pow(16, 15-j) AS BIGINT) for j in generate_series(1,15)]) ch FROM c),
         | b AS (SELECT ch FROM h GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 3),
         | s AS (SELECT h.doc_id, COUNT(*) n_chunks,
         |         COUNT(CASE WHEN b.ch IS NOT NULL THEN 1 END) n_boiler
@@ -600,8 +605,7 @@ object TextQueries {
           "CASE WHEN size(toks) < 1 THEN CAST(array() AS ARRAY<STRING>) " +
             "ELSE transform(sequence(0, CAST(ceil(size(toks)/3.0) AS INT) - 1), " +
             "i -> array_join(slice(toks, i*3 + 1, 3), ' ')) END")).as("chunk"))
-        .select(col("doc_id"),
-          expr("CAST(conv(substring(md5(chunk), 1, 8), 16, 10) AS BIGINT)").as("ch"))
+        .select(col("doc_id"), md5Prefix64("chunk").as("ch"))
       val boiler = c.groupBy(col("ch").as("b_ch"))
         .agg(countDistinct(col("doc_id")).as("nd"))
         .filter(col("nd") >= 3)
@@ -631,7 +635,7 @@ object TextQueries {
         |        for i in generate_series(0, CAST(ceil(len(toks)/3.0) AS INT)-1)] chunks FROM t),
         | c AS (SELECT doc_id, generate_subscripts(chunks,1) pos, unnest(chunks) chunk FROM ch),
         | hh AS (SELECT doc_id, pos, chunk, list_sum([(strpos('0123456789abcdef', substr(md5(chunk), j, 1)) - 1)
-        |        * CAST(pow(16, 8-j) AS BIGINT) for j in generate_series(1,8)]) chash FROM c),
+        |        * CAST(pow(16, 15-j) AS BIGINT) for j in generate_series(1,15)]) chash FROM c),
         | b AS (SELECT chash FROM hh GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 3),
         | kept AS (SELECT hh.doc_id, hh.pos, hh.chunk FROM hh LEFT JOIN b USING (chash) WHERE b.chash IS NULL),
         | agg AS (SELECT doc_id, COUNT(*) n_kept,
@@ -654,8 +658,7 @@ object TextQueries {
           "CASE WHEN size(toks) < 1 THEN CAST(array() AS ARRAY<STRING>) " +
             "ELSE transform(sequence(0, CAST(ceil(size(toks)/3.0) AS INT) - 1), " +
             "i -> array_join(slice(toks, i*3 + 1, 3), ' ')) END")).as(Seq("pos", "chunk")))
-        .withColumn("chash",
-          expr("CAST(conv(substring(md5(chunk), 1, 8), 16, 10) AS BIGINT)"))
+        .withColumn("chash", md5Prefix64("chunk"))
       val boiler = c.groupBy(col("chash").as("b_ch"))
         .agg(countDistinct(col("doc_id")).as("nd"))
         .filter(col("nd") >= 3)

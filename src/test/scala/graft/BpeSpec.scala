@@ -21,13 +21,36 @@ class BpeSpec extends SparkSpec {
   test("round 1 picks the independently-recomputed most frequent adjacent pair") {
     val fit = BpeVocab.fit(docs, rounds = 1)
     val m = fit.merges.head
-    val want = docs
+    fit.release()
+    // the size >= 2 filter mirrors production's short-doc guard — a
+    // 1-token doc would otherwise feed sequence(1, 0) = [1, 0] (Spark
+    // descends) and fabricate (tok, null) pairs in this recount
+    val want = docs.filter(size($"toks") >= 2)
       .select(explode(expr(
         "transform(sequence(1, size(toks) - 1), i -> struct(toks[i-1] AS l, toks[i] AS r))")).as("p"))
       .groupBy($"p.l", $"p.r").agg(count(lit(1)).as("n"))
       .orderBy($"n".desc, $"p.l".asc, $"p.r".asc)
       .limit(1).as[(String, String, Long)].head()
     assert((m.left, m.right, m.pair_freq) === want)
+  }
+
+  test("mergeExpr: linear distinct-pair branch and sequential self-pair branch") {
+    def run(left: String, right: String, toks: Seq[String]): Seq[String] =
+      Seq(Tuple1(toks)).toDF("toks")
+        .select(BpeVocab.mergeExpr(left, right).as("out"))
+        .as[Seq[String]].head()
+    // distinct halves: independent non-overlapping matches
+    assert(run("a", "b", Seq("a", "b", "a", "b")) == Seq("a b", "a b"))
+    assert(run("a", "b", Seq("x", "a", "b", "b")) == Seq("x", "a b", "b"))
+    assert(run("a", "b", Seq("a", "a", "b")) == Seq("a", "a b"))
+    assert(run("a", "b", Seq("b", "a")) == Seq("b", "a"))
+    assert(run("a", "b", Seq.empty) == Seq.empty)
+    assert(run("a", "b", Seq("a")) == Seq("a"))
+    // self-pair: greedy leftmost within runs — every OTHER window
+    assert(run("a", "a", Seq("a", "a", "a")) == Seq("a a", "a"))
+    assert(run("a", "a", Seq("a", "a", "a", "a")) == Seq("a a", "a a"))
+    assert(run("a", "a", Seq("x", "a", "a", "x")) == Seq("x", "a a", "x"))
+    assert(run("a", "a", Seq.empty) == Seq.empty)
   }
 
   test("each round strictly shrinks the corpus; merged pair leaves adjacency") {
@@ -47,11 +70,14 @@ class BpeSpec extends SparkSpec {
     val t3 = tokenTotal(f3.corpus)
     assert(f3.merges.map(_.step) == Seq(1, 2, 3))
     assert(t3 < t1, s"rounds 2-3 did not shrink further: $t1 -> $t3")
+    f1.release(); f3.release()
   }
 
   test("the learned merge table is partitioning-invariant") {
-    val a = BpeVocab.fit(docs, rounds = 3).merges
-    val b = BpeVocab.fit(docs.repartition(17), rounds = 3).merges
+    val fa = BpeVocab.fit(docs, rounds = 3)
+    val fb = BpeVocab.fit(docs.repartition(17), rounds = 3)
+    val (a, b) = (fa.merges, fb.merges)
+    fa.release(); fb.release()
     assert(a == b)
   }
 }
