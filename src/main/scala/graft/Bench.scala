@@ -74,8 +74,11 @@ object Bench {
       val dt = (System.nanoTime() - t0) / 1e9
       // Drop any blocks a query persisted for intra-query reuse (LSH
       // shingle sets etc.) so storage memory can't leak across queries —
-      // each query is measured from a cold cache.
+      // each query is measured from a cold cache. clearCache does NOT
+      // drop RDD-level localCheckpoint blocks (Ranking inputs etc.) —
+      // those go through the registry.
       spark.catalog.clearCache()
+      graft.functions.Checkpoints.releaseAll()
       name -> (if (okRun) Some(dt) else None)
     }.toMap
     def minOpt(a: Option[Double], b: Option[Double]): Option[Double] = (a, b) match {

@@ -32,8 +32,10 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // queries may persist() for intra-query reuse — drop those blocks so
-      // storage memory can't accumulate across the ~60-query run
+      // storage memory can't accumulate across the run; checkpointed
+      // frames (which clearCache cannot drop) go through the registry
       spark.catalog.clearCache()
+      graft.functions.Checkpoints.releaseAll()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

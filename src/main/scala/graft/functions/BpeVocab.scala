@@ -86,10 +86,35 @@ object BpeVocab {
           s"ELSE concat(acc, array(x)) END)")
   }
 
-  /** Run `rounds` merge rounds (fewer if the corpus runs out of pairs).
-    * `docs` must carry (doc_id, toks: array<string>). */
-  def fit(docs: DataFrame, rounds: Int): Fit = {
-    require(rounds >= 1)
+  /** Run `rounds` total merges (fewer if the corpus runs out of pairs),
+    * applying up to `batch` NON-INTERACTING merges per corpus rewrite
+    * pass. `docs` must carry (doc_id, toks: array<string>).
+    *
+    * Batching is the standard fix for the one-corpus-pass-per-merge
+    * cost model (a realistic 32k-merge tokenizer run must not make 32k
+    * corpus passes): per round, take the pair frame's top rows in the
+    * total order (n desc, l asc, r asc) and keep the longest PREFIX
+    * that is (a) pairwise symbol-disjoint and (b) separated from the
+    * first excluded pair by a STRICT count gap (trailing ties with the
+    * cut are dropped; if that leaves nothing, fall back to the plain
+    * 1-pair argmax, which is always correct). The kept pairs are applied
+    * as one composed rewrite (chained [[mergeExpr]] projections — ONE
+    * pass over the corpus, collapsed by Catalyst) and recorded as
+    * consecutive steps.
+    *
+    * This selection makes batched ≡ sequential PROVABLY (BpeSpec pins
+    * it): applying a selected merge leaves every other selected pair's
+    * count unchanged (disjoint symbols: no shared window, no created or
+    * destroyed adjacency over those symbols); every non-selected
+    * original pair ranks at or below the cut (prefix-closedness) and
+    * its count can only decrease; and every NEW pair (one involving a
+    * merged symbol) injects into instances of an original pair that
+    * shares a symbol with an applied merge — hence non-selected, hence
+    * count ≤ the cut < every selected count (the strict gap). So the
+    * sequential argmax at step i is exactly the i-th selected pair,
+    * with identical recorded frequencies. */
+  def fit(docs: DataFrame, rounds: Int, batch: Int = 1): Fit = {
+    require(rounds >= 1 && batch >= 1)
     var corpus = docs.select(col("doc_id"), col("toks")).localCheckpoint(false)
     // deferred unpersist (one job per round, not two): round k+1's argmax
     // action is what materializes round k's rewrite checkpoint, and only
@@ -101,19 +126,39 @@ object BpeVocab {
     var step = 1
     var dry = false
     while (step <= rounds && !dry) {
-      val best = pairCounts(corpus)
+      val want = math.min(batch, rounds - step + 1)
+      val top = pairCounts(corpus)
         .orderBy(col("n").desc, col("l").asc, col("r").asc)
-        .limit(1).collect().headOption
+        .limit(want + 1).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
       prev.foreach(_.unpersist()) // `corpus` just materialized above
       prev = None
-      best match {
-        case None => dry = true // empty corpus or all single-token docs
-        case Some(row) =>
-          val (l, r, n) = (row.getString(0), row.getString(1), row.getLong(2))
-          merges += Merge(step, l, r, n)
-          prev = Some(corpus)
-          corpus = corpus.withColumn("toks", mergeExpr(l, r)).localCheckpoint(false)
-          step += 1
+      if (top.isEmpty) dry = true // empty corpus or all single-token docs
+      else {
+        // longest symbol-disjoint prefix of the total order, capped
+        val used = scala.collection.mutable.Set.empty[String]
+        val selected = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        var i = 0
+        var blocked = false
+        while (!blocked && i < top.length && selected.length < want) {
+          val (l, r, _) = top(i)
+          if (used(l) || used(r)) blocked = true
+          else { selected += top(i); used += l; used += r; i += 1 }
+        }
+        // strict-gap truncation vs the first excluded pair: a selected
+        // pair tying the cut could be overtaken by a new merged-symbol
+        // pair with the same count but an earlier tie-break — drop the
+        // trailing ties, keeping at least the argmax itself
+        if (i < top.length) {
+          val cutN = top(i)._3
+          while (selected.length > 1 && selected.last._3 == cutN)
+            selected.dropRightInPlace(1)
+        }
+        selected.foreach { case (l, r, n) => merges += Merge(step, l, r, n); step += 1 }
+        prev = Some(corpus)
+        corpus = selected.foldLeft(corpus) { case (c, (l, r, _)) =>
+            c.withColumn("toks", mergeExpr(l, r))
+          }.localCheckpoint(false)
       }
     }
     // materialize the final corpus (it is lazy over `prev`), then drop

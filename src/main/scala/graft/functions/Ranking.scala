@@ -87,7 +87,10 @@ object Ranking {
     // the first action below, then the counts job and the ranking job
     // re-read the stored partitions instead of re-running the input
     // lineage. Without it, round-6 plans evaluated the subtree 4×.
-    val in = df.localCheckpoint(eager = false)
+    // Registered with [[Checkpoints]] — the returned plan retains this
+    // frame past the builder's return, so the harness releases it
+    // between queries (clearCache alone never drops checkpoint blocks).
+    val in = Checkpoints.lazyLocal(df)
     val probs = (1 until buckets).map(i => i.toDouble / buckets)
     // accuracy 2000: boundary precision only moves bucket BALANCE (±n/2000
     // rows per bucket), never a rank — the bucket test is a pure function
@@ -119,7 +122,11 @@ object Ranking {
             .groupBy(primary.as(c.bkt)) // name irrelevant, immediately collected
             .agg(percentile_approx(sc, array(probs.map(lit): _*), lit(2000)))
             .collect()
-            .map(r => r.get(0) -> r.getSeq[Any](1)).toMap
+            // an all-NULL salt for a heavy value yields a NULL
+            // percentile row — degrade to no sub-boundaries (one
+            // sub-bucket) instead of an NPE at plan-build time
+            .map(r => r.get(0) ->
+              (if (r.isNullAt(1)) Seq.empty[Any] else r.getSeq[Any](1))).toMap
           val subExpr = heavy.foldLeft(lit(0): Column) { (acc, v) =>
             when(primary === lit(v),
               size(filter(array(sb.getOrElse(v, Seq.empty).map(lit): _*),

@@ -97,18 +97,25 @@ object DedupQueries {
     // ---- Per-source duplication audit: docs vs distinct content hashes
     // per `source` — the curation dashboard row that says WHICH feed is
     // flooding the corpus with copies before any dedup runs (the global
-    // rate hides a single bad source). md5 of the text on both engines →
-    // identical hash space; COUNT(DISTINCT) shuffles one row per
-    // (source, hash), map-side combined; exact int counts, one double
-    // division at presentation.
+    // rate hides a single bad source). Content keys are 60-bit int64
+    // md5-prefixes ([[graft.functions.TextFunctions.md5Prefix64Sql]],
+    // the repo-wide wide-key family): the COUNT(DISTINCT) shuffles one
+    // (source, 8-byte hash) row per doc, map-side combined — 4× fewer
+    // shuffle bytes than the 32-char md5 hex string this used to carry,
+    // with a birthday bound still negligible at 10^13 docs; the oracle
+    // replays the identical hex→int arithmetic so even a collision
+    // (which would merge two texts in the distinct counts) cannot
+    // diverge the engines. Exact int counts, one double division at
+    // presentation.
     entry("q_dup_by_source",
-      """SELECT source, COUNT(*) n_docs,
-        |  COUNT(DISTINCT md5(text)) n_unique,
-        |  COUNT(*) - COUNT(DISTINCT md5(text)) n_dup_docs,
-        |  CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS DOUBLE)/COUNT(*) dup_ratio
-        |FROM documents GROUP BY 1 ORDER BY source""".stripMargin) { (s, dir) =>
+      s"""WITH h AS (SELECT source, ${md5Prefix64Oracle("text")} h FROM documents)
+        |SELECT source, COUNT(*) n_docs,
+        |  COUNT(DISTINCT h) n_unique,
+        |  COUNT(*) - COUNT(DISTINCT h) n_dup_docs,
+        |  CAST(COUNT(*) - COUNT(DISTINCT h) AS DOUBLE)/COUNT(*) dup_ratio
+        |FROM h GROUP BY 1 ORDER BY source""".stripMargin) { (s, dir) =>
       Tables(s, dir, "documents")
-        .select(col("source"), md5(col("text")).as("h"))
+        .select(col("source"), md5Prefix64("text").as("h"))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           countDistinct(col("h")).as("n_unique"),
@@ -274,10 +281,15 @@ object DedupQueries {
         .toDF("new_id", "band", "bkey")
       val lakeBands = bands.filter(col("doc_id") % 10 =!= 0)
         .toDF("lake_id", "l_band", "l_bkey")
-      // the broadcast hint PINS the documented plan shape (small batch
-      // bands shipped to the lake side) instead of trusting AQE to
-      // measure the batch side under the threshold
-      val cand = broadcast(batchBands).join(lakeBands,
+      // UNHINTED: the batch side is a corpus FRACTION (every 10th doc ×
+      // 8 band rows — data-proportional, not configuration-bounded), so
+      // a forced broadcast pins a multi-TB frame at the 100 TB design
+      // point. AQE measures it under the threshold here and broadcasts
+      // it to the lake side itself; at scale the plan degrades
+      // gracefully to a shuffled equi-join on (band, bkey). The
+      // batch ⋈ lake restriction (never lake × lake) is what this query
+      // exists to pin, and that survives either join strategy.
+      val cand = batchBands.join(lakeBands,
           col("band") === col("l_band") && col("bkey") === col("l_bkey"))
         .select(col("new_id"), col("lake_id")).distinct()
       val sa = sh.select(col("doc_id").as("new_id"), col("sh").as("sha"))
@@ -393,18 +405,23 @@ object DedupQueries {
       // by the PAIR count (orders smaller than the corpus)
       val labels = graft.functions.ConnectedComponents.labels(pairs)
         .toDF("doc_id", "lbl")
-      // Cluster sizes come from the LABELS frame (edge nodes only — tiny:
-      // every labeled node's component has ≥ 2 members, every unlabeled doc
-      // is a singleton of size 1). A window over the full corpus would
-      // shuffle ALL documents just to stamp mostly-1s; this way the big
-      // side takes two broadcast joins and never shuffles before the
-      // presentation sort.
+      // Cluster sizes come from the LABELS frame (edge nodes only:
+      // every labeled node sits in a verified duplicate pair). A window
+      // over the full corpus would shuffle ALL documents just to stamp
+      // mostly-1s; the derivation-from-labels shape is right at any
+      // scale. The two joins back are UNHINTED on purpose: labels is one
+      // row per document in any duplicate pair — a corpus FRACTION (real
+      // web corpora run 30-50% near-dup rates), not a configuration-
+      // bounded frame, so a forced broadcast would OOM exactly at scale.
+      // AQE measures it small here and picks the broadcast itself; at
+      // 100 TB both left joins degrade gracefully to shuffled equi-joins
+      // on doc_id / cluster_id.
       val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
         .toDF("sz_lbl", "cluster_size") // fresh names — sizes derives from labels (self-join)
       Tables(s, dir, "documents").select(col("doc_id"))
-        .join(broadcast(labels), Seq("doc_id"), "left")
+        .join(labels, Seq("doc_id"), "left")
         .withColumn("cluster_id", coalesce(col("lbl"), col("doc_id")))
-        .join(broadcast(sizes), col("cluster_id") === col("sz_lbl"), "left")
+        .join(sizes, col("cluster_id") === col("sz_lbl"), "left")
         .select(col("doc_id"), col("cluster_id"),
           coalesce(col("cluster_size"), lit(1L)).as("cluster_size"))
         .orderBy(col("doc_id"))

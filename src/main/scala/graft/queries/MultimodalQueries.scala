@@ -73,17 +73,29 @@ object MultimodalQueries {
     // int64 end-to-end. Real RIFF/WAVE PCM16 payloads decode for real
     // (graft.multimodal.Multimodal.decodeWav — MultimodalSpec drives
     // hand-built mono/stereo WAVs through this path); these synthetic
-    // text payloads take the unsigned-byte stub, which the oracle
-    // replays character-wise (ASCII ⇒ chars == bytes, energy = Σ ascii²).
+    // text payloads take the unsigned-byte stub. The oracle is PURELY
+    // character-based (window count from length(text), slices from
+    // substr — never a chars-here/bytes-there mix), while the stub
+    // windows over the payload BYTES; the two agree iff chars == bytes,
+    // and that ASCII invariant is ENFORCED by the assert_true filter
+    // below — a future non-ASCII corpus fails this query loudly instead
+    // of silently diverging the engines window-count-first.
     entry("q_mm_audio_energy",
-      """WITH w AS (SELECT doc_id, unnest(generate_series(0, CAST(ceil(octet_length(encode(text))/256.0) AS INT) - 1)) window_idx, text FROM documents)
+      """WITH w AS (SELECT doc_id, unnest(generate_series(0, CAST(ceil(length(text)/256.0) AS INT) - 1)) window_idx, text FROM documents)
         |SELECT doc_id, window_idx,
         |  CAST(length(substr(text, window_idx*256 + 1, 256)) AS BIGINT) n_samples,
         |  CAST(list_sum([ascii(c)*ascii(c) for c in regexp_extract_all(substr(text, window_idx*256 + 1, 256), '.')]) AS BIGINT) energy
         |FROM w ORDER BY doc_id, window_idx""".stripMargin) { (s, dir) =>
       import graft.multimodal.Multimodal
       Multimodal.audioEnergy(
-          Tables(s, dir, "documents").withColumn("payload", col("text").cast("binary")),
+          Tables(s, dir, "documents")
+            // loud ASCII gate: assert_true RAISES on the first row where
+            // chars != bytes (and returns NULL otherwise, so the filter
+            // keeps every row) — the invariant the char-based oracle and
+            // the byte-based stub both stand on
+            .filter(assert_true(length(col("text")) === octet_length(col("text")),
+              lit("q_mm_audio_energy requires an ASCII corpus: chars != bytes")).isNull)
+            .withColumn("payload", col("text").cast("binary")),
           "doc_id", "payload", window = 256)
         .toDF()
         .orderBy(col("doc_id"), col("window_idx"))

@@ -803,9 +803,10 @@ object RelationalQueries {
       // count; unlike the exact twin (where recomputing one cheap
       // scan+join measured faster than caching), here each re-evaluation
       // would repeat the median SKETCH aggregation pass — checkpoint it
-      val dev = li.join(broadcast(med), $"l_returnflag" === $"m_flag")
-        .select($"l_returnflag", abs($"pm" - $"med").as("ad"))
-        .localCheckpoint(false)
+      // (registry-managed: the harness drops it after materialization)
+      val dev = graft.functions.Checkpoints.lazyLocal(
+        li.join(broadcast(med), $"l_returnflag" === $"m_flag")
+          .select($"l_returnflag", abs($"pm" - $"med").as("ad")))
       val mad = dev.groupBy($"l_returnflag".as("d_flag"))
         .agg(quantileSketch(256, Seq(0.5))($"ad").getItem(0).as("mad"))
       dev.join(broadcast(mad), $"l_returnflag" === $"d_flag")

@@ -95,13 +95,17 @@ object TextQueries {
     // ---- The END-TO-END curation pipeline (the composite every LLM
     // training-data run executes): feature extraction (tokens, alpha
     // ratio, language vote) → quality + language filters → exact dedup
-    // keyed on md5(text) (the shuffle carries a 32-char hash, not the
-    // document body — the 100 TB-relevant choice) → per-language corpus
-    // stats from exact integer sums. Everything before the dedup is a
-    // narrow map; the only shuffles are the hash-dedup and the final tiny
-    // aggregation.
+    // keyed on the 60-bit int64 md5-prefix of the text
+    // ([[graft.functions.TextFunctions.md5Prefix64Sql]] — the shuffle
+    // carries an 8-byte hash, not the document body and not the 32-char
+    // md5 hex string this used to group on: 4× fewer shuffle bytes, the
+    // 100 TB-relevant choice, with the oracle replaying the identical
+    // hex→int arithmetic so a collision cannot diverge the engines) →
+    // per-language corpus stats from exact integer sums. Everything
+    // before the dedup is a narrow map; the only shuffles are the
+    // hash-dedup and the final tiny aggregation.
     entry("q_curation_pipeline",
-      """WITH t AS (SELECT doc_id, text, regexp_split_to_array(text,'\s+') toks FROM documents),
+      s"""WITH t AS (SELECT doc_id, text, regexp_split_to_array(text,'\\s+') toks FROM documents),
         | s AS (SELECT doc_id, text, len(toks) n_tokens,
         |    length(regexp_replace(text,'[^a-z]','','g')) n_alpha, length(text) n_chars,
         |    len(list_filter(toks, x -> x IN ('the','of','and','is','to'))) c_en,
@@ -114,9 +118,9 @@ object TextQueries {
         |    WHEN c_de >= c_es AND c_de >= c_fr THEN 'de'
         |    WHEN c_es >= c_fr THEN 'es' ELSE 'fr' END pred_lang FROM s),
         | flt AS (SELECT * FROM l WHERE n_tokens >= 20 AND CAST(n_alpha AS DOUBLE)/n_chars > 0.5),
-        | ded AS (SELECT md5(text) h, MIN(doc_id) doc_id, MIN(pred_lang) pred_lang,
+        | ded AS (SELECT ${md5Prefix64Oracle("text")} h, MIN(doc_id) doc_id, MIN(pred_lang) pred_lang,
         |    MIN(n_tokens) n_tokens, MIN(n_alpha) n_alpha, MIN(n_chars) n_chars
-        |  FROM flt GROUP BY md5(text))
+        |  FROM flt GROUP BY 1)
         |SELECT pred_lang, COUNT(*) AS n_docs,
         |  CAST(SUM(n_tokens) AS DOUBLE)/COUNT(*) AS avg_tokens,
         |  CAST(SUM(n_alpha) AS DOUBLE)/SUM(n_chars) AS alpha_ratio
@@ -140,7 +144,7 @@ object TextQueries {
         .filter(col("n_tokens") >= 20 &&
           col("n_alpha").cast("double") / col("n_chars") > 0.5)
       scored
-        .groupBy(md5(col("text").cast("binary")).as("h"))
+        .groupBy(md5Prefix64("text").as("h"))
         .agg(min(col("doc_id")).as("doc_id"), min(col("pred_lang")).as("pred_lang"),
           min(col("n_tokens")).as("n_tokens"), min(col("n_alpha")).as("n_alpha"),
           min(col("n_chars")).as("n_chars"))
@@ -156,8 +160,15 @@ object TextQueries {
     // raw rational tf·N/df evaluated as ONE double division of exact
     // int64s (identical in both engines); ln(N/df) is monotone in it, so
     // the ranking is the classic tf-idf ranking. Deterministic tie-break
-    // on the term. Scale: one shuffle on (doc, term) for tf, one tiny
-    // term-keyed df aggregate (broadcast back), one per-doc window.
+    // on the term. Scale: one shuffle on (doc, term) for tf, one
+    // term-keyed df aggregate joined back UNHINTED — the df frame is
+    // VOCABULARY-sized (one row per distinct token: billions of types in
+    // a web corpus, the heavy tail q_freq_spectrum exists to audit), so
+    // a forced broadcast would OOM exactly at scale; AQE measures it
+    // small here and picks the broadcast itself, and at 100 TB the plan
+    // degrades gracefully to a shuffled equi-join on the term key (the
+    // q_boilerplate / q_unigram_surprisal treatment). Only the 1-row
+    // corpus count N keeps an explicit hint — bounded by construction.
     entry("q_tfidf",
       """WITH t AS (SELECT doc_id, unnest(string_split(text,' ')) term FROM documents),
         | tf AS (SELECT doc_id, term, COUNT(*) tf FROM t GROUP BY 1, 2),
@@ -176,7 +187,7 @@ object TextQueries {
       val n = docs.agg(count(lit(1)).as("n"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term").asc)
-      tf.join(broadcast(df), "term")
+      tf.join(df, "term")
         .crossJoin(broadcast(n))
         .withColumn("score", (col("tf") * col("n")).cast("double") / col("df"))
         .withColumn("rn", row_number().over(w))
@@ -409,22 +420,44 @@ object TextQueries {
 
     // ---- Token co-occurrence: top-15 unordered token pairs by the number
     // of documents containing both — the PMI/embedding-context building
-    // block. The pair explosion runs AFTER per-document distinct (quadratic
-    // only in per-doc vocabulary, not doc length), equi-keyed on doc_id so
-    // the self-join is a co-partitioned hash join, and the pair counts
-    // reduce map-side before the tiny top-k window.
+    // block. The pair explosion runs AFTER per-document distinct AND two
+    // prunes that BOUND the per-doc quadratic (a raw distinct-vocab
+    // self-join explodes 10¹⁰ pairs on one 100k-distinct-token document):
+    // (1) min document frequency 3 — the rare-type heavy tail that
+    // dominates per-doc vocabulary contributes only pairs with
+    // n_docs ≤ df < 3, which can never rank, so real PMI pipelines drop
+    // it first; (2) a hard per-doc cap of the 256 highest-df terms
+    // (deterministic (df desc, term asc) order — a doc-bounded window),
+    // so the pair space per document is ≤ C(256,2) BY CONFIGURATION.
+    // The df frame joins back unhinted (vocabulary-sized — AQE
+    // broadcasts it while small, shuffles at corpus scale); the
+    // self-join is equi-keyed on doc_id (co-partitioned hash join) and
+    // the pair counts reduce map-side before the tiny top-k. The oracle
+    // replays both prunes.
     entry("q_cooccurrence",
       """WITH t AS (SELECT DISTINCT doc_id, unnest(string_split(text,' ')) term FROM documents),
+        | dfq AS (SELECT term, COUNT(*) df FROM t GROUP BY 1 HAVING COUNT(*) >= 3),
+        | cp AS (SELECT doc_id, term FROM (
+        |    SELECT t.doc_id, t.term, ROW_NUMBER() OVER (PARTITION BY t.doc_id
+        |      ORDER BY d.df DESC, t.term) rn FROM t JOIN dfq d USING (term)) WHERE rn <= 256),
         | pr AS (SELECT a.term ta, b.term tb, COUNT(*) n_docs
-        |        FROM t a JOIN t b ON a.doc_id = b.doc_id AND a.term < b.term GROUP BY 1,2),
+        |        FROM cp a JOIN cp b ON a.doc_id = b.doc_id AND a.term < b.term GROUP BY 1,2),
         | r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY n_docs DESC, ta, tb) rk FROM pr)
         |SELECT rk, ta, tb, n_docs FROM r WHERE rk <= 15 ORDER BY rk""".stripMargin) { (s, dir) =>
       val t = Tables(s, dir, "documents")
         .repartition(s.sparkContext.defaultParallelism, col("doc_id")) // single-file scan → spread the pair loop
         .select(col("doc_id"), explode(tokens("text")).as("term"))
         .distinct()
-      val a = t.toDF("doc_id", "ta") // fresh names: self-join
-      val b = t.toDF("b_doc_id", "tb")
+      val dfq = t.groupBy(col("term").as("df_term")).agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 3)
+      val byDoc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("df").desc, col("term").asc)
+      val cp = t.join(dfq, col("term") === col("df_term"))
+        .withColumn("rn", row_number().over(byDoc))
+        .filter(col("rn") <= 256)
+        .select(col("doc_id"), col("term"))
+      val a = cp.toDF("doc_id", "ta") // fresh names: self-join
+      val b = cp.toDF("b_doc_id", "tb")
       val pr = a.join(b, col("doc_id") === col("b_doc_id") && col("ta") < col("tb"))
         .groupBy(col("ta"), col("tb")).agg(count(lit(1)).as("n_docs"))
       topKRanked(pr, 15, "rk", col("n_docs").desc, col("ta").asc, col("tb").asc)
@@ -468,9 +501,10 @@ object TextQueries {
         .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("n"))
       // checkpoint the DATA-REDUCED frame (vocab-sized), not the
       // corpus-shaped dt: the total and the join both re-read it, so the
-      // corpus is tokenized exactly twice (frequency pass + join pass)
-      val f = dt.groupBy(col("tok")).agg(sum(col("n")).as("cnt"))
-        .localCheckpoint(false)
+      // corpus is tokenized exactly twice (frequency pass + join pass);
+      // registry-managed so the harness drops it after materialization
+      val f = graft.functions.Checkpoints.lazyLocal(
+        dt.groupBy(col("tok")).agg(sum(col("n")).as("cnt")))
       val tot = f.agg(sum(col("cnt")).as("tn"))
       dt.join(f, "tok").crossJoin(broadcast(tot))
         .withColumn("sur", expr("CAST(length(bin(tn DIV cnt)) - 1 AS BIGINT)"))
@@ -533,23 +567,28 @@ object TextQueries {
     },
 
     // ---- BPE-style vocabulary induction
-    // ([[graft.functions.BpeVocab.fit]]): 5 rounds of count-adjacent-
-    // pairs → driver argmax (deterministic (freq desc, pair asc)
-    // tie-break) → greedy leftmost merge rewrite — the tokenizer-training
-    // loop every LLM data pipeline runs before anything else. Per round
-    // the corpus shuffles only vocabulary-sized aggregate partials and
-    // the rewrite is a narrow array fold; iteration state is
-    // checkpointed KMeans-style. No DuckDB oracle — an iterative argmax
-    // is not SQL-expressible — so the driver rows-only gate applies and
-    // BpeSpec carries the contract (round 1 ≡ an independent pair
-    // recount with the q_ngram_stats tokenization; token totals strictly
+    // ([[graft.functions.BpeVocab.fit]]): 5 merges learned by
+    // count-adjacent-pairs → driver argmax (deterministic (freq desc,
+    // pair asc) tie-break) → greedy leftmost merge rewrite — the
+    // tokenizer-training loop every LLM data pipeline runs before
+    // anything else. Merges are BATCHED (batch = 5): each rewrite pass
+    // applies every top pair whose symbols don't interact, under a
+    // selection proven ≡ the sequential merge table (BpeSpec), so a
+    // realistic 32k-merge vocabulary costs ~32k/batch corpus passes,
+    // not 32k. Per round the corpus shuffles only vocabulary-sized
+    // aggregate partials and the rewrite is a narrow array fold;
+    // iteration state is checkpointed KMeans-style. No DuckDB oracle —
+    // an iterative argmax is not SQL-expressible — so the driver
+    // rows-only gate applies and BpeSpec carries the contract (round 1
+    // ≡ an independent pair recount with the q_ngram_stats
+    // tokenization; batched ≡ sequential; token totals strictly
     // decrease; merged pairs vanish from adjacency; repartition-
     // invariant).
     entryNoOracle("q_bpe_vocab") { (s, dir) =>
       val docs = Tables(s, dir, "documents")
         .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(col("doc_id"), tokens("text").as("toks"))
-      val fit = graft.functions.BpeVocab.fit(docs, rounds = 5)
+      val fit = graft.functions.BpeVocab.fit(docs, rounds = 5, batch = 5)
       // the merge table is plain driver data — drop the corpus
       // checkpoint immediately (this query never reads it)
       fit.release()

@@ -80,4 +80,31 @@ class BpeSpec extends SparkSpec {
     fa.release(); fb.release()
     assert(a == b)
   }
+
+  test("batched fit ≡ sequential fit on the real corpus") {
+    val seq5 = BpeVocab.fit(docs, rounds = 5, batch = 1)
+    val bat5 = BpeVocab.fit(docs, rounds = 5, batch = 5)
+    val (a, b) = (seq5.merges, bat5.merges)
+    seq5.release(); bat5.release()
+    assert(a == b, s"batched diverged from sequential:\n  seq=$a\n  bat=$b")
+  }
+
+  test("batched fit ≡ sequential fit under forced interaction + count ties") {
+    // crafted to exercise every selection guard: (a,b) and (b,c) chain
+    // (symbol interaction — (b,c) must NOT batch with (a,b)), (x,y)
+    // disjoint but TYING the cut count, and a self-pair run
+    val rows = Seq(
+      (1L, Seq("a", "b", "c", "a", "b", "c", "a", "b")),   // (a,b)=3, (b,c)=2
+      (2L, Seq("x", "y", "x", "y")),                        // (x,y)=2 — ties (b,c)
+      (3L, Seq("q", "q", "q", "a", "b")),                   // self-pair run, (a,b)=4th
+      (4L, Seq("x", "y", "b", "c")))                        // +1 each
+    val df = rows.toDF("doc_id", "toks").repartition(3)
+    for (k <- 2 to 4) {
+      val s1 = BpeVocab.fit(df, rounds = 4, batch = 1)
+      val sk = BpeVocab.fit(df, rounds = 4, batch = k)
+      val (a, b) = (s1.merges, sk.merges)
+      s1.release(); sk.release()
+      assert(a == b, s"batch=$k diverged:\n  seq=$a\n  bat=$b")
+    }
+  }
 }
