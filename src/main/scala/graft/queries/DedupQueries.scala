@@ -578,6 +578,59 @@ object DedupQueries {
         .filter(col("cosine") >= 0.4)
         .select(col("a_id"), col("b_id"), col("cosine"))
         .orderBy(col("a_id"), col("b_id"))
+    },
+
+    // ---- Cross-SOURCE n-gram overlap matrix — the corpus-level overlap
+    // audit run before mixing feeds into one training set (two mirrors
+    // of the same crawl would dominate any mixture weights; the
+    // decontamination op answers train-vs-EVAL overlap, this one answers
+    // source-vs-SOURCE): exact bigram-set Jaccard for every source pair.
+    // Bigrams are hashed to 60-bit int64 (md5-prefix — 8-byte keys, the
+    // repo-wide wide-key family; the oracle replays the hex→int
+    // arithmetic so a collision cannot diverge the engines) and
+    // DISTINCT'd per source, so the self-join carries one row per
+    // (source, bigram TYPE) — vocabulary-scale, not corpus-scale — and
+    // is equi-keyed on the hash (co-partitioned); a bigram shared by all
+    // S sources expands to C(S,2) pairs, bounded by the SOURCE count
+    // squared, never by data volume. The sizes frame (one row per
+    // source) joins back unhinted — AQE broadcasts it. Output is the
+    // C(S,2) matrix with exact intersection counts and one double
+    // division per pair.
+    entry("q_source_overlap",
+      s"""WITH t AS (SELECT source, string_split(text,' ') toks FROM documents),
+        | bg AS (SELECT source, unnest([toks[i] || ' ' || toks[i+1] for i in generate_series(1, len(toks)-1)]) b
+        |        FROM t WHERE len(toks) >= 2),
+        | s AS (SELECT DISTINCT source, ${md5Prefix64Oracle("b")} bh FROM bg),
+        | sz AS (SELECT source, COUNT(*) nsh FROM s GROUP BY 1),
+        | pr AS (SELECT a.source sa, b.source sb, COUNT(*) inter
+        |        FROM s a JOIN s b ON a.bh = b.bh AND a.source < b.source GROUP BY 1,2),
+        | o AS (SELECT pr.sa, pr.sb, za.nsh na, zb.nsh nb, pr.inter
+        |       FROM pr JOIN sz za ON pr.sa = za.source JOIN sz zb ON pr.sb = zb.source)
+        |SELECT sa, sb, na, nb, inter, CAST(inter AS DOUBLE)/(na + nb - inter) jac
+        |FROM o ORDER BY sa, sb""".stripMargin) { (s, dir) =>
+      // hashed-distinct (source, bigram-type) frame: sizes + both join
+      // sides read it — persist so shingling/hashing runs once (cleared
+      // by the harness between queries)
+      val sdf = Tables(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("source"), tokens("text").as("toks"))
+        .select(col("source"), explode(expr(
+          // size < 2 guard: sequence(1, 0) DESCENDS where "no bigrams" is meant
+          "CASE WHEN size(toks) < 2 THEN CAST(array() AS ARRAY<BIGINT>) " +
+            "ELSE transform(sequence(1, size(toks) - 1), " +
+            s"i -> ${md5Prefix64Sql("concat(toks[i-1], ' ', toks[i])")}) END")).as("bh"))
+        .distinct()
+        .persist()
+      val sz = sdf.groupBy(col("source")).agg(count(lit(1)).as("nsh"))
+      val a = sdf.toDF("sa", "a_bh")
+      val b = sdf.toDF("sb", "b_bh")
+      val pr = a.join(b, col("a_bh") === col("b_bh") && col("sa") < col("sb"))
+        .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("inter"))
+      pr.join(sz.toDF("za", "na"), col("sa") === col("za"))
+        .join(sz.toDF("zb", "nb"), col("sb") === col("zb"))
+        .select(col("sa"), col("sb"), col("na"), col("nb"), col("inter"),
+          (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jac"))
+        .orderBy(col("sa"), col("sb"))
     }
   )
 }

@@ -1418,6 +1418,46 @@ object RelationalQueries {
         .groupBy($"event_type")
         .agg(sum($"pn").as("n"), sum($"psum").cast("double").as("sum_value"))
         .orderBy($"event_type")
+    },
+
+    // ---- Trimmed (10-90) robust mean — the outlier-resistant center a
+    // metrics pipeline reports next to the MAD fence counts: drop rows
+    // outside the group's [p10, p90] interpolated fences, average the
+    // rest. Exactness: values are integer mils, the trimmed SUM is
+    // exact int64 (only ever integers pass the fence test — comparing
+    // int64 against the interpolated double fence is exact), and the
+    // mean is two double divisions written identically in both engines;
+    // fences use the same percentile/quantile_cont interpolation parity
+    // q_percentile pins. Scale: the exact-percentile reducer buffering
+    // is the q_mad_outliers bounded-scale contract (3 domain-bounded
+    // groups); the 100 TB path swaps in the mergeable QuantileSketch
+    // exactly as q_mad_outliers_sketch demonstrates. The fences frame is
+    // one row per flag — domain-bounded, so its broadcast hint is
+    // legitimate (same as q_mad_outliers).
+    entry("q_trimmed_stats",
+      """WITH v AS (SELECT l_returnflag, CAST(CAST(l_extendedprice AS DECIMAL(18,3)) * 1000 AS BIGINT) pm FROM lineitem),
+        | f AS (SELECT l_returnflag flag, quantile_cont(pm, 0.1) lo, quantile_cont(pm, 0.9) hi FROM v GROUP BY 1)
+        |SELECT v.l_returnflag, COUNT(*) n_rows,
+        |  COUNT(CASE WHEN v.pm >= f.lo AND v.pm <= f.hi THEN 1 END) n_kept,
+        |  CAST(SUM(CASE WHEN v.pm >= f.lo AND v.pm <= f.hi THEN v.pm END) AS DOUBLE)
+        |    / COUNT(CASE WHEN v.pm >= f.lo AND v.pm <= f.hi THEN 1 END) / 1000 trimmed_mean,
+        |  f.lo / 1000 lo_fence, f.hi / 1000 hi_fence
+        |FROM v JOIN f ON v.l_returnflag = f.flag
+        |GROUP BY v.l_returnflag, f.lo, f.hi ORDER BY v.l_returnflag""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val v = Tables(s, dir, "lineitem")
+        .select($"l_returnflag", (Exact.dec($"l_extendedprice") * 1000).cast("long").as("pm"))
+      val f = v.groupBy($"l_returnflag".as("f_flag"))
+        .agg(expr("percentile(pm, 0.1)").as("lo"), expr("percentile(pm, 0.9)").as("hi"))
+      val kept = $"pm" >= $"lo" && $"pm" <= $"hi"
+      v.join(broadcast(f), $"l_returnflag" === $"f_flag")
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          count(when(kept, 1)).as("n_kept"),
+          (sum(when(kept, $"pm")).cast("double") / count(when(kept, 1)) / 1000)
+            .as("trimmed_mean"),
+          (max($"lo") / 1000).as("lo_fence"), (max($"hi") / 1000).as("hi_fence"))
+        .orderBy($"l_returnflag")
     }
   )
 }

@@ -714,6 +714,170 @@ object TextQueries {
           coalesce(col("n_kept"), lit(0L)).as("n_kept"),
           coalesce(col("cleaned_chars"), lit(0L)).as("cleaned_chars"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- Bigram (conditional) LM surprisal — the 2-gram upgrade of
+    // q_unigram_surprisal: per document, mean whole-bit surprisal of
+    // each bigram under the corpus's own bigram LM, where
+    // sur(l,r) = floor(log2(cnt(l·)/cnt(l,r))) — "given the left token,
+    // how surprising is the right one" — a strictly sharper
+    // perplexity-filter stand-in than the unigram score (word-salad
+    // documents score HIGH here even when their unigrams are common).
+    // Exactness: floor-log2 as length(bin(x))-1 over an exact integer
+    // division — no libm (see q_unigram_surprisal for why a double log2
+    // diverges at corpus scale). Shape: per-doc bigram counts shuffle on
+    // (doc, l, r); the bigram frequency table is vocab²-bounded (bigram
+    // TYPES, not tokens), checkpointed once and re-read by its own
+    // left-marginal aggregate and the join back — both joins UNHINTED
+    // (the frequency side is vocabulary-sized; AQE broadcasts it while
+    // small, shuffles at corpus scale); one doc_id-keyed final
+    // aggregate. The corpus is scanned once.
+    entry("q_bigram_surprisal",
+      """WITH t AS (SELECT doc_id, string_split(text,' ') toks FROM documents),
+        | b AS (SELECT doc_id, unnest([{'l': toks[i], 'r': toks[i+1]} for i in generate_series(1, len(toks)-1)]) p
+        |       FROM t WHERE len(toks) >= 2),
+        | dt AS (SELECT doc_id, p.l l, p.r r, COUNT(*) n FROM b GROUP BY 1,2,3),
+        | f AS (SELECT l, r, CAST(SUM(n) AS BIGINT) cnt FROM dt GROUP BY 1,2),
+        | m AS (SELECT l, CAST(SUM(cnt) AS BIGINT) mtot FROM f GROUP BY 1),
+        | s AS (SELECT dt.doc_id, dt.n, CAST(length(bin(m.mtot // f.cnt)) - 1 AS BIGINT) sur
+        |       FROM dt JOIN f USING (l, r) JOIN m USING (l))
+        |SELECT doc_id, CAST(SUM(n) AS BIGINT) n_bigrams, CAST(SUM(n*sur) AS BIGINT) sur_bits,
+        |  CAST(SUM(n*sur) AS DOUBLE)/SUM(n) mean_surprisal,
+        |  CAST(COALESCE(SUM(CASE WHEN sur >= 8 THEN n END),0) AS BIGINT) n_rare
+        |FROM s GROUP BY 1 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val dt = Tables(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"), tokens("text").as("toks"))
+        .select(col("doc_id"), explode(expr(
+          // size < 2 guard: sequence(1, 0) DESCENDS where "no bigrams" is meant
+          "CASE WHEN size(toks) < 2 THEN CAST(array() AS ARRAY<STRUCT<l: STRING, r: STRING>>) " +
+            "ELSE transform(sequence(1, size(toks) - 1), " +
+            "i -> struct(toks[i-1] AS l, toks[i] AS r)) END")).as("p"))
+        .groupBy(col("doc_id"), col("p.l").as("l"), col("p.r").as("r"))
+        .agg(count(lit(1)).as("n"))
+      // checkpoint the DATA-REDUCED bigram frequency frame: its own
+      // left-marginal aggregate and the join back both re-read it
+      // (registry-managed — the harness drops it after materialization)
+      val f = graft.functions.Checkpoints.lazyLocal(
+        dt.groupBy(col("l"), col("r")).agg(sum(col("n")).as("cnt")))
+      val m = f.groupBy(col("l")).agg(sum(col("cnt")).as("mtot"))
+      dt.join(f, Seq("l", "r")).join(m, Seq("l"))
+        .withColumn("sur", expr("CAST(length(bin(mtot DIV cnt)) - 1 AS BIGINT)"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("n")).as("n_bigrams"),
+          sum(col("n") * col("sur")).as("sur_bits"),
+          (sum(col("n") * col("sur")).cast("double") / sum(col("n"))).as("mean_surprisal"),
+          coalesce(sum(when(col("sur") >= 8, col("n"))), lit(0L)).as("n_rare"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- Boolean AND-retrieval over the inverted index (the search
+    // twin of q_inverted_index): for each query = a conjunctive term
+    // list, the documents containing EVERY term, reported as per-query
+    // match counts + hit-token mass (query 3 deliberately names a term
+    // absent from the corpus — the zero-match row must survive the left
+    // join). Scale shape: the query list is USER INPUT — bounded by
+    // configuration, the one side that legitimately keeps an explicit
+    // broadcast hint — so the corpus-side term filter is a map-side hash
+    // join (the scan streams, only matching postings shuffle); the
+    // all-terms test is count-distinct-per-(query, doc) vs the query's
+    // term count, never an N-way self-join.
+    entry("q_bool_retrieval",
+      """WITH q(query_id, term) AS (VALUES (1, 'spark'), (1, 'window'), (1, 'hash'),
+        |    (2, 'slow'), (2, 'fast'), (2, 'merge'), (3, 'spark'), (3, 'zzznotaterm')),
+        | qn AS (SELECT query_id, COUNT(*) nt FROM q GROUP BY 1),
+        | t AS (SELECT doc_id, unnest(string_split(text,' ')) term FROM documents),
+        | dt AS (SELECT doc_id, term, COUNT(*) n FROM t GROUP BY 1,2),
+        | j AS (SELECT q.query_id, dt.doc_id, dt.n FROM dt JOIN q ON dt.term = q.term),
+        | md AS (SELECT j.query_id, j.doc_id, COUNT(*) np, CAST(SUM(j.n) AS BIGINT) hits
+        |        FROM j GROUP BY 1,2),
+        | ok AS (SELECT md.query_id, md.doc_id, md.hits FROM md
+        |        JOIN qn ON md.query_id = qn.query_id AND md.np = qn.nt)
+        |SELECT qn.query_id, CAST(qn.nt AS BIGINT) n_terms, COUNT(ok.doc_id) n_docs,
+        |  CAST(COALESCE(SUM(ok.hits), 0) AS BIGINT) n_hit_tokens,
+        |  MIN(ok.doc_id) first_doc
+        |FROM qn LEFT JOIN ok ON qn.query_id = ok.query_id
+        |GROUP BY 1, 2 ORDER BY qn.query_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val q = Seq((1L, "spark"), (1L, "window"), (1L, "hash"),
+          (2L, "slow"), (2L, "fast"), (2L, "merge"), (3L, "spark"), (3L, "zzznotaterm"))
+        .toDF("query_id", "term")
+      val qn = q.groupBy(col("query_id")).agg(count(lit(1)).as("nt"))
+      val dt = Tables(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"), explode(tokens("text")).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("n"))
+      // broadcast(q)/broadcast(qn) are configuration-bounded: the user's
+      // query list, never data-proportional
+      val md = dt.join(broadcast(q), "term")
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(count(lit(1)).as("np"), sum(col("n")).as("hits"))
+      val ok = md.join(broadcast(qn.toDF("k_qid", "k_nt")),
+          col("query_id") === col("k_qid") && col("np") === col("k_nt"))
+        .select(col("query_id").as("o_qid"), col("doc_id"), col("hits"))
+      qn.join(ok, col("query_id") === col("o_qid"), "left")
+        .groupBy(col("query_id"), col("nt"))
+        .agg(count(col("doc_id")).as("n_docs"),
+          coalesce(sum(col("hits")), lit(0L)).as("n_hit_tokens"),
+          min(col("doc_id")).as("first_doc"))
+        .select(col("query_id"), col("nt").cast("long").as("n_terms"),
+          col("n_docs"), col("n_hit_tokens"), col("first_doc"))
+        .orderBy(col("query_id"))
+    },
+
+    // ---- Mixture RESAMPLING — executing a mixture plan (q_data_mixture
+    // computes shares; this op enforces target ones): per-language keep
+    // rates applied by DETERMINISTIC hash gating — keep a doc iff
+    // md5-prefix-hash(doc_id) mod 100 < rate(lang) — the standard
+    // reproducible down-sampler (no RNG, no seed drift across retries /
+    // engines / partitionings; the identical doc set survives any
+    // re-run). Pure narrow map + one tiny aggregate; the oracle replays
+    // the hash arithmetic, so the gate checks the SAMPLE ITSELF, not
+    // just its size.
+    entry("q_mixture_resample",
+      s"""WITH d AS (SELECT lang, len(string_split(text,' ')) n_tok,
+        |    ${md5Prefix64Oracle("CAST(doc_id AS VARCHAR)")} % 100 h,
+        |    CASE lang WHEN 'en' THEN 40 WHEN 'de' THEN 80 WHEN 'es' THEN 90 WHEN 'fr' THEN 70 ELSE 100 END rate
+        |  FROM documents)
+        |SELECT lang, COUNT(*) n_before,
+        |  CAST(COUNT(CASE WHEN h < rate THEN 1 END) AS BIGINT) n_after,
+        |  CAST(SUM(n_tok) AS BIGINT) tok_before,
+        |  CAST(COALESCE(SUM(CASE WHEN h < rate THEN n_tok END), 0) AS BIGINT) tok_after,
+        |  CAST(COUNT(CASE WHEN h < rate THEN 1 END) AS DOUBLE)/COUNT(*) realized_rate
+        |FROM d GROUP BY 1 ORDER BY lang""".stripMargin) { (s, dir) =>
+      val d = Tables(s, dir, "documents")
+        .select(col("lang"), size(tokens("text")).cast("long").as("n_tok"),
+          (md5Prefix64("CAST(doc_id AS STRING)") % 100).as("h"),
+          expr("CASE lang WHEN 'en' THEN 40 WHEN 'de' THEN 80 WHEN 'es' THEN 90 " +
+            "WHEN 'fr' THEN 70 ELSE 100 END").as("rate"))
+      d.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_before"),
+          count(when(col("h") < col("rate"), 1)).as("n_after"),
+          sum(col("n_tok")).as("tok_before"),
+          coalesce(sum(when(col("h") < col("rate"), col("n_tok"))), lit(0L)).as("tok_after"),
+          (count(when(col("h") < col("rate"), 1)).cast("double") / count(lit(1)))
+            .as("realized_rate"))
+        .orderBy(col("lang"))
+    },
+
+    // ---- Deterministic k-fold split audit — the train/validation
+    // assignment every fine-tune/eval pipeline needs to be REPRODUCIBLE:
+    // fold = md5-prefix-hash('fold_' || doc_id) mod 5 (salted so the
+    // fold hash is independent of q_mixture_resample's sampling hash),
+    // reported as per-(fold, lang) doc and token balance. Narrow map +
+    // one tiny aggregate; the oracle replays the hash, gating the
+    // ASSIGNMENT itself.
+    entry("q_fold_split",
+      s"""WITH d AS (SELECT lang, len(string_split(text,' ')) n_tok,
+        |    CAST(${md5Prefix64Oracle("'fold_' || CAST(doc_id AS VARCHAR)")} % 5 AS BIGINT) fold FROM documents)
+        |SELECT fold, lang, COUNT(*) n_docs, CAST(SUM(n_tok) AS BIGINT) n_tokens
+        |FROM d GROUP BY 1,2 ORDER BY fold, lang""".stripMargin) { (s, dir) =>
+      val d = Tables(s, dir, "documents")
+        .select(col("lang"), size(tokens("text")).cast("long").as("n_tok"),
+          (md5Prefix64("concat('fold_', CAST(doc_id AS STRING))") % 5).as("fold"))
+      d.groupBy(col("fold"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+        .orderBy(col("fold"), col("lang"))
     }
   )
 }
