@@ -279,6 +279,101 @@ class QueryInvariantSpec extends SparkSpec {
     }
   }
 
+  test("bigram surprisal: bits consistent, bigram mass conserved") {
+    val out = SparkEntry.queries("q_bigram_surprisal")(spark, sf001)
+      .select($"n_bigrams", $"sur_bits", $"mean_surprisal", $"n_rare")
+      .as[(Long, Long, Double, Long)].collect()
+    out.foreach { case (n, bits, mean, rare) =>
+      assert(n > 0 && bits >= 0 && rare >= 0 && rare <= n)
+      assert(math.abs(mean - bits.toDouble / n) < 1e-12)
+    }
+    // every bigram instance of every ≥2-token doc is scored exactly once
+    val want = Tables(spark, sf001, "documents")
+      .select((size(split($"text", " ")) - 1).cast("long").as("nb"))
+      .filter($"nb" >= 1).agg(sum($"nb")).as[Long].head()
+    assert(out.map(_._1).sum == want, "bigram mass not conserved")
+  }
+
+  test("boolean retrieval: zero-match row survives; match counts replay exactly") {
+    val out = SparkEntry.queries("q_bool_retrieval")(spark, sf001)
+      .select($"query_id", $"n_terms", $"n_docs", $"n_hit_tokens")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out.keySet == Set(1L, 2L, 3L), "a query row vanished")
+    // query 3 names a term absent from the corpus → zero matches, row kept
+    assert(out(3L)._3 == 0 && out(3L)._4 == 0)
+    // independent replay of query 2 with array_contains semantics
+    val q2 = Tables(spark, sf001, "documents")
+      .withColumn("toks", split($"text", " "))
+      .filter(array_contains($"toks", "slow") && array_contains($"toks", "fast") &&
+        array_contains($"toks", "merge"))
+      .count()
+    assert(out(2L)._3 == q2, s"query 2: ${out(2L)._3} docs vs replay $q2")
+  }
+
+  test("source overlap: full C(S,2) matrix, intersections bounded by set sizes") {
+    val out = SparkEntry.queries("q_source_overlap")(spark, sf001)
+      .select($"sa", $"sb", $"na", $"nb", $"inter", $"jac")
+      .as[(String, String, Long, Long, Long, Double)].collect()
+    val sources = (out.map(_._1) ++ out.map(_._2)).distinct
+    assert(out.length == sources.length * (sources.length - 1) / 2,
+      s"${out.length} pairs for ${sources.length} sources")
+    out.foreach { case (sa, sb, na, nb, inter, jac) =>
+      assert(sa < sb, "pair order must be canonical")
+      assert(inter >= 0 && inter <= math.min(na, nb))
+      assert(jac >= 0.0 && jac <= 1.0)
+      assert(math.abs(jac - inter.toDouble / (na + nb - inter)) < 1e-15)
+    }
+    // each source's set size is consistent across all its pairs
+    (out.map(r => r._1 -> r._3) ++ out.map(r => r._2 -> r._4))
+      .groupBy(_._1).foreach { case (s, g) =>
+        assert(g.map(_._2).distinct.length == 1, s"source $s has inconsistent nsh") }
+  }
+
+  test("mixture resample: deterministic gate, totals conserved, rate-100 lang kept whole") {
+    val out = SparkEntry.queries("q_mixture_resample")(spark, sf001)
+      .select($"lang", $"n_before", $"n_after", $"tok_before", $"tok_after", $"realized_rate")
+      .as[(String, Long, Long, Long, Long, Double)].collect()
+    out.foreach { case (_, nb, na, tb, ta, rate) =>
+      assert(na <= nb && ta <= tb)
+      assert(math.abs(rate - na.toDouble / nb) < 1e-15)
+    }
+    // rate(zh) = 100 ⇒ the gate h < 100 always holds (h ∈ [0, 100))
+    out.filter(_._1 == "zh").foreach { case (_, nb, na, tb, ta, _) =>
+      assert(na == nb && ta == tb, "rate-100 language must be kept whole") }
+    val (docs, toks) = Tables(spark, sf001, "documents")
+      .select(size(split($"text", " ")).cast("long").as("n"))
+      .agg(count(lit(1)), sum($"n")).as[(Long, Long)].head()
+    assert(out.map(_._2).sum == docs && out.map(_._4).sum == toks,
+      "pre-sample totals must cover the corpus")
+  }
+
+  test("fold split: dense folds, every doc and token in exactly one fold") {
+    val out = SparkEntry.queries("q_fold_split")(spark, sf001)
+      .select($"fold", $"lang", $"n_docs", $"n_tokens")
+      .as[(Long, String, Long, Long)].collect()
+    assert(out.forall(r => r._1 >= 0 && r._1 < 5))
+    val (docs, toks) = Tables(spark, sf001, "documents")
+      .select(size(split($"text", " ")).cast("long").as("n"))
+      .agg(count(lit(1)), sum($"n")).as[(Long, Long)].head()
+    assert(out.map(_._3).sum == docs && out.map(_._4).sum == toks,
+      "fold split must partition the corpus")
+  }
+
+  test("trimmed stats: fences ordered, ≥80% kept, mean inside the fences") {
+    val out = SparkEntry.queries("q_trimmed_stats")(spark, sf001)
+      .select($"n_rows", $"n_kept", $"trimmed_mean", $"lo_fence", $"hi_fence")
+      .as[(Long, Long, Double, Double, Double)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (n, k, mean, lo, hi) =>
+      assert(lo <= hi)
+      // [p10, p90] keeps at least 80% of the group by construction
+      assert(k <= n && k.toDouble >= 0.8 * n - 2,
+        s"trim kept $k of $n — below the 80% floor")
+      assert(mean >= lo && mean <= hi,
+        s"trimmed mean $mean outside fences [$lo, $hi]")
+    }
+  }
+
   /** Exact rational d/(den) comparable via cross-multiplication. */
   private case class ExactFrac(num: BigInt, den: BigInt)
   private object ExactFrac {
