@@ -60,6 +60,48 @@ object SimilarityQueries {
         .orderBy(col("qid"), col("rnk"))
     },
 
+    // ---- HARD-NEGATIVE mining — the contrastive-training data op: for
+    // each query, the most-similar candidates of a DIFFERENT label (the
+    // "hard" negatives that actually move an embedding model, vs easy
+    // random ones). Same broadcast-query single-corpus-scan shape as
+    // q_knn_brute with the label inequality folded into the join
+    // predicate — the corpus is filtered map-side, never shuffled; at
+    // 100 TB production swaps the scan for the IVF/PQ shortlist exactly
+    // as the ANN family demonstrates, keeping this exact contract as
+    // the verifier.
+    entry("q_hard_negatives",
+      """WITH e AS (SELECT vec_id, label, [CAST(floor(CAST(x AS DOUBLE)*1048576.0) AS BIGINT) for x in embedding] q FROM embeddings),
+        | terms AS (SELECT vec_id, x*x t FROM (SELECT vec_id, unnest(q) x FROM e)),
+        | n AS (SELECT vec_id, sqrt(CAST(SUM(t) AS DOUBLE)) nrm FROM terms GROUP BY 1),
+        | qv AS (SELECT vec_id qid, label qlab, q qe FROM e WHERE vec_id < 5),
+        | pt AS (SELECT qid, qlab, c.vec_id cid, c.label c_label, qe[i]*c.q[i] t
+        |        FROM qv CROSS JOIN e c CROSS JOIN generate_series(1,64) g(i) WHERE c.label <> qlab),
+        | p AS (SELECT qid, qlab, cid, c_label, CAST(SUM(t) AS DOUBLE) dot FROM pt GROUP BY 1,2,3,4),
+        | s AS (SELECT qid, qlab q_label, cid, c_label, dot/(nq.nrm*nc.nrm) cosine
+        |       FROM p JOIN n nq ON p.qid = nq.vec_id JOIN n nc ON p.cid = nc.vec_id),
+        | r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) rnk FROM s)
+        |SELECT qid, q_label, rnk, cid, c_label, cosine FROM r WHERE rnk <= 3
+        |ORDER BY qid, rnk""".stripMargin) { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+        .repartition(s.sparkContext.defaultParallelism, col("vec_id")) // single-file input → spread the scan×query loop
+        .select(col("vec_id"), col("label"), quantize("embedding").as("q"))
+        .withColumn("nrm", qnorm("q"))
+      val queries = broadcast(
+        e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("label").as("q_label"),
+            col("q").as("qe"), col("nrm").as("qnrm")))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid").asc)
+      e.select(col("vec_id").as("cid"), col("label").as("c_label"),
+          col("q").as("ce"), col("nrm").as("cnrm"))
+        .join(queries, col("c_label") =!= col("q_label"))
+        .withColumn("cosine", cosineFrom(qdot("qe", "ce"), col("qnrm"), col("cnrm")))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("qid"), col("q_label"), col("rnk"), col("cid"),
+          col("c_label"), col("cosine"))
+        .orderBy(col("qid"), col("rnk"))
+    },
+
     // ---- IVF (inverted-file) kNN, the scale path: vectors are bucketed
     // into cells (centroid = exact per-label mean of quantized vectors —
     // the "trained" coarse quantizer), queries probe their 2 nearest cells

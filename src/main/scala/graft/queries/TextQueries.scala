@@ -878,6 +878,34 @@ object TextQueries {
       d.groupBy(col("fold"), col("lang"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
         .orderBy(col("fold"), col("lang"))
+    },
+
+    // ---- Curriculum bucketing: split the corpus into 4 equal-count
+    // training phases by document length (short → long — the classic
+    // length curriculum), with per-phase token budgets. The quartile
+    // assignment is [[graft.functions.Ranking.withGlobalNtile]] — the
+    // value-bucketed distributed NTILE (local ranks + driver offsets
+    // from the bounded counts pass), so phase assignment never funnels
+    // the corpus through one reducer the way `NTILE() OVER (ORDER BY …)`
+    // does; the oracle states the same split declaratively with the
+    // single-reducer window DuckDB can afford at oracle scale.
+    entry("q_curriculum",
+      """WITH d AS (SELECT doc_id, len(string_split(text,' ')) n_tok FROM documents),
+        | r AS (SELECT doc_id, n_tok, NTILE(4) OVER (ORDER BY n_tok, doc_id) phase FROM d)
+        |SELECT phase, COUNT(*) n_docs, MIN(n_tok) min_tok, MAX(n_tok) max_tok,
+        |  CAST(SUM(n_tok) AS BIGINT) n_tokens,
+        |  CAST(SUM(n_tok) AS DOUBLE)/COUNT(*) mean_tok
+        |FROM r GROUP BY 1 ORDER BY phase""".stripMargin) { (s, dir) =>
+      val d = Tables(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"), size(tokens("text")).cast("long").as("n_tok"))
+      graft.functions.Ranking.withGlobalNtile(d, 4,
+          col("n_tok"), primaryAsc = true, Seq(col("n_tok"), col("doc_id")), "phase")
+        .groupBy(col("phase"))
+        .agg(count(lit(1)).as("n_docs"), min(col("n_tok")).as("min_tok"),
+          max(col("n_tok")).as("max_tok"), sum(col("n_tok")).as("n_tokens"),
+          (sum(col("n_tok")).cast("double") / count(lit(1))).as("mean_tok"))
+        .orderBy(col("phase"))
     }
   )
 }
