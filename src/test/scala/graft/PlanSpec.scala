@@ -37,6 +37,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
   }
 
+  test("q_tfidf's UNHINTED vocabulary join is still broadcast while small") {
+    // the df frame carries no broadcast() hint (vocabulary-sized at
+    // corpus scale — a forced hint would be the OOM); the optimizer must
+    // still pick the broadcast from size stats at this scale, degrading
+    // to a shuffled equi-join only when the vocabulary outgrows the
+    // threshold
+    val p = plan("q_tfidf")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q_dedup_clusters' UNHINTED labels/sizes joins are still broadcast while small") {
+    // labels is corpus-fraction-sized at real near-dup rates, so the
+    // hint is gone; at sf0.001 the optimizer still broadcasts both left
+    // joins from size stats
+    val p = plan("q_dedup_clusters")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftOuter"), p)
+  }
+
   test("q_offset_ledger scans only the two ledger columns") {
     val p = plan("q_offset_ledger")
     // column pruning must reach the scan: none of the other 4 columns read
