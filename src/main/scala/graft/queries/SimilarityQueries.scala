@@ -372,6 +372,51 @@ object SimilarityQueries {
         .orderBy(col("cluster"), col("dim"))
     },
 
+    // ---- Incremental IVF index MAINTENANCE: assign a new ingest batch
+    // (vec_id % 10 == 0) to the FROZEN cells of the existing lake index
+    // (centroids = exact per-cell sums over the lake slice only — the
+    // batch must not move the quantizer, re-training is a separate
+    // offline job) and report per-cell growth, the signal that schedules
+    // a re-train when cells unbalance. Assignment is the same exact
+    // rational argmin as q_kmeans_step ([[graft.functions.KMeans.assign]]
+    // — broadcast cells, one narrow corpus pass, no self-join); only the
+    // BATCH is assigned, the lake is touched once for the cell sums.
+    // The oracle replays the cross-multiplied HUGEINT comparator.
+    entry("q_ivf_maintain",
+      """WITH e AS (SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE)*1048576.0) AS BIGINT) for x in embedding] q FROM embeddings),
+        | lab AS (SELECT vec_id, label FROM embeddings),
+        | c0 AS (SELECT label cl, i, SUM(q[i]) si, COUNT(*) cn
+        |        FROM e JOIN lab USING (vec_id) CROSS JOIN generate_series(1,64) g(i)
+        |        WHERE vec_id % 10 <> 0 GROUP BY 1,2),
+        | b AS (SELECT * FROM e WHERE vec_id % 10 = 0),
+        | dt AS (SELECT b.vec_id, c0.cl, c0.cn, SUM((c0.cn*b.q[c0.i] - c0.si)*(c0.cn*b.q[c0.i] - c0.si)) d2
+        |        FROM b CROSS JOIN c0 GROUP BY 1,2,3),
+        | a1 AS (SELECT a.vec_id, a.cl FROM dt a
+        |        WHERE NOT EXISTS (SELECT 1 FROM dt x WHERE x.vec_id = a.vec_id AND x.cl <> a.cl
+        |          AND (CAST(x.d2 AS HUGEINT)*a.cn*a.cn < CAST(a.d2 AS HUGEINT)*x.cn*x.cn
+        |            OR (CAST(x.d2 AS HUGEINT)*a.cn*a.cn = CAST(a.d2 AS HUGEINT)*x.cn*x.cn AND x.cl < a.cl)))),
+        | g AS (SELECT cl, COUNT(*) n_added FROM a1 GROUP BY 1),
+        | sz AS (SELECT DISTINCT cl, cn FROM c0)
+        |SELECT sz.cl AS cell, sz.cn AS n_lake, CAST(COALESCE(g.n_added, 0) AS BIGINT) AS n_added,
+        |  CAST(COALESCE(g.n_added, 0) AS DOUBLE)/sz.cn AS growth_ratio
+        |FROM sz LEFT JOIN g USING (cl) ORDER BY cell""".stripMargin) { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+        .select(col("vec_id"), col("label"), quantize("embedding").as("q"))
+        .persist() // lake sums + batch assignment both read it
+      val cells = labelSums(e.filter(col("vec_id") % 10 =!= 0))
+      val asg = graft.functions.KMeans.assign(
+        e.filter(col("vec_id") % 10 === 0), cells)
+      val g = asg.groupBy(col("cl").as("g_cl")).agg(count(lit(1)).as("n_added"))
+      cells.select(col("cl").as("cell"), col("cn").as("n_lake"))
+        .join(g, col("cell") === col("g_cl"), "left")
+        .select(col("cell"), col("n_lake"),
+          coalesce(col("n_added"), lit(0L)).as("n_added"),
+          (coalesce(col("n_added"), lit(0L)).cast("double") / col("n_lake"))
+            .as("growth_ratio"))
+        .orderBy(col("cell"))
+    },
+
     // ---- Full k-means FIT ([[graft.functions.KMeans.fit]]): Lloyd
     // iterations from the label init until the assignment FIXPOINT (an
     // exact, deterministic stop — assignments are exact integers, so
