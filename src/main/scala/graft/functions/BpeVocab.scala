@@ -33,9 +33,11 @@ object BpeVocab {
     * The corpus is a materialized localCheckpoint — call [[Fit.release]]
     * when done with it (the merge table is plain driver data and
     * survives), otherwise the checkpointed blocks live for the session
-    * (`spark.catalog.clearCache` does NOT drop RDD-level checkpoints). */
+    * (neither `spark.catalog.clearCache` nor `Dataset.unpersist` drops
+    * RDD-level checkpoint blocks — release goes through
+    * [[Checkpoints.releaseNow]]). */
   final case class Fit(merges: Seq[Merge], corpus: DataFrame) {
-    def release(): Unit = corpus.unpersist()
+    def release(): Unit = Checkpoints.releaseNow(corpus)
   }
 
   /** Adjacent-pair frame (l, r, n) of a (doc_id, toks) corpus. */
@@ -131,7 +133,7 @@ object BpeVocab {
         .orderBy(col("n").desc, col("l").asc, col("r").asc)
         .limit(want + 1).collect()
         .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
-      prev.foreach(_.unpersist()) // `corpus` just materialized above
+      prev.foreach(Checkpoints.releaseNow) // `corpus` just materialized above
       prev = None
       if (top.isEmpty) dry = true // empty corpus or all single-token docs
       else {
@@ -165,7 +167,7 @@ object BpeVocab {
     // the superseded parent — the returned Fit owns exactly ONE
     // checkpointed frame, released via Fit.release()
     corpus.count()
-    prev.foreach(_.unpersist())
+    prev.foreach(Checkpoints.releaseNow)
     Fit(merges.result(), corpus)
   }
 }

@@ -2,43 +2,61 @@ package graft.functions
 
 import scala.collection.mutable.ArrayBuffer
 
+import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.classic.{GraftExpressionBridge => Bridge}
 
-/** Session-scoped registry for lazily-localCheckpoint'ed frames that a
-  * query PLAN retains past its builder's return — `spark.catalog
-  * .clearCache` does NOT drop RDD-level checkpoint blocks (the BpeVocab
-  * doc's own observation), so without an explicit release every
-  * Ranking-backed query run pins its materialized input for the session
-  * and repeated runs accumulate storage.
+/** RDD-level lifecycle for localCheckpoint'ed frames.
   *
-  * Contract: builders route through [[lazyLocal]]; the HARNESS (Bench /
-  * Verify / Explain — any loop that fully materializes one query before
-  * building the next) calls [[releaseAll]] between queries. Releasing is
-  * safe exactly because materialization precedes it: a localCheckpoint's
-  * lineage is truncated on materialization, so a released frame must not
-  * be re-materialized — re-running a query means re-BUILDING it (which
-  * registers a fresh checkpoint), never re-saving a stale plan object.
-  * Modules that manage their own checkpoint lifecycle across an
-  * iteration ([[KMeans.fit]], [[BpeVocab.fit]] — where unpersist order
-  * against a child's materialization is load-bearing) stay off the
-  * registry on purpose.
+  * The trap this module exists for: `Dataset.unpersist` goes through the
+  * CacheManager, which only knows CATALOG-cached plans (`persist()`),
+  * and is a silent NO-OP for the RDD-level blocks a `localCheckpoint`
+  * pins — as is `spark.catalog.clearCache`. Without an `RDD.unpersist`
+  * on the checkpoint's own `LogicalRDD.rdd`, every checkpointed frame
+  * lives for the session and repeated query runs accumulate storage
+  * (CheckpointsSpec proves both the leak and the fix).
+  *
+  * Two lifecycles:
+  *  - [[releaseNow]] — immediate drop, for iteration-internal frames
+  *    whose successor has already materialized ([[KMeans.fit]],
+  *    [[BpeVocab.fit]], [[ConnectedComponents]] round state; the
+  *    unpersist-after-child-materializes ordering those modules document
+  *    is load-bearing here);
+  *  - the REGISTRY ([[lazyLocal]] / [[register]] + [[releaseAll]]) — for
+  *    frames a returned query PLAN retains past its builder (Ranking
+  *    inputs, vocab frequency frames, fitted k-means outputs). The
+  *    harness (Bench / Verify / Explain — any loop that fully
+  *    materializes one query before building the next) calls
+  *    [[releaseAll]] between queries. Releasing is safe exactly because
+  *    materialization precedes it: a localCheckpoint's lineage is
+  *    truncated, so a released frame must never be re-materialized —
+  *    re-running a query means re-BUILDING it (registering fresh
+  *    checkpoints), never re-saving a stale plan object.
   */
 object Checkpoints {
 
-  private val pinned = ArrayBuffer.empty[DataFrame]
+  private val pinned = ArrayBuffer.empty[RDD[_]]
 
-  /** Lazily localCheckpoint `df` and register the handle for the next
-    * [[releaseAll]]. */
-  def lazyLocal(df: DataFrame): DataFrame = synchronized {
-    val cp = df.localCheckpoint(eager = false)
-    pinned += cp
-    cp
+  /** Register an already-checkpointed frame's blocks for the next
+    * [[releaseAll]]; returns the frame. */
+  def register(df: DataFrame): DataFrame = synchronized {
+    pinned ++= Bridge.checkpointRdds(df)
+    df
   }
 
-  /** Unpersist every registered checkpoint (blocking=false) and clear
-    * the registry. Call only between fully-materialized queries. */
+  /** Lazily localCheckpoint `df` and register it. */
+  def lazyLocal(df: DataFrame): DataFrame =
+    register(df.localCheckpoint(eager = false))
+
+  /** Immediately drop the checkpoint blocks under `df` (non-blocking).
+    * Only call after every consumer of the frame has materialized. */
+  def releaseNow(df: DataFrame): Unit =
+    Bridge.checkpointRdds(df).foreach(_.unpersist(blocking = false))
+
+  /** Drop every registered checkpoint and clear the registry. Call only
+    * between fully-materialized queries. */
   def releaseAll(): Unit = synchronized {
-    pinned.foreach(_.unpersist())
+    pinned.foreach(_.unpersist(blocking = false))
     pinned.clear()
   }
 }

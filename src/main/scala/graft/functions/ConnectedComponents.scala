@@ -96,7 +96,9 @@ object ConnectedComponents {
           .select(col("l_node").as("node"),
             coalesce(col("m_root"), col("l_lbl")).as("lbl"))
       }).localCheckpoint(true)
-      if (lab != null) lab.unpersist()
+      // RDD-level release (Dataset.unpersist is a checkpoint no-op) —
+      // safe: nextLab was checkpointed EAGERLY above
+      if (lab != null) Checkpoints.releaseNow(lab)
       lab = nextLab
       val ma = m.toDF("a_node", "a_root")
       val mb = m.toDF("b_node", "b_root")
@@ -108,12 +110,12 @@ object ConnectedComponents {
         .distinct()
         .localCheckpoint(false) // lazy: the count below materializes it
       n = e2.count()
-      m.unpersist()
-      e.unpersist()
+      m.unpersist() // plain persist() — the CacheManager path applies
+      Checkpoints.releaseNow(e) // e2 materialized by the count above
       e = e2
       w = math.max(1, w / 4) // geometric shrink → guaranteed termination
     }
-    e.unpersist()
+    Checkpoints.releaseNow(e)
     if (lab == null)
       edges.limit(0).select(col(cols(0)).cast("long").as("node"),
         col(cols(1)).cast("long").as("lbl"))
@@ -140,10 +142,12 @@ object ConnectedComponents {
           (coalesce(col("p_lbl"), col("c_lbl")) =!= col("c_lbl")).as("chg"))
         .localCheckpoint(true) // truncate before unpersisting the parent
       moved = next.filter(col("chg")).count()
-      lab.unpersist()
+      Checkpoints.releaseNow(lab) // RDD-level: next checkpointed eagerly
       lab = next.drop("chg")
     }
-    lab
+    // the resolved frame outlives this builder inside the caller's query
+    // plan — registry-release it after the query materializes
+    Checkpoints.register(lab)
   }
 
   private def width(spark: org.apache.spark.sql.SparkSession, n: Long,

@@ -85,10 +85,18 @@ object KMeans {
     * sums (cl, s, cn), iterations actually run, whether the assignment
     * fixpoint was reached, and the per-iteration objective (Σ d2/cn² in
     * quantized units — monotonically non-increasing by Lloyd's
-    * argument). Assignment and cluster frames are localCheckpoint'ed. */
+    * argument). Assignment and cluster frames are localCheckpoint'ed
+    * and registry-registered (the harness reclaims them after the
+    * consuming query materializes); direct library users can
+    * [[Fit.release]] earlier. */
   final case class Fit(assignments: DataFrame, clusters: DataFrame,
                        iterations: Int, converged: Boolean,
-                       objective: Seq[Double])
+                       objective: Seq[Double]) {
+    def release(): Unit = {
+      Checkpoints.releaseNow(assignments)
+      Checkpoints.releaseNow(clusters)
+    }
+  }
 
   /** Lloyd iterations from the `label` column init until the assignment
     * fixpoint or `maxIter`. `emb` must carry (vec_id, label, q). */
@@ -116,14 +124,18 @@ object KMeans {
       // it as a zero objective instead of NPEing; moved=0 then ends the
       // loop at the fixpoint with well-formed empty frames
       obj ::= (if (stats.isNullAt(1)) 0.0 else stats.getDouble(1))
-      cs.unpersist()
-      asg.unpersist()
+      // RDD-level release (Dataset.unpersist is a no-op for checkpoint
+      // blocks) — safe NOW because `next` materialized in the stats
+      // action above
+      Checkpoints.releaseNow(cs)
+      Checkpoints.releaseNow(asg)
       asg = next
       iter += 1
       converged = stats.getLong(0) == 0L
     }
     val cs = clusterSums(e, asg.select(col("vec_id"), col("cl"))).localCheckpoint(true)
-    e.unpersist()
-    Fit(asg, cs, iter, converged, obj.reverse)
+    e.unpersist() // plain persist() — the CacheManager path applies
+    Fit(Checkpoints.register(asg), Checkpoints.register(cs),
+      iter, converged, obj.reverse)
   }
 }

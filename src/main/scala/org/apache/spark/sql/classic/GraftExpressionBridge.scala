@@ -20,4 +20,14 @@ object GraftExpressionBridge {
   def ofRows(spark: org.apache.spark.sql.SparkSession,
              plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =
     Dataset.ofRows(spark.asInstanceOf[SparkSession], plan)
+
+  /** The persisted RDDs behind a (local)checkpointed frame's `LogicalRDD`
+    * leaves. `Dataset.unpersist` only uncaches CATALOG-cached plans (the
+    * CacheManager path) and silently leaves RDD-level checkpoint blocks
+    * pinned for the session — actually dropping them requires
+    * `RDD.unpersist` on these. */
+  def checkpointRdds(df: org.apache.spark.sql.DataFrame): Seq[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }
 }
