@@ -564,6 +564,64 @@ object SimilarityQueries {
           (sum(col("sq").cast("decimal(38,0)")).cast("double")
             / count(lit(1)) / lit(1099511627776.0)).as("mean_sq_norm"))
         .orderBy(col("label"))
+    },
+
+    // ---- SEMANTIC decontamination — the embedding-space complement of
+    // q_decontaminate's n-gram collision check (paraphrased eval leakage
+    // shares no 5-gram but sits next to the benchmark in embedding
+    // space): flag training vectors whose cosine to ANY eval-set vector
+    // (the deterministic vec_id%20 slice standing in for a real
+    // benchmark suite) reaches 0.30 — the measured top-1% tail of the
+    // eval×train cosine distribution here; production tunes per
+    // benchmark. Scale shape: the eval side is a BENCHMARK SUITE —
+    // thousands of vectors, configuration-bounded, nothing like the
+    // corpus — so its broadcast hint is legitimate (same reasoning as
+    // q_decontaminate's eval index); the 100 TB training side streams
+    // through one map-side cross-score pass with NO corpus shuffle, the
+    // threshold filter drops ~99% of pairs map-side, and only hit pairs
+    // (bounded by eval_size × near-rate) enter the per-doc windows.
+    // Exactness: cosine = exact-int64 dot / (sqrt·sqrt) — one IEEE
+    // division chain, bit-identical in both engines (the q_knn_brute
+    // contract), so the 0.30 comparison and the (cosine DESC, eval_id)
+    // argmax order agree exactly.
+    entry("q_semantic_decontaminate",
+      """WITH e AS (SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE)*1048576.0) AS BIGINT) for x in embedding] q FROM embeddings),
+        | terms AS (SELECT vec_id, x*x t FROM (SELECT vec_id, unnest(q) x FROM e)),
+        | n AS (SELECT vec_id, sqrt(CAST(SUM(t) AS DOUBLE)) nrm FROM terms GROUP BY 1),
+        | ev AS (SELECT e.vec_id eid, q eq, nrm enrm FROM e JOIN n ON e.vec_id = n.vec_id WHERE e.vec_id % 20 = 0),
+        | tr AS (SELECT e.vec_id tid, q tq, nrm tnrm FROM e JOIN n ON e.vec_id = n.vec_id WHERE e.vec_id % 20 <> 0),
+        | pt AS (SELECT tid, eid, tnrm, enrm, tq[i]*eq[i] t
+        |        FROM tr CROSS JOIN ev CROSS JOIN generate_series(1,64) g(i)),
+        | p AS (SELECT tid, eid, CAST(SUM(t) AS DOUBLE)/(ANY_VALUE(tnrm)*ANY_VALUE(enrm)) cosine
+        |       FROM pt GROUP BY 1,2),
+        | hits AS (SELECT * FROM p WHERE cosine >= 0.30),
+        | r AS (SELECT tid, eid, cosine,
+        |         ROW_NUMBER() OVER (PARTITION BY tid ORDER BY cosine DESC, eid) rn,
+        |         COUNT(*) OVER (PARTITION BY tid) n_eval_near,
+        |         MAX(cosine) OVER (PARTITION BY tid) max_cosine
+        |       FROM hits)
+        |SELECT tid AS vec_id, n_eval_near, max_cosine, eid AS nearest_eval
+        |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+        .repartition(s.sparkContext.defaultParallelism, col("vec_id")) // single-file input → spread the scan×eval loop
+        .select(col("vec_id"), quantize("embedding").as("q"))
+        .withColumn("nrm", qnorm("q"))
+      val ev = broadcast(e.filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("eval_id"), col("q").as("eq"), col("nrm").as("enrm")))
+      val hits = e.filter(col("vec_id") % 20 =!= 0)
+        .crossJoin(ev)
+        .withColumn("cosine", cosineFrom(qdot("q", "eq"), col("nrm"), col("enrm")))
+        .filter(col("cosine") >= 0.30)
+      val w = Window.partitionBy(col("vec_id"))
+      val byCos = w.orderBy(col("cosine").desc, col("eval_id").asc)
+      hits
+        .withColumn("rn", row_number().over(byCos))
+        .withColumn("n_eval_near", count(lit(1)).over(w))
+        .withColumn("max_cosine", max(col("cosine")).over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("n_eval_near"), col("max_cosine"),
+          col("eval_id").as("nearest_eval"))
+        .orderBy(col("vec_id"))
     }
   )
 }
