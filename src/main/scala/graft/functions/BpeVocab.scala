@@ -170,4 +170,29 @@ object BpeVocab {
     prev.foreach(Checkpoints.releaseNow)
     Fit(merges.result(), corpus)
   }
+
+  /** Tokenizer INFERENCE: apply a learned merge table to a corpus
+    * carrying a `toks: array<string>` column, in step order — the
+    * encode pass every training run executes over the full corpus after
+    * [[fit]] learns the table once.
+    *
+    * The merge table is MODEL PARAMETERS — configuration-bounded, never
+    * data-proportional — so it embeds into the plan as literals and the
+    * whole encode is a chain of narrow per-row rewrites ([[mergeExpr]]):
+    * NO shuffle touches the corpus, any other columns ride along
+    * untouched. Greedy-leftmost application in step order is exactly the
+    * sequential semantics [[fit]]'s batched selection is proven
+    * equivalent to, so encode(docs, fit(docs).merges) reproduces
+    * fit's final corpus bit-for-bit (BpeSpec pins it).
+    *
+    * Plan-size bound: each merge is one projection, fine for the
+    * hundreds-of-merges range; a realistic 32k-entry table should chunk
+    * the fold (localCheckpoint every few hundred merges to cut the
+    * plan) or move the whole table into one per-partition trie encoder
+    * via mapPartitions — the per-row loop is genuinely imperative at
+    * that size. */
+  def encode(docs: DataFrame, merges: Seq[Merge]): DataFrame =
+    merges.sortBy(_.step).foldLeft(docs) { (c, m) =>
+      c.withColumn("toks", mergeExpr(m.left, m.right))
+    }
 }

@@ -622,6 +622,43 @@ object SimilarityQueries {
         .select(col("vec_id"), col("n_eval_near"), col("max_cosine"),
           col("eval_id").as("nearest_eval"))
         .orderBy(col("vec_id"))
+    },
+
+    // ---- Quality-classifier inference — the fastText-style linear
+    // filter every pretraining pipeline runs over the corpus (CCNet/
+    // GPT-3 quality scoring, toxicity gates): score = w·x + b per
+    // vector, predict by sign, report the confusion table against the
+    // binary label (label % 2 here). The weight vector is MODEL
+    // PARAMETERS — configuration-bounded (a 64-dim row here; even a
+    // real 256k-vocab fastText matrix is megabytes) — so it rides to
+    // every executor as a literal/broadcast and the whole scoring pass
+    // is ONE codegen'd narrow map over the scan: no shuffle touches the
+    // corpus, only the ≤4-row confusion aggregate reduces (map-side
+    // partials). Exactness: the deterministic integer weights
+    // (((i·37) mod 13) − 6) hit the quantized int64 embedding in exact
+    // int64 dot products (|logit| ≤ 64·6·2²⁰ ≪ 2⁶³), so the sign
+    // comparison and the mean-logit division (one double chain,
+    // ÷n ÷2²⁰) are bit-identical across engines.
+    entry("q_quality_classifier",
+      """WITH e AS (SELECT vec_id, label, [CAST(floor(CAST(x AS DOUBLE)*1048576.0) AS BIGINT) for x in embedding] q FROM embeddings),
+        | s AS (SELECT vec_id, label % 2 label_true,
+        |    CAST(list_sum([q[i] * (((i*37) % 13) - 6) for i in generate_series(1,64)]) AS BIGINT) logit
+        |  FROM e)
+        |SELECT label_true, CASE WHEN logit > 0 THEN 1 ELSE 0 END label_pred,
+        |  COUNT(*) n, CAST(SUM(logit) AS DOUBLE)/COUNT(*)/1048576 AS mean_logit
+        |FROM s GROUP BY 1, 2 ORDER BY label_true, label_pred""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "embeddings")
+        .select((col("label") % 2).as("label_true"), quantize("embedding").as("q"))
+        .withColumn("logit", expr(
+          "aggregate(transform(sequence(1, 64), " +
+            "i -> element_at(q, i) * CAST(((i*37) % 13) - 6 AS BIGINT)), " +
+            "0L, (acc, x) -> acc + x)"))
+        .withColumn("label_pred", when(col("logit") > 0, 1).otherwise(0))
+        .groupBy(col("label_true"), col("label_pred"))
+        .agg(count(lit(1)).as("n"),
+          (sum(col("logit")).cast("double") / count(lit(1)) / lit(1048576.0))
+            .as("mean_logit"))
+        .orderBy(col("label_true"), col("label_pred"))
     }
   )
 }

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -599,6 +600,37 @@ object TextQueries {
         .orderBy(col("step"))
     },
 
+    // ---- BPE tokenizer ENCODE ([[graft.functions.BpeVocab.encode]]) —
+    // the inference twin of q_bpe_vocab's fit: learn a 5-merge table,
+    // then apply it to the corpus in step order and report per-document
+    // compression (token counts before/after, merged-symbol count,
+    // ratio). The merge table is model parameters (plan literals), so
+    // the encode is a pure chain of narrow per-row rewrites — zero
+    // corpus shuffles beyond the presentation sort; at 100 TB this is
+    // the scan-bound pass every training run executes after fit. No
+    // DuckDB oracle (the table is data-dependent driver state from an
+    // iterative argmax) — rows-only gate; BpeSpec proves
+    // encode(docs, fit.merges) ≡ fit's final corpus bit-for-bit, and
+    // the compression accounting carries its own conservation law:
+    // n_absorbed (embedded spaces across encoded symbols, counted from
+    // the token CONTENTS) must equal n_before − n_after at any merge
+    // depth (QueryInvariantSpec).
+    entryNoOracle("q_bpe_encode") { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"), tokens("text").as("toks"))
+      val fit = graft.functions.BpeVocab.fit(docs, rounds = 5, batch = 5)
+      fit.release() // the query re-encodes from the raw corpus below
+      graft.functions.BpeVocab.encode(
+          docs.withColumn("n_before", size(col("toks")).cast("long")), fit.merges)
+        .select(col("doc_id"), col("n_before"),
+          size(col("toks")).cast("long").as("n_after"),
+          expr("aggregate(toks, 0L, (a, x) -> a + size(split(x, ' ')) - 1)")
+            .as("n_absorbed"),
+          (size(col("toks")).cast("double") / col("n_before")).as("compression"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- BOILERPLATE detection (C4-style line dedup adapted to
     // newline-free token streams): chop each document into fixed 3-token
     // pseudo-sentences, count how many DISTINCT documents each one
@@ -906,6 +938,111 @@ object TextQueries {
           max(col("n_tok")).as("max_tok"), sum(col("n_tok")).as("n_tokens"),
           (sum(col("n_tok")).cast("double") / count(lit(1))).as("mean_tok"))
         .orderBy(col("phase"))
+    },
+
+    // ---- Budget-capped corpus selection: per source, keep documents in
+    // quality order (alphabetic ratio DESC, doc_id tie-break) while the
+    // cumulative token count stays within a 1000-token budget — the
+    // "best docs under a token quota" selection every data-recipe build
+    // runs per source/domain. The oracle states it as the obvious
+    // per-source cumulative window; the Spark plan is the SCALABLE
+    // two-pass refinement of that window (per-group twin of the Ranking
+    // module's value-bucketed design): (1) bucket quality into ≤257
+    // floor(q·256) cells and aggregate (source × bucket) token sums — a
+    // CONFIGURATION-bounded frame (sources are a curated list, never
+    // corpus-proportional), so its cumulative window and the join back
+    // (broadcast) are free; (2) buckets that fit entirely under the
+    // budget keep every doc with NO per-doc window at all, buckets past
+    // it drop every doc, and only the ONE boundary bucket per source
+    // (~1/256 of a source, recursable in production) runs a per-doc
+    // running sum. Bucket-then-(q, doc_id) order refines global
+    // (q, doc_id) order because the bucket is a monotone function of q,
+    // so the kept set is EXACTLY the oracle window's. Exactness: q is
+    // one double division of exact ints and floor(q·256) one IEEE
+    // multiply — bit-identical in both engines; all sums are int64.
+    entry("q_token_budget",
+      """WITH d AS (SELECT doc_id, source, len(string_split(text,' ')) n_tok,
+        |    CAST(length(regexp_replace(text,'[^a-z]','','g')) AS DOUBLE)/length(text) q
+        |  FROM documents),
+        | c AS (SELECT *, CAST(SUM(n_tok) OVER (PARTITION BY source
+        |          ORDER BY q DESC, doc_id) AS BIGINT) cum FROM d)
+        |SELECT source, COUNT(*) n_docs, CAST(SUM(n_tok) AS BIGINT) tok_total,
+        |  COUNT(CASE WHEN cum <= 1000 THEN 1 END) n_kept,
+        |  CAST(COALESCE(SUM(CASE WHEN cum <= 1000 THEN n_tok END), 0) AS BIGINT) tok_kept,
+        |  CAST(COALESCE(SUM(CASE WHEN cum <= 1000 THEN n_tok END), 0) AS DOUBLE)/1000 budget_util
+        |FROM c GROUP BY 1 ORDER BY source""".stripMargin) { (s, dir) =>
+      val budget = 1000L
+      val d = Tables(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"), col("source"),
+          size(tokens("text")).cast("long").as("n_tok"),
+          (length(regexp_replace(col("text"), "[^a-z]", "")).cast("double")
+            / length(col("text"))).as("q"))
+        .withColumn("qb", floor(col("q") * 256).cast("int"))
+      // pass 1: the (source × quality-bucket) token sums — bounded frame
+      val wb = Window.partitionBy(col("source")).orderBy(col("qb").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val b = d.groupBy(col("source"), col("qb"))
+        .agg(sum(col("n_tok")).as("bt"))
+        .withColumn("cum_before", coalesce(sum(col("bt")).over(wb), lit(0L)))
+        .withColumnRenamed("source", "b_src").withColumnRenamed("qb", "b_qb")
+      // pass 2: join the bounded bucket frame back; only the boundary
+      // bucket needs a per-doc running sum
+      val dd = d.join(broadcast(b),
+        col("source") === col("b_src") && col("qb") === col("b_qb"))
+      val full = dd.filter(col("cum_before") + col("bt") <= budget)
+        .withColumn("keep", lit(true))
+      val dropped = dd.filter(col("cum_before") >= budget)
+        .withColumn("keep", lit(false))
+      val wdoc = Window.partitionBy(col("source"))
+        .orderBy(col("q").desc, col("doc_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val boundary = dd
+        .filter(col("cum_before") < budget && col("cum_before") + col("bt") > budget)
+        .withColumn("keep", col("cum_before") + sum(col("n_tok")).over(wdoc) <= budget)
+      full.unionByName(boundary.select(full.columns.map(col): _*))
+        .unionByName(dropped)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tok_total"),
+          count(when(col("keep"), 1)).as("n_kept"),
+          coalesce(sum(when(col("keep"), col("n_tok"))), lit(0L)).as("tok_kept"),
+          (coalesce(sum(when(col("keep"), col("n_tok"))), lit(0L)).cast("double")
+            / budget).as("budget_util"))
+        .orderBy(col("source"))
+    },
+
+    // ---- PII scrubbing / redaction audit: count deny-pattern matches
+    // per document and measure the redacted text — the scrub-and-account
+    // pass every compliance-bound corpus build runs before release. The
+    // deny pattern here is a literal alternation over terms present in
+    // the synthetic corpus (this corpus contains no digits or @-forms,
+    // so email/phone regexes would gate nothing); production swaps in
+    // the usual email/phone/SSN patterns — the PLAN is identical: one
+    // codegen'd narrow map over the scan (regexp_extract_all +
+    // regexp_replace), zero shuffles before the final presentation sort,
+    // embarrassingly parallel at 100 TB. The alternation-of-literals
+    // pattern means Java regex and RE2 agree exactly; counts are exact
+    // ints and the ratio one double division.
+    entry("q_pii_scrub",
+      """WITH d AS (SELECT doc_id, length(text) chars_before,
+        |    len(regexp_extract_all(text, 'customer|vector')) n_hits,
+        |    length(regexp_replace(text, 'customer|vector', '[REDACTED]', 'g')) chars_after
+        |  FROM documents)
+        |SELECT doc_id, CAST(n_hits AS BIGINT) n_hits, chars_before, chars_after,
+        |  n_hits > 0 AS flagged,
+        |  CAST(chars_after - chars_before AS DOUBLE)/chars_before AS growth
+        |FROM d ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), length(col("text")).as("chars_before"),
+          size(regexp_extract_all(col("text"), lit("customer|vector"), lit(0)))
+            .cast("long").as("n_hits"),
+          length(regexp_replace(col("text"), "customer|vector", "[REDACTED]"))
+            .as("chars_after"))
+        .select(col("doc_id"), col("n_hits"), col("chars_before"), col("chars_after"),
+          (col("n_hits") > 0).as("flagged"),
+          ((col("chars_after") - col("chars_before")).cast("double")
+            / col("chars_before")).as("growth"))
+        .orderBy(col("doc_id"))
     }
   )
 }

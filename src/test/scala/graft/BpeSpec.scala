@@ -89,6 +89,19 @@ class BpeSpec extends SparkSpec {
     assert(a == b, s"batched diverged from sequential:\n  seq=$a\n  bat=$b")
   }
 
+  test("encode replays the merge table: encode(docs, fit.merges) ≡ fit.corpus") {
+    val fit = BpeVocab.fit(docs, rounds = 5, batch = 5)
+    val got = BpeVocab.encode(docs, fit.merges)
+      .select(col("doc_id"), col("toks"))
+      .as[(Long, Seq[String])].collect().sortBy(_._1)
+    val want = fit.corpus
+      .select(col("doc_id"), col("toks"))
+      .as[(Long, Seq[String])].collect().sortBy(_._1)
+    fit.release()
+    assert(got.toSeq == want.toSeq,
+      "encode over the raw corpus diverged from fit's final rewrite state")
+  }
+
   test("batched fit ≡ sequential fit under forced interaction + count ties") {
     // crafted to exercise every selection guard: (a,b) and (b,c) chain
     // (symbol interaction — (b,c) must NOT batch with (a,b)), (x,y)

@@ -374,6 +374,81 @@ class QueryInvariantSpec extends SparkSpec {
     }
   }
 
+  test("semantic decontamination: train-side hits only, eval-side neighbors, threshold honored") {
+    val out = SparkEntry.queries("q_semantic_decontaminate")(spark, sf001)
+      .select($"vec_id", $"n_eval_near", $"max_cosine", $"nearest_eval")
+      .as[(Long, Long, Double, Long)].collect()
+    val nEval = Tables(spark, sf001, "embeddings").filter($"vec_id" % 20 === 0).count()
+    out.foreach { case (id, near, mx, ev) =>
+      assert(id % 20 != 0, s"eval vector $id flagged as contaminated")
+      assert(ev % 20 == 0, s"nearest neighbor $ev is not in the eval slice")
+      assert(mx >= 0.30, s"vector $id flagged below threshold: $mx")
+      assert(near >= 1 && near <= nEval)
+    }
+  }
+
+  test("token budget: the two-pass bucket refinement equals the straight window") {
+    val out = SparkEntry.queries("q_token_budget")(spark, sf001)
+      .select($"source", $"n_docs", $"tok_total", $"n_kept", $"tok_kept", $"budget_util")
+      .as[(String, Long, Long, Long, Long, Double)].collect()
+    out.foreach { case (_, nd, tt, nk, tk, util) =>
+      assert(nk <= nd && tk <= tt && tk <= 1000L, "budget overrun")
+      assert(math.abs(util - tk.toDouble / 1000) < 1e-15)
+    }
+    // naive single-window replay (affordable at spec scale)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"q".desc, $"doc_id".asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val want = Tables(spark, sf001, "documents")
+      .select($"doc_id", $"source", size(split($"text", " ")).cast("long").as("n_tok"),
+        (length(regexp_replace($"text", "[^a-z]", "")).cast("double")
+          / length($"text")).as("q"))
+      .withColumn("cum", sum($"n_tok").over(w))
+      .groupBy($"source")
+      .agg(count(when($"cum" <= 1000, 1)).as("n_kept"),
+        coalesce(sum(when($"cum" <= 1000, $"n_tok")), lit(0L)).as("tok_kept"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    out.foreach { case (src, _, _, nk, tk, _) =>
+      assert(want(src) == ((nk, tk)),
+        s"source $src: bucketed ($nk, $tk) != straight window ${want(src)}")
+    }
+  }
+
+  test("pii scrub: flag matches hits, growth bounded by the pattern lengths") {
+    val out = SparkEntry.queries("q_pii_scrub")(spark, sf001)
+      .select($"n_hits", $"chars_before", $"chars_after", $"flagged")
+      .as[(Long, Long, Long, Boolean)].collect()
+    assert(out.exists(_._1 > 0), "the deny pattern never matched — gate is vacuous")
+    out.foreach { case (hits, before, after, flagged) =>
+      assert(flagged == (hits > 0))
+      // '[REDACTED]' (10 chars) replaces 'customer' (8) or 'vector' (6)
+      assert(after - before >= 2 * hits && after - before <= 4 * hits,
+        s"growth ${after - before} inconsistent with $hits hits")
+    }
+  }
+
+  test("bpe encode: absorbed tokens account exactly for the deficit") {
+    val out = SparkEntry.queries("q_bpe_encode")(spark, sf001)
+      .select($"n_before", $"n_after", $"n_absorbed", $"compression")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out.exists(_._3 > 0), "no document absorbed a merge — gate is vacuous")
+    out.foreach { case (before, after, absorbed, c) =>
+      assert(after >= 1 && after <= before)
+      assert(before - after == absorbed,
+        s"deficit ${before - after} != absorbed $absorbed")
+      assert(math.abs(c - after.toDouble / before) < 1e-15)
+    }
+  }
+
+  test("quality classifier: the confusion table partitions the corpus") {
+    val out = SparkEntry.queries("q_quality_classifier")(spark, sf001)
+      .select($"label_true", $"label_pred", $"n").as[(Int, Int, Long)].collect()
+    assert(out.forall(r => (r._1 == 0 || r._1 == 1) && (r._2 == 0 || r._2 == 1)))
+    assert(out.map(r => (r._1, r._2)).distinct.length == out.length)
+    val total = Tables(spark, sf001, "embeddings").count()
+    assert(out.map(_._3).sum == total, "confusion cells must partition the corpus")
+  }
+
   /** Exact rational d/(den) comparable via cross-multiplication. */
   private case class ExactFrac(num: BigInt, den: BigInt)
   private object ExactFrac {
