@@ -465,7 +465,11 @@ object DedupQueries {
         .select(col("doc_id").as("eval_id"), explode(col("gh")).as("g"))
       val tr = sh5.filter(col("doc_id") % 20 =!= 0)
         .select(col("doc_id"), explode(col("gh")).as("g"))
-      tr.join(broadcast(ev), "g")
+      // the eval-side broadcast is a CHECKED contract, not prose: the
+      // gate's %20 slice is corpus-proportional by construction, so a
+      // corpus change that outgrows the bound aborts loudly here
+      // instead of OOMing executors (see functions.Guards)
+      tr.join(graft.functions.Guards.boundedBroadcast(ev, "q_decontaminate eval gram index"), "g")
         .groupBy(col("doc_id"))
         .agg(countDistinct(col("eval_id")).as("n_eval_docs"),
           countDistinct(col("g")).as("n_shared_grams"))

@@ -1458,6 +1458,35 @@ object RelationalQueries {
             .as("trimmed_mean"),
           (max($"lo") / 1000).as("lo_fence"), (max($"hi") / 1000).as("hi_fence"))
         .orderBy($"l_returnflag")
+    },
+
+    // ---- Sketch twin of q_trimmed_stats — the 100 TB path, completing
+    // the exact/sketch pair for every exact-percentile query (the
+    // q_mad_outliers / q_mad_outliers_sketch pattern). The [p10, p90]
+    // fences come from the mergeable
+    // [[graft.functions.Sketches.QuantileSketch]] (O(k·log n) doubles of
+    // aggregation state per group, map-side partials — no reducer ever
+    // buffers a group), while the trimmed SUM over kept rows stays EXACT
+    // int64: the sketch only moves the fences, never the arithmetic
+    // inside them. Sketch fences are implementation-specific → rows-only
+    // driver check; SketchSpec bounds the drift against the exact twin.
+    entryNoOracle("q_trimmed_stats_sketch") { (s, dir) =>
+      import s.implicits._
+      import graft.functions.Sketches.quantileSketch
+      val v = Tables(s, dir, "lineitem")
+        .select($"l_returnflag", (Exact.dec($"l_extendedprice") * 1000).cast("long").as("pm"))
+      val f = v.groupBy($"l_returnflag".as("f_flag"))
+        .agg(quantileSketch(256, Seq(0.1, 0.9))($"pm".cast("double")).as("qq"))
+        .select($"f_flag", $"qq".getItem(0).as("lo"), $"qq".getItem(1).as("hi"))
+      val kept = $"pm" >= $"lo" && $"pm" <= $"hi"
+      v.join(broadcast(f), $"l_returnflag" === $"f_flag")
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          count(when(kept, 1)).as("n_kept"),
+          (sum(when(kept, $"pm")).cast("double") / count(when(kept, 1)) / 1000)
+            .as("trimmed_mean"),
+          (max($"lo") / 1000).as("lo_fence"), (max($"hi") / 1000).as("hi_fence"))
+        .orderBy($"l_returnflag")
     }
   )
 }

@@ -16,12 +16,10 @@ import graft.functions.VectorFunctions._
   */
 object SimilarityQueries {
 
-  /** Exact rational nearest-centroid comparator + bounded-state label
-    * sums — shared with the full Lloyd loop; see
-    * [[graft.functions.KMeans]] for the exactness/headroom contract
-    * (ANSI overflow = loud failure in BOTH engines past it). */
-  private val exactNearestSort: String = graft.functions.KMeans.exactNearestSort
-
+  /** Bounded-state label sums + the narrow exact nearest-cell argmin —
+    * shared with the full Lloyd loop; see [[graft.functions.KMeans]]
+    * for the exactness/headroom contract (ANSI overflow = loud failure
+    * in BOTH engines past it). */
   private def labelSums(emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     graft.functions.KMeans.labelSums(emb)
 
@@ -147,18 +145,15 @@ object SimilarityQueries {
         .repartition(s.sparkContext.defaultParallelism, col("vec_id")) // single-file input → spread assignment + search
         .select(col("vec_id"), col("label"), quantize("embedding").as("q"))
         .withColumn("nrm", qnorm("q"))
-      // exact centroid sums per cell via bounded (label, dim) partials
+      // exact centroid sums per cell via ONE bounded-state shuffle
       val cs = labelSums(e)
-      val dt = e.crossJoin(broadcast(cs))
-        .withColumn("d2", expr("aggregate(zip_with(q, s, (x, y) -> (cn*x - y)*(cn*x - y)), " +
-          "CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
-        .select(col("vec_id"), col("cl"), col("cn"), col("d2"))
-      // exact rational cell ranking in ONE aggregation: sort the k
-      // candidates under the cross-multiplied comparator, keep the top-2
-      // (cell = rank 1, probe set = ranks 1-2) — no self-join, one
-      // shuffle keyed on vec_id
-      val ranked = dt.groupBy(col("vec_id"))
-        .agg(expr(s"slice($exactNearestSort, 1, 2)").as("top2"))
+      // exact rational cell ranking computed NARROW per row: the k cell
+      // descriptors broadcast as one array row and each vector sorts
+      // them under the cross-multiplied comparator in codegen — no
+      // per-(vector × cell) blowup, no corpus shuffle at all; keep the
+      // top-2 (cell = rank 1, probe set = ranks 1-2)
+      val ranked = e.crossJoin(broadcast(graft.functions.KMeans.candidatesRow(cs)))
+        .withColumn("top2", expr(s"slice(${graft.functions.KMeans.nearestSorted()}, 1, 2)"))
         .select(col("vec_id"), posexplode(col("top2")).as(Seq("p", "c")))
         .select(col("vec_id"), (col("p") + 1).as("r"), col("c.cl").as("cl"))
       val cell = ranked.filter(col("r") === 1).select(col("vec_id"), col("cl"))
@@ -208,13 +203,12 @@ object SimilarityQueries {
       // corpus cell = the fit's converged rank-1 assignment (computed
       // under the same exact rational comparator the probe uses)
       val cell = fit.assignments.select(col("vec_id"), col("cl"))
-      // probe = top-2 FITTED cells, ranked exactly, for the query set only
-      val dt = e.filter(col("vec_id") < 5).crossJoin(broadcast(fit.clusters))
-        .withColumn("d2", expr("aggregate(zip_with(q, s, (x, y) -> (cn*x - y)*(cn*x - y)), " +
-          "CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
-        .select(col("vec_id"), col("cl"), col("cn"), col("d2"))
-      val probe = dt.groupBy(col("vec_id"))
-        .agg(expr(s"slice($exactNearestSort, 1, 2)").as("top2"))
+      // probe = top-2 FITTED cells for the query set only, ranked
+      // exactly and NARROW against the broadcast candidate row (same
+      // shape as q_knn_ivf — no per-(query × cell) rows, no shuffle)
+      val probe = e.filter(col("vec_id") < 5)
+        .crossJoin(broadcast(graft.functions.KMeans.candidatesRow(fit.clusters)))
+        .withColumn("top2", expr(s"slice(${graft.functions.KMeans.nearestSorted()}, 1, 2)"))
         .select(col("vec_id").as("qid"),
           explode(expr("transform(top2, c -> c.cl)")).as("cl"))
       val cands = broadcast(probe).join(cell, "cl")
@@ -606,8 +600,13 @@ object SimilarityQueries {
         .repartition(s.sparkContext.defaultParallelism, col("vec_id")) // single-file input → spread the scan×eval loop
         .select(col("vec_id"), quantize("embedding").as("q"))
         .withColumn("nrm", qnorm("q"))
-      val ev = broadcast(e.filter(col("vec_id") % 20 === 0)
-        .select(col("vec_id").as("eval_id"), col("q").as("eq"), col("nrm").as("enrm")))
+      // eval-suite boundedness is a CHECKED contract (functions.Guards):
+      // the forced broadcast aborts loudly if the "eval" side ever grows
+      // corpus-proportional instead of OOMing executors at scale
+      val ev = graft.functions.Guards.boundedBroadcast(
+        e.filter(col("vec_id") % 20 === 0)
+          .select(col("vec_id").as("eval_id"), col("q").as("eq"), col("nrm").as("enrm")),
+        "q_semantic_decontaminate eval suite")
       val hits = e.filter(col("vec_id") % 20 =!= 0)
         .crossJoin(ev)
         .withColumn("cosine", cosineFrom(qdot("q", "eq"), col("nrm"), col("enrm")))

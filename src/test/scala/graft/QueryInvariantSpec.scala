@@ -449,6 +449,74 @@ class QueryInvariantSpec extends SparkSpec {
     assert(out.map(_._3).sum == total, "confusion cells must partition the corpus")
   }
 
+  test("curriculum phases partition the corpus: equal counts ±1, ordered length ranges") {
+    val out = SparkEntry.queries("q_curriculum")(spark, sf001)
+      .select($"phase", $"n_docs", $"min_tok", $"max_tok", $"n_tokens", $"mean_tok")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == (1L to 4L), "phases must be exactly 1..4")
+    val docs = Tables(spark, sf001, "documents").count()
+    assert(out.map(_._2).sum == docs, "phases must partition every document")
+    // NTILE contract: phase sizes differ by at most one, larger first
+    val sizes = out.map(_._2)
+    assert(sizes.max - sizes.min <= 1, s"phase sizes not ±1: ${sizes.toSeq}")
+    assert(sizes.toSeq == sizes.sorted.reverse.toSeq, "NTILE gives earlier phases the remainder")
+    // curriculum order: length ranges never overlap ACROSS phases (ties
+    // on the boundary value may straddle — ranges touch, never invert)
+    out.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a._4 <= b._3, s"phase ${a._1} max ${a._4} exceeds phase ${b._1} min ${b._3}")
+      case _ =>
+    }
+    out.foreach { case (p, n, mn, mx, tot, mean) =>
+      assert(mn <= mx && tot >= n * mn && tot <= n * mx, s"phase $p stats inconsistent")
+      assert(math.abs(mean - tot.toDouble / n) < 1e-12)
+    }
+  }
+
+  test("hard negatives never share the query's label and never beat the brute top-1") {
+    val hn = SparkEntry.queries("q_hard_negatives")(spark, sf001)
+      .select($"qid", $"q_label", $"rnk", $"cid", $"c_label", $"cosine")
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    assert(hn.nonEmpty)
+    hn.foreach { case (qid, ql, _, cid, cl, cos) =>
+      assert(cl != ql, s"negative $cid for query $qid shares label $ql — not a negative")
+      assert(cid != qid && cos >= -1.0 - 1e-9 && cos <= 1.0 + 1e-9)
+    }
+    hn.groupBy(_._1).foreach { case (qid, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length), s"query $qid ranks not dense")
+      val sorted = rows.sortBy(_._3).map(_._6)
+      assert(sorted.zip(sorted.tail).forall { case (a, b) => a >= b },
+        s"query $qid cosines not descending")
+    }
+    // hard negatives are a label-filtered subset of the brute candidate
+    // pool, so no negative may score above the query's overall top-1
+    val bruteTop = SparkEntry.queries("q_knn_brute")(spark, sf001)
+      .filter($"rnk" === 1).select($"qid", $"cosine").as[(Long, Double)].collect().toMap
+    hn.groupBy(_._1).foreach { case (qid, rows) =>
+      assert(rows.map(_._6).max <= bruteTop(qid) + 1e-12,
+        s"query $qid: a hard negative outscored the unfiltered top-1")
+    }
+  }
+
+  test("IVF maintenance growth reconciles exactly with the lake and batch slices") {
+    val out = SparkEntry.queries("q_ivf_maintain")(spark, sf001)
+      .select($"cell", $"n_lake", $"n_added", $"growth_ratio")
+      .as[(Long, Long, Long, Double)].collect()
+    val emb = Tables(spark, sf001, "embeddings")
+    val lake = emb.filter($"vec_id" % 10 =!= 0)
+    // one row per frozen cell = the lake slice's distinct labels
+    assert(out.map(_._1).toSet ==
+      lake.select($"label").distinct().as[Long].collect().toSet)
+    assert(out.map(_._2).sum == lake.count(), "lake cell sizes must sum to the lake")
+    // every batch vector lands in exactly one frozen cell
+    assert(out.map(_._3).sum == emb.filter($"vec_id" % 10 === 0).count(),
+      "added counts must sum to the batch size")
+    out.foreach { case (cell, nLake, nAdd, g) =>
+      assert(nLake > 0 && nAdd >= 0)
+      assert(math.abs(g - nAdd.toDouble / nLake) < 1e-15, s"cell $cell ratio off")
+    }
+  }
+
   /** Exact rational d/(den) comparable via cross-multiplication. */
   private case class ExactFrac(num: BigInt, den: BigInt)
   private object ExactFrac {

@@ -56,6 +56,26 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("sketch trimmed-stats twin tracks the exact fences (same rows, bounded drift)") {
+    val exact = SparkEntry.queries("q_trimmed_stats")(spark, sf001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val sk = SparkEntry.queries("q_trimmed_stats_sketch")(spark, sf001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(exact.keySet == sk.keySet)
+    exact.foreach { case (flag, (n, kept, mean)) =>
+      val (n2, kept2, mean2) = sk(flag)
+      // identical population per group; the sketch only moves the fences
+      assert(n2 == n, s"$flag: row count diverged")
+      // ≤ 2% rank error on each fence moves the kept set by a few
+      // percent of the group at most, and the trimmed mean (an average
+      // over ~80% of a smooth column) by far less
+      assert(math.abs(kept2 - kept).toDouble / n <= 0.10,
+        s"$flag: kept count $kept2 drifted > 10% of group from exact $kept")
+      assert(math.abs(mean2 - mean) / mean <= 0.05,
+        s"$flag: sketch trimmed mean $mean2 drifted > 5% from exact $mean")
+    }
+  }
+
   test("sketch percentile lands within 2% rank error of the exact data, per group") {
     import spark.implicits._
     val qs = Seq(0.25, 0.5, 0.9)
