@@ -117,6 +117,20 @@ object BpeVocab {
     * with identical recorded frequencies. */
   def fit(docs: DataFrame, rounds: Int, batch: Int = 1): Fit = {
     require(rounds >= 1 && batch >= 1)
+    // PRECONDITION (also binds encode): input tokens must be SPACE-FREE.
+    // Merged symbols are encoded as l+" "+r, and both the
+    // batched≡sequential selection proof and encode's n_absorbed
+    // conservation (which counts embedded spaces) rely on that encoding
+    // being injective — a token that already contains a space would
+    // alias a merge. Any whitespace-split tokenizer satisfies this;
+    // check a bounded sample loudly rather than scan the corpus.
+    val spaced = docs.select(col("toks")).limit(64)
+      .select(explode(col("toks")).as("t"))
+      .filter(col("t").contains(" ")).limit(1).count()
+    require(spaced == 0,
+      "BPE input tokens must not contain spaces (sampled check): merged " +
+        "symbols are encoded l + \" \" + r, so spaced input tokens would " +
+        "alias merges and break the batched==sequential equivalence")
     var corpus = docs.select(col("doc_id"), col("toks")).localCheckpoint(false)
     // deferred unpersist (one job per round, not two): round k+1's argmax
     // action is what materializes round k's rewrite checkpoint, and only
@@ -190,7 +204,11 @@ object BpeVocab {
     * the fold (localCheckpoint every few hundred merges to cut the
     * plan) or move the whole table into one per-partition trie encoder
     * via mapPartitions — the per-row loop is genuinely imperative at
-    * that size. */
+    * that size.
+    *
+    * Precondition: space-free input tokens, as in [[fit]] (merged
+    * symbols are `l + " " + r`; the absorbed-token accounting counts
+    * embedded spaces). */
   def encode(docs: DataFrame, merges: Seq[Merge]): DataFrame =
     merges.sortBy(_.step).foldLeft(docs) { (c, m) =>
       c.withColumn("toks", mergeExpr(m.left, m.right))

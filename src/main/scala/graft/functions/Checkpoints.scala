@@ -49,7 +49,13 @@ object Checkpoints {
     register(df.localCheckpoint(eager = false))
 
   /** Immediately drop the checkpoint blocks under `df` (non-blocking).
-    * Only call after every consumer of the frame has materialized. */
+    * Only call after every consumer of the frame has materialized.
+    *
+    * Contract: pass the CHECKPOINTED FRAME ITSELF, not a plan derived
+    * from it — this collects every `LogicalRDD` leaf of the plan, so a
+    * derived frame that also joins some OTHER live checkpoint would
+    * unpersist that foreign frame's blocks too. (Every in-repo call
+    * site passes the frame returned by `localCheckpoint`.) */
   def releaseNow(df: DataFrame): Unit =
     Bridge.checkpointRdds(df).foreach(_.unpersist(blocking = false))
 

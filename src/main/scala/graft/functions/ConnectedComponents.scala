@@ -59,7 +59,15 @@ object ConnectedComponents {
     * Caveat: localCheckpoint storage is non-replicated; on a cluster,
     * executor loss mid-query fails the query (acceptable for a batch
     * operator — rerun) rather than silently recomputing nondeterministic
-    * lineage. */
+    * lineage.
+    *
+    * Lifecycle: the result is REGISTRY-registered ([[Checkpoints]]).
+    * The harness mains (Bench/Verify/Explain) reclaim it via
+    * `releaseAll()` between queries; a long-lived library session must
+    * do the same — call `Checkpoints.releaseNow(result)` once the
+    * consuming query has materialized (the per-result analogue of
+    * [[KMeans.Fit.release]]), or `releaseAll()` at a query boundary —
+    * otherwise the label blocks stay pinned for the session. */
   def labels(edges: DataFrame, maxEdgesPerTask: Long = 1L << 20): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._

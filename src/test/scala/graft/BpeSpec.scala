@@ -120,4 +120,15 @@ class BpeSpec extends SparkSpec {
       assert(a == b, s"batch=$k diverged:\n  seq=$a\n  bat=$b")
     }
   }
+
+  test("spaced input tokens are rejected loudly (sampled precondition)") {
+    // merged symbols are encoded l+" "+r — a token that already holds a
+    // space would alias a merge and break batched≡sequential + the
+    // n_absorbed conservation, so fit refuses the input up front
+    val spaced = Seq((1L, Seq("a b", "c")), (2L, Seq("x", "y"))).toDF("doc_id", "toks")
+    val e = intercept[IllegalArgumentException] {
+      BpeVocab.fit(spaced, rounds = 1)
+    }
+    assert(e.getMessage.contains("space"))
+  }
 }
