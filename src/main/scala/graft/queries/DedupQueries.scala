@@ -427,6 +427,73 @@ object DedupQueries {
         .orderBy(col("doc_id"))
     },
 
+    // ---- CANONICAL KEEPER selection — the dedup ACTION the cluster
+    // query sets up: per near-dup cluster keep the highest-quality
+    // member (alphabetic ratio DESC, doc_id tie-break — the same quality
+    // signal q_token_budget ranks by) and stamp every document with its
+    // keeper. The keeper is an AGGREGATION, not a window: one map-side-
+    // combinable max_by(struct(q, −doc_id)) per cluster — no
+    // corpus-wide ROW_NUMBER partitioned by a mostly-singleton key, so
+    // nothing funnels through per-cluster sort state at 100 TB. The
+    // keeper frame (one row per cluster) joins back UNHINTED — clusters
+    // are a corpus fraction, not configuration-bounded, so AQE decides
+    // (broadcast here, shuffled equi-join at scale). Exactness: quality
+    // is one double division of exact ints (the q_token_budget
+    // contract); the argmax replays as the oracle's window with the
+    // identical (q DESC, doc_id) order.
+    entry("q_dedup_keep",
+      """WITH RECURSIVE t AS (SELECT doc_id, string_split(text,' ') toks FROM documents),
+        | s AS (SELECT doc_id, list_distinct([array_to_string(toks[i:i+2],' ')
+        |        for i in generate_series(1, greatest(len(toks)-2,1))]) sh FROM t),
+        | bs AS (SELECT doc_id, sh, [list_sum([(strpos('0123456789abcdef', substr(md5(x), j, 1)) - 1)
+        |        * CAST(pow(16, 8-j) AS BIGINT) for j in generate_series(1,8)]) for x in sh] bases FROM s),
+        | sig AS (SELECT doc_id, [list_min([((2*i+1)*b + 1000003*i) % 2147483647 for b in bases])
+        |        for i in generate_series(1,16)] mh FROM bs),
+        | bandkeys AS (SELECT doc_id, [CAST(mh[2*j-1] AS VARCHAR)||'|'||CAST(mh[2*j] AS VARCHAR)
+        |        for j in generate_series(1,8)] bk FROM sig),
+        | bands AS (SELECT doc_id, generate_subscripts(bk,1) band, unnest(bk) bkey FROM bandkeys),
+        | cand AS (SELECT DISTINCT a.doc_id a_id, b.doc_id b_id
+        |          FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        | v AS (SELECT a_id, b_id,
+        |         CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)/(len(sa.sh)+len(sb.sh)-len(list_intersect(sa.sh, sb.sh))) jac
+        |       FROM cand JOIN s sa ON cand.a_id = sa.doc_id JOIN s sb ON cand.b_id = sb.doc_id),
+        | p AS (SELECT a_id, b_id FROM v WHERE jac >= 0.5),
+        | e AS (SELECT a_id AS src, b_id AS dst FROM p UNION ALL SELECT b_id, a_id FROM p),
+        | reach AS (SELECT DISTINCT src AS node, src AS lbl FROM e
+        |           UNION
+        |           SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.node),
+        | lab AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node),
+        | qv AS (SELECT doc_id, CAST(length(regexp_replace(text,'[^a-z]','','g')) AS DOUBLE)/length(text) q FROM documents),
+        | fl AS (SELECT d.doc_id, qv.q, COALESCE(l.cluster_id, d.doc_id) cluster_id
+        |        FROM documents d JOIN qv ON d.doc_id = qv.doc_id LEFT JOIN lab l ON d.doc_id = l.doc_id),
+        | kp AS (SELECT cluster_id, doc_id keeper FROM (
+        |          SELECT cluster_id, doc_id, ROW_NUMBER() OVER (PARTITION BY cluster_id ORDER BY q DESC, doc_id) r
+        |          FROM fl) WHERE r = 1)
+        |SELECT fl.doc_id, fl.cluster_id, kp.keeper AS keeper_id, fl.doc_id = kp.keeper AS kept
+        |FROM fl JOIN kp ON fl.cluster_id = kp.cluster_id ORDER BY fl.doc_id""".stripMargin) { (s, dir) =>
+      val sh = shingled(s, dir).persist()
+      val pairs = verifiedPairs(lshCandidates(sh), sh, 0.5)
+        .select(col("a_id"), col("b_id"))
+      val labels = graft.functions.ConnectedComponents.labels(pairs)
+        .toDF("doc_id", "lbl")
+      val fl = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          (length(regexp_replace(col("text"), "[^a-z]", "")).cast("double") /
+            length(col("text"))).as("q"))
+        .join(labels, Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("lbl"), col("doc_id")))
+      // keeper = argmax(q, tie min doc_id) per cluster as ONE bounded-
+      // state aggregation: max of struct(q, −doc_id) — no per-cluster
+      // window over the (mostly singleton-keyed) corpus
+      val kp = fl.groupBy(col("cluster_id").as("k_cl"))
+        .agg(max(struct(col("q"), (-col("doc_id")).as("nid"))).as("w"))
+        .select(col("k_cl"), (-col("w.nid")).as("keeper_id"))
+      fl.join(kp, col("cluster_id") === col("k_cl"))
+        .select(col("doc_id"), col("cluster_id"), col("keeper_id"),
+          (col("doc_id") === col("keeper_id")).as("kept"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- DECONTAMINATION: flag training documents that share any 5-gram
     // shingle with a held-out eval set (here the deterministic doc_id%20
     // slice; production uses 8-13-grams against real benchmark files —
@@ -473,6 +540,42 @@ object DedupQueries {
         .groupBy(col("doc_id"))
         .agg(countDistinct(col("eval_id")).as("n_eval_docs"),
           countDistinct(col("g")).as("n_shared_grams"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- EXACT-SUBSTRING decontamination — the complement of the
+    // n-gram collision check above: a training document is flagged when
+    // it literally CONTAINS an eval document's opening characters (the
+    // copy-paste/crawl-overlap leak the tokenized n-gram pass can miss
+    // across tokenizer boundaries, and vice versa). The probe is each
+    // eval doc's first 24 characters; production swaps in real
+    // benchmark answer strings. Scale shape: the snippet list is a
+    // configuration-bounded eval suite — broadcast through the CHECKED
+    // [[graft.functions.Guards.boundedBroadcast]] contract — and the
+    // corpus streams through one narrow contains() scan per snippet
+    // batch with NO shuffle; only flagged (doc × snippet) hits reach
+    // the per-doc aggregate (map-side combinable). Exactness: instr/
+    // strpos are the same 1-based/0-absent contract, byte-identical on
+    // this ASCII corpus.
+    entry("q_decontaminate_exact",
+      """WITH ev AS (SELECT doc_id eid, substr(text, 1, 24) snip FROM documents
+        |            WHERE doc_id % 20 = 0 AND length(text) >= 24),
+        | tr AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 <> 0),
+        | h AS (SELECT tr.doc_id, ev.eid FROM tr CROSS JOIN ev WHERE strpos(tr.text, ev.snip) > 0)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) n_eval_hits, MIN(eid) first_eval
+        |FROM h GROUP BY 1 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val ev = graft.functions.Guards.boundedBroadcast(
+        docs.filter(col("doc_id") % 20 === 0 && length(col("text")) >= 24)
+          .select(col("doc_id").as("eid"), substring(col("text"), 1, 24).as("snip")),
+        "q_decontaminate_exact eval snippets")
+      docs.filter(col("doc_id") % 20 =!= 0)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id")) // single-file input → spread the scan×snippet loop
+        .select(col("doc_id"), col("text"))
+        .crossJoin(ev)
+        .filter(instr(col("text"), col("snip")) > 0)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_eval_hits"), min(col("eid")).as("first_eval"))
         .orderBy(col("doc_id"))
     },
 

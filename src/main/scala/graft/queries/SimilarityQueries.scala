@@ -658,6 +658,52 @@ object SimilarityQueries {
           (sum(col("logit")).cast("double") / count(lit(1)) / lit(1048576.0))
             .as("mean_logit"))
         .orderBy(col("label_true"), col("label_pred"))
+    },
+
+    // ---- Per-vector INT8 scalar quantization audit — the embedding-lake
+    // compression step (8× smaller than float32; FAISS SQ8 / product-db
+    // style): scale = max|x|/127 per vector, code = round(x/scale),
+    // report the worst reconstruction errors. EVERYTHING is exact
+    // integer arithmetic on the already-quantized int64 vectors: the
+    // rounded code is a shifted floor-division
+    // (2·127·(x+s) + s) DIV (2·s) − 127 (round-half-up with no libm and
+    // no engine-specific round()), the residual 127·x − code·s and its
+    // square-sum are int64, and the ONLY doubles are the two
+    // presentational divisions at the end — so the oracle replays the
+    // whole pipeline bit-for-bit. Scale shape: one narrow codegen'd map
+    // over the corpus (quantize → code → residual, no shuffle), then a
+    // distributed top-20 by integer sse (TakeOrderedAndProject — per-
+    // partition heads, never a global sort). The worst-error listing is
+    // the audit that decides whether SQ8 is safe for a corpus or PQ/f16
+    // is needed.
+    entry("q_int8_quantize",
+      """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label, [CAST(floor(CAST(x AS DOUBLE)*1048576.0) AS BIGINT) for x in embedding] q FROM embeddings),
+        | s AS (SELECT vec_id, label, q, list_max([abs(x) for x in q]) s FROM e),
+        | c AS (SELECT vec_id, label, q, s, [(2*127*(x + s) + s) // (2*s) - 127 for x in q] code FROM s WHERE s > 0),
+        | r AS (SELECT vec_id, label, s,
+        |         list_sum([(127*q[i] - code[i]*s)*(127*q[i] - code[i]*s) for i in generate_series(1,64)]) sse,
+        |         len(list_filter(code, x -> abs(x) = 127)) n_sat
+        |       FROM c)
+        |SELECT vec_id, label, s AS s_max, CAST(n_sat AS BIGINT) n_sat, CAST(sse AS BIGINT) sse127,
+        |  CAST(sse AS DOUBLE)/64/(CAST(133169152 AS DOUBLE)*CAST(133169152 AS DOUBLE)) mse
+        |FROM r ORDER BY sse DESC, vec_id LIMIT 20""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "embeddings")
+        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          quantize("embedding").as("q"))
+        .withColumn("s", expr("array_max(transform(q, x -> abs(x)))"))
+        .filter(col("s") > 0)
+        .withColumn("code", expr("transform(q, x -> (2*127*(x + s) + s) DIV (2*s) - 127)"))
+        .withColumn("sse127", expr(
+          "aggregate(zip_with(q, code, (x, c) -> (127*x - c*s)*(127*x - c*s)), " +
+            "CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+        .withColumn("n_sat", expr("size(filter(code, c -> abs(c) = 127))").cast("long"))
+        .select(col("vec_id"), col("label"), col("s").as("s_max"), col("n_sat"),
+          col("sse127"),
+          // residual units: e = 127·q − code·s with q = floor(x·2^20), so
+          // original-unit mse = sse/64/(127·2^20)² — 127·2^20 = 133169152
+          (col("sse127").cast("double") / 64 / lit(133169152.0 * 133169152.0)).as("mse"))
+        .orderBy(col("sse127").desc, col("vec_id")).limit(20)
     }
   )
 }

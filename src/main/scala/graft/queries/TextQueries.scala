@@ -803,6 +803,72 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // ---- DSIR-style importance weights (data selection with importance
+    // resampling, Xie et al. 2023): score every document by how much its
+    // hashed-bigram distribution looks like a TARGET slice (here sources
+    // src0-src3 — a curated "high-quality" list; production points at a
+    // reference corpus) versus the general pool — the data-recipe op
+    // behind targeted pretraining mixtures. Per-bigram importance is
+    // computed in integer BITS (the q_unigram_surprisal idiom:
+    // floor-log2 via length(bin(n)) − 1 of the add-1-smoothed inverse
+    // rates — no libm, engines agree bit-for-bit): dsir_bits =
+    // Σ n·(surprisal_general − surprisal_target); positive = closer to
+    // the target. Scale shape: one corpus pass builds the per-doc hashed
+    // bigram counts (8-byte md5-prefix keys, the repo-wide family); BOTH
+    // distribution counts come out of ONE vocab-sized aggregation
+    // (conditional sum for the target slice), checkpointed and re-read
+    // by the unhinted join back (AQE broadcasts the vocab frame while it
+    // measures small, shuffles at 100 TB); the scoring join + per-doc
+    // aggregate are map-side combinable.
+    entry("q_dsir_weights",
+      s"""WITH t AS (SELECT doc_id, source, string_split(text,' ') toks FROM documents),
+        | bg AS (SELECT doc_id, source, unnest([${md5Prefix64Oracle("toks[i] || ' ' || toks[i+1]")}
+        |          for i in generate_series(1, len(toks)-1)]) g
+        |        FROM t WHERE len(toks) >= 2),
+        | dt AS (SELECT doc_id, source, g, COUNT(*) n FROM bg GROUP BY 1,2,3),
+        | vc AS (SELECT g, CAST(SUM(n) AS BIGINT) cg,
+        |          CAST(COALESCE(SUM(CASE WHEN source IN ('src0','src1','src2','src3') THEN n END), 0) AS BIGINT) ct
+        |        FROM dt GROUP BY 1),
+        | tots AS (SELECT COUNT(*) v, CAST(SUM(cg) AS BIGINT) ng, CAST(SUM(ct) AS BIGINT) nt FROM vc),
+        | sc AS (SELECT dt.doc_id, dt.source, dt.n,
+        |          CAST(length(bin((tots.nt + tots.v) // (vc.ct + 1))) - 1 AS BIGINT) st,
+        |          CAST(length(bin((tots.ng + tots.v) // (vc.cg + 1))) - 1 AS BIGINT) sg
+        |        FROM dt JOIN vc USING (g) CROSS JOIN tots)
+        |SELECT doc_id, source, source IN ('src0','src1','src2','src3') is_target,
+        |  CAST(SUM(n) AS BIGINT) n_bigrams, CAST(SUM(n*(sg - st)) AS BIGINT) dsir_bits,
+        |  CAST(SUM(n*(sg - st)) AS DOUBLE)/SUM(n) mean_bits
+        |FROM sc GROUP BY 1,2,3 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val targets = Seq("src0", "src1", "src2", "src3")
+      val dt = Tables(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"), col("source"), tokens("text").as("toks"))
+        .select(col("doc_id"), col("source"), explode(expr(
+          // size < 2 guard: sequence(1, 0) DESCENDS where "no bigrams" is meant
+          "CASE WHEN size(toks) < 2 THEN CAST(array() AS ARRAY<BIGINT>) " +
+            "ELSE transform(sequence(1, size(toks) - 1), " +
+            s"i -> ${md5Prefix64Sql("concat(toks[i-1], ' ', toks[i])")}) END")).as("g"))
+        .groupBy(col("doc_id"), col("source"), col("g"))
+        .agg(count(lit(1)).as("n"))
+      // ONE vocab-sized frame carries both distributions (general count
+      // + conditional target count) — checkpointed: the totals row and
+      // the scoring join both re-read it (registry-managed)
+      val vc = graft.functions.Checkpoints.lazyLocal(
+        dt.groupBy(col("g")).agg(sum(col("n")).as("cg"),
+          coalesce(sum(when(col("source").isInCollection(targets), col("n"))), lit(0L)).as("ct")))
+      val tots = vc.agg(count(lit(1)).as("v"), sum(col("cg")).as("ng"), sum(col("ct")).as("nt"))
+      dt.join(vc, "g").crossJoin(broadcast(tots))
+        .withColumn("st", expr("CAST(length(bin((nt + v) DIV (ct + 1))) - 1 AS BIGINT)"))
+        .withColumn("sg", expr("CAST(length(bin((ng + v) DIV (cg + 1))) - 1 AS BIGINT)"))
+        .groupBy(col("doc_id"), col("source"))
+        .agg(sum(col("n")).as("n_bigrams"),
+          sum(col("n") * (col("sg") - col("st"))).as("dsir_bits"),
+          (sum(col("n") * (col("sg") - col("st"))).cast("double") / sum(col("n"))).as("mean_bits"))
+        .select(col("doc_id"), col("source"),
+          col("source").isInCollection(targets).as("is_target"),
+          col("n_bigrams"), col("dsir_bits"), col("mean_bits"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- Boolean AND-retrieval over the inverted index (the search
     // twin of q_inverted_index): for each query = a conjunctive term
     // list, the documents containing EVERY term, reported as per-query

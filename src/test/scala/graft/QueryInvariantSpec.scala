@@ -517,6 +517,71 @@ class QueryInvariantSpec extends SparkSpec {
     }
   }
 
+  test("dedup keeper: one keeper per cluster, keeper is a member, clusters agree") {
+    val out = SparkEntry.queries("q_dedup_keep")(spark, sf001)
+      .select($"doc_id", $"cluster_id", $"keeper_id", $"kept")
+      .as[(Long, Long, Long, Boolean)].collect()
+    val clusters = SparkEntry.queries("q_dedup_clusters")(spark, sf001)
+      .select($"doc_id", $"cluster_id").as[(Long, Long)].collect().toMap
+    assert(out.length == clusters.size, "keeper view must cover every document")
+    out.foreach { case (doc, cl, _, _) =>
+      assert(clusters(doc) == cl, s"doc $doc: cluster $cl disagrees with q_dedup_clusters")
+    }
+    out.groupBy(_._2).foreach { case (cl, rows) =>
+      val keepers = rows.map(_._3).distinct
+      assert(keepers.length == 1, s"cluster $cl names ${keepers.length} keepers")
+      assert(rows.map(_._1).contains(keepers.head), s"cluster $cl keeper not a member")
+      assert(rows.count(_._4) == 1, s"cluster $cl kept ${rows.count(_._4)} docs")
+      rows.foreach { case (doc, _, k, kept) => assert(kept == (doc == k)) }
+    }
+  }
+
+  test("exact-substring decontamination flags only training docs against real eval ids") {
+    val out = SparkEntry.queries("q_decontaminate_exact")(spark, sf001)
+      .select($"doc_id", $"n_eval_hits", $"first_eval").as[(Long, Long, Long)].collect()
+    assert(out.nonEmpty, "no substring leaks found — gate is vacuous at this SF")
+    out.foreach { case (doc, n, ev) =>
+      assert(doc % 20 != 0, s"eval doc $doc flagged as leaked-into")
+      assert(n >= 1 && ev % 20 == 0, s"doc $doc: bad hit count $n or eval id $ev")
+    }
+  }
+
+  test("DSIR weights: full coverage, and target sources outscore the rest on average") {
+    val out = SparkEntry.queries("q_dsir_weights")(spark, sf001)
+      .select($"doc_id", $"source", $"is_target", $"n_bigrams", $"dsir_bits", $"mean_bits")
+      .as[(Long, String, Boolean, Long, Long, Double)].collect()
+    val docs = Tables(spark, sf001, "documents")
+      .filter(size(split($"text", " ")) >= 2).count()
+    assert(out.length == docs, "every multi-token document must be scored")
+    val targets = Set("src0", "src1", "src2", "src3")
+    out.foreach { case (_, src, isT, n, bits, mean) =>
+      assert(isT == targets(src))
+      assert(n >= 1 && math.abs(mean - bits.toDouble / n) < 1e-12)
+    }
+    // the importance weight is TRAINED on the target slice, so the
+    // target slice must rank higher in aggregate — the op's whole point
+    def avg(rows: Array[(Long, String, Boolean, Long, Long, Double)]) =
+      rows.map(_._6).sum / rows.length
+    val (t, g) = out.partition(_._3)
+    assert(avg(t) > avg(g),
+      f"target mean ${avg(t)}%.3f bits not above general ${avg(g)}%.3f")
+  }
+
+  test("int8 quantization: saturation floor, exact mse consistency, positive scales") {
+    val out = SparkEntry.queries("q_int8_quantize")(spark, sf001)
+      .select($"vec_id", $"s_max", $"n_sat", $"sse127", $"mse")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(out.length == 20)
+    out.foreach { case (v, s, sat, sse, mse) =>
+      assert(s > 0, s"vector $v: non-positive scale")
+      // the max-|x| element always rounds to ±127 — at least one code saturates
+      assert(sat >= 1 && sat <= 64, s"vector $v: saturation count $sat out of range")
+      assert(sse >= 0)
+      val expect = sse.toDouble / 64 / (133169152.0 * 133169152.0)
+      assert(mse == expect, s"vector $v: mse $mse != $expect")
+    }
+  }
+
   /** Exact rational d/(den) comparable via cross-multiplication. */
   private case class ExactFrac(num: BigInt, den: BigInt)
   private object ExactFrac {
