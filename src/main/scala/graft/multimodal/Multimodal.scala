@@ -354,6 +354,51 @@ object Multimodal {
       }
   }
 
+  case class SilenceProfile(doc_id: Long, n_windows: Long, n_silent: Long,
+                            longest_silence: Long, active_ratio: Double)
+
+  /** Windowed silence detection — the VAD-style trim/segment audit an
+    * audio-curation pipeline runs before transcription (silence-heavy
+    * clips are cheap to drop; long internal silences mark segment
+    * boundaries). A window is SILENT when at least 1/`mult` of its
+    * samples sit below the low-amplitude floor; the profile reports
+    * window/silent counts, the LONGEST consecutive silent run (the
+    * segmentation signal) and the active ratio. Recognized WAV payloads
+    * use the real decoded int16 samples (floor scaled ×256); anything
+    * else takes the unsigned-byte stub, character-replayable by the
+    * DuckDB oracle over ASCII text payloads (ascii(c) < `lowAmp`).
+    * Exact integer counting per partition batch; the one double is the
+    * final ratio. */
+  def silenceProfile(df: DataFrame, idCol: String, payloadCol: String,
+                     window: Int = 64, lowAmp: Int = 64,
+                     mult: Int = 5): Dataset[SilenceProfile] = {
+    require(window > 0 && lowAmp > 0 && mult > 0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          val (samples: Array[Int], floor: Int) = decodeWav(bytes) match {
+            case Some(a) => (a.samples, lowAmp * 256) // int16 scale
+            case None => (bytes.map(x => x & 0xff), lowAmp)
+          }
+          if (samples.isEmpty) Iterator.empty
+          else {
+            var ns = 0; var run = 0; var best = 0; var nw = 0
+            samples.grouped(window).foreach { w =>
+              nw += 1
+              val nLow = w.count(s => math.abs(s) < floor)
+              if (mult * nLow >= w.length) { ns += 1; run += 1; best = math.max(best, run) }
+              else run = 0
+            }
+            Iterator.single(SilenceProfile(id, nw.toLong, ns.toLong, best.toLong,
+              (nw - ns).toDouble / nw))
+          }
+        }
+      }
+  }
+
   /** Feature extraction over a binary payload column, one output row per
     * (item, feature-slot). Recognized images decode for REAL (luminance
     * histogram over the pixels, normalized by pixel count); anything else

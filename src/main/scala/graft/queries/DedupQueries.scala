@@ -579,6 +579,99 @@ object DedupQueries {
         .orderBy(col("doc_id"))
     },
 
+    // ---- WINNOWING fingerprints (Schleimer et al. 2003, the MOSS
+    // algorithm): per document, hash every positional 3-gram (32-bit
+    // md5-prefix, the sketch-hash family) and keep the DISTINCT minimum
+    // of each sliding window of 4 — a position-robust document sketch
+    // whose size is ~2/(w+1) of the gram count, with the guarantee that
+    // any shared run of w+2 tokens between two documents shares a
+    // fingerprint. The audit reports per-doc gram/fingerprint counts and
+    // the compression ratio; at corpus scale the fingerprint SET is the
+    // unit that feeds the same bucket-join candidate pipeline as
+    // MinHash/SimHash (never all-pairs). Everything here is ONE narrow
+    // codegen'd map over the scan — no shuffle but the presentation
+    // sort. Exactness: integer hashes, integer window minima; the one
+    // double is the final ratio division.
+    entry("q_winnow_fingerprint",
+      """WITH t AS (SELECT doc_id, string_split(text,' ') toks FROM documents),
+        | g AS (SELECT doc_id, [list_sum([(strpos('0123456789abcdef', substr(md5(array_to_string(toks[i:i+2],' ')), j, 1)) - 1)
+        |        * CAST(pow(16, 8-j) AS BIGINT) for j in generate_series(1,8)])
+        |        for i in generate_series(1, greatest(len(toks)-2,1))] h FROM t),
+        | w AS (SELECT doc_id, len(h) n_grams,
+        |         list_distinct([list_min(h[i:i+3]) for i in generate_series(1, greatest(len(h)-3,1))]) fp
+        |       FROM g)
+        |SELECT doc_id, CAST(n_grams AS BIGINT) n_grams, CAST(len(fp) AS BIGINT) n_fingerprints,
+        |  CAST(len(fp) AS DOUBLE)/n_grams AS fp_ratio
+        |FROM w ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .withColumn("toks", tokens("text"))
+        // POSITIONAL gram hashes (not the distinct shingle set): the
+        // window structure is the point of winnowing
+        .withColumn("h", expr(
+          "transform(sequence(1, greatest(size(toks)-2, 1)), " +
+            "i -> CAST(conv(substring(md5(array_join(slice(toks, i, 3), ' ')), 1, 8), 16, 10) AS BIGINT))"))
+        .withColumn("fp", expr(
+          "array_distinct(transform(sequence(1, greatest(size(h)-3, 1)), " +
+            "i -> array_min(slice(h, i, 4))))"))
+        .select(col("doc_id"), size(col("h")).cast("long").as("n_grams"),
+          size(col("fp")).cast("long").as("n_fingerprints"),
+          (size(col("fp")).cast("double") / size(col("h"))).as("fp_ratio"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- MinHash CALIBRATION — the sketch-quality audit every LSH
+    // deployment owes its threshold: for every VERIFIED near-dup pair,
+    // compare the 16-slot signature estimate (matching slots / 16)
+    // against the exact Jaccard the verifier computed anyway. The
+    // estimator's per-pair error pins the banding recall math (P[slot
+    // match] = J, so |est − J| concentrates within ~1/√16); drift here
+    // means the hash family or banding broke, long before recall decays
+    // visibly. Cost: the signatures already exist for candidate
+    // generation (hashed once, persisted), so calibration adds only two
+    // signature joins on the BOUNDED verified-pair set — never corpus
+    // work. Exactness: slot equality is integer, est and abs_err are
+    // single double ops replayed identically by the oracle.
+    entry("q_minhash_calibration",
+      """WITH t AS (SELECT doc_id, string_split(text,' ') toks FROM documents),
+        | s AS (SELECT doc_id, list_distinct([array_to_string(toks[i:i+2],' ')
+        |        for i in generate_series(1, greatest(len(toks)-2,1))]) sh FROM t),
+        | bs AS (SELECT doc_id, sh, [list_sum([(strpos('0123456789abcdef', substr(md5(x), j, 1)) - 1)
+        |        * CAST(pow(16, 8-j) AS BIGINT) for j in generate_series(1,8)]) for x in sh] bases FROM s),
+        | sig AS (SELECT doc_id, sh, [list_min([((2*i+1)*b + 1000003*i) % 2147483647 for b in bases])
+        |        for i in generate_series(1,16)] mh FROM bs),
+        | bandkeys AS (SELECT doc_id, [CAST(mh[2*j-1] AS VARCHAR)||'|'||CAST(mh[2*j] AS VARCHAR)
+        |        for j in generate_series(1,8)] bk FROM sig),
+        | bands AS (SELECT doc_id, generate_subscripts(bk,1) band, unnest(bk) bkey FROM bandkeys),
+        | cand AS (SELECT DISTINCT a.doc_id a_id, b.doc_id b_id
+        |          FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        | v AS (SELECT a_id, b_id,
+        |         CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)/(len(sa.sh)+len(sb.sh)-len(list_intersect(sa.sh, sb.sh))) jac
+        |       FROM cand JOIN s sa ON cand.a_id = sa.doc_id JOIN s sb ON cand.b_id = sb.doc_id),
+        | p AS (SELECT a_id, b_id, jac FROM v WHERE jac >= 0.5),
+        | m AS (SELECT p.a_id, p.b_id, p.jac,
+        |         len(list_filter([sa.mh[i] = sb.mh[i] for i in generate_series(1,16)], x -> x)) n_match
+        |       FROM p JOIN sig sa ON p.a_id = sa.doc_id JOIN sig sb ON p.b_id = sb.doc_id)
+        |SELECT a_id, b_id, jac, CAST(n_match AS BIGINT) n_match,
+        |  CAST(n_match AS DOUBLE)/16 est, abs(CAST(n_match AS DOUBLE)/16 - jac) abs_err
+        |FROM m ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+      // sign each shingle set ONCE; candidates, verification and the
+      // calibration joins all read the persisted signed frame
+      val sg = shingled(s, dir).withColumn("mh", minhashSignature("sh", 16)).persist()
+      val pairs = jaccardPairs(lshCandidatesFromSig(sg), sg.select("doc_id", "sh"))
+        .filter(col("jac") >= 0.5)
+        .select(col("a_id"), col("b_id"), col("jac"))
+      val ma = sg.select(col("doc_id").as("a_id"), col("mh").as("ma"))
+      val mb = sg.select(col("doc_id").as("b_id"), col("mh").as("mb"))
+      pairs.join(ma, "a_id").join(mb, "b_id")
+        .withColumn("n_match",
+          expr("size(filter(zip_with(ma, mb, (x, y) -> x = y), b -> b))").cast("long"))
+        .withColumn("est", col("n_match").cast("double") / 16)
+        .select(col("a_id"), col("b_id"), col("jac"), col("n_match"), col("est"),
+          abs(col("est") - col("jac")).as("abs_err"))
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
     // ---- CONTAINMENT near-dup (near-superset detection — catches a
     // document embedded inside a larger one, which Jaccard misses because
     // the union grows): containment(a⊆b) = |A∩B|/|A| ≥ 0.6. The filter is

@@ -284,6 +284,57 @@ object IngestQueries {
         .groupBy(col("hour_bucket"))
         .agg(count(lit(1)).as("n_first"), min(col("event_id")).as("min_event"))
         .orderBy(col("hour_bucket"))
+    },
+
+    // ---- Dataset RELEASE DIFF — the audit table a curation pipeline
+    // publishes with every dataset version: per source, how many
+    // documents were added, removed, changed (content hash moved) or
+    // untouched between release v1 and v2. Releases are simulated
+    // deterministically from one corpus (v1 misses the %11 slice =
+    // "added in v2", v2 misses the %17 slice = "removed", the %13 slice
+    // carries a different v1 content hash = "changed") so the oracle
+    // replays the exact status logic. Scale shape: ONE full-outer
+    // equi-join on doc_id — both sides are corpus-sized, so neither is
+    // hinted; the join co-partitions on the key (shuffled hash join at
+    // 100 TB, no broadcast candidate at all) and the status CASE runs
+    // map-side before the configuration-bounded (source × 4) counts
+    // aggregate. The md5 content keys stand in for the release
+    // manifests' row digests (q_table_digest is the whole-table twin).
+    entry("q_dataset_diff",
+      """WITH v1 AS (SELECT doc_id, source, CASE WHEN doc_id % 13 = 0 THEN md5(text || '_v1') ELSE md5(text) END h
+        |            FROM documents WHERE doc_id % 11 <> 0),
+        | v2 AS (SELECT doc_id, source, md5(text) h FROM documents WHERE doc_id % 17 <> 0),
+        | j AS (SELECT COALESCE(a.source, b.source) source,
+        |         CASE WHEN a.doc_id IS NULL THEN 'added' WHEN b.doc_id IS NULL THEN 'removed'
+        |              WHEN a.h <> b.h THEN 'changed' ELSE 'unchanged' END st
+        |       FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id)
+        |SELECT source,
+        |  CAST(COALESCE(COUNT(CASE WHEN st = 'added' THEN 1 END), 0) AS BIGINT) n_added,
+        |  CAST(COALESCE(COUNT(CASE WHEN st = 'removed' THEN 1 END), 0) AS BIGINT) n_removed,
+        |  CAST(COALESCE(COUNT(CASE WHEN st = 'changed' THEN 1 END), 0) AS BIGINT) n_changed,
+        |  CAST(COALESCE(COUNT(CASE WHEN st = 'unchanged' THEN 1 END), 0) AS BIGINT) n_unchanged
+        |FROM j GROUP BY 1 ORDER BY source""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      val v1 = docs.filter(col("doc_id") % 11 =!= 0)
+        .select(col("doc_id").as("a_id"), col("source").as("a_src"),
+          when(col("doc_id") % 13 === 0, md5(concat(col("text"), lit("_v1"))))
+            .otherwise(md5(col("text"))).as("a_h"))
+      val v2 = docs.filter(col("doc_id") % 17 =!= 0)
+        .select(col("doc_id").as("b_id"), col("source").as("b_src"),
+          md5(col("text")).as("b_h"))
+      v1.join(v2, col("a_id") === col("b_id"), "full_outer")
+        .select(coalesce(col("a_src"), col("b_src")).as("source"),
+          when(col("a_id").isNull, "added")
+            .when(col("b_id").isNull, "removed")
+            .when(col("a_h") =!= col("b_h"), "changed")
+            .otherwise("unchanged").as("st"))
+        .groupBy(col("source"))
+        .agg(count(when(col("st") === "added", 1)).as("n_added"),
+          count(when(col("st") === "removed", 1)).as("n_removed"),
+          count(when(col("st") === "changed", 1)).as("n_changed"),
+          count(when(col("st") === "unchanged", 1)).as("n_unchanged"))
+        .orderBy(col("source"))
     }
   )
 }

@@ -101,6 +101,39 @@ object MultimodalQueries {
         .orderBy(col("doc_id"), col("window_idx"))
     },
 
+    // ---- Windowed SILENCE detection (VAD stub over the same byte-as-
+    // sample contract as q_mm_audio_energy): a 64-sample window is
+    // silent when ≥1/5 of its samples sit below amplitude 64 (spaces/
+    // punctuation in the ASCII stub), and the profile reports counts,
+    // the longest consecutive silent run (the segmentation signal) and
+    // the active ratio — the trim/segment audit before transcription.
+    // The oracle replays the char-level thresholding and derives the
+    // longest run from the flags string ('1'/'0' per window, max run =
+    // longest '1'-block after splitting on '0' — pure string ops, no
+    // recursion); the stub counts the same windows imperatively per
+    // partition batch. Same ASCII chars==bytes gate as the energy op.
+    entry("q_mm_silence",
+      """WITH w AS (SELECT doc_id, text, CAST(ceil(length(text)/64.0) AS INT) nw FROM documents WHERE length(text) > 0),
+        | f AS (SELECT doc_id, nw, [CASE WHEN 5*len(list_filter([ascii(c) for c in regexp_extract_all(substr(text, wi*64 + 1, 64), '.')], x -> x < 64))
+        |          >= length(substr(text, wi*64 + 1, 64)) THEN '1' ELSE '0' END
+        |        for wi in generate_series(0, nw - 1)] flags FROM w),
+        | r AS (SELECT doc_id, nw, len(list_filter(flags, x -> x = '1')) ns,
+        |         list_max([len(x) for x in string_split(array_to_string(flags, ''), '0')]) run FROM f)
+        |SELECT doc_id, CAST(nw AS BIGINT) n_windows, CAST(ns AS BIGINT) n_silent,
+        |  CAST(run AS BIGINT) longest_silence, CAST(nw - ns AS DOUBLE)/nw active_ratio
+        |FROM r ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import graft.multimodal.Multimodal
+      Multimodal.silenceProfile(
+          Tables(s, dir, "documents")
+            .filter(length(col("text")) > 0)
+            .filter(assert_true(length(col("text")) === octet_length(col("text")),
+              lit("q_mm_silence requires an ASCII corpus: chars != bytes")).isNull)
+            .withColumn("payload", col("text").cast("binary")),
+          "doc_id", "payload", window = 64)
+        .toDF()
+        .orderBy(col("doc_id"))
+    },
+
     // ---- Frame sampling (video-decoder stub): 256-byte frames, every 4th
     // sampled, md5-fingerprinted — mapPartitions batch shape again; the
     // oracle slices the same bytes with substr (ASCII ⇒ chars == bytes).

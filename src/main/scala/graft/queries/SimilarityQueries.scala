@@ -704,6 +704,75 @@ object SimilarityQueries {
           // original-unit mse = sse/64/(127·2^20)² — 127·2^20 = 133169152
           (col("sse127").cast("double") / 64 / lit(133169152.0 * 133169152.0)).as("mse"))
         .orderBy(col("sse127").desc, col("vec_id")).limit(20)
+    },
+
+    // ---- Random-projection (Johnson-Lindenstrauss) distortion audit:
+    // project the 64-dim quantized vectors onto 8 deterministic ±1
+    // hyperplanes (md5-derived signs, the q_ann_lsh plane family — for
+    // ±1 entries E‖P·d‖² = k·‖d‖² exactly) and measure how well
+    // projected squared distances track the originals over the pinned
+    // query set × a 10% candidate sample. This is the go/no-go audit
+    // before swapping a 64-dim index for an 8-dim one (8× cheaper ANN
+    // probes). Scale shape: the projection is 8 native integer dots per
+    // row (narrow, codegen — the same literal-plane pattern as
+    // q_ann_lsh); distortion pairs are (bounded queries) × (sampled
+    // candidates) via broadcast, never corpus × corpus. Exactness: the
+    // per-pair sums are int64, the cross-pair projected sum accumulates
+    // in decimal(38,0)/HUGEINT (it clears int64 around 2^66), and min/
+    // max/ratio are order-free double ops — bit-identical both engines.
+    entry("q_random_projection",
+      """WITH e AS (SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE)*1048576.0) AS BIGINT) for x in embedding] q FROM embeddings),
+        | sgn AS (SELECT b, i, CASE WHEN (strpos('0123456789abcdef', substr(md5('rp_'||b::VARCHAR||'_'||i::VARCHAR), 1, 1)) - 1) * 16
+        |                + strpos('0123456789abcdef', substr(md5('rp_'||b::VARCHAR||'_'||i::VARCHAR), 2, 1)) - 1 - 128 >= 0
+        |           THEN 1 ELSE -1 END sg
+        |        FROM generate_series(0,7) gb(b) CROSS JOIN generate_series(1,64) gi(i)),
+        | qv AS (SELECT vec_id qid, q qe FROM e WHERE vec_id < 5),
+        | cd AS (SELECT vec_id cid, q ce FROM e WHERE vec_id % 10 = 0),
+        | dd AS (SELECT qid, cid, [qe[i] - ce[i] for i in generate_series(1,64)] d FROM qv CROSS JOIN cd WHERE qid <> cid),
+        | so AS (SELECT qid, cid, d, CAST(list_sum([x*x for x in d]) AS BIGINT) so_pair FROM dd),
+        | pj AS (SELECT so.qid, so.cid, so.so_pair, sgn.b, CAST(SUM(sgn.sg * so.d[sgn.i]) AS BIGINT) pb
+        |        FROM so CROSS JOIN sgn GROUP BY 1,2,3,4),
+        | sp AS (SELECT qid, cid, so_pair, CAST(SUM(pb*pb) AS BIGINT) sp_pair FROM pj GROUP BY 1,2,3),
+        | r AS (SELECT qid, cid, so_pair, sp_pair,
+        |         CAST(sp_pair AS DOUBLE)/8/CAST(so_pair AS DOUBLE) rr FROM sp WHERE so_pair > 0)
+        |SELECT qid, CAST(COUNT(*) AS BIGINT) n_pairs,
+        |  CAST(SUM(CAST(sp_pair AS HUGEINT)) AS DOUBLE)/8/CAST(SUM(so_pair) AS DOUBLE) ratio,
+        |  MIN(rr) min_ratio, MAX(rr) max_ratio
+        |FROM r GROUP BY 1 ORDER BY qid""".stripMargin) { (s, dir) =>
+      // ±1 plane signs precomputed ON THE DRIVER with the same md5
+      // derivation the oracle uses (java MD5 == SQL md5), shipped as
+      // literals — the q_ann_lsh pattern
+      def sgn(b: Int, i: Int): Long = {
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"rp_${b}_$i".getBytes("UTF-8")).map("%02x".format(_)).mkString
+        val hexDigits = "0123456789abcdef"
+        val c = (hexDigits.indexOf(hex(0)).toLong * 16 + hexDigits.indexOf(hex(1))) - 128L
+        if (c >= 0) 1L else -1L
+      }
+      val planes = (0 to 7).map(b => (1 to 64).map(i => sgn(b, i)))
+      val e = Tables(s, dir, "embeddings")
+        .repartition(s.sparkContext.defaultParallelism, col("vec_id")) // single-file input → spread the pair loop
+        .select(col("vec_id"), quantize("embedding").as("q"))
+      val qv = broadcast(e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("q").as("qe")))
+      val pairs = e.filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id").as("cid"), col("q").as("ce"))
+        .join(qv, col("qid") =!= col("cid"))
+        .withColumn("d", expr("zip_with(qe, ce, (a, b) -> a - b)"))
+        .withColumn("so_pair", qdot("d", "d"))
+        // 8 native integer dots against the literal ±1 planes, squared
+        // and summed per pair — all int64 (≤ ~2^57 per pair)
+        .withColumn("sp_pair",
+          planes.map { p => val pb = qdotLit("d", p); pb * pb }.reduce(_ + _))
+        .filter(col("so_pair") > 0)
+        .withColumn("rr",
+          col("sp_pair").cast("double") / 8 / col("so_pair").cast("double"))
+      pairs.groupBy(col("qid"))
+        .agg(count(lit(1)).as("n_pairs"),
+          (sum(col("sp_pair").cast("decimal(38,0)")).cast("double") / 8 /
+            sum(col("so_pair")).cast("double")).as("ratio"),
+          min(col("rr")).as("min_ratio"), max(col("rr")).as("max_ratio"))
+        .orderBy(col("qid"))
     }
   )
 }

@@ -582,6 +582,88 @@ class QueryInvariantSpec extends SparkSpec {
     }
   }
 
+  test("winnowing: fingerprints bounded by grams, exact ratio, never empty") {
+    val out = SparkEntry.queries("q_winnow_fingerprint")(spark, sf001)
+      .select($"doc_id", $"n_grams", $"n_fingerprints", $"fp_ratio")
+      .as[(Long, Long, Long, Double)].collect()
+    val docs = Tables(spark, sf001, "documents").count()
+    assert(out.length == docs)
+    out.foreach { case (doc, g, fp, r) =>
+      assert(g >= 1 && fp >= 1 && fp <= g, s"doc $doc: $fp fingerprints of $g grams")
+      assert(math.abs(r - fp.toDouble / g) < 1e-15, s"doc $doc ratio off")
+    }
+    // winnowing should compress meaningfully on multi-window docs
+    val multi = out.filter(_._2 > 8)
+    assert(multi.nonEmpty && multi.forall(r => r._3 < r._2),
+      "no compression on any multi-window document")
+  }
+
+  test("minhash calibration covers exactly the verified LSH pairs with sane errors") {
+    val cal = SparkEntry.queries("q_minhash_calibration")(spark, sf001)
+      .select($"a_id", $"b_id", $"jac", $"n_match", $"est", $"abs_err")
+      .as[(Long, Long, Double, Long, Double, Double)].collect()
+    val pairs = SparkEntry.queries("q_dedup_minhash_lsh")(spark, sf001)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    assert(cal.map(r => (r._1, r._2)).toSet == pairs,
+      "calibration rows must be exactly the verified near-dup pairs")
+    cal.foreach { case (a, b, jac, m, est, err) =>
+      assert(m >= 0 && m <= 16 && est == m.toDouble / 16)
+      assert(math.abs(err - math.abs(est - jac)) < 1e-15)
+      // a >= 0.5-Jaccard pair matching 0 of 16 slots is a broken family
+      // (P ~ 2^-16 per pair); jac >= 0.5 pairs should estimate high
+      assert(m >= 1, s"pair ($a,$b) with jac $jac matched no slots")
+    }
+    val meanErr = cal.map(_._6).sum / cal.length
+    assert(meanErr <= 0.15, f"mean |est - jac| $meanErr%.3f too high for 16 slots")
+  }
+
+  test("random projection: exact pair counts and distortion around the JL expectation") {
+    val out = SparkEntry.queries("q_random_projection")(spark, sf001)
+      .select($"qid", $"n_pairs", $"ratio", $"min_ratio", $"max_ratio")
+      .as[(Long, Long, Double, Double, Double)].collect()
+    assert(out.map(_._1).sorted.toSeq == (0L until 5L))
+    val cands = Tables(spark, sf001, "embeddings")
+      .filter($"vec_id" % 10 === 0).count()
+    out.foreach { case (qid, n, r, mn, mx) =>
+      // every sampled candidate pairs with the query except itself
+      val expected = if (qid % 10 == 0) cands - 1 else cands
+      assert(n == expected, s"query $qid: $n pairs, expected $expected")
+      assert(mn <= r && r <= mx, s"query $qid: ratio $r outside [$mn, $mx]")
+      // E[ratio] = 1 for ±1 planes; with 8 dims × ~50 pairs the
+      // aggregate concentrates loosely — a band failure means the sign
+      // derivation or the decimal accumulation broke, not bad luck
+      assert(r > 0.4 && r < 2.5, s"query $qid: aggregate distortion $r out of band")
+    }
+  }
+
+  test("silence profile: bounded counts, run consistency, exact ratio, full coverage") {
+    val out = SparkEntry.queries("q_mm_silence")(spark, sf001)
+      .select($"doc_id", $"n_windows", $"n_silent", $"longest_silence", $"active_ratio")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    val docs = Tables(spark, sf001, "documents").filter(length($"text") > 0).count()
+    assert(out.length == docs)
+    assert(out.exists(_._3 > 0), "no silent window anywhere — gate is vacuous")
+    out.foreach { case (doc, nw, ns, run, ar) =>
+      assert(nw >= 1 && ns >= 0 && ns <= nw, s"doc $doc: $ns silent of $nw")
+      assert(run <= ns && (run >= 1) == (ns >= 1), s"doc $doc: run $run vs silent $ns")
+      assert(math.abs(ar - (nw - ns).toDouble / nw) < 1e-15, s"doc $doc ratio off")
+    }
+  }
+
+  test("dataset diff reconciles exactly with the slice arithmetic") {
+    val out = SparkEntry.queries("q_dataset_diff")(spark, sf001)
+      .select($"source", $"n_added", $"n_removed", $"n_changed", $"n_unchanged")
+      .as[(String, Long, Long, Long, Long)].collect()
+    val d = Tables(spark, sf001, "documents").select($"doc_id").as[Long].collect()
+    def n(p: Long => Boolean) = d.count(p).toLong
+    assert(out.map(_._2).sum == n(id => id % 11 == 0 && id % 17 != 0), "added mismatch")
+    assert(out.map(_._3).sum == n(id => id % 17 == 0 && id % 11 != 0), "removed mismatch")
+    assert(out.map(_._4).sum == n(id => id % 13 == 0 && id % 11 != 0 && id % 17 != 0),
+      "changed mismatch")
+    assert(out.map(r => r._2 + r._3 + r._4 + r._5).sum ==
+      n(id => id % 11 != 0 || id % 17 != 0), "diff rows must cover the union of releases")
+  }
+
   /** Exact rational d/(den) comparable via cross-multiplication. */
   private case class ExactFrac(num: BigInt, den: BigInt)
   private object ExactFrac {
