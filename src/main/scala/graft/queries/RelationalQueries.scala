@@ -1249,6 +1249,115 @@ object RelationalQueries {
           countDistinct(least($"u", $"v", $"w")).as("n_apex"))
     },
 
+    // ---- PageRank on the co-purchase graph (top-20 nodes after 3
+    // damped iterations, d = 0.85): the graph-centrality primitive behind
+    // seed-quality scoring and crawl prioritization. INTEGER-LATTICE
+    // ranks: the whole computation runs in int64 fixed point (initial
+    // mass 10^12 // N per node, contribution = rank // out-degree,
+    // damping = ×85 // 100 — integer division throws away sub-unit
+    // remainders, documented mass leak ≪ 1e-9 of total) because rank
+    // updates SUM over in-neighbors, and double addition is order-
+    // dependent across engines/partitionings — the same order-free-int-
+    // sum contract as q_bm25. The oracle unrolls the 3 iterations as
+    // CTEs; both engines walk the identical lattice, so equality is
+    // exact, not approximate. Scale shape: the degree column is joined
+    // into the static edge list ONCE before the loop, so each iteration
+    // is one node-keyed equi-join (rank frame joins edges, both
+    // node/edge-sized — unhinted, AQE decides; a forced broadcast of the
+    // rank frame would OOM exactly at scale) plus one map-side-partial
+    // aggregate; the symmetric co-purchase graph has no dangling nodes,
+    // so no dangling-mass redistribution term is needed. Production
+    // N-iteration runs flatten lineage through the Checkpoints registry
+    // every few rounds (the q_dedup_clusters / KMeans.Fit treatment);
+    // at 3 unrolled iterations the composed plan is the better trade.
+    entry("q_pagerank",
+      s"""WITH $copurchaseCte,
+        | e AS (SELECT pa u, pb v FROM pairs UNION ALL SELECT pb u, pa v FROM pairs),
+        | deg AS (SELECT u, COUNT(*) d FROM e GROUP BY 1),
+        | nn AS (SELECT COUNT(*) n FROM deg),
+        | base AS (SELECT ((1000000000000 // n) * 15) // 100 b, 1000000000000 // n r0 FROM nn),
+        | e2 AS (SELECT e.u, e.v, deg.d FROM e JOIN deg ON deg.u = e.u),
+        | r1 AS (SELECT e2.v u, CAST(base.b + (85 * SUM(base.r0 // e2.d)) // 100 AS BIGINT) r
+        |        FROM e2 CROSS JOIN base GROUP BY e2.v, base.b),
+        | r2 AS (SELECT e2.v u, CAST(base.b + (85 * SUM(r1.r // e2.d)) // 100 AS BIGINT) r
+        |        FROM e2 JOIN r1 ON r1.u = e2.u CROSS JOIN base GROUP BY e2.v, base.b),
+        | r3 AS (SELECT e2.v u, CAST(base.b + (85 * SUM(r2.r // e2.d)) // 100 AS BIGINT) r
+        |        FROM e2 JOIN r2 ON r2.u = e2.u CROSS JOIN base GROUP BY e2.v, base.b),
+        | top AS (SELECT u, r, ROW_NUMBER() OVER (ORDER BY r DESC, u) rn FROM r3)
+        |SELECT CAST(rn AS BIGINT) rn, u AS node, r AS rank_fp
+        |FROM top WHERE rn <= 20 ORDER BY rn""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val pairs = copurchaseEdges(copurchaseItems(s, dir)).select($"pa", $"pb")
+      val e = pairs.select($"pa".as("u"), $"pb".as("v"))
+        .unionAll(pairs.select($"pb".as("u"), $"pa".as("v")))
+      val deg = e.groupBy($"u").agg(count(lit(1)).as("d"))
+      val nn = deg.agg(count(lit(1)).as("n"))
+      // 1-row frames: bounded by construction
+      val base = nn.select(expr("((1000000000000 DIV n) * 15) DIV 100").as("b"),
+        expr("1000000000000 DIV n").as("r0"))
+      // degree folded into the static edge list once, outside the loop
+      val e2 = e.join(deg.toDF("du", "d"), $"u" === $"du").select($"u", $"v", $"d")
+      val r1 = e2.crossJoin(broadcast(base))
+        .groupBy($"v", $"b").agg(sum(expr("r0 DIV d")).as("c"))
+        .select($"v".as("u"), ($"b" + expr("(85 * c) DIV 100")).as("r"))
+      def step(r: org.apache.spark.sql.DataFrame) =
+        e2.join(r.toDF("ru", "rr"), $"u" === $"ru")
+          .crossJoin(broadcast(base))
+          .groupBy($"v", $"b").agg(sum(expr("rr DIV d")).as("c"))
+          .select($"v".as("u"), ($"b" + expr("(85 * c) DIV 100")).as("r"))
+      val r3 = step(step(r1))
+      topKRanked(r3, 20, "rn", $"r".desc, $"u".asc)
+        .select($"rn".cast("long").as("rn"), $"u".as("node"), $"r".as("rank_fp"))
+        .orderBy($"rn")
+    },
+
+    // ---- SCD type-2 dimension history: collapse each user's event
+    // stream into validity intervals of its event_type (valid_from /
+    // valid_to / is_current), the lakehouse pattern for tracking
+    // attribute changes over time — gaps-and-islands via the classic
+    // change-flag + running-sum grouping. Scale shape: ONE shuffle keyed
+    // on user_id feeds every window (lag, running sum, lead all share
+    // the same partitioning — Spark plans a single Exchange), the
+    // interval aggregate reuses it, and per-user timelines are bounded,
+    // so no partition ever exceeds a user's own history.
+    entry("q_scd2",
+      """WITH o AS (SELECT user_id, event_type, ts, event_id,
+        |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) prev
+        |  FROM events),
+        | s AS (SELECT *, CASE WHEN prev IS NULL OR prev <> event_type THEN 1 ELSE 0 END chg FROM o),
+        | g AS (SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |         ROWS UNBOUNDED PRECEDING) grp FROM s),
+        | iv AS (SELECT user_id, event_type, grp, MIN(ts) valid_from,
+        |         COUNT(*) n_events FROM g GROUP BY 1, 2, 3),
+        | f AS (SELECT user_id, event_type, valid_from, n_events,
+        |         LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) valid_to
+        |       FROM iv)
+        |SELECT user_id, event_type, epoch_us(valid_from) AS valid_from_us,
+        |  epoch_us(valid_to) AS valid_to_us,
+        |  valid_to IS NULL AS is_current, n_events
+        |FROM f ORDER BY user_id, valid_from_us""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val wo = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val wg = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wl = Window.partitionBy($"user_id").orderBy($"valid_from")
+      Tables(s, dir, "events")
+        .select($"user_id", $"event_type", $"ts", $"event_id")
+        .withColumn("prev", lag($"event_type", 1).over(wo))
+        .withColumn("chg", when($"prev".isNull || $"prev" =!= $"event_type", 1).otherwise(0))
+        .withColumn("grp", sum($"chg").over(wg))
+        .groupBy($"user_id", $"event_type", $"grp")
+        .agg(min($"ts").as("valid_from"), count(lit(1)).as("n_events"))
+        .withColumn("valid_to", lead($"valid_from", 1).over(wl))
+        // intervals surface as epoch-µs int64 (the repo's timestamp-output
+        // convention: parquet/arrow unit annotations differ across engines,
+        // integer µs compare exactly)
+        .select($"user_id", $"event_type",
+          unix_micros($"valid_from").as("valid_from_us"),
+          unix_micros($"valid_to").as("valid_to_us"),
+          $"valid_to".isNull.as("is_current"), $"n_events")
+        .orderBy($"user_id", $"valid_from_us")
+    },
+
     // ---- Range-frame rolling aggregate: per-user trailing-1 h event
     // count and exact value sum AT EVERY event — the time-decayed feature
     // shape (rate limits, burst detection, rolling engagement). A RANGE

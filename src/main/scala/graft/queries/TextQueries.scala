@@ -1109,6 +1109,181 @@ object TextQueries {
           ((col("chars_after") - col("chars_before")).cast("double")
             / col("chars_before")).as("growth"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- BM25 ranked retrieval (the scoring twin of q_bool_retrieval):
+    // per query, the top-3 documents under Okapi BM25 saturation
+    // (k1 = 1.2, b = 0.75) with the RATIONAL idf surrogate
+    // (N − df + ½)/(df + ½) in place of its logarithm — ln() differs in
+    // the last ulp across engines (the q_tfidf treatment). Exactness
+    // contract: both BM25 factors are cleared of fractional literals
+    // (×2 for the idf halves, ×20·Σdl for the saturation — a bare `0.5`
+    // parses as DECIMAL in both engines with DIFFERENT scale rules, a
+    // divergence measured at 8 nano-units in testing), so each factor is
+    // one division of exact int64s, the per-term score two IEEE divides
+    // + one multiply written with identical text in both engines, then
+    // QUANTIZED to nano-units (floor ×1e9 → int64) so the per-document
+    // SUM over matched terms is an ORDER-FREE integer sum — double
+    // addition is non-associative, and aggregation order differs across
+    // engines, so summing raw doubles would hash-mismatch. Scale shape:
+    // tf/dl are the inverted-index aggregates (term- and doc-keyed map-
+    // side partials); the query list is configuration-bounded USER INPUT
+    // → broadcast; df is vocabulary-sized but is semi-joined down to the
+    // query's terms BEFORE its broadcast, so the hint is bounded by the
+    // query, not the corpus; the rank window partitions by query over
+    // candidate docs only (docs sharing ≥1 term), after full reduction.
+    entry("q_bm25",
+      s"""WITH q(query_id, term) AS (VALUES (1, 'spark'), (1, 'window'), (2, 'hash'),
+        |    (2, 'merge'), (3, 'vector'), (3, 'fast')),
+        | t AS (SELECT doc_id, unnest(string_split(text,' ')) term FROM documents),
+        | dl AS (SELECT doc_id, COUNT(*) dl FROM t GROUP BY 1),
+        | n AS (SELECT COUNT(*) nd, CAST(SUM(dl) AS BIGINT) sd FROM dl),
+        | tf AS (SELECT doc_id, term, COUNT(*) tf FROM t GROUP BY 1,2),
+        | df AS (SELECT term, COUNT(*) df FROM tf GROUP BY 1),
+        | sc AS (SELECT q.query_id, tf.doc_id,
+        |     CAST(floor(1000000000 * ((CAST(2 * nd - 2 * df + 1 AS DOUBLE) / CAST(2 * df + 1 AS DOUBLE)) * (CAST(22 * tf AS DOUBLE) * CAST(sd AS DOUBLE) / (CAST(10 * sd AS DOUBLE) * CAST(tf AS DOUBLE) + CAST(3 * sd AS DOUBLE) + CAST(9 * dl AS DOUBLE) * CAST(nd AS DOUBLE))))) AS BIGINT) s
+        |   FROM q JOIN tf ON tf.term = q.term JOIN df ON df.term = q.term
+        |   JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN n),
+        | agg AS (SELECT query_id, doc_id, COUNT(*) n_terms, CAST(SUM(s) AS BIGINT) score_n
+        |         FROM sc GROUP BY 1,2),
+        | r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |         ORDER BY score_n DESC, doc_id) rn FROM agg)
+        |SELECT query_id, CAST(rn AS BIGINT) rn, doc_id, score_n, n_terms
+        |FROM r WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val q = Seq((1L, "spark"), (1L, "window"), (2L, "hash"),
+          (2L, "merge"), (3L, "vector"), (3L, "fast"))
+        .toDF("query_id", "term")
+      val t = Tables(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"), explode(tokens("text")).as("term"))
+      val dl = t.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val n = dl.agg(count(lit(1)).as("nd"), sum(col("dl")).as("sd"))
+      val tf = t.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      // shrink the vocabulary-sized df frame to the query's terms before
+      // hinting — bounded by the query list, never the corpus
+      val dfq = df.join(broadcast(q.select(col("term")).distinct()), "term")
+      tf.join(broadcast(q), "term")
+        .join(broadcast(dfq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(n))
+        .withColumn("s", expr("CAST(floor(1000000000 * ((CAST(2 * nd - 2 * df + 1 AS DOUBLE) " +
+          "/ CAST(2 * df + 1 AS DOUBLE)) * (CAST(22 * tf AS DOUBLE) * CAST(sd AS DOUBLE) " +
+          "/ (CAST(10 * sd AS DOUBLE) * CAST(tf AS DOUBLE) + CAST(3 * sd AS DOUBLE) " +
+          "+ CAST(9 * dl AS DOUBLE) * CAST(nd AS DOUBLE))))) AS BIGINT)"))
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(count(lit(1)).as("n_terms"), sum(col("s")).as("score_n"))
+        .withColumn("rn", row_number().over(Window.partitionBy(col("query_id"))
+          .orderBy(col("score_n").desc, col("doc_id").asc)).cast("long"))
+        .filter(col("rn") <= 3)
+        .select(col("query_id"), col("rn"), col("doc_id"), col("score_n"), col("n_terms"))
+        .orderBy(col("query_id"), col("rn"))
+    },
+
+    // ---- RAG / context-window chunking: split each document into
+    // overlapping character chunks (width 120, stride 90 → 30-char
+    // overlap so no boundary sentence is lost), the corpus-preparation
+    // pass behind retrieval indexing and fixed-window training examples.
+    // Chunk count is exact int arithmetic (ceil-div of the tail), the
+    // chunk itself one substring — a pure narrow generator (sequence +
+    // explode), ZERO shuffles before the presentation sort;
+    // embarrassingly parallel at 100 TB, output rows ≈ corpus_chars/90.
+    entry("q_chunking",
+      """WITH d AS (SELECT doc_id, text, length(text) n FROM documents),
+        | c AS (SELECT doc_id, text, n,
+        |    unnest(generate_series(0, (greatest(n - 120, 0) + 89) // 90)) i FROM d)
+        |SELECT doc_id, CAST(i AS BIGINT) chunk_id, i * 90 + 1 AS chunk_start,
+        |  substr(text, i * 90 + 1, 120) AS chunk,
+        |  length(substr(text, i * 90 + 1, 120)) AS chunk_len,
+        |  i = (greatest(n - 120, 0) + 89) // 90 AS is_last
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"), length(col("text")).as("n"))
+        .select(col("doc_id"), col("text"), col("n"),
+          explode(expr("sequence(0, (greatest(n - 120, 0) + 89) DIV 90)")).as("i"))
+        .select(col("doc_id"), col("i").cast("long").as("chunk_id"),
+          (col("i") * 90 + 1).as("chunk_start"),
+          expr("substring(text, i * 90 + 1, 120)").as("chunk"),
+          length(expr("substring(text, i * 90 + 1, 120)")).as("chunk_len"),
+          (col("i") === expr("(greatest(n - 120, 0) + 89) DIV 90")).as("is_last"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    },
+
+    // ---- Character-histogram quality stats: per-document alphabet
+    // diversity via GINI IMPURITY (1 − Σpᵢ²) over the 28-bucket char
+    // histogram (a–z, space, other) plus distinct-bucket count and the
+    // top-bucket ratio — the keyboard-mash / repeated-char spam signal
+    // (entropy's rational twin: −Σp·ln p needs ln, which differs in the
+    // last ulp across engines; collision impurity is the same filter
+    // axis as exact ints + ONE double division). The histogram comes
+    // from 28 length(replace(...)) count expressions — no explode, no
+    // shuffle, one codegen'd narrow map over the scan; embarrassingly
+    // parallel at 100 TB.
+    entry("q_char_stats", {
+      val bks = ('a' to 'z').map(_.toString) :+ " "
+      val cs = bks.indices.map(i => s"c$i")
+      val defs = bks.zip(cs).map { case (ch, nm) =>
+        s"(length(text) - length(replace(text, '$ch', ''))) $nm" }.mkString(", ")
+      val sumAll = cs.mkString(" + ")
+      val ssq = (cs :+ "oth").map(c => s"$c * $c").mkString(" + ")
+      val nz = (cs :+ "oth").map(c => s"CASE WHEN $c > 0 THEN 1 ELSE 0 END").mkString(" + ")
+      val mx = s"greatest(${(cs :+ "oth").mkString(", ")})"
+      s"""WITH h AS (SELECT doc_id, length(text) n, $defs FROM documents),
+        | h2 AS (SELECT *, n - ($sumAll) oth FROM h)
+        |SELECT doc_id, n AS n_chars,
+        |  CAST($nz AS BIGINT) AS n_buckets,
+        |  1 - CAST($ssq AS DOUBLE) / CAST(n * n AS DOUBLE) AS gini,
+        |  CAST($mx AS DOUBLE) / n AS top_ratio
+        |FROM h2 ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val bks = ('a' to 'z').map(_.toString) :+ " "
+      val cs = bks.indices.map(i => s"c$i")
+      // counts and n widened to int64 on the Spark side (DuckDB's length()
+      // is already BIGINT): c*c on a 50k-char document overflows int32
+      val defs = bks.zip(cs).map { case (ch, nm) =>
+        s"CAST(length(text) - length(replace(text, '$ch', '')) AS BIGINT) AS $nm" }
+      val sumAll = cs.mkString(" + ")
+      val ssq = (cs :+ "oth").map(c => s"$c * $c").mkString(" + ")
+      val nz = (cs :+ "oth").map(c => s"CASE WHEN $c > 0 THEN 1 ELSE 0 END").mkString(" + ")
+      val mx = s"greatest(${(cs :+ "oth").mkString(", ")})"
+      Tables(s, dir, "documents")
+        .selectExpr(Seq("doc_id", "CAST(length(text) AS BIGINT) AS n") ++ defs: _*)
+        .withColumn("oth", expr(s"n - ($sumAll)"))
+        .selectExpr("doc_id", "n AS n_chars",
+          s"CAST($nz AS BIGINT) AS n_buckets",
+          s"1 - CAST($ssq AS DOUBLE) / CAST(n * n AS DOUBLE) AS gini",
+          s"CAST($mx AS DOUBLE) / n AS top_ratio")
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- Deterministic epoch shuffle + shard packing: the training-
+    // order pass — each epoch is an independent pseudo-random permutation
+    // of the corpus, realized WITHOUT RNG state as hash-ordering (the
+    // q_mixture_resample determinism contract: identical order on any
+    // re-run / engine / partitioning). Shard = hash mod 8, position =
+    // rank of the hash within the shard; at 100 TB the shard count is
+    // set so one window partition IS one output shard file (the window
+    // never sees more than a shard's worth of rows), and the hash is the
+    // shuffle key — no global sort ever materializes the full epoch.
+    entry("q_epoch_shuffle",
+      s"""WITH ep AS (SELECT unnest([0, 1]) epoch),
+        | a AS (SELECT d.doc_id, ep.epoch,
+        |    CAST(${md5Prefix64Oracle("concat('ep', CAST(epoch AS VARCHAR), ':', CAST(doc_id AS VARCHAR))")} AS BIGINT) h
+        |  FROM documents d CROSS JOIN ep)
+        |SELECT epoch, h % 8 AS shard,
+        |  ROW_NUMBER() OVER (PARTITION BY epoch, h % 8 ORDER BY h, doc_id) pos,
+        |  doc_id, h
+        |FROM a ORDER BY epoch, shard, pos""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(expr("array(0, 1)")).as("epoch"))
+        .withColumn("h", md5Prefix64("concat('ep', CAST(epoch AS STRING), ':', CAST(doc_id AS STRING))"))
+        .withColumn("shard", col("h") % 8)
+        .withColumn("pos", row_number().over(Window
+          .partitionBy(col("epoch"), col("shard"))
+          .orderBy(col("h").asc, col("doc_id").asc)).cast("long"))
+        .select(col("epoch"), col("shard"), col("pos"), col("doc_id"), col("h"))
+        .orderBy(col("epoch"), col("shard"), col("pos"))
     }
   )
 }

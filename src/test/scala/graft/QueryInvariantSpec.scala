@@ -664,6 +664,120 @@ class QueryInvariantSpec extends SparkSpec {
       n(id => id % 11 != 0 || id % 17 != 0), "diff rows must cover the union of releases")
   }
 
+  test("pagerank top-20: dense ranks, teleport floor, mass bound, monotone order") {
+    val out = SparkEntry.queries("q_pagerank")(spark, sf001)
+      .select($"rn", $"node", $"rank_fp").as[(Long, Long, Long)].collect()
+    assert(out.map(_._1).toSeq == (1L to out.length), "rn must be dense from 1")
+    assert(out.length == math.min(20, out.length) && out.nonEmpty)
+    val ranks = out.map(_._3)
+    assert(ranks.zip(ranks.tail).forall { case (a, b) => a >= b }, "ranks not sorted desc")
+    // every node holds at least its teleport share and never the full mass
+    assert(ranks.forall(r => r > 0 && r < 1000000000000L), "rank outside (0, mass)")
+  }
+
+  test("bm25 top docs: dense per-query ranks, positive scores, and hits contain a query term") {
+    val qTerms = Map(1L -> Set("spark", "window"), 2L -> Set("hash", "merge"),
+      3L -> Set("vector", "fast"))
+    val out = SparkEntry.queries("q_bm25")(spark, sf001)
+      .select($"query_id", $"rn", $"doc_id", $"score_n", $"n_terms")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val text = Tables(spark, sf001, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    out.groupBy(_._1).foreach { case (qid, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1L to rows.length), s"query $qid ranks not dense")
+      val scores = rows.sortBy(_._2).map(_._4)
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b }, s"query $qid not sorted")
+      rows.foreach { case (_, _, doc, score, nt) =>
+        assert(score > 0 && nt >= 1 && nt <= qTerms(qid).size)
+        val toks = text(doc).split(" ").toSet
+        assert(qTerms(qid).exists(toks), s"query $qid doc $doc contains no query term")
+      }
+    }
+  }
+
+  test("chunking reconstructs every document exactly from overlapped chunks") {
+    val out = SparkEntry.queries("q_chunking")(spark, sf001)
+      .select($"doc_id", $"chunk_id", $"chunk_start", $"chunk", $"chunk_len", $"is_last")
+      .as[(Long, Long, Long, String, Long, Boolean)].collect()
+    val text = Tables(spark, sf001, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    out.groupBy(_._1).foreach { case (doc, rows) =>
+      val ordered = rows.sortBy(_._2)
+      assert(ordered.map(_._2).toSeq == (0L until ordered.length), s"doc $doc chunk ids not dense")
+      ordered.foreach { case (_, i, start, chunk, len, last) =>
+        assert(start == i * 90 + 1 && len == chunk.length)
+        assert(last == (i == ordered.length - 1), s"doc $doc chunk $i is_last wrong")
+      }
+      // stride-overlap reconstruction: first chunk + the post-overlap tail
+      // of every later chunk must re-spell the document
+      val rebuilt = ordered.head._4 + ordered.tail.map(_._4.drop(30)).mkString
+      assert(rebuilt == text(doc), s"doc $doc does not reconstruct from its chunks")
+    }
+  }
+
+  test("scd2 intervals chain per user, cover every event, and types change at boundaries") {
+    val out = SparkEntry.queries("q_scd2")(spark, sf001)
+      .select($"user_id", $"event_type", $"valid_from_us", $"valid_to_us", $"is_current", $"n_events")
+      .as[(Long, String, Long, Option[Long], Boolean, Long)].collect()
+    val perUser = Tables(spark, sf001, "events").groupBy($"user_id")
+      .agg(count(lit(1)).as("n")).as[(Long, Long)].collect().toMap
+    out.groupBy(_._1).foreach { case (user, rows) =>
+      val ordered = rows.sortBy(_._3)
+      assert(ordered.map(_._6).sum == perUser(user), s"user $user: intervals lose events")
+      assert(ordered.count(_._5) == 1 && ordered.last._5, s"user $user: is_current not unique-last")
+      ordered.zip(ordered.tail).foreach { case (a, b) =>
+        assert(a._4.contains(b._3), s"user $user: interval chain broken")
+        assert(a._2 != b._2, s"user $user: consecutive intervals share a type (not collapsed)")
+      }
+      assert(ordered.last._4.isEmpty, "open interval must close the history")
+    }
+  }
+
+  test("epoch shuffle: each epoch is a permutation with dense per-shard positions") {
+    val out = SparkEntry.queries("q_epoch_shuffle")(spark, sf001)
+      .select($"epoch", $"shard", $"pos", $"doc_id", $"h")
+      .as[(Int, Long, Long, Long, Long)].collect()
+    val docs = Tables(spark, sf001, "documents").select($"doc_id").as[Long].collect().toSet
+    out.groupBy(_._1).foreach { case (ep, rows) =>
+      assert(rows.map(_._4).toSet == docs && rows.length == docs.size,
+        s"epoch $ep is not a permutation of the corpus")
+      rows.foreach { case (_, shard, _, _, h) => assert(shard == h % 8 && shard >= 0) }
+      rows.groupBy(_._2).foreach { case (shard, inShard) =>
+        val ordered = inShard.sortBy(_._3)
+        assert(ordered.map(_._3).toSeq == (1L to ordered.length),
+          s"epoch $ep shard $shard positions not dense")
+        val keys = ordered.map(r => (r._5, r._4))
+        assert(keys.zip(keys.tail).forall { case (a, b) =>
+          a._1 < b._1 || (a._1 == b._1 && a._2 < b._2) },
+          s"epoch $ep shard $shard not hash-ordered")
+      }
+    }
+    // the two epochs must disagree somewhere, or the re-keying is vacuous
+    val orders = out.groupBy(_._1).map { case (ep, rows) =>
+      ep -> rows.sortBy(r => (r._2, r._3)).map(_._4).toSeq }
+    assert(orders(0) != orders(1), "epoch 0 and 1 produced the identical order")
+  }
+
+  test("char stats replay exactly against a Scala histogram of each document") {
+    val out = SparkEntry.queries("q_char_stats")(spark, sf001)
+      .select($"doc_id", $"n_chars", $"n_buckets", $"gini", $"top_ratio")
+      .as[(Long, Long, Long, Double, Double)].collect()
+    val text = Tables(spark, sf001, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    assert(out.length == text.size)
+    out.foreach { case (doc, n, nb, gini, top) =>
+      val t = text(doc)
+      assert(n == t.length)
+      val counts = (('a' to 'z') :+ ' ').map(c => t.count(_ == c).toLong)
+      val all = counts :+ (n - counts.sum)
+      assert(nb == all.count(_ > 0), s"doc $doc bucket count")
+      val ssq = all.map(c => c * c).sum
+      assert(gini == 1.0 - ssq.toDouble / (n * n).toDouble, s"doc $doc gini mismatch")
+      assert(top == all.max.toDouble / n, s"doc $doc top_ratio mismatch")
+      assert(gini >= 0.0 && gini < 1.0 && top > 0.0 && top <= 1.0)
+    }
+  }
+
   /** Exact rational d/(den) comparable via cross-multiplication. */
   private case class ExactFrac(num: BigInt, den: BigInt)
   private object ExactFrac {
