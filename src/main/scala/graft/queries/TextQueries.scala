@@ -1284,6 +1284,39 @@ object TextQueries {
           .orderBy(col("h").asc, col("doc_id").asc)).cast("long"))
         .select(col("epoch"), col("shard"), col("pos"), col("doc_id"), col("h"))
         .orderBy(col("epoch"), col("shard"), col("pos"))
+    },
+
+    // ---- Feature-hashing (hashing-trick) collision audit: map each
+    // document's distinct terms into a 256-bucket hashed feature space
+    // and measure the collision load — the dimensioning study run before
+    // committing a hashed vectorizer (too-small D silently merges
+    // features; this query IS the "is D big enough" answer). Hash =
+    // the engine-portable 60-bit md5 prefix mod D. Scale shape: one
+    // explode + one (doc, term) distinct shuffle + one doc-keyed
+    // aggregate, all map-side combined; no vocabulary frame, no join —
+    // the hashing trick's whole point is vocabulary-free feature
+    // engineering, and the audit inherits that.
+    entry("q_feature_hashing",
+      s"""WITH t0 AS (SELECT doc_id, unnest(string_split(text,' ')) term FROM documents),
+        | t AS (SELECT DISTINCT doc_id, term FROM t0),
+        | h AS (SELECT doc_id, term,
+        |    CAST(${md5Prefix64Oracle("term")} AS BIGINT) % 256 b FROM t),
+        | a AS (SELECT doc_id, COUNT(*) n_terms, COUNT(DISTINCT b) n_buckets FROM h GROUP BY 1)
+        |SELECT doc_id, n_terms, n_buckets, n_terms - n_buckets AS n_collisions,
+        |  CAST(n_terms - n_buckets AS DOUBLE) / n_terms AS collision_rate
+        |FROM a ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"), explode(tokens("text")).as("term"))
+        .distinct()
+        .withColumn("b", md5Prefix64("term") % 256)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_terms"), countDistinct(col("b")).as("n_buckets"))
+        .select(col("doc_id"), col("n_terms"), col("n_buckets"),
+          (col("n_terms") - col("n_buckets")).as("n_collisions"),
+          ((col("n_terms") - col("n_buckets")).cast("double") / col("n_terms"))
+            .as("collision_rate"))
+        .orderBy(col("doc_id"))
     }
   )
 }

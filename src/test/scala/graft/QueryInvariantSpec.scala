@@ -778,6 +778,54 @@ class QueryInvariantSpec extends SparkSpec {
     }
   }
 
+  test("label propagation: seeds clamped, labels in range, propagation non-vacuous") {
+    val out = SparkEntry.queries("q_label_prop")(spark, sf001)
+      .select($"node", $"label", $"is_seed").as[(Long, Option[Long], Boolean)].collect()
+    out.foreach { case (node, label, isSeed) =>
+      assert(isSeed == (node % 10 == 0), s"node $node seed flag wrong")
+      if (isSeed) assert(label.contains(node % 3), s"seed $node not clamped")
+      label.foreach(l => assert(l >= 0 && l <= 2, s"node $node label $l out of range"))
+    }
+    assert(out.exists(r => !r._3 && r._2.isDefined),
+      "no non-seed node was ever labeled — propagation is vacuous")
+    assert(out.exists(_._3), "fixture has no seeds")
+  }
+
+  test("degree stats: histogram partitions the node set, cumulative exact, shares sum to 1") {
+    val out = SparkEntry.queries("q_degree_stats")(spark, sf001)
+      .select($"degree", $"n_nodes", $"cum_nodes", $"share")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    val total = out.map(_._2).sum
+    var cum = 0L
+    out.foreach { case (d, n, c, sh) =>
+      assert(d >= 1 && n >= 1)
+      cum += n
+      assert(c == cum, s"degree $d cumulative off")
+      assert(sh == n.toDouble / total, s"degree $d share not the exact division")
+    }
+    assert(math.abs(out.map(_._4).sum - 1.0) < 1e-12, "shares must sum to 1")
+  }
+
+  test("feature hashing replays exactly against a Scala md5-prefix bucketer") {
+    val out = SparkEntry.queries("q_feature_hashing")(spark, sf001)
+      .select($"doc_id", $"n_terms", $"n_buckets", $"n_collisions", $"collision_rate")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    val text = Tables(spark, sf001, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    def bucket(term: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(term.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16) % 256
+    }
+    assert(out.length == text.size)
+    out.foreach { case (doc, nt, nb, nc, rate) =>
+      val terms = text(doc).split(" ").toSet
+      assert(nt == terms.size, s"doc $doc distinct term count")
+      assert(nb == terms.map(bucket).size, s"doc $doc bucket count")
+      assert(nc == nt - nb && rate == nc.toDouble / nt)
+    }
+  }
+
   /** Exact rational d/(den) comparable via cross-multiplication. */
   private case class ExactFrac(num: BigInt, den: BigInt)
   private object ExactFrac {
