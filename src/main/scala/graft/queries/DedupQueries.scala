@@ -831,6 +831,55 @@ object DedupQueries {
         .select(col("sa"), col("sb"), col("na"), col("nb"), col("inter"),
           (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jac"))
         .orderBy(col("sa"), col("sb"))
+    },
+
+    // ---- MinHash signature UNION (sketch merge): per-source merged
+    // signatures — element-wise MIN over the source's document
+    // signatures, which is EXACTLY the signature of the union of the
+    // shingle sets (min is associative/commutative/idempotent, so the
+    // merge is order- and partitioning-free) — then pairwise cross-
+    // source Jaccard ESTIMATES from slot agreement. This is the
+    // mergeability property that makes MinHash a distributed-aggregation
+    // sketch, demonstrated as an operator: where q_source_overlap pays
+    // a vocabulary-scale hash self-join for EXACT overlap, this pass
+    // reduces the corpus map-side to |sources|×16 ints and compares
+    // THOSE — the 100 TB shape is one algebraic aggregate, and the pair
+    // comparison runs on a configuration-bounded frame. Same
+    // shingle/hash family as q_dedup_minhash_lsh, so the oracle replays
+    // it verbatim.
+    entry("q_minhash_union",
+      """WITH t AS (SELECT doc_id, source, string_split(text,' ') toks FROM documents),
+        | s AS (SELECT doc_id, source, list_distinct([array_to_string(toks[i:i+2],' ')
+        |        for i in generate_series(1, greatest(len(toks)-2,1))]) sh FROM t),
+        | bs AS (SELECT doc_id, source, [list_sum([(strpos('0123456789abcdef', substr(md5(x), j, 1)) - 1)
+        |        * CAST(pow(16, 8-j) AS BIGINT) for j in generate_series(1,8)]) for x in sh] bases FROM s),
+        | sig AS (SELECT doc_id, source, [list_min([((2*i+1)*b + 1000003*i) % 2147483647 for b in bases])
+        |        for i in generate_series(1,16)] mh FROM bs),
+        | m AS (SELECT source, i, MIN(mh[i]) mn FROM sig CROSS JOIN generate_series(1,16) g(i) GROUP BY 1,2),
+        | p AS (SELECT a.source source_a, b.source source_b,
+        |         CAST(COUNT(CASE WHEN a.mn = b.mn THEN 1 END) AS BIGINT) n_match
+        |       FROM m a JOIN m b ON a.i = b.i AND a.source < b.source GROUP BY 1,2)
+        |SELECT source_a, source_b, n_match, CAST(n_match AS DOUBLE)/16 AS est_jaccard
+        |FROM p ORDER BY source_a, source_b""".stripMargin) { (s, dir) =>
+      val sg = Tables(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .withColumn("toks", tokens("text"))
+        .select(col("source"), shingles("toks", 3).as("sh"))
+        .withColumn("mh", minhashSignature("sh", 16))
+      val mins = (0 until 16).map(i => min(col("mh")(i)).as(s"m$i"))
+      val merged = sg.groupBy(col("source"))
+        .agg(mins.head, mins.tail: _*)
+        .select(col("source"), array((0 until 16).map(i => col(s"m$i")): _*).as("mn"))
+      // merged signatures: one row per source — bounded by the source
+      // taxonomy, never the corpus
+      val a = merged.toDF("source_a", "mna")
+      val b = merged.toDF("source_b", "mnb")
+      a.join(broadcast(b), col("source_a") < col("source_b"))
+        .withColumn("n_match",
+          expr("size(filter(zip_with(mna, mnb, (x, y) -> x = y), v -> v))").cast("long"))
+        .select(col("source_a"), col("source_b"), col("n_match"),
+          (col("n_match").cast("double") / 16).as("est_jaccard"))
+        .orderBy(col("source_a"), col("source_b"))
     }
   )
 }

@@ -1317,6 +1317,56 @@ object TextQueries {
           ((col("n_terms") - col("n_buckets")).cast("double") / col("n_terms"))
             .as("collision_rate"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- Deterministic weighted sampling without replacement (the
+    // rational Efraimidis–Spirakis variant): 20 documents drawn with
+    // probability increasing in token count, via priority = hash/weight
+    // ascending — the canonical u^(1/w) key needs ln/pow, so the
+    // surrogate keeps the monotone-in-(hash, weight) selection while
+    // staying ONE double division of exact ints (the q_tfidf argument);
+    // like every sampler here it is RNG-free — identical sample on any
+    // re-run, engine, or partitioning. Scale shape: narrow map +
+    // TakeOrderedAndProject (per-partition heads, never a global sort);
+    // the rank window runs over the 20 survivors only.
+    entry("q_weighted_sample",
+      s"""WITH d AS (SELECT doc_id, len(string_split(text,' ')) n_tok,
+        |    CAST(${md5Prefix64Oracle("CAST(doc_id AS VARCHAR)")} AS BIGINT) h FROM documents),
+        | p AS (SELECT doc_id, n_tok, CAST(h AS DOUBLE)/n_tok pri FROM d),
+        | r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY pri, doc_id) rn FROM p)
+        |SELECT CAST(rn AS BIGINT) rn, doc_id, n_tok, pri
+        |FROM r WHERE rn <= 20 ORDER BY rn""".stripMargin) { (s, dir) =>
+      val d = Tables(s, dir, "documents")
+        .select(col("doc_id"), size(tokens("text")).cast("long").as("n_tok"),
+          md5Prefix64("CAST(doc_id AS STRING)").as("h"))
+        .select(col("doc_id"), col("n_tok"),
+          (col("h").cast("double") / col("n_tok")).as("pri"))
+      topKRanked(d, 20, "rn", col("pri").asc, col("doc_id").asc)
+        .select(col("rn").cast("long").as("rn"), col("doc_id"), col("n_tok"), col("pri"))
+        .orderBy(col("rn"))
+    },
+
+    // ---- Empirical-CDF quantile normalization: map each document's
+    // length onto its within-language percentile (percent_rank over a
+    // STRICT total order, so ties resolve deterministically and the
+    // score is the exact (rank−1)/(n−1) integer division in both
+    // engines) — the threshold-free feature normalization that makes
+    // quality cutoffs comparable across languages ("drop the bottom
+    // decile per lang" instead of one absolute length bar). Scale
+    // shape: ONE window shuffle keyed on lang; at corpus scale a
+    // dominant language exceeds one partition and production swaps in
+    // the value-bucketed rank machinery of `functions.Ranking` (the
+    // q_curriculum treatment) — the contract stays this exact window.
+    entry("q_quantile_normalize",
+      """WITH t AS (SELECT doc_id, lang, length(text) n_chars FROM documents)
+        |SELECT doc_id, lang, n_chars,
+        |  PERCENT_RANK() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) pct
+        |FROM t ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), length(col("text")).as("n_chars"))
+        .withColumn("pct", percent_rank().over(Window.partitionBy(col("lang"))
+          .orderBy(col("n_chars").asc, col("doc_id").asc)))
+        .orderBy(col("doc_id"))
     }
   )
 }

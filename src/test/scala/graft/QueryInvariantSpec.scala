@@ -826,6 +826,55 @@ class QueryInvariantSpec extends SparkSpec {
     }
   }
 
+  test("minhash union: complete source-pair matrix with bounded slot agreement") {
+    val out = SparkEntry.queries("q_minhash_union")(spark, sf001)
+      .select($"source_a", $"source_b", $"n_match", $"est_jaccard")
+      .as[(String, String, Long, Double)].collect()
+    val sources = Tables(spark, sf001, "documents")
+      .select($"source").distinct().as[String].collect().sorted
+    val expectPairs = (for { a <- sources; b <- sources if a < b } yield (a, b)).toSet
+    assert(out.map(r => (r._1, r._2)).toSet == expectPairs,
+      "pair matrix must cover exactly C(S,2) ordered source pairs")
+    out.foreach { case (a, b, n, est) =>
+      assert(a < b && n >= 0 && n <= 16, s"($a,$b) slot agreement $n out of range")
+      assert(est == n.toDouble / 16, s"($a,$b) estimate is not the exact division")
+    }
+  }
+
+  test("weighted sample replays exactly as the bottom-20 by hash/weight priority") {
+    val out = SparkEntry.queries("q_weighted_sample")(spark, sf001)
+      .select($"rn", $"doc_id", $"n_tok", $"pri").as[(Long, Long, Long, Double)].collect()
+      .sortBy(_._1)
+    def h(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val all = Tables(spark, sf001, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .map { case (id, t) => (id, t.split(" ").length.toLong) }
+      .map { case (id, n) => (id, n, h(id).toDouble / n) }
+      .sortBy { case (id, _, pri) => (pri, id) }
+    assert(out.length == 20)
+    out.zip(all.take(20)).foreach { case ((rn, doc, n, pri), (eid, en, epri)) =>
+      assert(doc == eid && n == en && pri == epri, s"rank $rn: got $doc, expected $eid")
+    }
+  }
+
+  test("quantile normalization: exact (rank-1)/(n-1) percentiles per language") {
+    val out = SparkEntry.queries("q_quantile_normalize")(spark, sf001)
+      .select($"doc_id", $"lang", $"n_chars", $"pct")
+      .as[(Long, String, Long, Double)].collect()
+    out.groupBy(_._2).foreach { case (lang, rows) =>
+      val ordered = rows.sortBy(r => (r._3, r._1))
+      val n = ordered.length
+      ordered.zipWithIndex.foreach { case ((doc, _, _, pct), i) =>
+        val expect = if (n == 1) 0.0 else i.toDouble / (n - 1)
+        assert(pct == expect, s"lang $lang doc $doc pct $pct != $expect")
+      }
+    }
+  }
+
   /** Exact rational d/(den) comparable via cross-multiplication. */
   private case class ExactFrac(num: BigInt, den: BigInt)
   private object ExactFrac {
