@@ -61,6 +61,32 @@ object IngestQueries {
         .orderBy(col("event_id"))
     },
 
+    // ---- VARIANT-typed semi-structured extraction — the Spark-4-native
+    // twin of q_json_flatten: `parse_json` stores the payload in the
+    // binary VARIANT encoding ONCE and `variant_get` path-extracts with
+    // a typed cast, which at 100 TB replaces per-query JSON string
+    // re-parsing (q_json_flatten's from_json needs the schema up front;
+    // variant defers typing to extraction — the right model for the
+    // reference's schema-free payloads, collector :1225). The aggregate
+    // is the usual exact-int one-shuffle shape; extraction itself is a
+    // narrow codegen'd map over the scan.
+    entry("q_variant_extract",
+      """WITH x AS (SELECT event_type, CAST(json_extract_string(props,'$.k') AS BIGINT) k
+        |           FROM events)
+        |SELECT event_type, COUNT(*) n, CAST(SUM(k) AS BIGINT) sum_k,
+        |  CAST(SUM(k) AS DOUBLE)/COUNT(*) mean_k,
+        |  MIN(k) min_k, MAX(k) max_k
+        |FROM x GROUP BY 1 ORDER BY event_type""".stripMargin) { (s, dir) =>
+      events(s, dir)
+        .select(col("event_type"),
+          expr("CAST(variant_get(parse_json(props), '$.k') AS BIGINT)").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          (sum(col("k")).cast("double") / count(lit(1))).as("mean_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))
+    },
+
     // ---- A1: offset ledger — resume position mined from the lake
     // (collector :468-530). Projected 2-column scan (pruning reaches
     // parquet), groupBy-max with one row per partition: the shuffle payload

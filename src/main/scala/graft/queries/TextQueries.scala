@@ -1367,6 +1367,33 @@ object TextQueries {
         .withColumn("pct", percent_rank().over(Window.partitionBy(col("lang"))
           .orderBy(col("n_chars").asc, col("doc_id").asc)))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- HLL sketch union (Apache DataSketches, Spark-native): per-
+    // source approx-distinct token counts via `hll_sketch_agg`, plus a
+    // corpus-wide `__ALL__` row whose sketch is the `hll_union_agg`
+    // MERGE of the per-source sketches — the second mergeable-sketch
+    // demonstration beside q_minhash_union (HLL buckets merge by MAX:
+    // associative/commutative/idempotent, so the union is partitioning-
+    // free and EXACTLY equals the sketch built over the whole corpus in
+    // one pass — the invariant spec asserts that equality, not just a
+    // tolerance). Rows-only gate: DuckDB's approx_count_distinct is a
+    // different estimator family, so there is no SQL oracle; the spec
+    // pins per-source estimates within HLL's published error envelope
+    // of the exact distinct counts. Scale shape: sketches reduce map-
+    // side to lgK=12 registers (~2.5 KB each) per source — the
+    // vocabulary never shuffles.
+    entryNoOracle("q_hll_tokens") { (s, dir) =>
+      val t = Tables(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("source"), explode(tokens("text")).as("term"))
+      val per = t.groupBy(col("source")).agg(expr("hll_sketch_agg(term, 12)").as("sk"))
+      val perOut = per.select(col("source"),
+        expr("hll_sketch_estimate(sk)").as("est_distinct"))
+      val union = per.agg(expr("hll_union_agg(sk, true)").as("usk"))
+        .select(lit("__ALL__").as("source"),
+          expr("hll_sketch_estimate(usk)").as("est_distinct"))
+      perOut.unionByName(union).orderBy(col("source"))
     }
   )
 }

@@ -875,6 +875,42 @@ class QueryInvariantSpec extends SparkSpec {
     }
   }
 
+  test("hll tokens: estimates inside the error envelope, union exactly equals one-pass sketch") {
+    val out = SparkEntry.queries("q_hll_tokens")(spark, sf001)
+      .select($"source", $"est_distinct").as[(String, Long)].collect().toMap
+    val t = Tables(spark, sf001, "documents")
+      .select($"source", explode(split($"text", " ")).as("term"))
+    val exact = t.groupBy($"source").agg(countDistinct($"term").as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(out.keySet == exact.keySet + "__ALL__", "one row per source plus the union row")
+    // lgK=12 HLL: published relative standard error ~1.04/sqrt(4096) ≈ 1.6%;
+    // 5% is > 3 sigma on every source in this corpus
+    exact.foreach { case (src, n) =>
+      assert(math.abs(out(src) - n) <= math.max(3, (0.05 * n).toLong),
+        s"source $src: estimate ${out(src)} vs exact $n outside the envelope")
+    }
+    // merge exactness: the union of per-source sketches IS the sketch of
+    // the whole corpus (bucket-max merge is lossless), so the estimates
+    // must be EQUAL, not just close
+    val direct = t.agg(expr("hll_sketch_estimate(hll_sketch_agg(term, 12))").as("e"))
+      .as[Long].head()
+    assert(out("__ALL__") == direct, s"union ${out("__ALL__")} != one-pass sketch $direct")
+  }
+
+  test("variant extraction agrees exactly with the from_json flatten path") {
+    val v = SparkEntry.queries("q_variant_extract")(spark, sf001)
+      .select($"event_type", $"n", $"sum_k").as[(String, Long, Long)].collect().toMap2
+    val f = SparkEntry.queries("q_json_flatten")(spark, sf001)
+    val viaFlatten = f.join(Tables(spark, sf001, "events").select($"event_id", $"event_type"), "event_id")
+      .groupBy($"event_type").agg(count(lit(1)).as("n"), sum($"k").as("sum_k"))
+      .as[(String, Long, Long)].collect().toMap2
+    assert(v == viaFlatten, "variant_get and from_json must extract identical payloads")
+  }
+
+  private implicit class Map2[A, B, C](rows: Array[(A, B, C)]) {
+    def toMap2: Map[A, (B, C)] = rows.map(r => r._1 -> (r._2, r._3)).toMap
+  }
+
   /** Exact rational d/(den) comparable via cross-multiplication. */
   private case class ExactFrac(num: BigInt, den: BigInt)
   private object ExactFrac {
