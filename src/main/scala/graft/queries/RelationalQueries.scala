@@ -1125,6 +1125,50 @@ object RelationalQueries {
         .orderBy($"lang")
     },
 
+    // ---- Two-sample Kolmogorov–Smirnov drift test, EXACT: the largest
+    // gap between the empirical CDFs of document length across two
+    // release slices (here the deterministic doc_id parity halves —
+    // production compares yesterday's shard against today's) — the
+    // distribution-drift gate a corpus build runs before accepting a new
+    // crawl, where mean/variance checks miss shape changes. Everything
+    // is integer until the final division: the supremum is
+    // max |cumA·nB − cumB·nA| over DISTINCT metric values (an int64
+    // numerator; one double division at the end), so both engines agree
+    // exactly and the argmax tie-break (smallest value) is total. Scale
+    // shape: counts reduce map-side to the distinct-value space before
+    // the running-sum window — O(distinct lengths) rows, never the
+    // corpus — and the 1-row n-frame broadcasts.
+    entry("q_ks_drift",
+      """WITH d AS (SELECT len(string_split(text,' ')) x, doc_id % 2 g FROM documents),
+        | n AS (SELECT COUNT(CASE WHEN g = 0 THEN 1 END) na,
+        |        COUNT(CASE WHEN g = 1 THEN 1 END) nb FROM d),
+        | c AS (SELECT x, COUNT(CASE WHEN g = 0 THEN 1 END) ca,
+        |        COUNT(CASE WHEN g = 1 THEN 1 END) cb FROM d GROUP BY 1),
+        | r AS (SELECT x, CAST(SUM(ca) OVER (ORDER BY x) AS BIGINT) cka,
+        |        CAST(SUM(cb) OVER (ORDER BY x) AS BIGINT) ckb FROM c),
+        | s AS (SELECT x, abs(cka * nb - ckb * na) num FROM r CROSS JOIN n),
+        | m AS (SELECT x, num, ROW_NUMBER() OVER (ORDER BY num DESC, x) rn FROM s)
+        |SELECT n.na, n.nb, m.x AS at_x, m.num AS d_num,
+        |  CAST(m.num AS DOUBLE) / (n.na * n.nb) AS ks
+        |FROM m CROSS JOIN n WHERE m.rn = 1""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.functions.TextFunctions.tokens
+      val d = Tables(s, dir, "documents")
+        .select(size(tokens("text")).cast("long").as("x"), ($"doc_id" % 2).as("g"))
+      val n = d.agg(count(when($"g" === 0, 1)).as("na"),
+        count(when($"g" === 1, 1)).as("nb"))
+      val c = d.groupBy($"x").agg(count(when($"g" === 0, 1)).as("ca"),
+        count(when($"g" === 1, 1)).as("cb"))
+      // running sums over the DISTINCT value space only (see scaladoc)
+      val w = Window.orderBy($"x").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val r = c.select($"x", sum($"ca").over(w).as("cka"), sum($"cb").over(w).as("ckb"))
+      val sup = r.crossJoin(broadcast(n))
+        .select($"x", $"na", $"nb", abs($"cka" * $"nb" - $"ckb" * $"na").as("num"))
+      topKRanked(sup, 1, "rn", $"num".desc, $"x".asc)
+        .select($"na", $"nb", $"x".as("at_x"), $"num".as("d_num"),
+          ($"num".cast("double") / ($"na" * $"nb")).as("ks"))
+    },
+
     // ---- Path analysis: the most common 3-step event sequences across
     // users (double lag over the per-user timeline) — the n-gram
     // generalization of the transition matrix, behind journey mining and

@@ -911,6 +911,25 @@ class QueryInvariantSpec extends SparkSpec {
     def toMap2: Map[A, (B, C)] = rows.map(r => r._1 -> (r._2, r._3)).toMap
   }
 
+  test("ks drift replays exactly against a Scala CDF supremum") {
+    val out = SparkEntry.queries("q_ks_drift")(spark, sf001)
+      .select($"na", $"nb", $"at_x", $"d_num", $"ks")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(out.length == 1)
+    val (na, nb, atX, dNum, ks) = out.head
+    val xs = Tables(spark, sf001, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .map { case (id, t) => (t.split(" ").length.toLong, id % 2) }
+    val (a, b) = (xs.filter(_._2 == 0).map(_._1), xs.filter(_._2 == 1).map(_._1))
+    assert(na == a.length && nb == b.length)
+    val sup = xs.map(_._1).distinct.sorted.map { v =>
+      (v, math.abs(a.count(_ <= v).toLong * nb - b.count(_ <= v).toLong * na))
+    }
+    val best = sup.maxBy { case (v, num) => (num, -v) }
+    assert((atX, dNum) == best, s"got ($atX, $dNum), expected $best")
+    assert(ks == dNum.toDouble / (na * nb) && ks >= 0.0 && ks <= 1.0)
+  }
+
   /** Exact rational d/(den) comparable via cross-multiplication. */
   private case class ExactFrac(num: BigInt, den: BigInt)
   private object ExactFrac {
