@@ -1394,6 +1394,45 @@ object TextQueries {
         .select(lit("__ALL__").as("source"),
           expr("hll_sketch_estimate(usk)").as("est_distinct"))
       perOut.unionByName(union).orderBy(col("source"))
+    },
+
+    // ---- Pareto skyline (dominance-based selection): per language, the
+    // documents NOT dominated in (token count, vocabulary richness) —
+    // "q dominates p" iff q is ≥ on both axes and > on at least one —
+    // the multi-objective keep-set behind data selection when no single
+    // quality scalar exists (identical points never dominate each
+    // other, so exact ties all survive). The naive test is O(n²); the
+    // 2-D skyline reduces to: p survives iff its richness equals its
+    // length-group maximum AND strictly exceeds the running maximum over
+    // all STRICTLY LONGER groups. Scale shape: docs reduce map-side to
+    // distinct (lang, length) groups before the running-max window (the
+    // q_ks_drift distinct-value-space trick — the window never sees the
+    // corpus), and one (lang, length)-keyed join back gates the docs.
+    entry("q_skyline",
+      """WITH d AS (SELECT doc_id, lang, len(string_split(text,' ')) a,
+        |            len(list_distinct(string_split(text,' '))) b FROM documents),
+        | g AS (SELECT lang, a, MAX(b) mb FROM d GROUP BY 1, 2),
+        | s AS (SELECT lang, a, mb, MAX(mb) OVER (PARTITION BY lang ORDER BY a DESC
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) mstrict FROM g),
+        | k AS (SELECT lang, a, mb FROM s WHERE mstrict IS NULL OR mb > mstrict)
+        |SELECT d.lang AS lang, d.doc_id, d.a AS n_tok, d.b AS n_distinct
+        |FROM d JOIN k ON d.lang = k.lang AND d.a = k.a AND d.b = k.mb
+        |ORDER BY d.lang, n_tok DESC, doc_id""".stripMargin) { (s, dir) =>
+      val d = Tables(s, dir, "documents")
+        .withColumn("toks", tokens("text"))
+        .select(col("doc_id"), col("lang"),
+          size(col("toks")).cast("long").as("a"),
+          size(array_distinct(col("toks"))).cast("long").as("b"))
+      val g = d.groupBy(col("lang"), col("a")).agg(max(col("b")).as("mb"))
+      val w = Window.partitionBy(col("lang")).orderBy(col("a").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val k = g.withColumn("mstrict", max(col("mb")).over(w))
+        .filter(col("mstrict").isNull || col("mb") > col("mstrict"))
+        .select(col("lang").as("k_lang"), col("a").as("k_a"), col("mb"))
+      d.join(k, col("lang") === col("k_lang") && col("a") === col("k_a")
+          && col("b") === col("mb"))
+        .select(col("lang"), col("doc_id"), col("a").as("n_tok"), col("b").as("n_distinct"))
+        .orderBy(col("lang"), col("n_tok").desc, col("doc_id"))
     }
   )
 }

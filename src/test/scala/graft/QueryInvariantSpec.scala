@@ -911,6 +911,26 @@ class QueryInvariantSpec extends SparkSpec {
     def toMap2: Map[A, (B, C)] = rows.map(r => r._1 -> (r._2, r._3)).toMap
   }
 
+  test("skyline equals the brute-force dominance check per language") {
+    val out = SparkEntry.queries("q_skyline")(spark, sf001)
+      .select($"lang", $"doc_id", $"n_tok", $"n_distinct")
+      .as[(String, Long, Long, Long)].collect()
+    val docs = Tables(spark, sf001, "documents")
+      .select($"doc_id", $"lang", $"text").as[(Long, String, String)].collect()
+      .map { case (id, lang, t) =>
+        val toks = t.split(" "); (lang, id, toks.length.toLong, toks.distinct.length.toLong) }
+    val expect = docs.filter { case (lang, _, a, b) =>
+      !docs.exists { case (l2, _, a2, b2) =>
+        l2 == lang && a2 >= a && b2 >= b && (a2 > a || b2 > b) }
+    }.map(r => (r._1, r._2)).toSet
+    assert(out.map(r => (r._1, r._2)).toSet == expect,
+      "skyline must equal the O(n^2) dominance filter")
+    out.foreach { case (lang, id, a, b) =>
+      val (_, _, ea, eb) = docs.find(d => d._1 == lang && d._2 == id).get
+      assert(a == ea && b == eb)
+    }
+  }
+
   test("ks drift replays exactly against a Scala CDF supremum") {
     val out = SparkEntry.queries("q_ks_drift")(spark, sf001)
       .select($"na", $"nb", $"at_x", $"d_num", $"ks")
