@@ -69,7 +69,10 @@ object IngestQueries {
     // variant defers typing to extraction — the right model for the
     // reference's schema-free payloads, collector :1225). The aggregate
     // is the usual exact-int one-shuffle shape; extraction itself is a
-    // narrow codegen'd map over the scan.
+    // narrow codegen'd map over the scan. `try_parse_json` keeps the
+    // flatten path's malformed-row tolerance (NULL k, not a query
+    // abort — strict parse_json would fail the whole 100 TB job on one
+    // bad payload row).
     entry("q_variant_extract",
       """WITH x AS (SELECT event_type, CAST(json_extract_string(props,'$.k') AS BIGINT) k
         |           FROM events)
@@ -79,7 +82,7 @@ object IngestQueries {
         |FROM x GROUP BY 1 ORDER BY event_type""".stripMargin) { (s, dir) =>
       events(s, dir)
         .select(col("event_type"),
-          expr("CAST(variant_get(parse_json(props), '$.k') AS BIGINT)").as("k"))
+          expr("CAST(variant_get(try_parse_json(props), '$.k') AS BIGINT)").as("k"))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
           (sum(col("k")).cast("double") / count(lit(1))).as("mean_k"),

@@ -1132,41 +1132,48 @@ object RelationalQueries {
     // distribution-drift gate a corpus build runs before accepting a new
     // crawl, where mean/variance checks miss shape changes. Everything
     // is integer until the final division: the supremum is
-    // max |cumA·nB − cumB·nA| over DISTINCT metric values (an int64
-    // numerator; one double division at the end), so both engines agree
-    // exactly and the argmax tie-break (smallest value) is total. Scale
-    // shape: counts reduce map-side to the distinct-value space before
-    // the running-sum window — O(distinct lengths) rows, never the
-    // corpus — and the 1-row n-frame broadcasts.
+    // max |cumA·nB − cumB·nA| over DISTINCT metric values, with the
+    // cross-multiplication widened to decimal(38,0)/HUGEINT because
+    // cum·n products overflow int64 right at the multi-billion-document
+    // scale this gate targets (the q_random_projection accumulation
+    // treatment — int64 would wrap silently in Spark and error in
+    // DuckDB); one double division at the end, argmax tie-break
+    // (smallest value) total. Scale shape: the corpus reduces map-side
+    // to the distinct-value space (ONE scan — the sample sizes come from
+    // summing the reduced counts, not a second pass) before the
+    // running-sum window — O(distinct lengths) rows — and the 1-row
+    // n-frame broadcasts.
     entry("q_ks_drift",
       """WITH d AS (SELECT len(string_split(text,' ')) x, doc_id % 2 g FROM documents),
-        | n AS (SELECT COUNT(CASE WHEN g = 0 THEN 1 END) na,
-        |        COUNT(CASE WHEN g = 1 THEN 1 END) nb FROM d),
         | c AS (SELECT x, COUNT(CASE WHEN g = 0 THEN 1 END) ca,
         |        COUNT(CASE WHEN g = 1 THEN 1 END) cb FROM d GROUP BY 1),
+        | n AS (SELECT CAST(SUM(ca) AS BIGINT) na, CAST(SUM(cb) AS BIGINT) nb FROM c),
         | r AS (SELECT x, CAST(SUM(ca) OVER (ORDER BY x) AS BIGINT) cka,
         |        CAST(SUM(cb) OVER (ORDER BY x) AS BIGINT) ckb FROM c),
-        | s AS (SELECT x, abs(cka * nb - ckb * na) num FROM r CROSS JOIN n),
+        | s AS (SELECT x, abs(CAST(cka AS HUGEINT) * nb - CAST(ckb AS HUGEINT) * na) num
+        |       FROM r CROSS JOIN n),
         | m AS (SELECT x, num, ROW_NUMBER() OVER (ORDER BY num DESC, x) rn FROM s)
         |SELECT n.na, n.nb, m.x AS at_x, m.num AS d_num,
-        |  CAST(m.num AS DOUBLE) / (n.na * n.nb) AS ks
+        |  CAST(m.num AS DOUBLE) / CAST(CAST(n.na AS HUGEINT) * n.nb AS DOUBLE) AS ks
         |FROM m CROSS JOIN n WHERE m.rn = 1""".stripMargin) { (s, dir) =>
       import s.implicits._
       import graft.functions.TextFunctions.tokens
+      val dec = "decimal(38,0)"
       val d = Tables(s, dir, "documents")
         .select(size(tokens("text")).cast("long").as("x"), ($"doc_id" % 2).as("g"))
-      val n = d.agg(count(when($"g" === 0, 1)).as("na"),
-        count(when($"g" === 1, 1)).as("nb"))
       val c = d.groupBy($"x").agg(count(when($"g" === 0, 1)).as("ca"),
         count(when($"g" === 1, 1)).as("cb"))
+      // sample sizes from the reduced frame — no second corpus scan
+      val n = c.agg(sum($"ca").as("na"), sum($"cb").as("nb"))
       // running sums over the DISTINCT value space only (see scaladoc)
       val w = Window.orderBy($"x").rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val r = c.select($"x", sum($"ca").over(w).as("cka"), sum($"cb").over(w).as("ckb"))
       val sup = r.crossJoin(broadcast(n))
-        .select($"x", $"na", $"nb", abs($"cka" * $"nb" - $"ckb" * $"na").as("num"))
+        .select($"x", $"na", $"nb",
+          abs($"cka".cast(dec) * $"nb" - $"ckb".cast(dec) * $"na").cast(dec).as("num"))
       topKRanked(sup, 1, "rn", $"num".desc, $"x".asc)
         .select($"na", $"nb", $"x".as("at_x"), $"num".as("d_num"),
-          ($"num".cast("double") / ($"na" * $"nb")).as("ks"))
+          ($"num".cast("double") / ($"na".cast(dec) * $"nb").cast("double")).as("ks"))
     },
 
     // ---- Path analysis: the most common 3-step event sequences across
@@ -1437,8 +1444,8 @@ object RelationalQueries {
       s"""WITH $copurchaseCte,
         | e AS (SELECT pa u FROM pairs UNION ALL SELECT pb FROM pairs),
         | deg AS (SELECT u, COUNT(*) d FROM e GROUP BY 1),
-        | nn AS (SELECT COUNT(*) n FROM deg),
-        | h AS (SELECT d, COUNT(*) n_nodes FROM deg GROUP BY 1)
+        | h AS (SELECT d, COUNT(*) n_nodes FROM deg GROUP BY 1),
+        | nn AS (SELECT CAST(SUM(n_nodes) AS BIGINT) n FROM h)
         |SELECT d AS degree, n_nodes,
         |  CAST(SUM(n_nodes) OVER (ORDER BY d) AS BIGINT) cum_nodes,
         |  CAST(n_nodes AS DOUBLE) / nn.n AS share
@@ -1447,8 +1454,9 @@ object RelationalQueries {
       val pairs = copurchaseEdges(copurchaseItems(s, dir))
       val deg = pairs.select($"pa".as("u")).unionAll(pairs.select($"pb".as("u")))
         .groupBy($"u").agg(count(lit(1)).as("d"))
-      val nn = deg.agg(count(lit(1)).as("n"))
       val h = deg.groupBy($"d").agg(count(lit(1)).as("n_nodes"))
+      // node total from the reduced histogram — no second pass over deg
+      val nn = h.agg(sum($"n_nodes").as("n"))
       // global window over distinct degree values only (see scaladoc)
       val w = Window.orderBy($"d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
       h.crossJoin(broadcast(nn))
@@ -1462,11 +1470,17 @@ object RelationalQueries {
     // stream into validity intervals of its event_type (valid_from /
     // valid_to / is_current), the lakehouse pattern for tracking
     // attribute changes over time — gaps-and-islands via the classic
-    // change-flag + running-sum grouping. Scale shape: ONE shuffle keyed
-    // on user_id feeds every window (lag, running sum, lead all share
-    // the same partitioning — Spark plans a single Exchange), the
-    // interval aggregate reuses it, and per-user timelines are bounded,
-    // so no partition ever exceeds a user's own history.
+    // change-flag + running-sum grouping. The running change-sum `grp`
+    // IS the per-user interval sequence (1, 2, …), and every later
+    // ordering uses it: valid_from alone is NOT a total order when
+    // adjacent intervals share a timestamp (same-µs events of different
+    // types), and a non-total LEAD/sort order is exactly the cross-
+    // engine row-order trap the event_id tie-breaks elsewhere in this
+    // file exist for. Scale shape: ONE shuffle keyed on user_id feeds
+    // every window (lag, running sum, lead all share the same
+    // partitioning — Spark plans a single Exchange), the interval
+    // aggregate reuses it, and per-user timelines are bounded, so no
+    // partition ever exceeds a user's own history.
     entry("q_scd2",
       """WITH o AS (SELECT user_id, event_type, ts, event_id,
         |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) prev
@@ -1476,17 +1490,18 @@ object RelationalQueries {
         |         ROWS UNBOUNDED PRECEDING) grp FROM s),
         | iv AS (SELECT user_id, event_type, grp, MIN(ts) valid_from,
         |         COUNT(*) n_events FROM g GROUP BY 1, 2, 3),
-        | f AS (SELECT user_id, event_type, valid_from, n_events,
-        |         LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) valid_to
+        | f AS (SELECT user_id, event_type, grp, valid_from, n_events,
+        |         LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY grp) valid_to
         |       FROM iv)
-        |SELECT user_id, event_type, epoch_us(valid_from) AS valid_from_us,
+        |SELECT user_id, CAST(grp AS BIGINT) AS interval_seq, event_type,
+        |  epoch_us(valid_from) AS valid_from_us,
         |  epoch_us(valid_to) AS valid_to_us,
         |  valid_to IS NULL AS is_current, n_events
-        |FROM f ORDER BY user_id, valid_from_us""".stripMargin) { (s, dir) =>
+        |FROM f ORDER BY user_id, interval_seq""".stripMargin) { (s, dir) =>
       import s.implicits._
       val wo = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
       val wg = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wl = Window.partitionBy($"user_id").orderBy($"valid_from")
+      val wl = Window.partitionBy($"user_id").orderBy($"grp")
       Tables(s, dir, "events")
         .select($"user_id", $"event_type", $"ts", $"event_id")
         .withColumn("prev", lag($"event_type", 1).over(wo))
@@ -1498,11 +1513,11 @@ object RelationalQueries {
         // intervals surface as epoch-µs int64 (the repo's timestamp-output
         // convention: parquet/arrow unit annotations differ across engines,
         // integer µs compare exactly)
-        .select($"user_id", $"event_type",
+        .select($"user_id", $"grp".cast("long").as("interval_seq"), $"event_type",
           unix_micros($"valid_from").as("valid_from_us"),
           unix_micros($"valid_to").as("valid_to_us"),
           $"valid_to".isNull.as("is_current"), $"n_events")
-        .orderBy($"user_id", $"valid_from_us")
+        .orderBy($"user_id", $"interval_seq")
     },
 
     // ---- Range-frame rolling aggregate: per-user trailing-1 h event

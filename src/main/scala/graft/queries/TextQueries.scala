@@ -17,6 +17,20 @@ import graft.functions.TextFunctions._
   */
 object TextQueries {
 
+  /** Shared SQL-fragment generators for q_char_stats — ONE definition of
+    * the bucket list and the ssq/nz/max formulas so the oracle and the
+    * Spark plan cannot drift (only the per-count BIGINT cast differs,
+    * and that stays inline at the two use sites). */
+  private object CharStats {
+    val buckets: Seq[String] = ('a' to 'z').map(_.toString) :+ " "
+    val cols: Seq[String] = buckets.indices.map(i => s"c$i")
+    val sumAll: String = cols.mkString(" + ")
+    val ssq: String = (cols :+ "oth").map(c => s"$c * $c").mkString(" + ")
+    val nz: String =
+      (cols :+ "oth").map(c => s"CASE WHEN $c > 0 THEN 1 ELSE 0 END").mkString(" + ")
+    val mx: String = s"greatest(${(cols :+ "oth").mkString(", ")})"
+  }
+
   private val stopEn = Seq("the", "of", "and", "is", "to")
   private val stopDe = Seq("der", "die", "das", "und", "ist")
   private val stopEs = Seq("el", "la", "los", "es", "y")
@@ -1136,9 +1150,9 @@ object TextQueries {
       s"""WITH q(query_id, term) AS (VALUES (1, 'spark'), (1, 'window'), (2, 'hash'),
         |    (2, 'merge'), (3, 'vector'), (3, 'fast')),
         | t AS (SELECT doc_id, unnest(string_split(text,' ')) term FROM documents),
-        | dl AS (SELECT doc_id, COUNT(*) dl FROM t GROUP BY 1),
-        | n AS (SELECT COUNT(*) nd, CAST(SUM(dl) AS BIGINT) sd FROM dl),
         | tf AS (SELECT doc_id, term, COUNT(*) tf FROM t GROUP BY 1,2),
+        | dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) dl FROM tf GROUP BY 1),
+        | n AS (SELECT COUNT(*) nd, CAST(SUM(dl) AS BIGINT) sd FROM dl),
         | df AS (SELECT term, COUNT(*) df FROM tf GROUP BY 1),
         | sc AS (SELECT q.query_id, tf.doc_id,
         |     CAST(floor(1000000000 * ((CAST(2 * nd - 2 * df + 1 AS DOUBLE) / CAST(2 * df + 1 AS DOUBLE)) * (CAST(22 * tf AS DOUBLE) * CAST(sd AS DOUBLE) / (CAST(10 * sd AS DOUBLE) * CAST(tf AS DOUBLE) + CAST(3 * sd AS DOUBLE) + CAST(9 * dl AS DOUBLE) * CAST(nd AS DOUBLE))))) AS BIGINT) s
@@ -1157,9 +1171,13 @@ object TextQueries {
       val t = Tables(s, dir, "documents")
         .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(col("doc_id"), explode(tokens("text")).as("term"))
-      val dl = t.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      // doc lengths, corpus totals, df AND the score join all consume the
+      // tf aggregate — checkpoint it so the tokenize+explode (the
+      // dominant cost) runs ONCE, not once per consumer
+      val tf = graft.functions.Checkpoints.lazyLocal(
+        t.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")))
+      val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
       val n = dl.agg(count(lit(1)).as("nd"), sum(col("dl")).as("sd"))
-      val tf = t.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
       val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       // shrink the vocabulary-sized df frame to the query's terms before
       // hinting — bounded by the query list, never the corpus
@@ -1221,14 +1239,9 @@ object TextQueries {
     // shuffle, one codegen'd narrow map over the scan; embarrassingly
     // parallel at 100 TB.
     entry("q_char_stats", {
-      val bks = ('a' to 'z').map(_.toString) :+ " "
-      val cs = bks.indices.map(i => s"c$i")
-      val defs = bks.zip(cs).map { case (ch, nm) =>
+      import CharStats._
+      val defs = buckets.zip(cols).map { case (ch, nm) =>
         s"(length(text) - length(replace(text, '$ch', ''))) $nm" }.mkString(", ")
-      val sumAll = cs.mkString(" + ")
-      val ssq = (cs :+ "oth").map(c => s"$c * $c").mkString(" + ")
-      val nz = (cs :+ "oth").map(c => s"CASE WHEN $c > 0 THEN 1 ELSE 0 END").mkString(" + ")
-      val mx = s"greatest(${(cs :+ "oth").mkString(", ")})"
       s"""WITH h AS (SELECT doc_id, length(text) n, $defs FROM documents),
         | h2 AS (SELECT *, n - ($sumAll) oth FROM h)
         |SELECT doc_id, n AS n_chars,
@@ -1237,16 +1250,11 @@ object TextQueries {
         |  CAST($mx AS DOUBLE) / n AS top_ratio
         |FROM h2 ORDER BY doc_id""".stripMargin
     }) { (s, dir) =>
-      val bks = ('a' to 'z').map(_.toString) :+ " "
-      val cs = bks.indices.map(i => s"c$i")
+      import CharStats._
       // counts and n widened to int64 on the Spark side (DuckDB's length()
       // is already BIGINT): c*c on a 50k-char document overflows int32
-      val defs = bks.zip(cs).map { case (ch, nm) =>
+      val defs = buckets.zip(cols).map { case (ch, nm) =>
         s"CAST(length(text) - length(replace(text, '$ch', '')) AS BIGINT) AS $nm" }
-      val sumAll = cs.mkString(" + ")
-      val ssq = (cs :+ "oth").map(c => s"$c * $c").mkString(" + ")
-      val nz = (cs :+ "oth").map(c => s"CASE WHEN $c > 0 THEN 1 ELSE 0 END").mkString(" + ")
-      val mx = s"greatest(${(cs :+ "oth").mkString(", ")})"
       Tables(s, dir, "documents")
         .selectExpr(Seq("doc_id", "CAST(length(text) AS BIGINT) AS n") ++ defs: _*)
         .withColumn("oth", expr(s"n - ($sumAll)"))

@@ -668,7 +668,11 @@ class QueryInvariantSpec extends SparkSpec {
     val out = SparkEntry.queries("q_pagerank")(spark, sf001)
       .select($"rn", $"node", $"rank_fp").as[(Long, Long, Long)].collect()
     assert(out.map(_._1).toSeq == (1L to out.length), "rn must be dense from 1")
-    assert(out.length == math.min(20, out.length) && out.nonEmpty)
+    // the top-k must fill up to min(20, |nodes|) — node count from the
+    // degree histogram over the SAME co-purchase graph
+    val nNodes = SparkEntry.queries("q_degree_stats")(spark, sf001)
+      .agg(sum($"n_nodes")).as[Long].head()
+    assert(out.length == math.min(20L, nNodes), s"expected min(20, $nNodes) rows")
     val ranks = out.map(_._3)
     assert(ranks.zip(ranks.tail).forall { case (a, b) => a >= b }, "ranks not sorted desc")
     // every node holds at least its teleport share and never the full mass
@@ -717,19 +721,24 @@ class QueryInvariantSpec extends SparkSpec {
 
   test("scd2 intervals chain per user, cover every event, and types change at boundaries") {
     val out = SparkEntry.queries("q_scd2")(spark, sf001)
-      .select($"user_id", $"event_type", $"valid_from_us", $"valid_to_us", $"is_current", $"n_events")
-      .as[(Long, String, Long, Option[Long], Boolean, Long)].collect()
+      .select($"user_id", $"interval_seq", $"event_type", $"valid_from_us", $"valid_to_us",
+        $"is_current", $"n_events")
+      .as[(Long, Long, String, Long, Option[Long], Boolean, Long)].collect()
     val perUser = Tables(spark, sf001, "events").groupBy($"user_id")
       .agg(count(lit(1)).as("n")).as[(Long, Long)].collect().toMap
     out.groupBy(_._1).foreach { case (user, rows) =>
-      val ordered = rows.sortBy(_._3)
-      assert(ordered.map(_._6).sum == perUser(user), s"user $user: intervals lose events")
-      assert(ordered.count(_._5) == 1 && ordered.last._5, s"user $user: is_current not unique-last")
+      val ordered = rows.sortBy(_._2)
+      assert(ordered.map(_._2).toSeq == (1L to ordered.length),
+        s"user $user: interval_seq not dense from 1")
+      assert(ordered.map(_._4).toSeq == ordered.map(_._4).sorted.toSeq,
+        s"user $user: interval_seq order disagrees with time order")
+      assert(ordered.map(_._7).sum == perUser(user), s"user $user: intervals lose events")
+      assert(ordered.count(_._6) == 1 && ordered.last._6, s"user $user: is_current not unique-last")
       ordered.zip(ordered.tail).foreach { case (a, b) =>
-        assert(a._4.contains(b._3), s"user $user: interval chain broken")
-        assert(a._2 != b._2, s"user $user: consecutive intervals share a type (not collapsed)")
+        assert(a._5.contains(b._4), s"user $user: interval chain broken")
+        assert(a._3 != b._3, s"user $user: consecutive intervals share a type (not collapsed)")
       }
-      assert(ordered.last._4.isEmpty, "open interval must close the history")
+      assert(ordered.last._5.isEmpty, "open interval must close the history")
     }
   }
 
@@ -933,7 +942,9 @@ class QueryInvariantSpec extends SparkSpec {
 
   test("ks drift replays exactly against a Scala CDF supremum") {
     val out = SparkEntry.queries("q_ks_drift")(spark, sf001)
-      .select($"na", $"nb", $"at_x", $"d_num", $"ks")
+      // d_num is decimal(38,0) in the output (overflow-safe at scale);
+      // the sf0.001 value fits a long exactly, so the cast is lossless here
+      .select($"na", $"nb", $"at_x", $"d_num".cast("long"), $"ks")
       .as[(Long, Long, Long, Long, Double)].collect()
     assert(out.length == 1)
     val (na, nb, atX, dNum, ks) = out.head
