@@ -424,6 +424,70 @@ object Multimodal {
       }
   }
 
+  case class MediaHash(doc_id: Long, ahash: String)
+
+  /** Average-hash (aHash) perceptual fingerprint as a 64-char '0'/'1'
+    * string: recognized images get the REAL hash — an 8×8 grid over the
+    * decoded pixels, bit set when the cell's (r+g+b) sum exceeds the
+    * global mean (cross-multiplied: cellSum·nPixTotal > totalSum·nPixCell,
+    * all exact int64) — unrecognized payloads hash a 64-cell byte-range
+    * grid with the same cross-multiplied rule (the decode stub; for ASCII
+    * text payloads the DuckDB oracle replays it character-wise). Both
+    * paths are deterministic and partitioning-free, so the downstream
+    * near-dup join is engine-exact. */
+  def aHash(df: DataFrame, idCol: String, payloadCol: String): Dataset[MediaHash] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val bits = new StringBuilder(64)
+          decodeImage(bytes) match {
+            case Some(img) =>
+              val (w, h) = (img.width, img.height)
+              val sums = new Array[Long](64); val npx = new Array[Long](64)
+              var total = 0L
+              var y = 0
+              while (y < h) {
+                val cy = math.min(y * 8 / h, 7)
+                var x = 0
+                while (x < w) {
+                  val cx = math.min(x * 8 / w, 7)
+                  val p = (y * w + x) * 3
+                  val s = (img.rgb(p) & 0xff) + (img.rgb(p + 1) & 0xff) + (img.rgb(p + 2) & 0xff)
+                  sums(cy * 8 + cx) += s; npx(cy * 8 + cx) += 1; total += s
+                  x += 1
+                }
+                y += 1
+              }
+              val nAll = w.toLong * h
+              var i = 0
+              while (i < 64) {
+                bits.append(if (sums(i) * nAll > total * npx(i)) '1' else '0'); i += 1
+              }
+            case None =>
+              val n = bytes.length.toLong
+              var total = 0L
+              val sums = new Array[Long](64)
+              var i = 0
+              while (i < 64) {
+                var p = (i * n / 64).toInt
+                val hi = ((i + 1) * n / 64).toInt
+                while (p < hi) { sums(i) += bytes(p) & 0xff; p += 1 }
+                total += sums(i); i += 1
+              }
+              i = 0
+              while (i < 64) {
+                val len = (i + 1) * n / 64 - i * n / 64
+                bits.append(if (sums(i) * n > total * len) '1' else '0'); i += 1
+              }
+          }
+          MediaHash(id, bits.toString)
+        }
+      }
+  }
+
   case class ResizedMedia(doc_id: Long, resized_len: Int, resized_md5: String)
 
   /** Resize: recognized images get a REAL nearest-neighbor downscale by

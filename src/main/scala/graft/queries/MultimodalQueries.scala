@@ -147,6 +147,58 @@ object MultimodalQueries {
           "doc_id", "payload", frameSize = 256, stride = 4)
         .toDF()
         .orderBy(col("doc_id"), col("frame_idx"))
+    },
+
+    // ---- Perceptual-hash (aHash) image near-dup pairs — the IMAGE twin
+    // of q_dedup_simhash: 64-bit average-hash per payload (real 8×8
+    // luminance grid for recognized images, byte-grid stub otherwise —
+    // [[graft.multimodal.Multimodal.aHash]]; MultimodalSpec drives the
+    // real path with hand-built BMPs), then pigeonhole candidate
+    // generation on the four 16-bit quarters (a pair within Hamming 12
+    // must agree exactly on ≥1 quarter... pairs ≤ 3 mismatched quarters
+    // are guaranteed caught; the quarter join is an equi-join, never
+    // all-pairs at scale) and exact bit_count Hamming verify. The oracle
+    // replays the byte-grid hash character-wise over the ASCII payloads
+    // and the same quarter-match + Hamming filter.
+    entry("q_mm_ahash_dedup",
+      """WITH d AS (SELECT doc_id, text, length(text) n FROM documents WHERE length(text) > 0),
+        | c AS (SELECT doc_id, n, [COALESCE(list_sum([ascii(substr(text, CAST(p AS INT), 1))
+        |          for p in generate_series((i*n)//64 + 1, ((i+1)*n)//64)]), 0)
+        |        for i in generate_series(0, 63)] cells FROM d),
+        | t AS (SELECT doc_id, n, cells, list_sum(cells) total FROM c),
+        | f AS (SELECT doc_id, array_to_string([CASE WHEN cells[i+1] * n > total * (((i+1)*n)//64 - (i*n)//64)
+        |          THEN '1' ELSE '0' END for i in generate_series(0, 63)], '') fp FROM t),
+        | p AS (SELECT a.doc_id a_id, b.doc_id b_id,
+        |         len(list_filter(generate_series(1, 64), i -> substr(a.fp, i, 1) != substr(b.fp, i, 1))) hamming
+        |       FROM f a JOIN f b ON a.doc_id < b.doc_id
+        |         AND (substr(a.fp, 1, 16) = substr(b.fp, 1, 16) OR substr(a.fp, 17, 16) = substr(b.fp, 17, 16)
+        |           OR substr(a.fp, 33, 16) = substr(b.fp, 33, 16) OR substr(a.fp, 49, 16) = substr(b.fp, 49, 16)))
+        |SELECT a_id, b_id, CAST(hamming AS INT) hamming FROM p WHERE hamming <= 12
+        |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+      import graft.multimodal.Multimodal
+      val f = Multimodal.aHash(
+          Tables(s, dir, "documents")
+            .filter(length(col("text")) > 0)
+            .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+            .withColumn("payload", col("text").cast("binary")),
+          "doc_id", "payload")
+        .toDF()
+        .withColumn("hi", expr("CAST(conv(substring(ahash, 1, 32), 2, 10) AS BIGINT)"))
+        .withColumn("lo", expr("CAST(conv(substring(ahash, 33, 32), 2, 10) AS BIGINT)"))
+        .select((1 to 4).map(k =>
+          expr(s"CAST(conv(substring(ahash, ${16 * k - 15}, 16), 2, 10) AS BIGINT)").as(s"b$k"))
+          :+ col("doc_id") :+ col("hi") :+ col("lo"): _*)
+        .persist()
+      val a = f.toDF(f.columns.map(_ + "_a"): _*)
+      val b = f.toDF(f.columns.map(_ + "_b"): _*)
+      val cand = (1 to 4).map(k =>
+          a.join(b, col(s"b${k}_a") === col(s"b${k}_b") && col("doc_id_a") < col("doc_id_b")))
+        .reduce(_ unionByName _)
+        .select(col("doc_id_a").as("a_id"), col("doc_id_b").as("b_id"),
+          expr("CAST(bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b) AS INT)").as("hamming"))
+        .distinct()
+      cand.filter(col("hamming") <= 12)
+        .orderBy(col("a_id"), col("b_id"))
     }
   )
 }

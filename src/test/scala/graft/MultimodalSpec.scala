@@ -220,4 +220,34 @@ class MultimodalSpec extends SparkSpec {
       .digest(expectBytes).map("%02x".format(_)).mkString
     assert(rz(1L).resized_md5 == expectMd5)
   }
+
+  test("aHash: identical images collide, inverted images differ, stub replays byte grid") {
+    // invert = swap dark and bright pixels; the 8x8 cell means flip sides
+    // of the global mean, so the real-path hash must change
+    val inverted = {
+      val b = tinyBmp.clone()
+      var i = 54
+      while (i < b.length) { b(i) = (255 - (b(i) & 0xff)).toByte; i += 1 }
+      b
+    }
+    val df = Seq((1L, tinyBmp), (2L, tinyBmp), (3L, inverted),
+        (4L, "plain stub payload".getBytes("US-ASCII")))
+      .toDF("doc_id", "payload")
+    val h = Multimodal.aHash(df, "doc_id", "payload")
+      .collect().map(r => r.doc_id -> r.ahash).toMap
+    h.values.foreach(fp => assert(fp.length == 64 && fp.forall(c => c == '0' || c == '1')))
+    assert(h(1L) == h(2L), "identical images must hash identically")
+    assert(h(1L) != h(3L), "inverted image must hash differently")
+    // stub path: replay the 64-cell byte-grid rule in plain Scala
+    val bytes = "plain stub payload".getBytes("US-ASCII").map(_ & 0xff)
+    val n = bytes.length.toLong
+    val cells = (0 until 64).map { i =>
+      (i * n / 64).toInt until ((i + 1) * n / 64).toInt }.map(_.map(bytes(_).toLong).sum)
+    val total = cells.sum
+    val expect = (0 until 64).map { i =>
+      val len = (i + 1) * n / 64 - i * n / 64
+      if (cells(i) * n > total * len) '1' else '0'
+    }.mkString
+    assert(h(4L) == expect, "stub hash must replay the byte-grid rule exactly")
+  }
 }
