@@ -59,6 +59,25 @@ object LakeWriter {
   def withDatePath(df: DataFrame, tsCol: String = "ts"): DataFrame =
     df.withColumn("date_path", date_format(col(tsCol), "yyyy/MM/dd"))
 
+  /** Parquet bloom-filter sink: zstd write with a split-block bloom
+    * filter per requested column (`parquet.bloom.filter.enabled#col` +
+    * expected NDV sizing). The 100 TB role: point lookups on UNSORTED
+    * high-cardinality keys (content hashes, doc ids, offsets) skip row
+    * groups via the footer bloom without paying the global sort that
+    * min/max pruning (writePartitioned's clustering, writeZOrdered)
+    * needs — the complementary index for exactly the keys sorting can't
+    * serve. Cost is a few bytes/row of footer metadata at write time;
+    * readers get it for free (`spark.sql.parquet.bloomFilterEnabled`
+    * pushdown is on by default for eq/IN predicates). */
+  def writeBloom(df: DataFrame, dest: String, bloomCols: Seq[String],
+                 expectedNdv: Long = 1000000L): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite).option("compression", "zstd")
+    bloomCols.foldLeft(w) { (acc, c) =>
+      acc.option(s"parquet.bloom.filter.enabled#$c", "true")
+        .option(s"parquet.bloom.filter.expected.ndv#$c", expectedNdv.toString)
+    }.parquet(dest)
+  }
+
   /** S9+S12+W1: sort-clustered, date-partitioned, zstd atomic write. */
   def writePartitioned(df: DataFrame, dest: String,
                        clusterBy: Seq[String] = Seq("user_id", "event_id")): Unit =

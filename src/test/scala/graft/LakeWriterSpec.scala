@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 
 import graft.ingest.Dedup
@@ -157,5 +159,40 @@ class LakeWriterSpec extends SparkSpec {
     val files = new java.io.File(dest).listFiles.count(_.getName.endsWith(".parquet"))
     assert(files == 4, s"hot key collapsed the size contract: $files files")
     assert(spark.read.parquet(dest).count() == ev.count())
+  }
+
+  test("bloom sink writes a probe-able bloom filter; plain write has none") {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sparkContext.hadoopConfiguration
+    def firstFooter(dir: String) = {
+      val f = new java.io.File(dir).listFiles.filter(_.getName.endsWith(".parquet")).head
+      ParquetFileReader.open(HadoopInputFile.fromPath(new Path(f.getAbsolutePath), conf))
+    }
+    val docs = Tables(spark, sf001, "documents").coalesce(1)
+    val dest = Files.createTempDirectory("bloom").toString + "/docs"
+    LakeWriter.writeBloom(docs, dest, Seq("doc_id"), expectedNdv = 10000)
+    val reader = firstFooter(dest)
+    try {
+      val block = reader.getFooter.getBlocks.get(0)
+      val chunk = block.getColumns.asScala
+        .find(_.getPath.toDotString == "doc_id").get
+      assert(chunk.getBloomFilterOffset >= 0, "doc_id column chunk lacks a bloom filter")
+      // probe: a present key must hit (bloom filters have no false negatives)
+      val bloom = reader.getBloomFilterDataReader(block).readBloomFilter(chunk)
+      val present = Tables(spark, sf001, "documents").select($"doc_id").as[Long].head()
+      assert(bloom.findHash(bloom.hash(present)), "present key must probe positive")
+    } finally reader.close()
+    // control: the plain sink writes no bloom metadata
+    val plain = Files.createTempDirectory("plainpq").toString + "/docs"
+    docs.write.parquet(plain)
+    val r2 = firstFooter(plain)
+    try {
+      val c2 = r2.getFooter.getBlocks.get(0).getColumns.asScala
+        .find(_.getPath.toDotString == "doc_id").get
+      assert(c2.getBloomFilterOffset < 0, "plain write unexpectedly has a bloom filter")
+    } finally r2.close()
+    assert(spark.read.parquet(dest).count() == docs.count())
   }
 }
