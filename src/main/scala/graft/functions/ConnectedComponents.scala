@@ -82,6 +82,9 @@ object ConnectedComponents {
     //    plan from growing a round-per-round lineage tail.
     var e: DataFrame = edges
       .select(col(cols(0)).cast("long").as("u"), col(cols(1)).cast("long").as("v"))
+      // null endpoints match equi-join semantics (no edge): drop them here,
+      // or the Dataset decode inside the union-find would NPE opaquely
+      .filter(col("u").isNotNull && col("v").isNotNull)
       .localCheckpoint(true)
     var n = e.count()
     var w = width(spark, n, maxEdgesPerTask)

@@ -33,19 +33,25 @@ object Exact {
   /** Exact sum, surfaced as double: CAST(SUM(CAST(x AS DECIMAL(18,3))) AS DOUBLE). */
   def dsum(c: Column): Column = sum(dec(c)).cast(DoubleType)
 
-  /** Exact mean, surfaced as double: exact-sum / COUNT(*), evaluated in double. */
-  def davg(c: Column): Column = dsum(c) / count(lit(1))
+  /** Exact mean, surfaced as double: exact-sum / COUNT(col) — the
+    * NON-NULL count, matching SQL AVG (SUM skips nulls, so dividing by
+    * COUNT(*) would understate the mean of a nullable column). On
+    * non-null columns this equals the oracle's SUM/COUNT(*) exactly. */
+  def davg(c: Column): Column = dsum(c) / count(c)
 
   /** Exact sum of a product of two columns (e.g. revenue = price*(1-disc)). */
   def dsumProd(a: Column, b: Column): Column = sum(dec(a) * dec(b)).cast(DoubleType)
 
   /** Sample stddev rebuilt from exact sums so both engines evaluate the
-    * identical double expression: sqrt((Σx² − (Σx)²/n) / (n−1)). */
+    * identical double expression: sqrt((Σx² − (Σx)²/n) / (n−1)). The
+    * n−1 denominator goes through nullif so a 1-row group yields NULL
+    * like SQL stddev_samp — under Spark's default ANSI mode a bare /0
+    * (even double /0) throws DIVIDE_BY_ZERO and aborts the query. */
   def dstddev(c: Column): Column = {
     val sx  = dsum(c)
     val sx2 = sum(dec(c) * dec(c)).cast(DoubleType)
     val n   = count(c)
-    sqrt((sx2 - sx * sx / n) / (n - lit(1L)))
+    sqrt((sx2 - sx * sx / n) / nullif(n - lit(1L), lit(0L)))
   }
 
   /** Windowed exact sum (same trick over a window frame). */

@@ -43,11 +43,24 @@ object Msgpack {
     private def u32(): Long = ((u16().toLong << 16) | u16().toLong) & 0xffffffffL
     private def u64(): Long = (u32() << 32) | u32()
 
-    private def str(n: Int, sb: StringBuilder): Unit = {
+    /** A 32-bit length whose high bit is set arrives as a NEGATIVE Int.
+      * str() happens to throw on it (String range check) but bin()'s
+      * Array.slice would CLAMP to empty and step `pos` backwards —
+      * a crafted arr32-of-negative-bin32 record would then loop ~2^31
+      * times instead of degrading to null. Malformed is malformed: fail
+      * loudly here so the decoder's catch returns null. */
+    private def checkLen(n: Int): Int = {
+      if (n < 0 || n > b.length - pos)
+        throw new IllegalArgumentException(s"bad msgpack length $n at $pos")
+      n
+    }
+    private def str(n0: Int, sb: StringBuilder): Unit = {
+      val n = checkLen(n0)
       val s = new String(b, pos, n, StandardCharsets.UTF_8); pos += n
       jsonString(s, sb)
     }
-    private def bin(n: Int, sb: StringBuilder): Unit = {
+    private def bin(n0: Int, sb: StringBuilder): Unit = {
+      val n = checkLen(n0)
       // binary degrades to base64 text (JSON has no bytes type)
       val s = java.util.Base64.getEncoder.encodeToString(b.slice(pos, pos + n)); pos += n
       jsonString(s, sb)
@@ -107,8 +120,14 @@ object Msgpack {
     }
   }
 
-  private def appendDouble(d: Double, sb: StringBuilder): Unit =
+  private def appendDouble(d: Double, sb: StringBuilder): Unit = {
+    // JSON has no NaN/Infinity literal — emitting one would return a
+    // non-null "success" that downstream from_json/json_extract chokes
+    // on; treat the record as malformed (decoder catch → null payload)
+    if (d.isNaN || d.isInfinite)
+      throw new IllegalArgumentException("non-finite float in msgpack payload")
     if (d == d.toLong.toDouble && math.abs(d) < 1e15) sb.append(d.toLong) else sb.append(d)
+  }
 
   private def jsonString(s: String, sb: StringBuilder): Unit = {
     sb.append('"')
@@ -148,6 +167,9 @@ object Msgpack {
       (7 to 0 by -1).foreach(i => o.write(((bits >> (8 * i)) & 0xff).toInt))
     case s: String =>
       val b = s.getBytes(StandardCharsets.UTF_8)
+      // str16/str32 unimplemented: refuse loudly rather than truncate the
+      // str8 length byte (o.write keeps only the low 8 bits)
+      require(b.length <= 255, s"encode supports strings up to 255 utf-8 bytes, got ${b.length}")
       if (b.length <= 31) o.write(0xa0 | b.length)
       else { o.write(0xd9); o.write(b.length) }
       o.write(b)

@@ -22,9 +22,18 @@ object SkewJoin {
   /** Deterministic salt in [0, saltBuckets) derived from non-key columns —
     * here from a monotonically-increasing surrogate so replicated rows of
     * the same key spread evenly. */
+  /** The internal salt column name; colliding with a user column would
+    * silently overwrite and then drop it (the hazard Ranking.internalCols
+    * documents), so both entry points refuse loudly instead. */
+  private val SaltCol = "_salt"
+  private def requireNoSalt(dfs: DataFrame*): Unit =
+    dfs.foreach(df => require(!df.columns.contains(SaltCol),
+      s"input already has a '$SaltCol' column; rename it before salting"))
+
   def saltedEquiJoin(left: DataFrame, right: DataFrame, key: String,
                      saltBuckets: Int): DataFrame = {
     require(saltBuckets > 0)
+    requireNoSalt(left, right)
     // left: assign each row a pseudo-random but DETERMINISTIC bucket from a
     // full-row hash (xxhash64 over all columns) — no rand(), so retries and
     // speculative tasks agree.
@@ -42,6 +51,7 @@ object SkewJoin {
     * decomposable (sum/count/min/max). */
   def saltedSumCount(df: DataFrame, key: String, valueCol: String,
                      saltBuckets: Int): DataFrame = {
+    requireNoSalt(df)
     val salted = df.withColumn("_salt",
       pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(saltBuckets)))
     salted.groupBy(col(key), col("_salt"))

@@ -36,17 +36,15 @@ object TextFunctions {
     expr(s"array_distinct(transform(sequence(1, greatest(size($toksCol)-${n - 1}, 1)), " +
       s"i -> array_join(slice($toksCol, i, $n), ' ')))")
 
-  /** Count of tokens that appear in `words`. */
+  /** Count of tokens that appear in `words`. Words are escaped into the
+    * SQL literal list (backslash for ' and \), so a contraction like
+    * "don't" cannot break the generated expression. */
   def markerCount(toksCol: String, words: Seq[String]): Column = {
-    val lst = words.map(w => s"'$w'").mkString(", ")
+    val lst = words
+      .map(w => w.replace("\\", "\\\\").replace("'", "\\'"))
+      .map(w => s"'$w'").mkString(", ")
     expr(s"size(filter($toksCol, x -> x IN ($lst)))")
   }
-
-  /** Set-Jaccard of two (already-distinct) array columns, exact int
-    * arithmetic until one final double division. */
-  def jaccard(a: String, b: String): Column =
-    expr(s"CAST(size(array_intersect($a, $b)) AS DOUBLE) / " +
-      s"(size($a) + size($b) - size(array_intersect($a, $b)))")
 
   /** SQL fragment hashing a string expression to a 60-bit int64 (first
     * 15 hex digits of md5 — 16^15 = 2^60 < 2^63). The engine-portable

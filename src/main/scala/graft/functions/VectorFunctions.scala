@@ -52,7 +52,11 @@ object VectorFunctions {
   def qnorm(a: String): Column = sqrt(qdot(a, a).cast("double"))
 
   /** Cosine from a precomputed quantized dot and two norms; the 2^40
-    * quantization factors cancel algebraically so no rescale is needed. */
+    * quantization factors cancel algebraically so no rescale is needed.
+    * A zero-norm vector (all-zero / sub-quantum embedding) yields NULL
+    * through nullif — under Spark's default ANSI mode a bare double /0
+    * throws DIVIDE_BY_ZERO and would abort the whole similarity query
+    * on one degenerate row. */
   def cosineFrom(dot: Column, normA: Column, normB: Column): Column =
-    dot.cast("double") / (normA * normB)
+    dot.cast("double") / nullif(normA * normB, lit(0.0))
 }
