@@ -429,19 +429,33 @@ object Multimodal {
   /** Average-hash (aHash) perceptual fingerprint as a 64-char '0'/'1'
     * string: recognized images get the REAL hash — an 8×8 grid over the
     * decoded pixels, bit set when the cell's (r+g+b) sum exceeds the
-    * global mean (cross-multiplied: cellSum·nPixTotal > totalSum·nPixCell,
-    * all exact int64) — unrecognized payloads hash a 64-cell byte-range
+    * global mean (cross-multiplied cellSum·nPixTotal > totalSum·nPixCell,
+    * compared in exact 128 bits — see [[prodGt]]; DuckDB's HUGEINT replay
+    * agrees) — unrecognized payloads hash a 64-cell byte-range
     * grid with the same cross-multiplied rule (the decode stub; for ASCII
     * text payloads the DuckDB oracle replays it character-wise). Both
     * paths are deterministic and partitioning-free, so the downstream
     * near-dup join is engine-exact. */
+  /** True iff a·b > c·d with all operands non-negative int64 — compared
+    * in full 128-bit precision via Math.multiplyHigh, because the naive
+    * Long products overflow for multi-GB payloads (255·n·(n/64) passes
+    * 2^63 near n ≈ 1.5e9) and a silent wrap would flip hash bits. */
+  private def prodGt(a: Long, b: Long, c: Long, d: Long): Boolean = {
+    val hi1 = Math.multiplyHigh(a, b); val lo1 = a * b
+    val hi2 = Math.multiplyHigh(c, d); val lo2 = c * d
+    hi1 > hi2 || (hi1 == hi2 && java.lang.Long.compareUnsigned(lo1, lo2) > 0)
+  }
+
   def aHash(df: DataFrame, idCol: String, payloadCol: String): Dataset[MediaHash] = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
-        rows.map { case (id, bytes) =>
+        rows.map { case (id, bytes0) =>
+          // a NULL payload row decodes to a null array — hash it as empty
+          // (all-zero fingerprint) instead of NPEing the task
+          val bytes = if (bytes0 == null) Array.emptyByteArray else bytes0
           val bits = new StringBuilder(64)
           decodeImage(bytes) match {
             case Some(img) =>
@@ -450,10 +464,12 @@ object Multimodal {
               var total = 0L
               var y = 0
               while (y < h) {
-                val cy = math.min(y * 8 / h, 7)
+                // Long cell arithmetic: y*8 wraps Int32 for >268M-pixel
+                // edges, which decodePpm's Long-checked bounds admit
+                val cy = math.min(y.toLong * 8 / h, 7L).toInt
                 var x = 0
                 while (x < w) {
-                  val cx = math.min(x * 8 / w, 7)
+                  val cx = math.min(x.toLong * 8 / w, 7L).toInt
                   val p = (y * w + x) * 3
                   val s = (img.rgb(p) & 0xff) + (img.rgb(p + 1) & 0xff) + (img.rgb(p + 2) & 0xff)
                   sums(cy * 8 + cx) += s; npx(cy * 8 + cx) += 1; total += s
@@ -464,7 +480,7 @@ object Multimodal {
               val nAll = w.toLong * h
               var i = 0
               while (i < 64) {
-                bits.append(if (sums(i) * nAll > total * npx(i)) '1' else '0'); i += 1
+                bits.append(if (prodGt(sums(i), nAll, total, npx(i))) '1' else '0'); i += 1
               }
             case None =>
               val n = bytes.length.toLong
@@ -480,7 +496,7 @@ object Multimodal {
               i = 0
               while (i < 64) {
                 val len = (i + 1) * n / 64 - i * n / 64
-                bits.append(if (sums(i) * n > total * len) '1' else '0'); i += 1
+                bits.append(if (prodGt(sums(i), n, total, len)) '1' else '0'); i += 1
               }
           }
           MediaHash(id, bits.toString)

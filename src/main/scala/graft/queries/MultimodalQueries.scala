@@ -154,10 +154,15 @@ object MultimodalQueries {
     // luminance grid for recognized images, byte-grid stub otherwise —
     // [[graft.multimodal.Multimodal.aHash]]; MultimodalSpec drives the
     // real path with hand-built BMPs), then pigeonhole candidate
-    // generation on the four 16-bit quarters (a pair within Hamming 12
-    // must agree exactly on ≥1 quarter... pairs ≤ 3 mismatched quarters
-    // are guaranteed caught; the quarter join is an equi-join, never
-    // all-pairs at scale) and exact bit_count Hamming verify. The oracle
+    // generation on the four 16-bit quarters and exact bit_count Hamming
+    // verify. Recall contract, stated honestly: a pair mismatching ≤ 3
+    // quarters MUST agree on one (full recall up to Hamming 3, and for
+    // any concentrated mismatch pattern); a pair whose 4-12 differing
+    // bits spread across ALL four quarters is missed — the same
+    // recall/cost trade LSH banding makes, tightened in production by
+    // more/narrower bands. The quarter join is an equi-join, never
+    // all-pairs at scale, and the oracle replays the identical rule so
+    // the gate checks the algorithm as specified. The oracle
     // replays the byte-grid hash character-wise over the ASCII payloads
     // and the same quarter-match + Hamming filter.
     entry("q_mm_ahash_dedup",

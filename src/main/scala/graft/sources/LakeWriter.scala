@@ -60,21 +60,23 @@ object LakeWriter {
     df.withColumn("date_path", date_format(col(tsCol), "yyyy/MM/dd"))
 
   /** Parquet bloom-filter sink: zstd write with a split-block bloom
-    * filter per requested column (`parquet.bloom.filter.enabled#col` +
-    * expected NDV sizing). The 100 TB role: point lookups on UNSORTED
-    * high-cardinality keys (content hashes, doc ids, offsets) skip row
-    * groups via the footer bloom without paying the global sort that
-    * min/max pruning (writePartitioned's clustering, writeZOrdered)
-    * needs — the complementary index for exactly the keys sorting can't
-    * serve. Cost is a few bytes/row of footer metadata at write time;
-    * readers get it for free (`spark.sql.parquet.bloomFilterEnabled`
-    * pushdown is on by default for eq/IN predicates). */
-  def writeBloom(df: DataFrame, dest: String, bloomCols: Seq[String],
-                 expectedNdv: Long = 1000000L): Unit = {
+    * filter per requested column (`parquet.bloom.filter.enabled#col`),
+    * sized by that column's OWN expected NDV — sizing is per column
+    * because one shared figure would leave a high-cardinality key with a
+    * saturated filter (false-positive rate → 1, skipping silently dead)
+    * while over-paying footer bytes on the low-cardinality ones. The
+    * 100 TB role: point lookups on UNSORTED high-cardinality keys
+    * (content hashes, doc ids, offsets) skip row groups via the footer
+    * bloom without paying the global sort that min/max pruning
+    * (writePartitioned's clustering, writeZOrdered) needs. Readers use
+    * it whenever `spark.sql.parquet.filterPushdown` is on (default) and
+    * parquet-mr's `parquet.filter.bloom.enabled` is not disabled, for
+    * eq/IN predicates. */
+  def writeBloom(df: DataFrame, dest: String, bloomNdv: Map[String, Long]): Unit = {
     val w = df.write.mode(SaveMode.Overwrite).option("compression", "zstd")
-    bloomCols.foldLeft(w) { (acc, c) =>
+    bloomNdv.foldLeft(w) { case (acc, (c, ndv)) =>
       acc.option(s"parquet.bloom.filter.enabled#$c", "true")
-        .option(s"parquet.bloom.filter.expected.ndv#$c", expectedNdv.toString)
+        .option(s"parquet.bloom.filter.expected.ndv#$c", ndv.toString)
     }.parquet(dest)
   }
 

@@ -172,7 +172,7 @@ class LakeWriterSpec extends SparkSpec {
     }
     val docs = Tables(spark, sf001, "documents").coalesce(1)
     val dest = Files.createTempDirectory("bloom").toString + "/docs"
-    LakeWriter.writeBloom(docs, dest, Seq("doc_id"), expectedNdv = 10000)
+    LakeWriter.writeBloom(docs, dest, Map("doc_id" -> 10000L))
     val reader = firstFooter(dest)
     try {
       val block = reader.getFooter.getBlocks.get(0)
