@@ -66,9 +66,15 @@ object Dedup {
 
   /** Add `_content_hash` over every column not matching `exclude`
     * (reference excludes `kafka_*`). xxhash64 replaces Polars' struct hash —
-    * same contract (stable 64-bit content key), different bits. */
+    * same contract (stable 64-bit content key), different bits. Each
+    * column is hashed together with its null INDICATOR: xxhash64 skips
+    * NULL children entirely, so without the flags ('x', NULL) and
+    * (NULL, 'x') — common in sparse flattened payloads — would collide
+    * and dedup would silently drop a genuinely distinct row (Polars'
+    * struct hash distinguishes null positions; so must we). */
   def withContentHash(df: DataFrame, exclude: String => Boolean = _.startsWith("kafka_")): DataFrame = {
-    val cols = df.columns.filterNot(exclude).sorted.map(col)
+    val cols = df.columns.filterNot(exclude).sorted
+      .flatMap(c => Seq(col(c), col(c).isNull))
     df.withColumn("_content_hash", xxhash64(cols.toIndexedSeq: _*))
   }
 

@@ -27,13 +27,29 @@ object JsonDecode {
   }
 
   /** Decode `column` (JSON string) into a struct column named `as`,
-    * with raw_value fallback for rows that fail to parse. */
+    * with raw_value fallback for rows that fail to parse.
+    *
+    * Malformed-row detection goes through an explicit corrupt-record
+    * field: in PERMISSIVE mode `from_json` returns a NON-NULL struct of
+    * nulls for unparseable input (its FailureSafeParser maps the error,
+    * it never nulls the struct), so a `col(as).isNull` test can never
+    * fire and the degrade-to-raw_value contract (collector `:240-241`)
+    * would silently lose the payload. With `columnNameOfCorruptRecord`
+    * in the parse schema the raw text lands in that field exactly when
+    * parsing failed; we hoist it to `raw_value`, null out the struct,
+    * and drop the marker field from the decoded shape. */
   def decode(spark: SparkSession, df: DataFrame, column: String,
              as: String = "data", sampleSize: Int = 1000): DataFrame = {
+    val corrupt = "_graft_corrupt"
     val schema = inferSchema(spark, df, column, sampleSize)
-    df.withColumn(as, from_json(col(column).cast(StringType), schema))
-      .withColumn("raw_value",
-        when(col(as).isNull && col(column).isNotNull, col(column).cast(StringType)))
+    require(!schema.fieldNames.contains(corrupt),
+      s"payload schema collides with the internal corrupt-record field $corrupt")
+    val parseSchema = schema.add(corrupt, StringType)
+    df.withColumn(as, from_json(col(column).cast(StringType), parseSchema,
+        Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> corrupt)))
+      .withColumn("raw_value", col(s"$as.$corrupt"))
+      .withColumn(as,
+        when(col("raw_value").isNotNull, lit(null)).otherwise(col(as).dropFields(corrupt)))
   }
 
   /** decode + flatten in one step: the collector's per-record pipeline

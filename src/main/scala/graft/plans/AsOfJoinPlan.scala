@@ -59,9 +59,12 @@ case class AsOfJoinNode(
   * join changes which row is "latest" (e.g. dropping the current best
   * match would promote an older one instead of dropping the output row).
   */
-object PushFilterThroughAsOfJoin extends Rule[LogicalPlan] {
+object PushFilterThroughAsOfJoin extends Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, j: AsOfJoinNode) =>
+      // splitConjunctivePredicates comes from Catalyst's PredicateHelper —
+      // the same mixin every built-in pushdown rule uses
       val (pushable, kept) = splitConjunctivePredicates(cond).partition(p =>
         p.deterministic && p.references.subsetOf(j.left.outputSet))
       if (pushable.isEmpty) f
@@ -70,12 +73,6 @@ object PushFilterThroughAsOfJoin extends Rule[LogicalPlan] {
         kept.reduceOption(org.apache.spark.sql.catalyst.expressions.And)
           .map(Filter(_, pushed)).getOrElse(pushed)
       }
-  }
-
-  private def splitConjunctivePredicates(e: Expression): Seq[Expression] = e match {
-    case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
-      splitConjunctivePredicates(l) ++ splitConjunctivePredicates(r)
-    case other => Seq(other)
   }
 }
 

@@ -66,6 +66,12 @@ object VectorOps {
       if (bases.isNullAt(j))
         throw new IllegalArgumentException(s"graft_minhash: null base hash at index $j")
       val b = bases.getLong(j)
+      // the affine family's int64 headroom assumes 32-bit bases (the md5
+      // prefix contract); a larger b would overflow (2i+1)·b and return
+      // negative garbage SILENTLY — reject it loudly on the SQL surface
+      if (b < 0L || b > 0xffffffffL)
+        throw new IllegalArgumentException(
+          s"graft_minhash: base hash $b outside the 32-bit contract [0, 2^32)")
       var i = 1
       while (i <= k) {
         val h = ((2L * i + 1L) * b + 1000003L * i) % 2147483647L
@@ -96,6 +102,12 @@ object VectorOps {
       var b = 0
       while (b < 64) {
         val nibble = Character.digit(hex.charAt(b >> 2), 16)
+        // Character.digit returns -1 for a non-hex char, whose bit
+        // pattern would count EVERY bit of the nibble as set — a
+        // plausible-looking but corrupt fingerprint; reject instead
+        if (nibble < 0)
+          throw new IllegalArgumentException(
+            s"graft_simhash64: non-hex char '${hex.charAt(b >> 2)}' in hash '$hex'")
         if (((nibble >> (b & 3)) & 1) == 1) counts(b) += 1
         b += 1
       }

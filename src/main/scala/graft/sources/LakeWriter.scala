@@ -55,9 +55,17 @@ object LakeWriter {
       .map("%02x".format(_)).mkString.take(8)
   }
 
-  /** Derive the reference's `date_path` partition key from a timestamp col. */
+  /** Derive the `date_path` PARTITION key from a timestamp col. Dash
+    * format, deliberately: a slash in a partition VALUE gets
+    * percent-escaped by Spark's path builder, so the reference's nested
+    * `YYYY/MM/DD/` tree would come out as one flat, unreadable
+    * `date_path=YYYY%2FMM%2FDD` level. The Spark-native mapping of that
+    * tree is a single Hive-style date partition (`date_path=YYYY-MM-DD`)
+    * — same pruning, same per-day file grouping; query-surface date
+    * strings (q_date_partition etc.) keep the reference's slashed FORMAT
+    * since they are values, not paths. */
   def withDatePath(df: DataFrame, tsCol: String = "ts"): DataFrame =
-    df.withColumn("date_path", date_format(col(tsCol), "yyyy/MM/dd"))
+    df.withColumn("date_path", date_format(col(tsCol), "yyyy-MM-dd"))
 
   /** Parquet bloom-filter sink: zstd write with a split-block bloom
     * filter per requested column (`parquet.bloom.filter.enabled#col`),

@@ -57,7 +57,9 @@ object IngestPipeline {
     val decoded = stream
       .withColumn("data", from_json(col("props"), payloadSchema))
       .select(col("*"), col("data.*")).drop("data", "props")
-      .withColumn("date_path", date_format(col("ts"), "yyyy/MM/dd"))
+      // dash format: a slashed partition VALUE percent-escapes in the
+      // directory name (see LakeWriter.withDatePath's rationale)
+      .withColumn("date_path", date_format(col("ts"), "yyyy-MM-dd"))
     val q = decoded.writeStream
       .format("parquet")
       .option("path", dest)
@@ -161,7 +163,10 @@ object IngestPipeline {
         val t = e.ts.getTime
         cur match {
           case Some(s) if t - s.last <= gapMs =>
-            cur = Some(s.copy(last = t, n = s.n + 1, sum = s.sum + e.value))
+            // min/max merge: late-but-in-watermark rows from earlier
+            // micro-batches must never move the session end backwards
+            cur = Some(s.copy(start = math.min(s.start, t),
+              last = math.max(s.last, t), n = s.n + 1, sum = s.sum + e.value))
           case Some(s) =>
             out += SessionOut(userId, s.start, s.last, s.n, s.sum)
             cur = Some(SessionState(t, t, 1, e.value))
@@ -265,23 +270,42 @@ object IngestPipeline {
       .flatMapGroupsWithState[SessionState, SessionOut](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (userId: Long, rows: Iterator[Evt], state: GroupState[SessionState]) =>
-          val sorted = rows.toSeq.sortBy(_.ts.getTime)
-          var cur = state.getOption
-          val out = Seq.newBuilder[SessionOut]
-          sorted.foreach { e =>
-            val t = e.ts.getTime
-            cur match {
-              case Some(s) if t - s.last <= gapMs =>
-                cur = Some(s.copy(last = t, n = s.n + 1, sum = s.sum + e.value))
-              case Some(s) =>
-                out += SessionOut(userId, s.start, s.last, s.n, s.sum)
-                cur = Some(SessionState(t, t, 1, e.value))
-              case None =>
-                cur = Some(SessionState(t, t, 1, e.value))
+          if (state.hasTimedOut) {
+            // the watermark passed the idle deadline with no new rows:
+            // close and emit — without this branch (and the timer arm
+            // below) a key's FINAL session would sit in state forever
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(userId, s.start, s.last, s.n, s.sum))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var cur = state.getOption
+            val out = Seq.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  // min/max merge: a late-but-in-watermark row from an
+                  // earlier micro-batch must never move the session END
+                  // backwards (or the start forwards)
+                  cur = Some(s.copy(start = math.min(s.start, t),
+                    last = math.max(s.last, t), n = s.n + 1, sum = s.sum + e.value))
+                case Some(s) =>
+                  out += SessionOut(userId, s.start, s.last, s.n, s.sum)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
             }
+            cur.foreach { s =>
+              state.update(s)
+              // arm the close timer at the idle deadline (must stay above
+              // the current watermark or the API rejects it)
+              state.setTimeoutTimestamp(
+                math.max(s.last + gapMs, state.getCurrentWatermarkMs() + 1))
+            }
+            out.result().iterator
           }
-          cur.foreach(state.update)
-          out.result().iterator
       }
   }
 }
