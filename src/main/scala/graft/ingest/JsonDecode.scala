@@ -41,7 +41,11 @@ object JsonDecode {
   def decode(spark: SparkSession, df: DataFrame, column: String,
              as: String = "data", sampleSize: Int = 1000): DataFrame = {
     val corrupt = "_graft_corrupt"
-    val schema = inferSchema(spark, df, column, sampleSize)
+    // spark.read.json itself adds a "_corrupt_record" field when the
+    // INFERENCE sample contains malformed rows — strip it, or the decoded
+    // struct would carry a duplicate of our marker as a payload field
+    val schema = StructType(inferSchema(spark, df, column, sampleSize)
+      .fields.filterNot(_.name == "_corrupt_record"))
     require(!schema.fieldNames.contains(corrupt),
       s"payload schema collides with the internal corrupt-record field $corrupt")
     val parseSchema = schema.add(corrupt, StringType)

@@ -82,4 +82,70 @@ class HardeningSpec extends SparkSpec {
     val s = "y" * 255
     assert(Msgpack.toJson(Msgpack.encode(s)) == "\"" + s + "\"")
   }
+
+  test("json decode degrades malformed payloads to raw_value (contract was dead code)") {
+    val df = Seq((1L, """{"k": 7}"""), (2L, """{"k": 8}"""), (3L, "{broken"), (4L, null))
+      .toDF("id", "props")
+    val out = graft.ingest.JsonDecode.decode(spark, df, "props")
+      .select($"id", $"data.k", $"raw_value")
+      .collect().map(r => r.getLong(0) -> (Option(r.get(1)), Option(r.get(2)))).toMap
+    assert(out(1L) == (Some(7L), None) && out(2L) == (Some(8L), None))
+    assert(out(3L)._1.isEmpty, "malformed row must not surface a struct")
+    assert(out(3L)._2.contains("{broken"), "malformed row must keep the raw payload")
+    assert(out(4L) == (None, None), "null payload is neither decoded nor corrupt")
+    // the corrupt-record marker must not leak as a payload field
+    val flat = graft.ingest.JsonDecode.decodeFlat(spark, df, "props")
+    assert(!flat.columns.exists(_.contains("corrupt")), flat.columns.mkString(","))
+  }
+
+  test("content hash distinguishes which column holds the value") {
+    val df = Seq((Option("x"), Option.empty[String]), (Option.empty[String], Option("x")))
+      .toDF("a", "b")
+    assert(graft.ingest.Dedup.dedupByContent(df, exclude = _ => false).count() == 2,
+      "null-position rows are distinct content and must both survive")
+  }
+
+  test("flattenPayload refuses a frame that already carries a data column") {
+    val df = Seq((1L, "p", "d")).toDF("id", "props", "data")
+    val e = intercept[IllegalArgumentException] {
+      graft.ingest.Flatten.flattenPayload(df, "props")
+    }
+    assert(e.getMessage.contains("data"))
+  }
+
+  test("partition date values contain no percent-escapes in directory names") {
+    val dest = java.nio.file.Files.createTempDirectory("datedirs").toString + "/lake"
+    val ev = graft.sources.LakeWriter.withDatePath(Tables(spark, sf001, "events"))
+    graft.sources.LakeWriter.writePartitioned(ev, dest)
+    val dirs = new java.io.File(dest).listFiles.filter(_.isDirectory).map(_.getName)
+    assert(dirs.nonEmpty && dirs.forall(d => d.startsWith("date_path=") && !d.contains("%")),
+      s"escaped or unexpected partition dirs: ${dirs.mkString(",")}")
+  }
+
+  test("fMGWS sessionize closes an idle session by event-time timer") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import graft.streaming.IngestPipeline
+    import IngestPipeline.{Evt, SessionOut}
+    implicit val sqlCtx = spark.sqlContext
+    val base = 3600000L
+    def ts(ms: Long) = new java.sql.Timestamp(base + ms)
+    val mem = MemoryStream[Evt]
+    val out = IngestPipeline.sessionize(
+      mem.toDS().withWatermark("ts", "0 seconds").as[Evt], gapMinutes = 30)
+    val q = out.writeStream.format("memory").queryName("hard_sess")
+      .outputMode(OutputMode.Append()).start()
+    // user 1 goes silent; user 2 advances the watermark past 1's idle
+    // deadline, and one more batch lets the timeout fire
+    mem.addData(Evt(1, ts(0), 1.0), Evt(1, ts(60000), 2.0))
+    q.processAllAvailable()
+    mem.addData(Evt(2, ts(10 * 60 * 60000), 9.0))
+    q.processAllAvailable()
+    mem.addData(Evt(2, ts(11 * 60 * 60000), 1.0))
+    q.processAllAvailable()
+    val sessions = spark.table("hard_sess").as[SessionOut].collect().toSet
+    q.stop()
+    assert(sessions.contains(SessionOut(1, base, base + 60000, 2, 3.0)),
+      s"idle session was never closed by the timer: $sessions")
+  }
 }
