@@ -477,6 +477,8 @@ object DedupQueries {
       val labels = graft.functions.ConnectedComponents.labels(pairs)
         .toDF("doc_id", "lbl")
       val fl = Tables(s, dir, "documents")
+        // single-file input → spread the per-document regex pass
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(col("doc_id"),
           (length(regexp_replace(col("text"), "[^a-z]", "")).cast("double") /
             length(col("text"))).as("q"))
@@ -763,9 +765,9 @@ object DedupQueries {
         | p0 AS (SELECT a.vec_id a_id, b.vec_id b_id, a.q aq, b.q bq FROM e a JOIN e b ON a.vec_id < b.vec_id),
         | pt AS (SELECT a_id, b_id, aq[i]*bq[i] t FROM p0 CROSS JOIN generate_series(1,64) g(i)),
         | p AS (SELECT a_id, b_id, CAST(SUM(t) AS DOUBLE) dot FROM pt GROUP BY 1,2)
-        |SELECT a_id, b_id, dot/(na.nrm*nb.nrm) cosine
+        |SELECT a_id, b_id, dot/NULLIF(na.nrm*nb.nrm, 0) cosine
         |FROM p JOIN n na ON p.a_id = na.vec_id JOIN n nb ON p.b_id = nb.vec_id
-        |WHERE dot/(na.nrm*nb.nrm) >= 0.4 ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+        |WHERE dot/NULLIF(na.nrm*nb.nrm, 0) >= 0.4 ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
       val e = Tables(s, dir, "embeddings")
         .filter(col("vec_id") < 1000)
         .repartition(s.sparkContext.defaultParallelism, col("vec_id")) // single-file input → spread the pair loop

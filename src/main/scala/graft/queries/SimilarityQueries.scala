@@ -36,7 +36,7 @@ object SimilarityQueries {
         | pt AS (SELECT qid, c.vec_id cid, qe[i]*c.q[i] t
         |        FROM qv CROSS JOIN e c CROSS JOIN generate_series(1,64) g(i) WHERE qid <> c.vec_id),
         | p AS (SELECT qid, cid, CAST(SUM(t) AS DOUBLE) dot FROM pt GROUP BY 1,2),
-        | s AS (SELECT qid, cid, dot/(nq.nrm*nc.nrm) cosine
+        | s AS (SELECT qid, cid, dot/NULLIF(nq.nrm*nc.nrm, 0) cosine
         |       FROM p JOIN n nq ON p.qid = nq.vec_id JOIN n nc ON p.cid = nc.vec_id),
         | r AS (SELECT qid, cid, cosine, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) rnk FROM s)
         |SELECT qid, rnk, cid, cosine FROM r WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin) { (s, dir) =>
@@ -75,7 +75,7 @@ object SimilarityQueries {
         | pt AS (SELECT qid, qlab, c.vec_id cid, c.label c_label, qe[i]*c.q[i] t
         |        FROM qv CROSS JOIN e c CROSS JOIN generate_series(1,64) g(i) WHERE c.label <> qlab),
         | p AS (SELECT qid, qlab, cid, c_label, CAST(SUM(t) AS DOUBLE) dot FROM pt GROUP BY 1,2,3,4),
-        | s AS (SELECT qid, qlab q_label, cid, c_label, dot/(nq.nrm*nc.nrm) cosine
+        | s AS (SELECT qid, qlab q_label, cid, c_label, dot/NULLIF(nq.nrm*nc.nrm, 0) cosine
         |       FROM p JOIN n nq ON p.qid = nq.vec_id JOIN n nc ON p.cid = nc.vec_id),
         | r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) rnk FROM s)
         |SELECT qid, q_label, rnk, cid, c_label, cosine FROM r WHERE rnk <= 3
@@ -137,7 +137,7 @@ object SimilarityQueries {
         |        FROM cands JOIN e a ON cands.qid = a.vec_id JOIN e b ON cands.cid = b.vec_id
         |        CROSS JOIN generate_series(1,64) g(i)),
         | pd AS (SELECT qid, cid, CAST(SUM(t) AS DOUBLE) dot FROM pt GROUP BY 1,2),
-        | sc AS (SELECT pd.qid, pd.cid, dot/(na.nrm*nb.nrm) cosine FROM pd
+        | sc AS (SELECT pd.qid, pd.cid, dot/NULLIF(na.nrm*nb.nrm, 0) cosine FROM pd
         |        JOIN n na ON na.vec_id = pd.qid JOIN n nb ON nb.vec_id = pd.cid),
         | r AS (SELECT qid, cid, cosine, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) rnk FROM sc)
         |SELECT qid, rnk, cid, cosine FROM r WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin) { (s, dir) =>
@@ -145,6 +145,10 @@ object SimilarityQueries {
         .repartition(s.sparkContext.defaultParallelism, col("vec_id")) // single-file input → spread assignment + search
         .select(col("vec_id"), col("label"), quantize("embedding").as("q"))
         .withColumn("nrm", qnorm("q"))
+        // four readers (cell sums, ranked assignment, query slice, search
+        // side) — persist so the corpus quantizes once, not per reader
+        // (the q_pq_ann treatment; cleared by the harness between queries)
+        .persist()
       // exact centroid sums per cell via ONE bounded-state shuffle
       val cs = labelSums(e)
       // exact rational cell ranking computed NARROW per row: the k cell
@@ -194,6 +198,9 @@ object SimilarityQueries {
         .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
         .select(col("vec_id"), col("label"), quantize("embedding").as("q"))
         .withColumn("nrm", qnorm("q"))
+        // four readers (fit input, probe slice, query slice, search side)
+        // — persist so the corpus quantizes once (see q_knn_ivf)
+        .persist()
       // 3 Lloyd rounds: a COARSE quantizer's recall is flat after the
       // first few iterations (measured 0.32/0.32 at 3 vs 5 on sf0.001,
       // 0.38/0.42 on sf0.01 — inside the 5-query noise band) while each
@@ -246,7 +253,7 @@ object SimilarityQueries {
         |        FROM cands JOIN e a ON cands.qid = a.vec_id JOIN e b ON cands.cid = b.vec_id
         |        CROSS JOIN generate_series(1,64) g(i)),
         | pd AS (SELECT qid, cid, CAST(SUM(t) AS DOUBLE) dot FROM pt GROUP BY 1,2),
-        | sc AS (SELECT pd.qid, pd.cid, dot/(na.nrm*nb.nrm) cosine FROM pd
+        | sc AS (SELECT pd.qid, pd.cid, dot/NULLIF(na.nrm*nb.nrm, 0) cosine FROM pd
         |        JOIN n na ON na.vec_id = pd.qid JOIN n nb ON nb.vec_id = pd.cid),
         | r AS (SELECT qid, cid, cosine, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) rnk FROM sc)
         |SELECT qid, rnk, cid, cosine FROM r WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin) { (s, dir) =>
@@ -655,8 +662,11 @@ object SimilarityQueries {
         .withColumn("label_pred", when(col("logit") > 0, 1).otherwise(0))
         .groupBy(col("label_true"), col("label_pred"))
         .agg(count(lit(1)).as("n"),
-          (sum(col("logit")).cast("double") / count(lit(1)) / lit(1048576.0))
-            .as("mean_logit"))
+          // decimal(38,0) accumulation (the q_embed_norm_stats treatment):
+          // |logit| ≤ 4e8 per row, so an int64 sum overflows a large
+          // same-signed confusion cell where the HUGEINT oracle does not
+          (sum(col("logit").cast("decimal(38,0)")).cast("double") / count(lit(1))
+            / lit(1048576.0)).as("mean_logit"))
         .orderBy(col("label_true"), col("label_pred"))
     },
 
@@ -769,8 +779,12 @@ object SimilarityQueries {
           col("sp_pair").cast("double") / 8 / col("so_pair").cast("double"))
       pairs.groupBy(col("qid"))
         .agg(count(lit(1)).as("n_pairs"),
+          // BOTH cross-pair sums accumulate in decimal(38,0): so_pair is
+          // only 3 bits behind sp_pair, so guarding one and not the other
+          // would abort Spark (ANSI overflow) at a scale the HUGEINT
+          // oracle still clears
           (sum(col("sp_pair").cast("decimal(38,0)")).cast("double") / 8 /
-            sum(col("so_pair")).cast("double")).as("ratio"),
+            sum(col("so_pair").cast("decimal(38,0)")).cast("double")).as("ratio"),
           min(col("rr")).as("min_ratio"), max(col("rr")).as("max_ratio"))
         .orderBy(col("qid"))
     }
