@@ -32,6 +32,15 @@ object Bench {
       spark.read.parquet(s"$sfDir/documents.parquet").limit(50)
         .select(expr("size(array_distinct(split(text, ' ')))").as("n"))
         .agg(sum(col("n"))).write.format("noop").mode("overwrite").save()
+      // String-expression family: levenshtein/trim/lpad/replace each JIT
+      // their own codegen template on first use — without this warmer that
+      // cost lands on whichever string query runs first (observed as the
+      // r9 q_string_funcs "regression": plan unchanged, first-use only).
+      spark.read.parquet(s"$sfDir/nation.parquet").limit(5)
+        .select(expr("levenshtein(n_name, 'X')"), expr("trim('x' FROM n_name)"),
+          expr("lpad(n_name, 12, '0')"), expr("replace(n_name, 'A', '_')"),
+          expr("reverse(n_name)"), expr("instr(n_name, 'A')"))
+        .write.format("noop").mode("overwrite").save()
     }
     // Optional comma-separated filter for local profiling runs; the driver
     // harness sets no filter and always measures the full suite.

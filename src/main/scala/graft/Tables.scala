@@ -16,9 +16,10 @@ import org.apache.spark.sql.types._
   * in two encodings across testdata generations — INT64 TIMESTAMP(NANOS)
   * (which Spark's schema converter rejects outright, PARQUET_TYPE_ILLEGAL)
   * and plain TIMESTAMP(MICROS) (which Spark reads as TIMESTAMP_NTZ). We
-  * sniff the footer-declared type once per lake directory (a driver-side
-  * footer read, no data scan; the NANOS generation surfaces as the
-  * inference throwing PARQUET_TYPE_ILLEGAL, which we catch), then read the
+  * sniff the footer's TIMESTAMP logical-type ANNOTATION once per lake
+  * directory (a driver-side footer read via parquet-hadoop, no data scan —
+  * never inferred from Spark's converted type, and failing loudly when the
+  * annotation is absent), then read the
   * physical INT64 pages with an explicit LongType schema and convert to a
   * microsecond TimestampType with integer arithmetic (`DIV 1000` only for
   * the nanos generation) — exact, no double rounding, and one
@@ -38,21 +39,54 @@ object Tables {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** Footer-declared `ts` unit per lake dir; true = epoch-nanos (needs the
-    * DIV 1000). Cached: the sniff is a one-file footer read, but there is no
-    * reason to repeat it for every query in a 150-query bench run. */
-  private val eventsTsIsNanos = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  /** Footer-declared `ts` TIMESTAMP unit per lake dir ("NANOS" | "MICROS" |
+    * "MILLIS"), read straight from the parquet logical-type annotation —
+    * NOT inferred from Spark's converted type, which would silently treat a
+    * plain unannotated INT64 (a plausible third testdata generation) as
+    * nanos and divide valid timestamps by 1000. An absent or non-TIMESTAMP
+    * annotation fails loudly instead of guessing. Cached: the sniff is a
+    * one-footer read, but there is no reason to repeat it for every query
+    * in a 150-query bench run. */
+  private val eventsTsUnit = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def sniffTsUnit(spark: SparkSession, dir: String): String = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(s"$dir/events.parquet")
+    val fs = root.getFileSystem(conf)
+    // a sink may have written events.parquet as a part-file directory
+    val file =
+      if (fs.getFileStatus(root).isDirectory)
+        fs.listStatus(root).map(_.getPath)
+          .filter(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("_"))
+          .minBy(_.getName.toString)
+      else root
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    try {
+      val schema = reader.getFileMetaData.getSchema
+      val annotation = schema.getType(schema.getFieldIndex("ts"))
+        .asPrimitiveType().getLogicalTypeAnnotation
+      annotation match {
+        case ts: TimestampLogicalTypeAnnotation => ts.getUnit.name
+        case other => sys.error(
+          s"events.ts at $file carries no TIMESTAMP logical annotation " +
+            s"(found: $other) — refusing to guess the epoch unit; annotate " +
+            "the column or extend Tables.sniffTsUnit for the new generation")
+      }
+    } finally reader.close()
+  }
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = name match {
     case "events" =>
-      val nanos = eventsTsIsNanos.computeIfAbsent(dir, _ =>
-        try spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType == LongType
-        catch { // TIMESTAMP(NANOS) footers fail schema conversion outright
-          case e: Exception if e.getMessage != null && e.getMessage.contains("Illegal Parquet type") => true
-        })
-      val toMicros =
-        if (nanos) expr("timestamp_micros(ts DIV 1000)") // INT64 nanos
-        else expr("timestamp_micros(ts)") // TIMESTAMP(MICROS): INT64 pages hold epoch-µs
+      val toMicros = eventsTsUnit.computeIfAbsent(dir, _ => sniffTsUnit(spark, dir)) match {
+        case "NANOS"  => expr("timestamp_micros(ts DIV 1000)") // INT64 pages hold epoch-ns
+        case "MICROS" => expr("timestamp_micros(ts)")          // INT64 pages hold epoch-µs
+        case "MILLIS" => expr("timestamp_millis(ts)")          // INT64 pages hold epoch-ms
+        case u        => sys.error(s"events.ts TIMESTAMP($u): unsupported unit")
+      }
       spark.read.schema(eventsSchema).parquet(s"$dir/events.parquet")
         .withColumn("ts", toMicros)
     case _ => spark.read.parquet(s"$dir/$name.parquet")

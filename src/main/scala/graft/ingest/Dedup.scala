@@ -64,6 +64,17 @@ object Dedup {
       maybeDup.join(existing.select(col(key)).dropDuplicates(key), Seq(key), "left_anti"))
   }
 
+  /** Hash-format generation of [[withContentHash]]. v1 hashed bare column
+    * values; v2 (current) interleaves each column's null INDICATOR, so
+    * every v2 hash differs from its v1 hash for the same row. A lake or
+    * streaming-dedup state written under v1 will NOT match v2 hashes:
+    * mixing generations silently re-admits duplicates across the upgrade
+    * boundary. Operators upgrading a persisted `_content_hash` state must
+    * rebuild it (re-run [[withContentHash]] over the lake) — the version
+    * constant exists so callers can stamp/compare the generation in
+    * their ledger instead of discovering the drift by duplicate rows. */
+  val ContentHashVersion: Int = 2
+
   /** Add `_content_hash` over every column not matching `exclude`
     * (reference excludes `kafka_*`). xxhash64 replaces Polars' struct hash —
     * same contract (stable 64-bit content key), different bits. Each
@@ -71,7 +82,8 @@ object Dedup {
     * NULL children entirely, so without the flags ('x', NULL) and
     * (NULL, 'x') — common in sparse flattened payloads — would collide
     * and dedup would silently drop a genuinely distinct row (Polars'
-    * struct hash distinguishes null positions; so must we). */
+    * struct hash distinguishes null positions; so must we). Hash format
+    * is versioned: see [[ContentHashVersion]]. */
   def withContentHash(df: DataFrame, exclude: String => Boolean = _.startsWith("kafka_")): DataFrame = {
     val cols = df.columns.filterNot(exclude).sorted
       .flatMap(c => Seq(col(c), col(c).isNull))

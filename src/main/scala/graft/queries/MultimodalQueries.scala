@@ -164,9 +164,16 @@ object MultimodalQueries {
     // all-pairs at scale, and the oracle replays the identical rule so
     // the gate checks the algorithm as specified. The oracle
     // replays the byte-grid hash character-wise over the ASCII payloads
-    // and the same quarter-match + Hamming filter.
+    // and the same quarter-match + Hamming filter. Because the oracle
+    // indexes CHARACTERS while [[Multimodal.aHash]] hashes UTF-8 BYTES,
+    // BOTH engines restrict the text-stub gate to ASCII payloads
+    // (chars == bytes ⇔ length == octet_length) with the same filter —
+    // so the contract holds, not just happens to hold, on a corpus with
+    // multi-byte characters; non-ASCII payloads take the real image
+    // path, which MultimodalSpec pins with hand-built BMPs.
     entry("q_mm_ahash_dedup",
-      """WITH d AS (SELECT doc_id, text, length(text) n FROM documents WHERE length(text) > 0),
+      """WITH d AS (SELECT doc_id, text, length(text) n FROM documents
+        |        WHERE length(text) > 0 AND length(text) = octet_length(encode(text))),
         | c AS (SELECT doc_id, n, [COALESCE(list_sum([ascii(substr(text, CAST(p AS INT), 1))
         |          for p in generate_series((i*n)//64 + 1, ((i+1)*n)//64)]), 0)
         |        for i in generate_series(0, 63)] cells FROM d),
@@ -183,7 +190,8 @@ object MultimodalQueries {
       import graft.multimodal.Multimodal
       val f = Multimodal.aHash(
           Tables(s, dir, "documents")
-            .filter(length(col("text")) > 0)
+            .filter(length(col("text")) > 0 &&
+              length(col("text")) === octet_length(col("text")))
             .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
             .withColumn("payload", col("text").cast("binary")),
           "doc_id", "payload")

@@ -22,6 +22,10 @@ object RelationalQueries {
 
   // Shared oracle fragments (DuckDB SQL, ANSI).
   private def dsum(x: String) = s"CAST(SUM(CAST($x AS DECIMAL(18,3))) AS DOUBLE)"
+  /** Oracle twin of [[graft.functions.Exact.davg]]: divides by COUNT(col)
+    * (SQL AVG semantics, nulls excluded) so Spark and DuckDB cannot drift
+    * on nullable input. */
+  private def davg(x: String) = s"${dsum(x)}/COUNT($x)"
 
   /** The ONE support threshold both co-purchase graph queries and their
     * oracles derive from — a single constant so Spark and SQL cannot
@@ -86,8 +90,8 @@ object RelationalQueries {
          |  ${dsum("l_quantity")} AS sum_qty,
          |  ${dsum("l_extendedprice")} AS sum_base_price,
          |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,3)) * (CAST(1 AS DECIMAL(18,3)) - CAST(l_discount AS DECIMAL(18,3)))) AS DOUBLE) AS sum_disc_price,
-         |  ${dsum("l_quantity")}/COUNT(*) AS avg_qty,
-         |  ${dsum("l_discount")}/COUNT(*) AS avg_disc,
+         |  ${davg("l_quantity")} AS avg_qty,
+         |  ${davg("l_discount")} AS avg_disc,
          |  COUNT(*) AS count_order
          |FROM lineitem
          |WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
@@ -632,11 +636,11 @@ object RelationalQueries {
     entry("q_describe_stats",
       s"""SELECT COUNT(*) AS n_rows,
          |  MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
-         |  ${dsum("l_quantity")}/COUNT(*) AS avg_qty,
+         |  ${davg("l_quantity")} AS avg_qty,
          |  sqrt((CAST(SUM(CAST(l_quantity AS DECIMAL(18,3)) * CAST(l_quantity AS DECIMAL(18,3))) AS DOUBLE)
          |        - ${dsum("l_quantity")} * ${dsum("l_quantity")} / COUNT(l_quantity)) / (COUNT(l_quantity) - 1)) AS std_qty,
          |  MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price,
-         |  ${dsum("l_extendedprice")}/COUNT(*) AS avg_price,
+         |  ${davg("l_extendedprice")} AS avg_price,
          |  COUNT(CASE WHEN l_shipdate IS NULL THEN 1 END) AS null_shipdate
          |FROM lineitem""".stripMargin) { (s, dir) =>
       import s.implicits._
@@ -747,14 +751,14 @@ object RelationalQueries {
     // deviations are exact 0.5-multiples, the MAD is an exact
     // 0.25-multiple, and the strict fence ad > 1.5·mad can never flip on
     // an interpolation ulp — the one double division back to price units
-    // happens after all comparisons. The deviation frame is deliberately
-    // recomputed for the final fence count rather than persisted — it is
-    // one cheap scan+broadcast-join, and measured caching 600k rows cost
-    // more than recomputing them. Scale note: EXACT percentile buffers a
-    // group's values in its reducer — this query is the bounded-scale
-    // oracle contract; `q_mad_outliers_sketch` below is the 100 TB twin
-    // (both passes through the mergeable
-    // [[graft.functions.Sketches.quantileSketch]], identical fence shape).
+    // happens after all comparisons. Both twins route through the
+    // [[graft.functions.Robust]] front door (mode = Exact here): EXACT
+    // percentile buffers a group's values in its reducer — this query is
+    // the bounded-scale oracle contract; `q_mad_outliers_sketch` below is
+    // the 100 TB twin (Robust.Mode.Sketch — mergeable
+    // [[graft.functions.Sketches.quantileSketch]], identical fence shape;
+    // Robust.Mode.Auto picks by row count). The recompute-vs-cache
+    // decision for the deviation frame lives in Robust.madOutliers.
     entry("q_mad_outliers",
       """WITH v AS (SELECT l_returnflag, CAST(CAST(l_extendedprice AS DECIMAL(18,3)) * 1000 AS BIGINT) pm FROM lineitem),
         | med AS (SELECT l_returnflag, quantile_cont(pm, 0.5) med FROM v GROUP BY 1),
@@ -767,19 +771,11 @@ object RelationalQueries {
         |FROM dev d JOIN mad ON d.l_returnflag = mad.l_returnflag
         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
       import s.implicits._
+      import graft.functions.Robust
       val li = Tables(s, dir, "lineitem")
         .select($"l_returnflag", (Exact.dec($"l_extendedprice") * 1000).cast("long").as("pm"))
-      val med = li.groupBy($"l_returnflag".as("m_flag"))
-        .agg(expr("percentile(pm, 0.5)").as("med"))
-      val dev = li.join(broadcast(med), $"l_returnflag" === $"m_flag")
-        .select($"l_returnflag", abs($"pm" - $"med").as("ad"))
-      val mad = dev.groupBy($"l_returnflag".as("d_flag"))
-        .agg(expr("percentile(ad, 0.5)").as("mad"))
-      dev.join(broadcast(mad), $"l_returnflag" === $"d_flag")
-        .groupBy($"l_returnflag")
-        .agg(count(lit(1)).as("n_rows"),
-          count(when($"ad" > lit(1.5) * $"mad", 1)).as("n_outliers"),
-          (max($"mad").cast("double") / 1000).as("mad"))
+      Robust.madOutliers(li, "l_returnflag", "pm", fence = 1.5, mode = Robust.Mode.Exact)
+        .select($"l_returnflag", $"n_rows", $"n_outliers", ($"mad" / 1000).as("mad"))
         .orderBy($"l_returnflag")
     },
 
@@ -794,26 +790,11 @@ object RelationalQueries {
     // against the exact q_mad_outliers answers on the same data.
     entryNoOracle("q_mad_outliers_sketch") { (s, dir) =>
       import s.implicits._
-      import graft.functions.Sketches.quantileSketch
+      import graft.functions.Robust
       val li = Tables(s, dir, "lineitem")
         .select($"l_returnflag", (Exact.dec($"l_extendedprice") * 1000).cast("long").as("pm"))
-      val med = li.groupBy($"l_returnflag".as("m_flag"))
-        .agg(quantileSketch(256, Seq(0.5))($"pm".cast("double")).getItem(0).as("med"))
-      // the deviation frame feeds BOTH the MAD sketch and the fence
-      // count; unlike the exact twin (where recomputing one cheap
-      // scan+join measured faster than caching), here each re-evaluation
-      // would repeat the median SKETCH aggregation pass — checkpoint it
-      // (registry-managed: the harness drops it after materialization)
-      val dev = graft.functions.Checkpoints.lazyLocal(
-        li.join(broadcast(med), $"l_returnflag" === $"m_flag")
-          .select($"l_returnflag", abs($"pm" - $"med").as("ad")))
-      val mad = dev.groupBy($"l_returnflag".as("d_flag"))
-        .agg(quantileSketch(256, Seq(0.5))($"ad").getItem(0).as("mad"))
-      dev.join(broadcast(mad), $"l_returnflag" === $"d_flag")
-        .groupBy($"l_returnflag")
-        .agg(count(lit(1)).as("n_rows"),
-          count(when($"ad" > lit(1.5) * $"mad", 1)).as("n_outliers"),
-          (max($"mad").cast("double") / 1000).as("mad"))
+      Robust.madOutliers(li, "l_returnflag", "pm", fence = 1.5, mode = Robust.Mode.Sketch)
+        .select($"l_returnflag", $"n_rows", $"n_outliers", ($"mad" / 1000).as("mad"))
         .orderBy($"l_returnflag")
     },
 
@@ -1153,7 +1134,7 @@ object RelationalQueries {
         | s AS (SELECT x, abs(CAST(cka AS HUGEINT) * nb - CAST(ckb AS HUGEINT) * na) num
         |       FROM r CROSS JOIN n),
         | m AS (SELECT x, num, ROW_NUMBER() OVER (ORDER BY num DESC, x) rn FROM s)
-        |SELECT n.na, n.nb, m.x AS at_x, m.num AS d_num,
+        |SELECT n.na, n.nb, m.x AS at_x, CAST(m.num AS DECIMAL(38,0)) AS d_num,
         |  CAST(m.num AS DOUBLE) / CAST(CAST(n.na AS HUGEINT) * n.nb AS DOUBLE) AS ks
         |FROM m CROSS JOIN n WHERE m.rn = 1""".stripMargin) { (s, dir) =>
       import s.implicits._
@@ -1716,18 +1697,14 @@ object RelationalQueries {
         |FROM v JOIN f ON v.l_returnflag = f.flag
         |GROUP BY v.l_returnflag, f.lo, f.hi ORDER BY v.l_returnflag""".stripMargin) { (s, dir) =>
       import s.implicits._
+      import graft.functions.Robust
       val v = Tables(s, dir, "lineitem")
         .select($"l_returnflag", (Exact.dec($"l_extendedprice") * 1000).cast("long").as("pm"))
-      val f = v.groupBy($"l_returnflag".as("f_flag"))
-        .agg(expr("percentile(pm, 0.1)").as("lo"), expr("percentile(pm, 0.9)").as("hi"))
-      val kept = $"pm" >= $"lo" && $"pm" <= $"hi"
-      v.join(broadcast(f), $"l_returnflag" === $"f_flag")
-        .groupBy($"l_returnflag")
-        .agg(count(lit(1)).as("n_rows"),
-          count(when(kept, 1)).as("n_kept"),
-          (sum(when(kept, $"pm")).cast("double") / count(when(kept, 1)) / 1000)
-            .as("trimmed_mean"),
-          (max($"lo") / 1000).as("lo_fence"), (max($"hi") / 1000).as("hi_fence"))
+      Robust.trimmedStats(v, "l_returnflag", "pm", loQ = 0.1, hiQ = 0.9,
+          mode = Robust.Mode.Exact)
+        .select($"l_returnflag", $"n_rows", $"n_kept",
+          ($"trimmed_mean" / 1000).as("trimmed_mean"),
+          ($"lo_fence" / 1000).as("lo_fence"), ($"hi_fence" / 1000).as("hi_fence"))
         .orderBy($"l_returnflag")
     },
 
@@ -1743,20 +1720,14 @@ object RelationalQueries {
     // driver check; SketchSpec bounds the drift against the exact twin.
     entryNoOracle("q_trimmed_stats_sketch") { (s, dir) =>
       import s.implicits._
-      import graft.functions.Sketches.quantileSketch
+      import graft.functions.Robust
       val v = Tables(s, dir, "lineitem")
         .select($"l_returnflag", (Exact.dec($"l_extendedprice") * 1000).cast("long").as("pm"))
-      val f = v.groupBy($"l_returnflag".as("f_flag"))
-        .agg(quantileSketch(256, Seq(0.1, 0.9))($"pm".cast("double")).as("qq"))
-        .select($"f_flag", $"qq".getItem(0).as("lo"), $"qq".getItem(1).as("hi"))
-      val kept = $"pm" >= $"lo" && $"pm" <= $"hi"
-      v.join(broadcast(f), $"l_returnflag" === $"f_flag")
-        .groupBy($"l_returnflag")
-        .agg(count(lit(1)).as("n_rows"),
-          count(when(kept, 1)).as("n_kept"),
-          (sum(when(kept, $"pm")).cast("double") / count(when(kept, 1)) / 1000)
-            .as("trimmed_mean"),
-          (max($"lo") / 1000).as("lo_fence"), (max($"hi") / 1000).as("hi_fence"))
+      Robust.trimmedStats(v, "l_returnflag", "pm", loQ = 0.1, hiQ = 0.9,
+          mode = Robust.Mode.Sketch)
+        .select($"l_returnflag", $"n_rows", $"n_kept",
+          ($"trimmed_mean" / 1000).as("trimmed_mean"),
+          ($"lo_fence" / 1000).as("lo_fence"), ($"hi_fence" / 1000).as("hi_fence"))
         .orderBy($"l_returnflag")
     }
   )

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Exact, Robust}
+
+/** Contract of the [[graft.functions.Robust]] exact/sketch front door:
+  * both modes return the pinned shapes, and Auto picks the side its
+  * row-count threshold says. The numerical drift between the twins is
+  * bounded separately in SketchSpec against the gated queries. */
+class RobustSpec extends SparkSpec {
+
+  private def mils = {
+    import spark.implicits._
+    Tables(spark, sf001, "lineitem")
+      .select($"l_returnflag", (Exact.dec($"l_extendedprice") * 1000).cast("long").as("pm"))
+  }
+
+  test("madOutliers: both modes return the same schema; exact matches the gated query") {
+    import spark.implicits._
+    val ex = Robust.madOutliers(mils, "l_returnflag", "pm", 1.5, Robust.Mode.Exact)
+    val sk = Robust.madOutliers(mils, "l_returnflag", "pm", 1.5, Robust.Mode.Sketch)
+    assert(ex.schema == sk.schema, "mode switch must be schema-invisible")
+    assert(ex.columns.toSeq == Seq("l_returnflag", "n_rows", "n_outliers", "mad"))
+    val viaQuery = SparkEntry.queries("q_mad_outliers")(spark, sf001)
+      .select($"l_returnflag", $"n_rows", $"n_outliers").collect().toSeq
+    val direct = ex.orderBy($"l_returnflag")
+      .select($"l_returnflag", $"n_rows", $"n_outliers").collect().toSeq
+    assert(direct == viaQuery, "front door must reproduce the oracle-gated query")
+  }
+
+  test("trimmedStats: both modes return the same schema; counts are sane") {
+    val ex = Robust.trimmedStats(mils, "l_returnflag", "pm", 0.1, 0.9, Robust.Mode.Exact)
+    val sk = Robust.trimmedStats(mils, "l_returnflag", "pm", 0.1, 0.9, Robust.Mode.Sketch)
+    assert(ex.schema == sk.schema)
+    assert(ex.columns.toSeq ==
+      Seq("l_returnflag", "n_rows", "n_kept", "trimmed_mean", "lo_fence", "hi_fence"))
+    ex.collect().foreach { r =>
+      val (n, kept) = (r.getLong(1), r.getLong(2))
+      assert(kept <= n && kept >= (n * 0.7).toLong, s"10/90 trim kept $kept of $n")
+    }
+  }
+
+  test("percentiles: caller-named columns, exact interpolation matches SQL percentile") {
+    val p = Robust.percentiles(mils, "l_returnflag", "pm",
+      Seq(0.5 -> "med", 0.9 -> "p90"), Robust.Mode.Exact).orderBy("l_returnflag")
+    assert(p.columns.toSeq == Seq("l_returnflag", "med", "p90"))
+    val ref = mils.groupBy("l_returnflag")
+      .agg(expr("percentile(pm, 0.5)").as("med"), expr("percentile(pm, 0.9)").as("p90"))
+      .orderBy("l_returnflag")
+    assert(p.collect().toSeq == ref.collect().toSeq)
+  }
+
+  test("Auto picks exact under the threshold and sketch above it") {
+    // Threshold far above sf0.001 row count -> exact; 0 -> sketch. The two
+    // sides are distinguishable through the fence values on this data only
+    // when they disagree — so pin by comparing against each explicit mode.
+    val autoHi = Robust.madOutliers(mils, "l_returnflag", "pm", 1.5,
+      Robust.Mode.Auto(maxExactRows = Long.MaxValue)).orderBy("l_returnflag").collect().toSeq
+    val exact = Robust.madOutliers(mils, "l_returnflag", "pm", 1.5,
+      Robust.Mode.Exact).orderBy("l_returnflag").collect().toSeq
+    assert(autoHi == exact, "Auto under threshold must BE the exact path")
+    val auto0 = Robust.madOutliers(mils, "l_returnflag", "pm", 1.5,
+      Robust.Mode.Auto(maxExactRows = 0)).orderBy("l_returnflag").collect().toSeq
+    val sketch = Robust.madOutliers(mils, "l_returnflag", "pm", 1.5,
+      Robust.Mode.Sketch).orderBy("l_returnflag").collect().toSeq
+    assert(auto0 == sketch, "Auto over threshold must BE the sketch path")
+  }
+}
