@@ -315,6 +315,57 @@ object IngestQueries {
         .orderBy(col("hour_bucket"))
     },
 
+    // ---- TRUE bounded-horizon dedup — the batch twin of the streaming
+    // watermarked dropDuplicates, and the fix for q_event_dedup_window's
+    // bucket-boundary blind spot: two same-key events 5 minutes apart
+    // straddling an hour boundary land in different buckets and BOTH
+    // survive the bucketed dedup; here an event is dropped iff it has a
+    // same-(user, type) PREDECESSOR within the 30-min horizon, regardless
+    // of bucket lines. Shape: bucket ts by the horizon H, and join each
+    // event against predecessors in its own and the PREVIOUS bucket only
+    // (any predecessor within H must sit in one of the two) — candidates
+    // come from a (user, type, bucket) equi-join, never a corpus-wide
+    // window sort or a time-range cross join; the dropped-id set then
+    // anti-joins back on event_id. At 100 TB both shuffles are standard
+    // hash exchanges; the ×2 explode is on the PROBE side only. The
+    // predecessor order is total ((ts, event_id) lexicographic), so the
+    // oracle's NOT EXISTS replays the exact survivor set.
+    entry("q_dedup_bounded_horizon",
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) us FROM events),
+        | k AS (SELECT a.event_type FROM e a WHERE NOT EXISTS (
+        |         SELECT 1 FROM e p
+        |         WHERE p.user_id = a.user_id AND p.event_type = a.event_type
+        |           AND p.us <= a.us AND a.us - p.us <= 1800000000
+        |           AND (p.us < a.us OR p.event_id < a.event_id))),
+        | t AS (SELECT event_type, COUNT(*) n_total FROM e GROUP BY 1),
+        | s AS (SELECT event_type, COUNT(*) n_kept FROM k GROUP BY 1)
+        |SELECT t.event_type, n_total, COALESCE(n_kept, 0) AS n_kept,
+        |  n_total - COALESCE(n_kept, 0) AS n_dropped
+        |FROM t LEFT JOIN s USING (event_type) ORDER BY 1""".stripMargin) { (s, dir) =>
+      val H = 1800000000L // 30 min in µs
+      val e = events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("unix_micros(ts)").as("us"))
+        .withColumn("b", expr(s"us DIV $H"))
+      val probe = e.withColumn("pb", explode(array(col("b"), col("b") - 1)))
+      val pred = e.select(col("user_id").as("p_uid"), col("event_type").as("p_type"),
+        col("us").as("p_us"), col("event_id").as("p_id"), col("b").as("p_b"))
+      val droppedIds = probe.join(pred,
+          col("p_uid") === col("user_id") && col("p_type") === col("event_type") &&
+            col("p_b") === col("pb") &&
+            col("p_us") <= col("us") && (col("us") - col("p_us")) <= H &&
+            (col("p_us") < col("us") || col("p_id") < col("event_id")), "left_semi")
+        .select(col("event_id")).distinct()
+      val kept = e.join(droppedIds, Seq("event_id"), "left_anti")
+      e.groupBy(col("event_type")).agg(count(lit(1)).as("n_total"))
+        .join(kept.groupBy(col("event_type")).agg(count(lit(1)).as("n_kept")),
+          Seq("event_type"), "left")
+        .select(col("event_type"), col("n_total"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          (col("n_total") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+        .orderBy(col("event_type"))
+    },
+
     // ---- Dataset RELEASE DIFF — the audit table a curation pipeline
     // publishes with every dataset version: per source, how many
     // documents were added, removed, changed (content hash moved) or

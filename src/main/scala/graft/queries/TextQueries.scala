@@ -972,6 +972,52 @@ object TextQueries {
         .orderBy(col("lang"))
     },
 
+    // ---- Temperature-scaled mixture weights — the OTHER way training
+    // mixtures get built (q_data_mixture/q_mixture_resample take rates as
+    // GIVEN; this DERIVES them): sample sources proportional to
+    // n_docs^α, the classic temperature reweighting that upsamples small
+    // sources without letting the biggest source dominate. α = 0.5 is
+    // deliberate: sqrt is correctly rounded in IEEE-754, so both engines
+    // compute bit-identical weights (a general pow(x, 0.7) is NOT
+    // cross-engine exact). The normalizer Σw is summed in FORCED ORDER —
+    // a running sum over ORDER BY source, then MAX over the running
+    // column (all w > 0, so the max IS the final prefix) — because a
+    // plain SUM over doubles is free to reassociate differently per
+    // engine/partitioning; every downstream double op then has identical
+    // operands on both sides. Scale shape: the corpus reduces map-side
+    // to |sources| rows; the windows run on that configuration-bounded
+    // frame (the single-partition window warning is about a ~5-row
+    // frame). Outputs: weight, share, a 10k-doc allocation, and the
+    // effective epochs each source repeats under that allocation — the
+    // number a mixture designer actually reads.
+    entry("q_mixture_temperature",
+      """WITH s AS (SELECT source, COUNT(*) n_docs,
+        |      CAST(SUM(len(string_split(text,' '))) AS BIGINT) n_tok
+        |    FROM documents GROUP BY 1),
+        | w AS (SELECT source, n_docs, n_tok, sqrt(CAST(n_docs AS DOUBLE)) w FROM s),
+        | r AS (SELECT *, SUM(w) OVER (ORDER BY source
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) rsum FROM w),
+        | t AS (SELECT *, MAX(rsum) OVER () z FROM r)
+        |SELECT source, n_docs, n_tok, w, w/z AS share,
+        |  CAST(floor(w/z * 10000) AS BIGINT) AS alloc_docs,
+        |  (w/z * 10000) / n_docs AS epochs
+        |FROM t ORDER BY source""".stripMargin) { (s, dir) =>
+      val byS = Tables(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(size(tokens("text"))).as("n_tok"))
+        .withColumn("w", sqrt(col("n_docs").cast("double")))
+      val run = Window.orderBy(col("source"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val whole = Window.partitionBy()
+      byS.withColumn("rsum", sum(col("w")).over(run))
+        .withColumn("z", max(col("rsum")).over(whole))
+        .select(col("source"), col("n_docs"), col("n_tok"), col("w"),
+          (col("w") / col("z")).as("share"),
+          floor(col("w") / col("z") * 10000).cast("long").as("alloc_docs"),
+          ((col("w") / col("z") * 10000) / col("n_docs")).as("epochs"))
+        .orderBy(col("source"))
+    },
+
     // ---- Deterministic k-fold split audit — the train/validation
     // assignment every fine-tune/eval pipeline needs to be REPRODUCIBLE:
     // fold = md5-prefix-hash('fold_' || doc_id) mod 5 (salted so the
