@@ -504,6 +504,79 @@ object Multimodal {
       }
   }
 
+  case class MediaDHash(doc_id: Long, dhash: String)
+
+  /** Difference-hash (dHash) perceptual fingerprint as a 64-char '0'/'1'
+    * string — the GRADIENT twin of [[aHash]]: where aHash thresholds each
+    * cell against the global mean (and so flips wholesale under
+    * brightness shifts), dHash sets bit (r,c) when the right neighbor of
+    * an 8×9 brightness grid is strictly brighter — invariant to any
+    * monotone global brightness change. Recognized images compare
+    * per-pixel cell means cross-multiplied in exact 128 bits
+    * ([[prodGt]]); unrecognized payloads (the decode stub) compare 65
+    * consecutive byte-range cells the same way, and for ASCII text the
+    * DuckDB oracle replays that path character-wise. Deterministic and
+    * partitioning-free, like aHash. */
+  def dHash(df: DataFrame, idCol: String, payloadCol: String): Dataset[MediaDHash] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes0) =>
+          val bytes = if (bytes0 == null) Array.emptyByteArray else bytes0
+          val bits = new StringBuilder(64)
+          decodeImage(bytes) match {
+            case Some(img) =>
+              val (w, h) = (img.width, img.height)
+              val sums = new Array[Long](72); val npx = new Array[Long](72)
+              var y = 0
+              while (y < h) {
+                // Long cell arithmetic, same >268M-pixel-edge guard as aHash
+                val cy = math.min(y.toLong * 8 / h, 7L).toInt
+                var x = 0
+                while (x < w) {
+                  val cx = math.min(x.toLong * 9 / w, 8L).toInt
+                  val p = (y * w + x) * 3
+                  val s = (img.rgb(p) & 0xff) + (img.rgb(p + 1) & 0xff) + (img.rgb(p + 2) & 0xff)
+                  sums(cy * 9 + cx) += s; npx(cy * 9 + cx) += 1
+                  x += 1
+                }
+                y += 1
+              }
+              var r = 0
+              while (r < 8) {
+                var c = 0
+                while (c < 8) {
+                  val l = r * 9 + c
+                  // right neighbor's mean > this cell's mean, cross-multiplied
+                  bits.append(if (prodGt(sums(l + 1), npx(l), sums(l), npx(l + 1))) '1' else '0')
+                  c += 1
+                }
+                r += 1
+              }
+            case None =>
+              val n = bytes.length.toLong
+              val sums = new Array[Long](65); val lens = new Array[Long](65)
+              var i = 0
+              while (i < 65) {
+                var p = (i * n / 65).toInt
+                val hi = ((i + 1) * n / 65).toInt
+                lens(i) = hi - p
+                while (p < hi) { sums(i) += bytes(p) & 0xff; p += 1 }
+                i += 1
+              }
+              i = 0
+              while (i < 64) {
+                bits.append(if (prodGt(sums(i + 1), lens(i), sums(i), lens(i + 1))) '1' else '0')
+                i += 1
+              }
+          }
+          MediaDHash(id, bits.toString)
+        }
+      }
+  }
+
   case class ResizedMedia(doc_id: Long, resized_len: Int, resized_md5: String)
 
   /** Resize: recognized images get a REAL nearest-neighbor downscale by

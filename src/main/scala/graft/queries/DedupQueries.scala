@@ -882,6 +882,41 @@ object DedupQueries {
         .select(col("source_a"), col("source_b"), col("n_match"),
           (col("n_match").cast("double") / 16).as("est_jaccard"))
         .orderBy(col("source_a"), col("source_b"))
+    },
+
+    // ---- NORMALIZATION-EQUIVALENCE dedup: canonicalize text (lowercase,
+    // collapse every non-alphanumeric run to one space, trim) BEFORE
+    // hashing, so trivially-reformatted copies — case changes, extra
+    // whitespace, punctuation-only edits — collapse into one group where
+    // q_dedup_exact's raw-byte hash sees distinct documents (the C4/CCNet
+    // normalize-then-hash step that runs before any MinHash is worth its
+    // cost). Scale shape: canonicalization is a per-row codegen'd
+    // expression chain (no UDF); groups form on the 60-bit int64 md5
+    // prefix of the canonical form ([[graft.functions.TextFunctions
+    // .md5Prefix64Sql]] — 8-byte shuffle keys), one map-side-combined
+    // aggregate; the keeper frame (one row per group) joins back
+    // AQE-sized. Keeper = MIN(doc_id) — a bounded-state aggregate, never
+    // a corpus-wide window. The oracle replays the identical
+    // canonicalization and hex→int arithmetic, so even a hash collision
+    // cannot diverge the engines.
+    entry("q_normalize_dedup",
+      s"""WITH c AS (SELECT doc_id,
+        |    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) canon FROM documents),
+        | h AS (SELECT doc_id, ${md5Prefix64Oracle("canon")} ch FROM c),
+        | g AS (SELECT ch, COUNT(*) n_members, MIN(doc_id) keeper FROM h GROUP BY ch)
+        |SELECT h.doc_id, g.keeper AS keeper_id, g.n_members,
+        |  h.doc_id = g.keeper AS kept
+        |FROM h JOIN g ON h.ch = g.ch ORDER BY h.doc_id""".stripMargin) { (s, dir) =>
+      val h = Tables(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id")) // single-file scan → spread the regex pass
+        .withColumn("canon", trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")))
+        .select(col("doc_id"), expr(md5Prefix64Sql("canon")).as("ch"))
+      val g = h.groupBy(col("ch").as("g_ch"))
+        .agg(count(lit(1)).as("n_members"), min(col("doc_id")).as("keeper_id"))
+      h.join(g, col("ch") === col("g_ch"))
+        .select(col("doc_id"), col("keeper_id"), col("n_members"),
+          (col("doc_id") === col("keeper_id")).as("kept"))
+        .orderBy(col("doc_id"))
     }
   )
 }

@@ -212,6 +212,45 @@ object MultimodalQueries {
         .distinct()
       cand.filter(col("hamming") <= 12)
         .orderBy(col("a_id"), col("b_id"))
+    },
+
+    // ---- dHash fingerprints + exact-fingerprint buckets: the gradient
+    // twin of q_mm_ahash_dedup (bit = right neighbor of a 65-cell grid
+    // strictly brighter — invariant under monotone brightness shifts
+    // where aHash flips wholesale). Gate shape: fingerprint every
+    // ASCII-payload document (the stub contract — see
+    // [[graft.multimodal.Multimodal.dHash]]; real images take the 8×9
+    // pixel-grid path, spec-pinned), then bucket-count exact dhash
+    // matches — the grouping is on the 64-bit fingerprint itself, one
+    // map-side-combined aggregate joined back AQE-sized; no pairwise
+    // anything. The oracle replays the byte-cell arithmetic
+    // character-wise (cells are consecutive ranges, bit i compares cell
+    // i+1 vs cell i cross-multiplied — exact integers in both engines).
+    entry("q_mm_dhash",
+      """WITH d AS (SELECT doc_id, text, length(text) n FROM documents
+        |        WHERE length(text) > 0 AND length(text) = octet_length(encode(text))),
+        | c AS (SELECT doc_id, n, [COALESCE(list_sum([ascii(substr(text, CAST(p AS INT), 1))
+        |          for p in generate_series((i*n)//65 + 1, ((i+1)*n)//65)]), 0)
+        |        for i in generate_series(0, 64)] cells,
+        |       [((i+1)*n)//65 - (i*n)//65 for i in generate_series(0, 64)] lens FROM d),
+        | f AS (SELECT doc_id, array_to_string([CASE WHEN cells[i+2] * lens[i+1] > cells[i+1] * lens[i+2]
+        |          THEN '1' ELSE '0' END for i in generate_series(0, 63)], '') dhash FROM c),
+        | g AS (SELECT dhash dh, COUNT(*) n_same FROM f GROUP BY dhash)
+        |SELECT f.doc_id, f.dhash, g.n_same
+        |FROM f JOIN g ON f.dhash = g.dh ORDER BY f.doc_id""".stripMargin) { (s, dir) =>
+      import graft.multimodal.Multimodal
+      val f = Multimodal.dHash(
+          Tables(s, dir, "documents")
+            .filter(length(col("text")) > 0 &&
+              length(col("text")) === octet_length(col("text")))
+            .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+            .withColumn("payload", col("text").cast("binary")),
+          "doc_id", "payload")
+        .toDF()
+      val g = f.groupBy(col("dhash").as("dh")).agg(count(lit(1)).as("n_same"))
+      f.join(g, col("dhash") === col("dh"))
+        .select(col("doc_id"), col("dhash"), col("n_same"))
+        .orderBy(col("doc_id"))
     }
   )
 }

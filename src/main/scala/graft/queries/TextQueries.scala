@@ -1487,6 +1487,78 @@ object TextQueries {
           && col("b") === col("mb"))
         .select(col("lang"), col("doc_id"), col("a").as("n_tok"), col("b").as("n_distinct"))
         .orderBy(col("lang"), col("n_tok").desc, col("doc_id"))
+    },
+
+    // ---- TOKENIZER FERTILITY: per-language tokens-per-word and
+    // chars-per-token over the BPE-ish pre-tokenizer (the q_token_count
+    // regex family) — the multilingual balance dial: languages whose
+    // fertility is high are over-charged tokens per unit of content, so
+    // mixture weights built on raw token counts silently under-sample
+    // them (the XLM-R/NLLB sampling correction). Scale shape: one
+    // documents scan with per-doc integer counts, then a map-side-
+    // combined aggregate on the (bounded) language key — no joins, no
+    // windows. Exactness: integer sums with one final double division
+    // per ratio (double/double, both engines divide the same exact
+    // integers).
+    entry("q_tokenizer_fertility",
+      """WITH t AS (SELECT lang, length(text) n_chars,
+        |   len(regexp_split_to_array(text,'\s+')) n_ws,
+        |   len(regexp_extract_all(text,'[a-z]+|[0-9]+|[^a-z0-9\s]')) n_bpe FROM documents)
+        |SELECT lang, CAST(SUM(n_ws) AS BIGINT) AS ws_tokens,
+        |  CAST(SUM(n_bpe) AS BIGINT) AS bpe_tokens,
+        |  CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+        |  CAST(SUM(n_bpe) AS DOUBLE)/CAST(SUM(n_ws) AS DOUBLE) AS fertility,
+        |  CAST(SUM(n_chars) AS DOUBLE)/CAST(SUM(n_bpe) AS DOUBLE) AS chars_per_token
+        |FROM t GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id")) // single-file scan → spread the regex pass
+        .select(col("lang"), length(col("text")).cast("long").as("c"),
+          size(wsTokens("text")).cast("long").as("w"),
+          size(regexTokens("text")).cast("long").as("b"))
+        .groupBy(col("lang"))
+        .agg(sum(col("w")).as("ws_tokens"), sum(col("b")).as("bpe_tokens"),
+          sum(col("c")).as("n_chars"),
+          (sum(col("b")).cast("double") / sum(col("w")).cast("double")).as("fertility"),
+          (sum(col("c")).cast("double") / sum(col("b")).cast("double")).as("chars_per_token"))
+        .orderBy(col("lang"))
+    },
+
+    // ---- HAPAX-LEGOMENA rate: per document, the share of its tokens
+    // that occur exactly once in the WHOLE corpus — the cheap garbage /
+    // typo / random-string detector (OCR noise and boilerplate IDs are
+    // hapax-dense; clean prose is not), the corpus-frequency complement
+    // of q_oov_rate's fixed-vocabulary view. Scale shape: the exploded
+    // (doc, token) frame is token-hash-partitioned once and reused for
+    // all three aggregates; corpus term counts map-side combine down to
+    // VOCABULARY size (Heaps' law — sublinear in corpus bytes), and the
+    // hapax subset joins back token-keyed, AQE-sized (broadcast here;
+    // shuffled equi-join at 100 TB where the hapax tail is itself huge).
+    // No corpus-wide window anywhere. Exactness: pure integer counts,
+    // one final double division.
+    entry("q_hapax",
+      """WITH x AS (SELECT doc_id, unnest(regexp_extract_all(text,'[a-z]+|[0-9]+|[^a-z0-9\s]')) tok FROM documents),
+        | tc AS (SELECT tok, COUNT(*) n FROM x GROUP BY tok),
+        | per AS (SELECT doc_id, COUNT(*) n_tokens, COUNT(DISTINCT tok) n_types FROM x GROUP BY doc_id),
+        | ph AS (SELECT x.doc_id, COUNT(*) n_hapax FROM x JOIN tc ON x.tok = tc.tok AND tc.n = 1 GROUP BY x.doc_id)
+        |SELECT per.doc_id, per.n_tokens, per.n_types,
+        |  COALESCE(ph.n_hapax, 0) AS n_hapax,
+        |  CAST(COALESCE(ph.n_hapax, 0) AS DOUBLE)/per.n_tokens AS hapax_ratio
+        |FROM per LEFT JOIN ph ON per.doc_id = ph.doc_id ORDER BY per.doc_id""".stripMargin) { (s, dir) =>
+      val x = Tables(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"), explode(regexTokens("text")).as("tok"))
+        .persist() // reused by all three aggregates below; Bench clears per-query
+      val hapax = x.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+        .filter(col("n") === 1).select(col("tok"))
+      val per = x.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"), countDistinct(col("tok")).as("n_types"))
+      val ph = x.join(hapax, Seq("tok"))
+        .groupBy(col("doc_id").as("h_doc")).agg(count(lit(1)).as("n_hapax"))
+      per.join(ph, col("doc_id") === col("h_doc"), "left")
+        .select(col("doc_id"), col("n_tokens"), col("n_types"),
+          coalesce(col("n_hapax"), lit(0L)).as("n_hapax"),
+          (coalesce(col("n_hapax"), lit(0L)).cast("double") / col("n_tokens")).as("hapax_ratio"))
+        .orderBy(col("doc_id"))
     }
   )
 }

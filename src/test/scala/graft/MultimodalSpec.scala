@@ -250,4 +250,41 @@ class MultimodalSpec extends SparkSpec {
     }.mkString
     assert(h(4L) == expect, "stub hash must replay the byte-grid rule exactly")
   }
+
+  test("dHash: brightness-shift invariant on images, stub replays the 65-cell gradient") {
+    // a 9×1 grayscale ramp fills one pixel per dHash grid column, so all
+    // 8 row-0 comparisons are between occupied cells (a 4-px-wide image
+    // would leave every other column empty)
+    def ramp(vals: Seq[Int]): Array[Byte] =
+      "P6\n9 1\n255\n".getBytes("US-ASCII") ++
+        vals.flatMap(v => Seq(v.toByte, v.toByte, v.toByte)).toArray
+    val up = ramp(10 to 170 by 20)
+    // +10 to every pixel (no saturation below 245): every cell mean
+    // shifts equally, so each left-vs-right comparison — and the dHash —
+    // is unchanged, while aHash's global-mean threshold bits need not be
+    val brightened = ramp((10 to 170 by 20).map(_ + 10))
+    val mirrored = ramp((10 to 170 by 20).reverse) // all gradients flip
+    val df = Seq((1L, up), (2L, brightened), (3L, mirrored),
+        (4L, "plain stub payload".getBytes("US-ASCII")))
+      .toDF("doc_id", "payload")
+    val h = Multimodal.dHash(df, "doc_id", "payload")
+      .collect().map(r => r.doc_id -> r.dhash).toMap
+    h.values.foreach(fp => assert(fp.length == 64 && fp.forall(c => c == '0' || c == '1')))
+    assert(h(1L) == h(2L), "uniform brightness shift must not change dHash")
+    assert(h(1L) != h(3L), "mirrored image must change dHash")
+    // rising ramp: all 8 grid-row-0 neighbor comparisons are 'brighter';
+    // falling ramp: none (empty grid rows 1-7 contribute '0's in both)
+    assert(h(1L).take(8) == "11111111" && h(1L).drop(8).forall(_ == '0'), h(1L))
+    assert(h(3L).forall(_ == '0'), h(3L))
+    // stub path: replay the 65-cell neighbor-gradient rule in plain Scala
+    val bytes = "plain stub payload".getBytes("US-ASCII").map(_ & 0xff)
+    val n = bytes.length.toLong
+    val cells = (0 until 65).map { i =>
+      (i * n / 65).toInt until ((i + 1) * n / 65).toInt }.map(_.map(bytes(_).toLong).sum)
+    val lens = (0 until 65).map(i => (i + 1) * n / 65 - i * n / 65)
+    val expect = (0 until 64).map { i =>
+      if (cells(i + 1) * lens(i) > cells(i) * lens(i + 1)) '1' else '0'
+    }.mkString
+    assert(h(4L) == expect, "stub dHash must replay the gradient rule exactly")
+  }
 }
