@@ -1,0 +1,63 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.streaming.NearDupStream
+
+/** Streaming near-dup admission: in-batch greedy dedup, cross-batch
+  * lake shadowing, idempotent re-runs, and the AvailableNow wrapper. */
+class NearDupStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ≥10-token texts so 3-token shingle sets are rich enough for a
+  // verified Jaccard ≥ 0.5 between the near-dup pairs (deterministic:
+  // md5-based MinHash, no RNG anywhere)
+  private val base =
+    "the quick brown fox jumps over the lazy dog near the quiet river bank today"
+  private val nearDup = // one tail word changed → most shingles shared
+    "the quick brown fox jumps over the lazy dog near the quiet river bank tonight"
+  private val distinct1 =
+    "completely different subject matter entirely about compiler design and type systems theory"
+  private val distinct2 =
+    "yet another unrelated document discussing ocean currents weather patterns and marine life"
+
+  test("in-batch greedy + cross-batch lake shadowing + idempotent re-run") {
+    val lake = Files.createTempDirectory("neardup").toString
+    def admitted: Set[Long] =
+      spark.read.parquet(s"$lake/docs").select("doc_id").as[Long].collect().toSet
+
+    // batch 1: 1 and 2 are near-dups (greedy keeps the smaller id), 3 distinct
+    val b1 = Seq((1L, base), (2L, nearDup), (3L, distinct1)).toDF("doc_id", "text")
+    NearDupStream.processBatch(b1, lake)
+    assert(admitted == Set(1L, 3L))
+
+    // batch 2: 4 near-dups the admitted 1 → shadowed by the lake; 5 is new
+    val b2 = Seq((4L, nearDup), (5L, distinct2)).toDF("doc_id", "text")
+    NearDupStream.processBatch(b2, lake)
+    assert(admitted == Set(1L, 3L, 5L))
+
+    // crash-retry: the same batch replays with no effect (appends anti-join)
+    NearDupStream.processBatch(b2, lake)
+    assert(admitted == Set(1L, 3L, 5L))
+    // and the index relations stay doc-aligned (8 band rows, 1 shingle row per doc)
+    assert(spark.read.parquet(s"$lake/bands").count() == 3 * 8)
+    assert(spark.read.parquet(s"$lake/shingles").count() == 3)
+  }
+
+  test("AvailableNow wrapper drains a file source through the same admission") {
+    val work = Files.createTempDirectory("neardupstream").toString
+    val src = s"$work/src"; val lake = s"$work/lake"; val ckpt = s"$work/ckpt"
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    Seq((10L, base), (11L, nearDup), (12L, distinct1)).toDF("doc_id", "text")
+      .write.parquet(src)
+    NearDupStream.run(spark, src, schema, lake, ckpt)
+    val ids = spark.read.parquet(s"$lake/docs").select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(10L, 12L))
+    // second drain with the same checkpoint: no files left → lake unchanged
+    NearDupStream.run(spark, src, schema, lake, ckpt)
+    assert(spark.read.parquet(s"$lake/docs").count() == 2)
+  }
+}
