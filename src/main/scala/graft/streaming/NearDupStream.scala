@@ -157,6 +157,32 @@ object NearDupStream {
     }
   }
 
+  /** Small-file maintenance for the three lake relations: every
+    * micro-batch append lands a fresh file set, and the hot-path band
+    * index degrades fastest (one file group per batch, 8 rows per doc).
+    * Compacts any relation whose parquet file count exceeds `maxFiles`,
+    * clustering the band index by (band, bkey) — so the per-batch
+    * candidate lookup benefits from parquet min/max pruning on the very
+    * keys it joins — and the doc-keyed relations by doc_id. Run this
+    * BETWEEN drains (or from a scheduled maintenance job), never inside
+    * a running query: `LakeWriter.compact` stages and swaps atomically,
+    * and the next batch lists the directory fresh. */
+  def maintain(spark: SparkSession, lakeDir: String,
+               targetRowsPerFile: Long = 4L * 1024 * 1024, maxFiles: Int = 16): Unit = {
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    def nFiles(p: String): Int = {
+      val path = new Path(p)
+      if (!fs.exists(path)) 0
+      else fs.listStatus(path).count(_.getPath.getName.endsWith(".parquet"))
+    }
+    def maybe(p: String, clusterBy: Seq[String]): Unit =
+      if (nFiles(p) > maxFiles)
+        graft.sources.LakeWriter.compact(spark, p, targetRowsPerFile, clusterBy)
+    maybe(s"$lakeDir/docs", Seq("doc_id"))
+    maybe(s"$lakeDir/bands", Seq("band", "bkey"))
+    maybe(s"$lakeDir/shingles", Seq("doc_id"))
+  }
+
   /** File-source streaming wrapper: drain `srcDir` with AvailableNow,
     * running [[processBatch]] per micro-batch. The Kafka variant swaps the
     * source exactly as [[IngestPipeline.kafkaSource]] documents. */

@@ -46,6 +46,33 @@ class NearDupStreamSpec extends SparkSpec {
     assert(spark.read.parquet(s"$lake/shingles").count() == 3)
   }
 
+  test("maintain compacts the per-batch small files and admission still works") {
+    val lake = Files.createTempDirectory("neardupmaint").toString
+    // five single-doc batches of genuinely distinct texts (a shared
+    // prefix would make them near-dups of each other — correctly dropped)
+    val texts = Seq(
+      "alpine meadows bloom with wildflowers every spring as snow melts from high peaks",
+      "quantum computing relies on superposition and entanglement of fragile qubit states",
+      "ancient roman aqueducts carried fresh water across valleys using gravity alone",
+      "deep sea vents host chemosynthetic bacteria feeding entire ecosystems without sunlight",
+      "jazz improvisation builds on chord changes while drummers push the rhythm forward")
+    for (i <- 0 until 5)
+      NearDupStream.processBatch(
+        Seq((100L + i, texts(i))).toDF("doc_id", "text"), lake)
+    def nFiles(p: String): Int =
+      new java.io.File(p).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(nFiles(s"$lake/bands") >= 5)
+    NearDupStream.maintain(spark, lake, targetRowsPerFile = 1000000L, maxFiles = 2)
+    assert(nFiles(s"$lake/bands") == 1, "band index must compact to one file")
+    assert(nFiles(s"$lake/docs") == 1)
+    // the compacted lake still shadows near-dups and admits novel docs
+    NearDupStream.processBatch(
+      Seq((200L, texts(3).replace("sunlight", "daylight")), (201L, base))
+        .toDF("doc_id", "text"), lake)
+    val ids = spark.read.parquet(s"$lake/docs").select("doc_id").as[Long].collect().toSet
+    assert(ids == (100L until 105L).toSet + 201L, ids.toSeq.sorted.mkString(","))
+  }
+
   test("AvailableNow wrapper drains a file source through the same admission") {
     val work = Files.createTempDirectory("neardupstream").toString
     val src = s"$work/src"; val lake = s"$work/lake"; val ckpt = s"$work/ckpt"
