@@ -1559,6 +1559,100 @@ object TextQueries {
           coalesce(col("n_hapax"), lit(0L)).as("n_hapax"),
           (coalesce(col("n_hapax"), lit(0L)).cast("double") / col("n_tokens")).as("hapax_ratio"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- PER-SOURCE DISTRIBUTIONAL DRIFT in floor-log2 bits: for each
+    // source, Σ count_s(t)·(sur_corpus(t) − sur_source(t)) / total_s —
+    // the KL(source‖corpus) shape in the repo's integer-surprisal units
+    // (sur = ⌊log2(total/count)⌋, the q_unigram_surprisal idiom — exact
+    // in both engines where a double log2 would be order- and
+    // libm-dependent). Positive mean = the tokens this source favors are
+    // rare corpus-wide — the mixture-QA dial that says WHICH feed is
+    // pulling the token distribution (DSIR's corpus-level complement).
+    // Scale shape: (source, token) counts map-side combine to
+    // |sources|×vocabulary; the corpus frequency frame is vocabulary-
+    // sized and joins on the token key (AQE: broadcast here, shuffled
+    // equi-join at web scale); the source-total frame is |sources| rows,
+    // broadcast-joined. No windows, no self-joins.
+    entry("q_source_kl",
+      """WITH t AS (SELECT source, unnest(string_split(text,' ')) tok FROM documents),
+        | sc AS (SELECT source, tok, COUNT(*) n FROM t GROUP BY 1,2),
+        | st AS (SELECT source, CAST(SUM(n) AS BIGINT) ts FROM sc GROUP BY 1),
+        | c AS (SELECT tok, CAST(SUM(n) AS BIGINT) cnt FROM sc GROUP BY 1),
+        | tot AS (SELECT CAST(SUM(cnt) AS BIGINT) tn FROM c),
+        | s AS (SELECT sc.source, sc.n,
+        |         CAST(length(bin((SELECT tn FROM tot) // c.cnt)) - 1 AS BIGINT) sur_corp,
+        |         CAST(length(bin(st.ts // sc.n)) - 1 AS BIGINT) sur_src
+        |       FROM sc JOIN c USING (tok) JOIN st USING (source))
+        |SELECT source, CAST(SUM(n) AS BIGINT) AS n_tokens,
+        |  COUNT(*) AS vocab,
+        |  CAST(SUM(n * (sur_corp - sur_src)) AS BIGINT) AS kl_bits,
+        |  CAST(SUM(n * (sur_corp - sur_src)) AS DOUBLE) / SUM(n) AS mean_kl_bits
+        |FROM s GROUP BY 1 ORDER BY source""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir, "documents")
+        .select(col("source"), explode(tokens("text")).as("tok"))
+      val sc = t.groupBy(col("source"), col("tok")).agg(count(lit(1)).as("n")).persist()
+      val st = sc.groupBy(col("source")).agg(sum(col("n")).as("ts"))
+      val c = sc.groupBy(col("tok")).agg(sum(col("n")).as("cnt"))
+      val tot = c.agg(sum(col("cnt")).as("tn"))
+      sc.join(c, "tok").join(broadcast(st), "source").crossJoin(broadcast(tot))
+        .withColumn("sur_corp", expr("CAST(length(bin(tn DIV cnt)) - 1 AS BIGINT)"))
+        .withColumn("sur_src", expr("CAST(length(bin(ts DIV n)) - 1 AS BIGINT)"))
+        .groupBy(col("source"))
+        .agg(sum(col("n")).as("n_tokens"),
+          count(lit(1)).as("vocab"),
+          sum(col("n") * (col("sur_corp") - col("sur_src"))).as("kl_bits"),
+          (sum(col("n") * (col("sur_corp") - col("sur_src"))).cast("double")
+            / sum(col("n"))).as("mean_kl_bits"))
+        .orderBy(col("source"))
+    },
+
+    // ---- LANGUAGE-LABEL CONFUSION rollup: the marker-vote predictor of
+    // q_lang_id aggregated into a (labeled, predicted) matrix with
+    // per-label mismatch rates — the label-QA report that catches a feed
+    // shipping mislabeled languages BEFORE mixture weights trust the
+    // labels. One scan, per-doc codegen'd vote counts, one map-side-
+    // combined aggregate on the bounded (lang, pred) key space.
+    entry("q_lang_confusion",
+      """WITH t AS (SELECT doc_id, lang, regexp_split_to_array(text,'\s+') toks FROM documents),
+        | c AS (SELECT doc_id, lang,
+        |   len(list_filter(toks, x -> x IN ('the','of','and','is','to'))) c_en,
+        |   len(list_filter(toks, x -> x IN ('der','die','das','und','ist'))) c_de,
+        |   len(list_filter(toks, x -> x IN ('el','la','los','es','y'))) c_es,
+        |   len(list_filter(toks, x -> x IN ('le','la','les','est','et'))) c_fr
+        |  FROM t),
+        | p AS (SELECT lang,
+        |   CASE WHEN c_en = 0 AND c_de = 0 AND c_es = 0 AND c_fr = 0 THEN 'und'
+        |        WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr THEN 'en'
+        |        WHEN c_de >= c_es AND c_de >= c_fr THEN 'de'
+        |        WHEN c_es >= c_fr THEN 'es' ELSE 'fr' END pred_lang
+        |  FROM c),
+        | g AS (SELECT lang, pred_lang, COUNT(*) n FROM p GROUP BY 1,2),
+        | lt AS (SELECT lang, CAST(SUM(n) AS BIGINT) lang_total FROM g GROUP BY 1)
+        |SELECT g.lang, g.pred_lang, g.n, lt.lang_total,
+        |  CAST(g.n AS DOUBLE)/lt.lang_total AS share,
+        |  g.lang <> g.pred_lang AS mismatch
+        |FROM g JOIN lt USING (lang) ORDER BY g.lang, g.pred_lang""".stripMargin) { (s, dir) =>
+      val p = Tables(s, dir, "documents")
+        .withColumn("toks", wsTokens("text"))
+        .select(col("lang"),
+          markerCount("toks", stopEn).as("c_en"),
+          markerCount("toks", stopDe).as("c_de"),
+          markerCount("toks", stopEs).as("c_es"),
+          markerCount("toks", stopFr).as("c_fr"))
+        .withColumn("pred_lang",
+          when(col("c_en") === 0 && col("c_de") === 0 && col("c_es") === 0 && col("c_fr") === 0, "und")
+            .when(col("c_en") >= col("c_de") && col("c_en") >= col("c_es") && col("c_en") >= col("c_fr"), "en")
+            .when(col("c_de") >= col("c_es") && col("c_de") >= col("c_fr"), "de")
+            .when(col("c_es") >= col("c_fr"), "es")
+            .otherwise("fr"))
+      val g = p.groupBy(col("lang"), col("pred_lang")).agg(count(lit(1)).as("n"))
+      val lt = g.groupBy(col("lang").as("lt_lang")).agg(sum(col("n")).as("lang_total"))
+      g.join(broadcast(lt), col("lang") === col("lt_lang"))
+        .select(col("lang"), col("pred_lang"), col("n"), col("lang_total"),
+          (col("n").cast("double") / col("lang_total")).as("share"),
+          (col("lang") =!= col("pred_lang")).as("mismatch"))
+        .orderBy(col("lang"), col("pred_lang"))
     }
   )
 }
