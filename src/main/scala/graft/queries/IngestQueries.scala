@@ -415,6 +415,47 @@ object IngestQueries {
           count(when(col("st") === "changed", 1)).as("n_changed"),
           count(when(col("st") === "unchanged", 1)).as("n_unchanged"))
         .orderBy(col("source"))
+    },
+
+    // ---- INGEST-RATE ANOMALY detection: flag hours whose event count
+    // sits more than 3 trailing-window standard deviations from the
+    // previous 24 hours' mean — the pipeline-health alarm that catches a
+    // stalled producer (rate collapse) or a replay storm (rate spike)
+    // right where the reference only counts rows after the fact
+    // (`q_count_validation`). Exactness: the z-score fence is CROSS-
+    // MULTIPLIED into pure int64 — (n·w − s)² > 9·(w·ssq − s²) is
+    // (n − mean)² > 9·var with both sides scaled by w² — so no sqrt, no
+    // division, engines agree bit-for-bit; warm-up hours (trailing
+    // window < 12 rows) report false. Scale shape: the corpus reduces
+    // map-side to ONE ROW PER DISTINCT HOUR before the window (8,760
+    // rows/year — the q_degree_stats bounded-window discipline), so the
+    // unpartitioned ORDER BY hr frame is configuration-bounded, never
+    // corpus-bounded.
+    entry("q_rate_anomaly",
+      """WITH h AS (SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 hr,
+        |             COUNT(*) n FROM events GROUP BY 1),
+        | w AS (SELECT hr, n,
+        |   COUNT(*) OVER win w_hours,
+        |   CAST(SUM(n) OVER win AS BIGINT) w_sum,
+        |   CAST(SUM(n*n) OVER win AS BIGINT) ssq
+        |  FROM h WINDOW win AS (ORDER BY hr ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        |SELECT hr, n, w_hours, w_sum,
+        |  w_hours >= 12 AND
+        |    (n * w_hours - w_sum) * (n * w_hours - w_sum) > 9 * (w_hours * ssq - w_sum * w_sum)
+        |    AS anomaly
+        |FROM w ORDER BY hr""".stripMargin) { (s, dir) =>
+      val w = Window.orderBy(col("hr")).rowsBetween(-24, -1)
+      events(s, dir)
+        .groupBy(expr("unix_timestamp(ts) DIV 3600").as("hr"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("w_hours", count(lit(1)).over(w))
+        .withColumn("w_sum", sum(col("n")).over(w))
+        .withColumn("ssq", sum(col("n") * col("n")).over(w))
+        .select(col("hr"), col("n"), col("w_hours"), col("w_sum"),
+          (col("w_hours") >= 12 &&
+            (col("n") * col("w_hours") - col("w_sum")) * (col("n") * col("w_hours") - col("w_sum"))
+              > lit(9L) * (col("w_hours") * col("ssq") - col("w_sum") * col("w_sum"))).as("anomaly"))
+        .orderBy(col("hr"))
     }
   )
 }
