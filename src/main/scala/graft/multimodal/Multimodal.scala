@@ -577,6 +577,75 @@ object Multimodal {
       }
   }
 
+  case class MediaSHash(doc_id: Long, shash: String)
+
+  /** SPECTRAL perceptual fingerprint — the pHash idea with the DCT
+    * replaced by a 64-point Walsh–Hadamard transform, W_k = Σ_j c_j ·
+    * (−1)^popcount(j AND k), because WHT coefficients are EXACT int64
+    * (±1 butterflies, no cosine table, no libm) and so replay
+    * bit-for-bit in any engine. The 32-char fingerprint is the sign
+    * pattern of coefficients k = 1..32 (DC excluded): signs capture the
+    * coarse spectral shape the way pHash's median-threshold does, and —
+    * unlike [[aHash]]/[[dHash]] cell comparisons — react to global
+    * STRUCTURE (periodicity, left/right mass) rather than local
+    * gradients. Uniform-brightness shifts leave every k ≠ 0 coefficient
+    * unchanged whenever cells hold equal pixel counts (the shift adds
+    * 30·npx·Σ_j(−1)^popcount(j∧k) = 0), spec-pinned. Recognized images
+    * transform the 8×8 luminance cell sums; other payloads the 64
+    * byte-range cells (decode stub; ASCII text replays char-wise in the
+    * oracle). */
+  def spectralHash(df: DataFrame, idCol: String, payloadCol: String): Dataset[MediaSHash] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes0) =>
+          val bytes = if (bytes0 == null) Array.emptyByteArray else bytes0
+          val cells = new Array[Long](64)
+          decodeImage(bytes) match {
+            case Some(img) =>
+              val (w, h) = (img.width, img.height)
+              var y = 0
+              while (y < h) {
+                val cy = math.min(y.toLong * 8 / h, 7L).toInt
+                var x = 0
+                while (x < w) {
+                  val cx = math.min(x.toLong * 8 / w, 7L).toInt
+                  val p = (y * w + x) * 3
+                  cells(cy * 8 + cx) +=
+                    (img.rgb(p) & 0xff) + (img.rgb(p + 1) & 0xff) + (img.rgb(p + 2) & 0xff)
+                  x += 1
+                }
+                y += 1
+              }
+            case None =>
+              val n = bytes.length.toLong
+              var i = 0
+              while (i < 64) {
+                var p = (i * n / 64).toInt
+                val hi = ((i + 1) * n / 64).toInt
+                while (p < hi) { cells(i) += bytes(p) & 0xff; p += 1 }
+                i += 1
+              }
+          }
+          val bits = new StringBuilder(32)
+          var k = 1
+          while (k <= 32) {
+            var wk = 0L
+            var j = 0
+            while (j < 64) {
+              wk += (if ((java.lang.Long.bitCount(j & k) & 1) == 1) -cells(j) else cells(j))
+              j += 1
+            }
+            bits.append(if (wk > 0) '1' else '0')
+            k += 1
+          }
+          MediaSHash(id, bits.toString)
+        }
+      }
+  }
+
   case class ResizedMedia(doc_id: Long, resized_len: Int, resized_md5: String)
 
   /** Resize: recognized images get a REAL nearest-neighbor downscale by

@@ -251,6 +251,45 @@ object MultimodalQueries {
       f.join(g, col("dhash") === col("dh"))
         .select(col("doc_id"), col("dhash"), col("n_same"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- SPECTRAL fingerprint buckets: pHash's idea with the DCT
+    // replaced by an exact-int64 Walsh–Hadamard transform (±1
+    // butterflies, no cosine table — so the oracle replays every
+    // coefficient bit-for-bit where a DCT's doubles could not). The
+    // 32-bit fingerprint is the SIGN pattern of coefficients 1..32 over
+    // the 64-cell byte grid — global structure (periodicity, mass
+    // balance) where aHash/dHash see local cells — bucketed exactly like
+    // q_mm_dhash: one map-side-combined aggregate on the fingerprint,
+    // joined back AQE-sized, no pairwise anything. Real images transform
+    // the 8×8 luminance cell sums (spec-pinned, incl. the equal-cell
+    // brightness-shift invariance); ASCII payloads replay char-wise.
+    entry("q_mm_spectral",
+      """WITH d AS (SELECT doc_id, text, length(text) n FROM documents
+        |        WHERE length(text) > 0 AND length(text) = octet_length(encode(text))),
+        | c AS (SELECT doc_id, [COALESCE(list_sum([ascii(substr(text, CAST(p AS INT), 1))
+        |          for p in generate_series((i*n)//64 + 1, ((i+1)*n)//64)]), 0)
+        |        for i in generate_series(0, 63)] cells FROM d),
+        | f AS (SELECT doc_id, array_to_string([CASE WHEN list_sum([cells[j+1] *
+        |          (1 - 2 * (bit_count(CAST(j AS BIGINT) & k) % 2))
+        |          for j in generate_series(0, 63)]) > 0 THEN '1' ELSE '0' END
+        |        for k in generate_series(1, 32)], '') shash FROM c),
+        | g AS (SELECT shash sh, COUNT(*) n_same FROM f GROUP BY shash)
+        |SELECT f.doc_id, f.shash, g.n_same
+        |FROM f JOIN g ON f.shash = g.sh ORDER BY f.doc_id""".stripMargin) { (s, dir) =>
+      import graft.multimodal.Multimodal
+      val f = Multimodal.spectralHash(
+          Tables(s, dir, "documents")
+            .filter(length(col("text")) > 0 &&
+              length(col("text")) === octet_length(col("text")))
+            .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+            .withColumn("payload", col("text").cast("binary")),
+          "doc_id", "payload")
+        .toDF()
+      val g = f.groupBy(col("shash").as("sh")).agg(count(lit(1)).as("n_same"))
+      f.join(g, col("shash") === col("sh"))
+        .select(col("doc_id"), col("shash"), col("n_same"))
+        .orderBy(col("doc_id"))
     }
   )
 }

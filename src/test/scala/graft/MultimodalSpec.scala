@@ -287,4 +287,38 @@ class MultimodalSpec extends SparkSpec {
     }.mkString
     assert(h(4L) == expect, "stub dHash must replay the gradient rule exactly")
   }
+
+  test("spectralHash: WHT signs, equal-cell brightness invariance, stub replay") {
+    // 16×8 image → every 8×8 grid cell holds exactly 2 pixels, so a
+    // uniform +10 shift adds 30·npx·Σ_j(−1)^popcount(j∧k) = 0 to every
+    // k≠0 coefficient — the documented invariance precondition
+    def img(vals: Seq[Int]): Array[Byte] =
+      s"P6\n16 8\n255\n".getBytes("US-ASCII") ++
+        vals.flatMap(v => Seq(v.toByte, v.toByte, v.toByte)).toArray
+    // DECREASING ramps: a linear pattern's WHT lives in the single-bit
+    // coefficients (k ∈ {1,2,4} for horizontal, {8,16,32} for vertical),
+    // positive only when the ramp decreases — disjoint sign patterns
+    val patt = (0 until 128).map(i => 20 + (15 - i % 16) * 10) // horizontal, max 170
+    val shifted = patt.map(_ + 10)
+    val vertical = (0 until 128).map(i => 20 + (7 - i / 16) * 20)
+    val df = Seq((1L, img(patt)), (2L, img(shifted)), (3L, img(vertical)),
+        (4L, "plain stub payload".getBytes("US-ASCII")))
+      .toDF("doc_id", "payload")
+    val h = Multimodal.spectralHash(df, "doc_id", "payload")
+      .collect().map(r => r.doc_id -> r.shash).toMap
+    h.values.foreach(fp => assert(fp.length == 32 && fp.forall(c => c == '0' || c == '1')))
+    assert(h(1L) == h(2L), "uniform brightness shift must not change the WHT signs")
+    assert(h(1L) != h(3L), "a different spectral structure must change the hash")
+    // stub path: replay the WHT sign rule in plain Scala over byte cells
+    val bytes = "plain stub payload".getBytes("US-ASCII").map(_ & 0xff)
+    val n = bytes.length.toLong
+    val cells = (0 until 64).map { i =>
+      (i * n / 64).toInt until ((i + 1) * n / 64).toInt }.map(_.map(bytes(_).toLong).sum)
+    val expect = (1 to 32).map { k =>
+      val wk = (0 until 64).map(j =>
+        if (java.lang.Long.bitCount(j & k) % 2 == 1) -cells(j) else cells(j)).sum
+      if (wk > 0) '1' else '0'
+    }.mkString
+    assert(h(4L) == expect, "stub spectral hash must replay the WHT exactly")
+  }
 }
