@@ -262,6 +262,54 @@ object IngestPipeline {
       }
   }
 
+  case class RateAlarm(hr: Long, n: Long, w_hours: Long, anomaly: Boolean)
+
+  /** Continuous ingest-rate anomaly alarms — the streaming twin of
+    * `q_rate_anomaly`: hourly event counts (watermarked tumbling window)
+    * feed a stateful trailing-24h z-score fence, emitting one alarm row
+    * per CLOSED hour with the batch query's exact integer rule —
+    * (n·w − s)² > 9·(w·ssq − s²), warm-up (< 12 trailing hours) = false.
+    *
+    * State shape: ONE key (the stream of closed hours is already reduced
+    * to ≤ 24·365 rows/year by the windowed aggregate — a global key over
+    * hourly rows is bounded by construction, unlike a global key over
+    * events), holding a ≤ 25-entry hour→count map; hours older than the
+    * trailing horizon are dropped on every update, so state never grows.
+    * Closed windows can arrive out of order across triggers — counts are
+    * inserted by hour index, and each hour's fence reads exactly the
+    * trailing hours PRESENT at emission, so a straggler hour affects only
+    * alarms emitted after it (documented divergence from the batch twin,
+    * which always sees the complete history). */
+  def streamingRateAnomaly(events: DataFrame, watermark: String = "2 hours"): Dataset[RateAlarm] = {
+    import events.sparkSession.implicits._
+    val hourly = events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .select((unix_timestamp(col("window.start")).cast("long") / 3600).cast("long").as("hr"),
+        col("n").as("n"))
+      .as[(Long, Long)]
+    hourly
+      .groupByKey(_ => 0)
+      .flatMapGroupsWithState[Map[Long, Long], RateAlarm](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: Int, rows: Iterator[(Long, Long)], state: GroupState[Map[Long, Long]]) =>
+          var seen = state.getOption.getOrElse(Map.empty[Long, Long])
+          val out = rows.toSeq.sortBy(_._1).map { case (hr, n) =>
+            val win = (hr - 24 until hr).flatMap(seen.get)
+            val w = win.size.toLong
+            val s = win.sum
+            val ssq = win.map(x => x * x).sum
+            val d = n * w - s
+            val anomaly = w >= 12 && d * d > 9 * (w * ssq - s * s)
+            seen = (seen + (hr -> n)).filter { case (k, _) => k >= hr - 24 }
+            RateAlarm(hr, n, w, anomaly)
+          }
+          state.update(seen)
+          out.iterator
+      }
+  }
+
   def sessionize(events: Dataset[Evt], gapMinutes: Int = 30): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     val gapMs = gapMinutes * 60000L

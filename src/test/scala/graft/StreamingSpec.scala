@@ -28,6 +28,33 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(dest).count() == ev.count())
   }
 
+  test("streaming rate anomaly flags a spike hour with the batch fence rule") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = mem.toDF().toDF("ts", "event_type", "value")
+    val alarms = IngestPipeline.streamingRateAnomaly(df, watermark = "0 seconds")
+    val q = alarms.writeStream.format("memory").queryName("rate_out")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    def t(hour: Int, minute: Int) =
+      new java.sql.Timestamp(hour * 3600000L + minute * 60000L)
+    // 20 steady hours at 3 events, then a 30-event spike hour, then quiet
+    val steady = for (h <- 0 until 20; m <- Seq(1, 2, 3)) yield (t(h, m), "a", 1.0)
+    val spike = for (m <- 1 to 30) yield (t(20, m), "a", 1.0)
+    mem.addData(steady ++ spike: _*)
+    q.processAllAvailable()
+    mem.addData((t(30, 0), "a", 1.0)) // advance watermark → closes all hours ≤ 29
+    q.processAllAvailable()
+    val rows = spark.table("rate_out")
+      .select($"hr", $"n", $"w_hours", $"anomaly")
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    q.stop()
+    val byHour = rows.map(r => r._1 -> r).toMap
+    assert(rows.map(_._1).toSeq == (0L until 21L), rows.mkString(","))
+    assert(byHour(20L)._2 == 30 && byHour(20L)._4, "the spike hour must alarm")
+    assert(rows.filter(_._1 < 20).forall(!_._4), "steady hours must not alarm")
+    assert(byHour(5L)._3 == 5, "trailing window counts only prior hours")
+  }
+
   test("watermarked windowed aggregation over a memory stream") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
