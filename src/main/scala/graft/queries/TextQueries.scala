@@ -1245,6 +1245,101 @@ object TextQueries {
         .orderBy(col("query_id"), col("rn"))
     },
 
+    // ---- RETRIEVAL EVALUATION harness: P@3, P@10 and MRR of the exact
+    // q_bm25 ranking against a deterministic relevance oracle (relevant =
+    // docs matching ALL of the query's terms — the conjunctive subset BM25
+    // should surface first). This is the op an LLM-retrieval pipeline runs
+    // CONTINUOUSLY — index or scorer changes gate on eval metrics, not
+    // eyeballs. Exactness: the integer-rational BM25 score is shared with
+    // q_bm25 verbatim; the metrics are exact int hit counts with single
+    // double divisions (P@k = hits/k, MRR = max over hits of 1/rank — the
+    // same division in both engines). Scale shape inherits q_bm25 (one
+    // checkpointed tf pass, query-bounded broadcasts, the rank window
+    // over candidate docs only); the relevance set is candidate-bounded
+    // (a subset of scored pairs), joined back on (query, doc).
+    entry("q_retrieval_eval",
+      s"""WITH q(query_id, term) AS (VALUES (1, 'spark'), (1, 'window'), (2, 'hash'),
+        |    (2, 'merge'), (3, 'vector'), (3, 'fast')),
+        | qn AS (SELECT query_id, COUNT(DISTINCT term) qsize FROM q GROUP BY 1),
+        | t AS (SELECT doc_id, unnest(string_split(text,' ')) term FROM documents),
+        | tf AS (SELECT doc_id, term, COUNT(*) tf FROM t GROUP BY 1,2),
+        | dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) dl FROM tf GROUP BY 1),
+        | n AS (SELECT COUNT(*) nd, CAST(SUM(dl) AS BIGINT) sd FROM dl),
+        | df AS (SELECT term, COUNT(*) df FROM tf GROUP BY 1),
+        | sc AS (SELECT q.query_id, tf.doc_id,
+        |     CAST(floor(1000000000 * ((CAST(2 * nd - 2 * df + 1 AS DOUBLE) / CAST(2 * df + 1 AS DOUBLE)) * (CAST(22 * tf AS DOUBLE) * CAST(sd AS DOUBLE) / (CAST(10 * sd AS DOUBLE) * CAST(tf AS DOUBLE) + CAST(3 * sd AS DOUBLE) + CAST(9 * dl AS DOUBLE) * CAST(nd AS DOUBLE))))) AS BIGINT) s
+        |   FROM q JOIN tf ON tf.term = q.term JOIN df ON df.term = q.term
+        |   JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN n),
+        | agg AS (SELECT query_id, doc_id, COUNT(*) n_terms, CAST(SUM(s) AS BIGINT) score_n
+        |         FROM sc GROUP BY 1,2),
+        | rel AS (SELECT agg.query_id, agg.doc_id FROM agg JOIN qn USING (query_id)
+        |         WHERE agg.n_terms = qn.qsize),
+        | nrel AS (SELECT query_id, COUNT(*) n_relevant FROM rel GROUP BY 1),
+        | r AS (SELECT query_id, doc_id, ROW_NUMBER() OVER (PARTITION BY query_id
+        |         ORDER BY score_n DESC, doc_id) rn FROM agg),
+        | j AS (SELECT r.query_id, r.rn,
+        |         CASE WHEN rel.doc_id IS NOT NULL THEN 1 ELSE 0 END hit
+        |       FROM r LEFT JOIN rel ON r.query_id = rel.query_id AND r.doc_id = rel.doc_id
+        |       WHERE r.rn <= 10)
+        |SELECT j.query_id,
+        |  CAST(COALESCE(MAX(nrel.n_relevant), 0) AS BIGINT) AS n_relevant,
+        |  CAST(COALESCE(SUM(CASE WHEN rn <= 3 THEN hit END), 0) AS BIGINT) AS hits3,
+        |  CAST(SUM(hit) AS BIGINT) AS hits10,
+        |  CAST(COALESCE(SUM(CASE WHEN rn <= 3 THEN hit END), 0) AS DOUBLE) / 3 AS p_at_3,
+        |  COALESCE(MAX(CASE WHEN hit = 1 THEN CAST(1 AS DOUBLE) / rn END), 0.0) AS mrr
+        |FROM j LEFT JOIN nrel ON j.query_id = nrel.query_id
+        |GROUP BY j.query_id ORDER BY j.query_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val q = Seq((1L, "spark"), (1L, "window"), (2L, "hash"),
+          (2L, "merge"), (3L, "vector"), (3L, "fast"))
+        .toDF("query_id", "term")
+      val qn = q.groupBy(col("query_id").as("qn_qid"))
+        .agg(countDistinct(col("term")).as("qsize"))
+      val t = Tables(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"), explode(tokens("text")).as("term"))
+      val tf = graft.functions.Checkpoints.lazyLocal(
+        t.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")))
+      val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      val n = dl.agg(count(lit(1)).as("nd"), sum(col("dl")).as("sd"))
+      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val dfq = df.join(broadcast(q.select(col("term")).distinct()), "term")
+      val agg = tf.join(broadcast(q), "term")
+        .join(broadcast(dfq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(n))
+        .withColumn("s", expr("CAST(floor(1000000000 * ((CAST(2 * nd - 2 * df + 1 AS DOUBLE) " +
+          "/ CAST(2 * df + 1 AS DOUBLE)) * (CAST(22 * tf AS DOUBLE) * CAST(sd AS DOUBLE) " +
+          "/ (CAST(10 * sd AS DOUBLE) * CAST(tf AS DOUBLE) + CAST(3 * sd AS DOUBLE) " +
+          "+ CAST(9 * dl AS DOUBLE) * CAST(nd AS DOUBLE))))) AS BIGINT)"))
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(count(lit(1)).as("n_terms"), sum(col("s")).as("score_n"))
+        .persist() // ranked AND relevance-filtered below
+      val rel = agg.join(broadcast(qn), col("query_id") === col("qn_qid"))
+        .filter(col("n_terms") === col("qsize"))
+        .select(col("query_id").as("r_qid"), col("doc_id").as("r_doc"))
+      val nrel = rel.groupBy(col("r_qid")).agg(count(lit(1)).as("n_relevant"))
+      val ranked = agg
+        .withColumn("rn", row_number().over(Window.partitionBy(col("query_id"))
+          .orderBy(col("score_n").desc, col("doc_id").asc)).cast("long"))
+        .filter(col("rn") <= 10)
+      ranked
+        .join(rel, col("query_id") === col("r_qid") && col("doc_id") === col("r_doc"), "left")
+        .withColumn("hit", when(col("r_doc").isNotNull, 1L).otherwise(0L))
+        .groupBy(col("query_id"))
+        .agg(coalesce(sum(when(col("rn") <= 3, col("hit"))), lit(0L)).as("hits3"),
+          sum(col("hit")).as("hits10"),
+          (coalesce(sum(when(col("rn") <= 3, col("hit"))), lit(0L)).cast("double") / 3)
+            .as("p_at_3"),
+          coalesce(max(when(col("hit") === 1, lit(1.0).cast("double") / col("rn"))), lit(0.0))
+            .as("mrr"))
+        .join(nrel, col("query_id") === col("r_qid"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_relevant"), lit(0L)).as("n_relevant"),
+          col("hits3"), col("hits10"), col("p_at_3"), col("mrr"))
+        .orderBy(col("query_id"))
+    },
+
     // ---- RAG / context-window chunking: split each document into
     // overlapping character chunks (width 120, stride 90 → 30-char
     // overlap so no boundary sentence is lost), the corpus-preparation
