@@ -95,7 +95,12 @@ object NearDupStream {
     val bandsPath = s"$lakeDir/bands"
     val shPath = s"$lakeDir/shingles"
 
-    val docs = batch.select(col("doc_id").cast("long"), col("text")).persist()
+    // a redelivered doc_id INSIDE one micro-batch would otherwise ride
+    // through as two rows (the id self-join below is strict <, so equal
+    // ids never pair) and be admitted twice — keep one deterministically
+    val docs = graft.ingest.Dedup.dedupKeepFirst(
+      batch.select(col("doc_id").cast("long"), col("text")),
+      Seq(col("doc_id")), col("text")).persist()
     val persisted = scala.collection.mutable.ArrayBuffer[DataFrame](docs)
     var checkpointed: Option[DataFrame] = None
     try {

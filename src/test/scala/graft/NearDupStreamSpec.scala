@@ -44,6 +44,12 @@ class NearDupStreamSpec extends SparkSpec {
     // and the index relations stay doc-aligned (8 band rows, 1 shingle row per doc)
     assert(spark.read.parquet(s"$lake/bands").count() == 3 * 8)
     assert(spark.read.parquet(s"$lake/shingles").count() == 3)
+    // a doc_id redelivered INSIDE one batch is admitted exactly once
+    val novel = "volcanic islands form long archipelagos as tectonic plates drift over stationary hotspots"
+    val b3 = Seq((6L, novel), (6L, novel)).toDF("doc_id", "text")
+    NearDupStream.processBatch(b3, lake)
+    assert(admitted == Set(1L, 3L, 5L, 6L))
+    assert(spark.read.parquet(s"$lake/docs").count() == 4, "no duplicate doc rows")
   }
 
   test("maintain compacts the per-batch small files and admission still works") {
