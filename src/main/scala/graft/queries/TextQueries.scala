@@ -1656,6 +1656,61 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // ---- DATASET CARD: the one-page corpus summary every released
+    // training set ships with (docs, tokens, chars, language/source
+    // breadth, exact-dup ratio, length envelope) as a (metric, value)
+    // report — ONE full scan computing every statistic in a single
+    // aggregate (the COUNT(DISTINCT md5) rides the same pass), then a
+    // codegen'd stack() unpivot of the 1-row frame. All values are exact
+    // integers presented as doubles (< 2^53, lossless) with the two
+    // ratios divided once — bit-identical in both engines. At 100 TB:
+    // one corpus pass, partial aggregation everywhere, the distinct-hash
+    // count shuffles 16-byte digests (use the HLL twin q_hll_tokens for
+    // the estimate-only variant).
+    entry("q_dataset_card",
+      """WITH s AS (SELECT COUNT(*) n_docs,
+        |    CAST(SUM(length(text)) AS BIGINT) n_chars,
+        |    CAST(SUM(len(regexp_split_to_array(text,'\s+'))) AS BIGINT) n_tokens,
+        |    COUNT(DISTINCT lang) n_langs, COUNT(DISTINCT source) n_sources,
+        |    COUNT(DISTINCT md5(text)) n_unique,
+        |    MIN(length(text)) min_chars, MAX(length(text)) max_chars
+        |  FROM documents)
+        |SELECT metric, "value" FROM (
+        |  SELECT 'n_docs' metric, CAST(n_docs AS DOUBLE) AS "value" FROM s
+        |  UNION ALL SELECT 'n_tokens', CAST(n_tokens AS DOUBLE) FROM s
+        |  UNION ALL SELECT 'n_chars', CAST(n_chars AS DOUBLE) FROM s
+        |  UNION ALL SELECT 'n_langs', CAST(n_langs AS DOUBLE) FROM s
+        |  UNION ALL SELECT 'n_sources', CAST(n_sources AS DOUBLE) FROM s
+        |  UNION ALL SELECT 'dup_ratio', CAST(n_docs - n_unique AS DOUBLE) / n_docs FROM s
+        |  UNION ALL SELECT 'mean_chars_per_doc', CAST(n_chars AS DOUBLE) / n_docs FROM s
+        |  UNION ALL SELECT 'mean_tokens_per_doc', CAST(n_tokens AS DOUBLE) / n_docs FROM s
+        |  UNION ALL SELECT 'min_chars', CAST(min_chars AS DOUBLE) FROM s
+        |  UNION ALL SELECT 'max_chars', CAST(max_chars AS DOUBLE) FROM s
+        |) ORDER BY metric""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text")).cast("long")).as("n_chars"),
+          sum(size(wsTokens("text")).cast("long")).as("n_tokens"),
+          countDistinct(col("lang")).as("n_langs"),
+          countDistinct(col("source")).as("n_sources"),
+          countDistinct(md5(col("text"))).as("n_unique"),
+          min(length(col("text"))).as("min_chars"),
+          max(length(col("text"))).as("max_chars"))
+        .selectExpr("stack(10, " +
+          "'n_docs', CAST(n_docs AS DOUBLE), " +
+          "'n_tokens', CAST(n_tokens AS DOUBLE), " +
+          "'n_chars', CAST(n_chars AS DOUBLE), " +
+          "'n_langs', CAST(n_langs AS DOUBLE), " +
+          "'n_sources', CAST(n_sources AS DOUBLE), " +
+          "'dup_ratio', CAST(n_docs - n_unique AS DOUBLE) / n_docs, " +
+          "'mean_chars_per_doc', CAST(n_chars AS DOUBLE) / n_docs, " +
+          "'mean_tokens_per_doc', CAST(n_tokens AS DOUBLE) / n_docs, " +
+          "'min_chars', CAST(min_chars AS DOUBLE), " +
+          "'max_chars', CAST(max_chars AS DOUBLE)) AS (metric, value)")
+        .orderBy(col("metric"))
+    },
+
     // ---- PER-SOURCE DISTRIBUTIONAL DRIFT in floor-log2 bits: for each
     // source, Σ count_s(t)·(sur_corpus(t) − sur_source(t)) / total_s —
     // the KL(source‖corpus) shape in the repo's integer-surprisal units
