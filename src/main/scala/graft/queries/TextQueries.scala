@@ -1656,6 +1656,52 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // ---- SPAN-CORRUPTION example generation (the T5/UL2 denoising
+    // objective): mask a deterministic 2-token span at every 7th token
+    // position, emit the INPUT (spans replaced by <X0>, <X1>, …
+    // sentinels) and the TARGET (each sentinel followed by the tokens it
+    // hides) — the training-example constructor that turns a curated
+    // corpus into seq2seq denoising pairs. Determinism: span placement
+    // is positional (production salts with the doc hash — q_det_sample's
+    // md5 gating composes here), so both engines build byte-identical
+    // strings. Scale shape: pure per-row array expressions inside
+    // whole-stage codegen — no explode, no shuffle before the
+    // presentation sort; embarrassingly parallel at 100 TB.
+    entry("q_span_corruption",
+      """WITH t AS (SELECT doc_id, string_split(text,' ') toks FROM documents),
+        | m AS (SELECT doc_id, toks, len(toks) n,
+        |   array_to_string(list_filter([CASE WHEN (i-1)%7 = 0
+        |       THEN '<X' || CAST((i-1)//7 AS VARCHAR) || '>'
+        |       WHEN (i-1)%7 = 1 THEN NULL ELSE toks[i] END
+        |     for i in generate_series(1, len(toks))], x -> x IS NOT NULL), ' ') input_text,
+        |   array_to_string(['<X' || CAST(k AS VARCHAR) || '> ' || toks[7*k+1] ||
+        |       CASE WHEN 7*k+2 <= len(toks) THEN ' ' || toks[7*k+2] ELSE '' END
+        |     for k in generate_series(0, (len(toks)-1)//7)], ' ') target_text,
+        |   len(list_filter([i for i in generate_series(1, len(toks))], i -> (i-1)%7 < 2)) n_masked
+        |  FROM t)
+        |SELECT doc_id, input_text, target_text,
+        |  CAST(n_masked AS BIGINT) AS n_masked,
+        |  CAST(n_masked AS DOUBLE)/n AS mask_ratio
+        |FROM m ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .withColumn("toks", tokens("text"))
+        .select(col("doc_id"),
+          expr("array_join(filter(transform(toks, (t, i) -> CASE WHEN i % 7 = 0 " +
+            "THEN concat('<X', CAST(i DIV 7 AS STRING), '>') " +
+            "WHEN i % 7 = 1 THEN NULL ELSE t END), x -> x IS NOT NULL), ' ')")
+            .as("input_text"),
+          expr("array_join(transform(sequence(0, CAST((size(toks)-1) DIV 7 AS INT)), " +
+            "k -> concat('<X', CAST(k AS STRING), '> ', toks[7*k], " +
+            "CASE WHEN 7*k+1 < size(toks) THEN concat(' ', toks[7*k+1]) ELSE '' END)), ' ')")
+            .as("target_text"),
+          expr("CAST(size(filter(transform(toks, (t, i) -> i % 7), r -> r < 2)) AS BIGINT)")
+            .as("n_masked"),
+          expr("CAST(size(filter(transform(toks, (t, i) -> i % 7), r -> r < 2)) AS DOUBLE) " +
+            "/ size(toks)").as("mask_ratio"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- DATASET CARD: the one-page corpus summary every released
     // training set ships with (docs, tokens, chars, language/source
     // breadth, exact-dup ratio, length envelope) as a (metric, value)
