@@ -787,6 +787,56 @@ object SimilarityQueries {
             sum(col("so_pair").cast("decimal(38,0)")).cast("double")).as("ratio"),
           min(col("rr")).as("min_ratio"), max(col("rr")).as("max_ratio"))
         .orderBy(col("qid"))
+    },
+
+    // ---- EMBEDDING DIVERSITY per label via the SUM-VECTOR IDENTITY:
+    // mean pairwise dot = (‖Σv‖² − Σ‖v‖²) / (n·(n−1)) — an O(n²)
+    // quantity in O(n), with NO pairwise join anywhere (the trick that
+    // makes within-cluster cohesion computable at 10⁹ vectors where the
+    // naive self-join is off the table). High cohesion = a redundant,
+    // over-collapsed label; low = a label that is really several
+    // clusters — the curation dial between q_embed_centroids and the
+    // ANN family. Exactness: quantized int64 components; per-dim sums
+    // stay int64 (≤ n·2²⁰·‖x‖∞); their squares and all cross-label sums
+    // accumulate in decimal(38,0) (Spark) / HUGEINT (DuckDB) — exact,
+    // intermediate-only (outputs are doubles built from the same exact
+    // integers with literally-ordered divisions). Shape: one corpus
+    // pass → (label, dim) partial sums (map-side combined, ≤
+    // |labels|×dim rows) + one per-vec self-dot aggregate; singleton
+    // labels are excluded (pairwise mean undefined).
+    entry("q_embed_diversity",
+      """WITH e AS (SELECT label, [CAST(floor(CAST(x AS DOUBLE)*1048576.0) AS BIGINT) for x in embedding] q FROM embeddings),
+        | u AS (SELECT label, generate_subscripts(q,1) dim, unnest(q) xq FROM e),
+        | s AS (SELECT label, dim, CAST(SUM(xq) AS BIGINT) sd FROM u GROUP BY 1,2),
+        | ss AS (SELECT label, SUM(CAST(sd AS HUGEINT) * CAST(sd AS HUGEINT)) dots FROM s GROUP BY 1),
+        | pv AS (SELECT label, CAST(list_sum([x*x for x in q]) AS BIGINT) sq FROM e),
+        | a AS (SELECT label, COUNT(*) n, SUM(CAST(sq AS HUGEINT)) sumsq FROM pv GROUP BY 1 HAVING COUNT(*) >= 2)
+        |SELECT a.label, CAST(n AS BIGINT) AS n_vecs,
+        |  CAST(ss.dots - a.sumsq AS DOUBLE) / (n * (n - 1)) / 1099511627776.0 AS mean_pair_dot,
+        |  CAST(a.sumsq AS DOUBLE) / n / 1099511627776.0 AS mean_self_dot,
+        |  CAST(ss.dots - a.sumsq AS DOUBLE) / (n * (n - 1)) / 1099511627776.0
+        |    / (CAST(a.sumsq AS DOUBLE) / n / 1099511627776.0) AS cohesion
+        |FROM a JOIN ss ON a.label = ss.label ORDER BY a.label""".stripMargin) { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+        .select(col("label"), quantize("embedding").as("q"))
+      val sd = e.select(col("label"), posexplode(col("q")).as(Seq("p", "xq")))
+        .groupBy(col("label"), col("p")).agg(sum(col("xq")).as("sd"))
+      val dots = sd.groupBy(col("label").as("d_label"))
+        .agg(sum(col("sd").cast("decimal(19,0)") * col("sd").cast("decimal(19,0)"))
+          .as("dots"))
+      val a = e.withColumn("sq", qdot("q", "q"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"), sum(col("sq").cast("decimal(38,0)")).as("sumsq"))
+        .filter(col("n") >= 2)
+      a.join(dots, col("label") === col("d_label"))
+        .withColumn("nn", (col("n") * (col("n") - 1)).cast("long"))
+        .select(col("label"), col("n").as("n_vecs"),
+          ((col("dots") - col("sumsq")).cast("double") / col("nn") / lit(1099511627776.0))
+            .as("mean_pair_dot"),
+          (col("sumsq").cast("double") / col("n") / lit(1099511627776.0)).as("mean_self_dot"),
+          (((col("dots") - col("sumsq")).cast("double") / col("nn") / lit(1099511627776.0))
+            / (col("sumsq").cast("double") / col("n") / lit(1099511627776.0))).as("cohesion"))
+        .orderBy(col("label"))
     }
   )
 }
