@@ -82,8 +82,10 @@ object CollectorMain {
       case "file" =>
         val batch = spark.read.parquet(srcDir)
         val payloadSchema = JsonDecode.inferSchema(spark, batch, "props")
+        // the writer option overrides the session conf, so the knob must
+        // reach the sink explicitly — a session conf alone is ignored
         IngestPipeline.runFileIngest(spark, srcDir, batch.schema, payloadSchema,
-          dest, checkpoint)
+          dest, checkpoint, compression = cfg.parquetCompression)
       case "kafka" =>
         // the source swap is IngestPipeline.kafkaSource(cfg.bootstrapServers,
         // GRAFT_TOPICS) with value.cast("string") as the payload column;
@@ -105,7 +107,12 @@ object CollectorMain {
         if (landed.columns.contains("event_id"))
           nLanded - landed.select(col("event_id")).distinct().count()
         else 0L
-      val status = if (nLanded == nSrc && dup == 0L) "OK" else "MISMATCH"
+      // duplicates are fatal only when dedup was configured ON: with
+      // SKIP_DEDUPLICATION=true a source that itself carries redelivered
+      // event_ids drains exactly-once yet still shows dup > 0 — that is
+      // the configured behavior, reported, not an abort loop
+      val dupFatal = dup > 0L && !cfg.skipDeduplication
+      val status = if (nLanded == nSrc && !dupFatal) "OK" else "MISMATCH"
       println(s"[collector] validation: landed=$nLanded source=$nSrc duplicates=$dup $status")
       if (status != "OK")
         throw new IllegalStateException(s"count validation failed: $nLanded vs $nSrc (dup=$dup)")

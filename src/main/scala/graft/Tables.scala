@@ -57,12 +57,23 @@ object Tables {
     val conf = spark.sessionState.newHadoopConf()
     val root = new Path(s"$dir/events.parquet")
     val fs = root.getFileSystem(conf)
-    // a sink may have written events.parquet as a part-file directory
+    // a sink may have written events.parquet as a part-file directory —
+    // possibly PARTITIONED (only `key=value/` subdirs at the top level,
+    // e.g. this repo's own date-partitioned sink), so walk recursively
+    // and fail loudly when no footer exists instead of `empty.minBy`
+    def firstParquet(p: Path): Option[Path] = {
+      val entries = fs.listStatus(p).filter(!_.getPath.getName.startsWith("_"))
+        .sortBy(_.getPath.getName)
+      entries.collectFirst {
+        case s if !s.isDirectory && s.getPath.getName.endsWith(".parquet") => s.getPath
+      }.orElse(entries.filter(_.isDirectory).iterator
+        .map(s => firstParquet(s.getPath)).collectFirst { case Some(f) => f })
+    }
     val file =
       if (fs.getFileStatus(root).isDirectory)
-        fs.listStatus(root).map(_.getPath)
-          .filter(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("_"))
-          .minBy(_.getName.toString)
+        firstParquet(root).getOrElse(sys.error(
+          s"no parquet part files found under $root — cannot sniff the " +
+            "events.ts timestamp unit from an empty or non-parquet directory"))
       else root
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
     try {

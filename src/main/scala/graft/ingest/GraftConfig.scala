@@ -26,7 +26,11 @@ package graft.ingest
   *  - `STAGING_RETENTION_DAYS`       → retention horizon for staging backups
   *  - `PARQUET_COMPRESSION` / `COMPRESSION_LEVEL` →
   *     `spark.sql.parquet.compression.codec` (+ zstd level conf)
-  *  - `ROW_GROUP_SIZE`               → `parquet.block.size`-equivalent writer option
+  *  - `ROW_GROUP_SIZE`               → parsed for round-trip parity only: the
+  *     reference counts ROWS per row group, Spark's `parquet.block.size`
+  *     counts BYTES — there is no faithful direct mapping, so the knob is
+  *     deliberately NOT wired to a writer option (size row groups via
+  *     `parquet.block.size` on the session when needed)
   *  - `FETCH_MIN_BYTES` / `MAX_PARTITION_FETCH_BYTES` → the `kafka.*` source
   *     options `IngestPipeline.kafkaSource` already pins to the reference's values
   *  - `LOG_DIR` / `PROGRESS_UPDATE_INTERVAL` / `KAFKA_CONTAINER_NAME` → no Spark

@@ -52,7 +52,8 @@ object IngestPipeline {
   /** File-source → decode/flatten → date-partitioned parquet sink, run-once.
     * Blocks until caught up (AvailableNow), then returns. */
   def runFileIngest(spark: SparkSession, srcDir: String, schema: StructType,
-                    payloadSchema: StructType, dest: String, checkpoint: String): StreamingQuery = {
+                    payloadSchema: StructType, dest: String, checkpoint: String,
+                    compression: String = "zstd"): StreamingQuery = {
     val stream = spark.readStream.schema(schema).parquet(srcDir)
     val decoded = stream
       .withColumn("data", from_json(col("props"), payloadSchema))
@@ -64,7 +65,7 @@ object IngestPipeline {
       .format("parquet")
       .option("path", dest)
       .option("checkpointLocation", checkpoint)
-      .option("compression", "zstd")
+      .option("compression", compression)
       .partitionBy("date_path")
       .trigger(Trigger.AvailableNow())
       .start()
@@ -273,13 +274,15 @@ object IngestPipeline {
     * State shape: ONE key (the stream of closed hours is already reduced
     * to ≤ 24·365 rows/year by the windowed aggregate — a global key over
     * hourly rows is bounded by construction, unlike a global key over
-    * events), holding a ≤ 25-entry hour→count map; hours older than the
-    * trailing horizon are dropped on every update, so state never grows.
-    * Closed windows can arrive out of order across triggers — counts are
-    * inserted by hour index, and each hour's fence reads exactly the
-    * trailing hours PRESENT at emission, so a straggler hour affects only
-    * alarms emitted after it (documented divergence from the batch twin,
-    * which always sees the complete history). */
+    * events), holding the 25 most recent PRESENT hours; older entries are
+    * dropped on every update, so state never grows. The fence frame is
+    * the previous 24 PRESENT hours — the batch twin's ROWS frame, not
+    * hour slots, so gappy streams (outages) agree with the batch query
+    * instead of suppressing the recovery-spike alarm. Closed windows can
+    * arrive out of order across triggers — each hour's fence reads the
+    * trailing hours PRESENT at emission, so a straggler affects only
+    * alarms emitted after it (the documented divergence from the batch
+    * twin, which always sees the complete history). */
   def streamingRateAnomaly(events: DataFrame, watermark: String = "2 hours"): Dataset[RateAlarm] = {
     import events.sparkSession.implicits._
     val hourly = events
@@ -296,13 +299,21 @@ object IngestPipeline {
         (_: Int, rows: Iterator[(Long, Long)], state: GroupState[Map[Long, Long]]) =>
           var seen = state.getOption.getOrElse(Map.empty[Long, Long])
           val out = rows.toSeq.sortBy(_._1).map { case (hr, n) =>
-            val win = (hr - 24 until hr).flatMap(seen.get)
+            // the previous 24 PRESENT hours, exactly like the batch
+            // twin's ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING — hour
+            // SLOTS would silently disagree on gappy streams (an outage
+            // empties the slot window and suppresses the alarm on the
+            // recovery spike, the one the alarm exists for)
+            val win = seen.keys.filter(_ < hr).toSeq.sorted.takeRight(24).map(seen)
             val w = win.size.toLong
             val s = win.sum
             val ssq = win.map(x => x * x).sum
             val d = n * w - s
             val anomaly = w >= 12 && d * d > 9 * (w * ssq - s * s)
-            seen = (seen + (hr -> n)).filter { case (k, _) => k >= hr - 24 }
+            // state = the 25 most recent PRESENT hours (covers the next
+            // hour's 24-row frame); an hour straggling in below that
+            // horizon is dropped — the documented divergence
+            seen = (seen + (hr -> n)).toSeq.sortBy(-_._1).take(25).toMap
             RateAlarm(hr, n, w, anomaly)
           }
           state.update(seen)

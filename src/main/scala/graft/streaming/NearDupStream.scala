@@ -38,11 +38,15 @@ import graft.functions.TextFunctions._
   *     it carries 8 rows × ~24 bytes per admitted doc.
   *
   * Exactly-once: `foreachBatch` may re-run a batch after a crash, so every
-  * append first anti-joins its TARGET's existing doc_ids — a re-run (or a
-  * crash between the three appends) re-derives the same survivors and
-  * appends only what is missing, converging to the same lake state.
-  * Survivor selection is deterministic (min-doc_id greedy), so re-derived
-  * survivors are identical.
+  * append first anti-joins its TARGET's existing doc_ids, the docs append
+  * runs LAST (the re-run guard keys on it — a crash before it leaves the
+  * whole batch in play on replay, which re-derives identical survivors
+  * and fills only the missing relations; a crash after it replays as a
+  * no-op), and lake candidates exclude self-pairs so partially appended
+  * index rows cannot shadow their own documents. Survivor selection is
+  * deterministic (min-doc_id greedy), so re-derived survivors are
+  * identical and the lake converges from any crash point — the spec
+  * replays the worst case (index rows written, docs not).
   *
   * In-batch policy: a document is dropped when a VERIFIED near-dup with a
   * smaller doc_id exists in the same batch — the pessimistic greedy (a
@@ -112,12 +116,18 @@ object NearDupStream {
       val freshBands = bandRows(freshSh).persist()
       persisted += freshSh; persisted += freshBands
 
-      // batch ⋈ lake candidates — the lake side is only ever equi-joined
+      // batch ⋈ lake candidates — the lake side is only ever equi-joined.
+      // The self-pair exclusion (left ≠ right) is crash-replay
+      // load-bearing: a replay after a partial append can find the
+      // batch's OWN band rows already in the index, and without the
+      // filter every such doc would match itself (Jaccard 1) and be
+      // dropped as "already in the lake" before its docs row ever lands.
       val lakeBands = readOr(spark, bandsPath, freshBands.schema)
       val candLake = freshBands.select(col("doc_id").as("left_id"), col("band"), col("bkey"))
         .join(lakeBands.select(col("doc_id").as("right_id"),
           col("band").as("l_band"), col("bkey").as("l_bkey")),
-          col("band") === col("l_band") && col("bkey") === col("l_bkey"))
+          col("band") === col("l_band") && col("bkey") === col("l_bkey")
+            && col("left_id") =!= col("right_id"))
         .select(col("left_id"), col("right_id")).distinct()
       val lakeSh = readOr(spark, shPath, freshSh.schema)
       val dupVsLake = verified(candLake, freshSh, lakeSh, threshold)
@@ -134,27 +144,43 @@ object NearDupStream {
       val dupInBatch = verified(candBatch, freshSh, freshSh, threshold)
         .select(col("left_id").as("doc_id")).distinct()
 
-      // The docs append below triggers recacheByPath on every cached plan
-      // whose lineage reads docsPath — survivors' anti-join does — so a
-      // persist() here would silently RECOMPUTE against the post-append
-      // lake (where the survivors are now admitted) and hand the two
-      // index appends an empty frame. A localCheckpoint severs the
-      // lineage: all three appends see the same materialized survivor
-      // set no matter what the appends do to the paths underneath.
+      // Each append below triggers recacheByPath on every cached plan
+      // whose lineage reads the written path — survivors' derivation
+      // reads ALL THREE (docs for the re-run guard, bands/shingles for
+      // the lake candidates) — so a persist() here would silently
+      // RECOMPUTE against the half-appended lake mid-sequence and hand
+      // later appends a different (even empty) frame. A localCheckpoint
+      // severs the lineage: all three appends see the same materialized
+      // survivor set no matter what the appends do to the paths
+      // underneath.
       val survivors = fresh
         .join(dupVsLake.unionByName(dupInBatch).distinct(), Seq("doc_id"), "left_anti")
         .localCheckpoint(true)
       checkpointed = Some(survivors)
 
-      // three idempotent appends, each anti-joined against its own target
+      // Three idempotent appends, each anti-joined against its own
+      // target. ORDER IS LOAD-BEARING: docs goes LAST because the re-run
+      // guard keys on docsPath — a crash anywhere before the docs append
+      // leaves the full batch in `fresh` on replay, which re-derives the
+      // SAME survivors (the self-pair exclusion above keeps partially
+      // appended index rows from shadowing their own docs) and fills only
+      // the missing relations; a crash after the docs append means
+      // everything else is already written and the replay is a no-op.
+      // Docs-first was the confirmed corruption: the replay would skip
+      // the already-admitted docs, never write their index rows, and
+      // admit in-batch near-dups that no longer saw their keeper.
       def appendNew(df: DataFrame, path: String): Unit = {
         val existing = readOr(spark, path, df.schema).select(col("doc_id").as("x_id"))
         df.join(existing, col("doc_id") === col("x_id"), "left_anti")
           .write.mode("append").option("compression", "zstd").parquet(path)
       }
+      // cached: both index appends read it, and its lineage sits on the
+      // checkpoint blocks (no path reads), so recacheByPath can't touch it
+      val survSh = withShingles(survivors).persist()
+      persisted += survSh
+      appendNew(bandRows(survSh), bandsPath)
+      appendNew(survSh, shPath)
       appendNew(survivors, docsPath)
-      appendNew(bandRows(withShingles(survivors)), bandsPath)
-      appendNew(withShingles(survivors), shPath)
     } finally {
       persisted.foreach(_.unpersist()) // only this batch's blocks — not the session cache
       // checkpoint blocks are RDD-level: Dataset.unpersist can't see them

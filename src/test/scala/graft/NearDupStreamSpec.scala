@@ -52,6 +52,25 @@ class NearDupStreamSpec extends SparkSpec {
     assert(spark.read.parquet(s"$lake/docs").count() == 4, "no duplicate doc rows")
   }
 
+  test("crash between appends converges on replay (index written, docs not)") {
+    // build a complete reference lake, then reconstruct the worst-case
+    // crash point: band + shingle indexes written, docs append never ran
+    val ref = Files.createTempDirectory("neardupref").toString
+    val b1 = Seq((1L, base), (2L, nearDup), (3L, distinct1)).toDF("doc_id", "text")
+    NearDupStream.processBatch(b1, ref)
+    val crashed = Files.createTempDirectory("neardupcrash").toString
+    spark.read.parquet(s"$ref/bands").write.parquet(s"$crashed/bands")
+    spark.read.parquet(s"$ref/shingles").write.parquet(s"$crashed/shingles")
+    // replay the same batch against the half-appended lake
+    NearDupStream.processBatch(b1, crashed)
+    val docs = spark.read.parquet(s"$crashed/docs").select("doc_id").as[Long].collect().toSet
+    assert(docs == Set(1L, 3L),
+      s"replay must converge to the reference survivors, got $docs " +
+        "(1 self-shadowed or 2 re-admitted would be the docs-first corruption)")
+    assert(spark.read.parquet(s"$crashed/bands").count() == 2 * 8)
+    assert(spark.read.parquet(s"$crashed/shingles").count() == 2)
+  }
+
   test("maintain compacts the per-batch small files and admission still works") {
     val lake = Files.createTempDirectory("neardupmaint").toString
     // five single-doc batches of genuinely distinct texts (a shared

@@ -55,6 +55,34 @@ class StreamingSpec extends SparkSpec {
     assert(byHour(5L)._3 == 5, "trailing window counts only prior hours")
   }
 
+  test("streaming rate anomaly alarms the recovery spike after an outage gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = mem.toDF().toDF("ts", "event_type", "value")
+    val alarms = IngestPipeline.streamingRateAnomaly(df, watermark = "0 seconds")
+    val q = alarms.writeStream.format("memory").queryName("rate_gap_out")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    def t(hour: Int, minute: Int) =
+      new java.sql.Timestamp(hour * 3600000L + minute * 60000L)
+    // 20 steady hours, a 30-hour total outage (no rows at all), then a spike
+    val steady = for (h <- 0 until 20; m <- Seq(1, 2, 3)) yield (t(h, m), "a", 1.0)
+    val spike = for (m <- 1 to 30) yield (t(50, m), "a", 1.0)
+    mem.addData(steady ++ spike: _*)
+    q.processAllAvailable()
+    mem.addData((t(60, 0), "a", 1.0)) // advance watermark → closes hour 50
+    q.processAllAvailable()
+    val rows = spark.table("rate_gap_out")
+      .select($"hr", $"n", $"w_hours", $"anomaly")
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    q.stop()
+    val spikeRow = rows.find(_._1 == 50L).get
+    // the batch-twin frame is the previous 24 PRESENT hours (0-19), not
+    // empty slot indices 26-49 — an hour-slot window would report w=0
+    // and stay silent on exactly this recovery spike
+    assert(spikeRow._3 == 20, s"frame must hold the 20 present hours, got $spikeRow")
+    assert(spikeRow._4, "the post-outage spike must alarm")
+  }
+
   test("watermarked windowed aggregation over a memory stream") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
