@@ -522,8 +522,12 @@ object Multimodal {
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
       .as[(Long, Array[Byte])]
-      .mapPartitions { rows =>
-        rows.map { case (id, bytes0) =>
+      .mapPartitions(rows => rows.map { case (id, b) => MediaDHash(id, dHashOf(b)) })
+  }
+
+  /** Pure per-payload dHash (exposed for property tests — the Dataset
+    * wrapper above is a thin map over it). */
+  private[graft] def dHashOf(bytes0: Array[Byte]): String = {
           val bytes = if (bytes0 == null) Array.emptyByteArray else bytes0
           val bits = new StringBuilder(64)
           decodeImage(bytes) match {
@@ -572,9 +576,7 @@ object Multimodal {
                 i += 1
               }
           }
-          MediaDHash(id, bits.toString)
-        }
-      }
+          bits.toString
   }
 
   case class MediaSHash(doc_id: Long, shash: String)
@@ -599,8 +601,11 @@ object Multimodal {
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
       .as[(Long, Array[Byte])]
-      .mapPartitions { rows =>
-        rows.map { case (id, bytes0) =>
+      .mapPartitions(rows => rows.map { case (id, b) => MediaSHash(id, spectralHashOf(b)) })
+  }
+
+  /** Pure per-payload spectral hash (exposed for property tests). */
+  private[graft] def spectralHashOf(bytes0: Array[Byte]): String = {
           val bytes = if (bytes0 == null) Array.emptyByteArray else bytes0
           val cells = new Array[Long](64)
           decodeImage(bytes) match {
@@ -641,9 +646,7 @@ object Multimodal {
             bits.append(if (wk > 0) '1' else '0')
             k += 1
           }
-          MediaSHash(id, bits.toString)
-        }
-      }
+          bits.toString
   }
 
   case class ResizedMedia(doc_id: Long, resized_len: Int, resized_md5: String)
