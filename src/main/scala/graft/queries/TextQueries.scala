@@ -1656,6 +1656,50 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // ---- VOCABULARY GROWTH (Heaps'-law audit): distinct token types
+    // seen after the first m documents, at 10 doc-count milestones — the
+    // curve that says whether a tokenizer's vocabulary budget will
+    // saturate or keep growing (sublinear = healthy prose; near-linear =
+    // an ID/noise-ridden corpus). The exact cumulative-distinct trick:
+    // each type contributes at its FIRST document (one vocab-sized
+    // min-aggregate), first-occurrences bucket into milestones (one
+    // map-side-combined count), and the cumulative sum runs over the 10
+    // milestone rows — never a corpus-wide running-distinct state. The
+    // corpus is scanned once.
+    entry("q_vocab_growth",
+      """WITH nd AS (SELECT COUNT(*) n FROM documents),
+        | t AS (SELECT doc_id, unnest(string_split(text,' ')) tok FROM documents),
+        | fo AS (SELECT tok, MIN(doc_id) first_doc FROM t GROUP BY tok),
+        | b AS (SELECT GREATEST(LEAST(CAST(CEIL(CAST(first_doc * 10 AS DOUBLE) / (SELECT n FROM nd)) AS BIGINT), 10), 1) m
+        |       FROM fo),
+        | g AS (SELECT m, COUNT(*) new_types FROM b GROUP BY m)
+        | SELECT ms.m AS milestone, (SELECT n FROM nd) * ms.m // 10 AS docs_through,
+        |  CAST(COALESCE(g.new_types, 0) AS BIGINT) AS new_types,
+        |  CAST(SUM(COALESCE(g.new_types, 0)) OVER (ORDER BY ms.m) AS BIGINT) AS vocab_size
+        |FROM (SELECT unnest(generate_series(1, 10)) m) ms
+        |LEFT JOIN g ON g.m = ms.m ORDER BY milestone""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val nd = docs.agg(count(lit(1)).as("n"))
+      val fo = docs
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"), explode(tokens("text")).as("tok"))
+        .groupBy(col("tok")).agg(min(col("doc_id")).as("first_doc"))
+      val g = fo.crossJoin(broadcast(nd))
+        .withColumn("m", // clamp into [1,10]: ids outside the dense range land in an end bucket
+          greatest(least(ceil(col("first_doc").cast("double") * 10 / col("n")).cast("long"), lit(10L)), lit(1L)))
+        .groupBy(col("m")).agg(count(lit(1)).as("new_types"))
+      val ms = s.range(1, 11).toDF("milestone")
+      ms.crossJoin(broadcast(nd))
+        .join(g, col("milestone") === col("m"), "left")
+        .select(col("milestone"), col("n"), col("new_types"))
+        .withColumn("docs_through", expr("n * milestone DIV 10"))
+        .withColumn("new_types", coalesce(col("new_types"), lit(0L)))
+        .withColumn("vocab_size",
+          sum(col("new_types")).over(Window.orderBy(col("milestone"))))
+        .select(col("milestone"), col("docs_through"), col("new_types"), col("vocab_size"))
+        .orderBy(col("milestone"))
+    },
+
     // ---- SPAN-CORRUPTION example generation (the T5/UL2 denoising
     // objective): mask a deterministic 2-token span at every 7th token
     // position, emit the INPUT (spans replaced by <X0>, <X1>, …
