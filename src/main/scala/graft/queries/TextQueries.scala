@@ -1656,6 +1656,47 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // ---- TOKEN BURSTINESS (Fano factor): for the 20 highest-count
+    // tokens, the variance-to-mean ratio of per-document counts WITH the
+    // zero documents counted — Fano ≈ 1 is Poisson scatter (function
+    // words), Fano ≫ 1 is bursty topical clumping; a "stopword" with
+    // high Fano is a template artifact, a content word with Fano ≈ 1 is
+    // boilerplate smeared everywhere — the distributional complement of
+    // plain frequency. Exactness: Fano = (D·Σn² − (Σn)²) / (D·Σn) with
+    // every term an exact int64 (zeros enter only through D, never
+    // materialized) and ONE final double division. Shape: one explode →
+    // (tok, doc) map-side-combined counts → one vocab-sized aggregate;
+    // the top-20 window runs over distinct-token rows (WindowGroupLimit
+    // prunes map-side) — nothing corpus-wide.
+    entry("q_burstiness",
+      """WITH nd AS (SELECT COUNT(*) d FROM documents),
+        | t AS (SELECT doc_id, unnest(string_split(text,' ')) tok FROM documents),
+        | dt AS (SELECT tok, doc_id, COUNT(*) n FROM t GROUP BY 1,2),
+        | a AS (SELECT tok, CAST(SUM(n) AS BIGINT) s, CAST(SUM(n*n) AS BIGINT) ssq,
+        |         COUNT(*) df FROM dt GROUP BY tok),
+        | r AS (SELECT tok, s, ssq, df, ROW_NUMBER() OVER (ORDER BY s DESC, tok) rn FROM a)
+        |SELECT CAST(rn AS BIGINT) AS rank, tok, s AS n_total, df,
+        |  CAST((SELECT d FROM nd) * ssq - s * s AS DOUBLE) / ((SELECT d FROM nd) * s) AS fano
+        |FROM r WHERE rn <= 20 ORDER BY rank""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val nd = docs.agg(count(lit(1)).as("d"))
+      val a = docs
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"), explode(tokens("text")).as("tok"))
+        .groupBy(col("tok"), col("doc_id")).agg(count(lit(1)).as("n"))
+        .groupBy(col("tok"))
+        .agg(sum(col("n")).as("s"), sum(col("n") * col("n")).as("ssq"),
+          count(lit(1)).as("df"))
+      a.withColumn("rn", row_number().over(Window.orderBy(col("s").desc, col("tok").asc)))
+        .filter(col("rn") <= 20)
+        .crossJoin(broadcast(nd))
+        .select(col("rn").cast("long").as("rank"), col("tok"),
+          col("s").as("n_total"), col("df"),
+          ((col("d") * col("ssq") - col("s") * col("s")).cast("double")
+            / (col("d") * col("s"))).as("fano"))
+        .orderBy(col("rank"))
+    },
+
     // ---- VOCABULARY GROWTH (Heaps'-law audit): distinct token types
     // seen after the first m documents, at 10 doc-count milestones — the
     // curve that says whether a tokenizer's vocabulary budget will
