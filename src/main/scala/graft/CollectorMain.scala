@@ -54,6 +54,27 @@ object CollectorMain {
     finally spark.stop()
   }
 
+  /** Deferred (post-drain) dedup: one merge pass over the landed lake,
+    * keep-first by (event_id, ts), stage-and-swap preserving the date
+    * partitioning — the reference's staging+merge step; at scale this is
+    * one key-partitioned shuffle of the NEW drain's partitions. */
+  private def dedupLakeInPlace(spark: SparkSession, dest: String, compression: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(dest + ".rewrite")
+    val old = new org.apache.hadoop.fs.Path(dest + ".old")
+    val cur = spark.read.parquet(dest)
+    // skip the rewrite when the lake is already clean: the common resume
+    // path then never touches the files (or the file-sink metadata log,
+    // which a swap necessarily discards as stale)
+    if (cur.count() == cur.select(col("event_id")).distinct().count()) return
+    graft.ingest.Dedup.dedupKeepFirst(cur, Seq(col("event_id")), col("ts"))
+      .write.mode("overwrite").option("compression", compression)
+      .partitionBy("date_path").parquet(tmp.toString)
+    fs.rename(new org.apache.hadoop.fs.Path(dest), old)
+    fs.rename(tmp, new org.apache.hadoop.fs.Path(dest))
+    fs.delete(old, true)
+  }
+
   /** The whole drain as a function of (session, config, source) — the
     * main above is just env plumbing, so the spec can run the identical
     * path in-process. */
@@ -82,10 +103,18 @@ object CollectorMain {
       case "file" =>
         val batch = spark.read.parquet(srcDir)
         val payloadSchema = JsonDecode.inferSchema(spark, batch, "props")
+        val hasEventId = batch.columns.contains("event_id")
+        // SKIP_DEDUPLICATION is WHEN dedup happens, not IF (the
+        // reference's `:87` semantics): false = inline during the drain,
+        // true = deferred to one post-drain merge pass — either way the
+        // lake never carries duplicate event_ids
+        val inlineKeys = if (hasEventId && !cfg.skipDeduplication) Seq("event_id") else Nil
         // the writer option overrides the session conf, so the knob must
         // reach the sink explicitly — a session conf alone is ignored
         IngestPipeline.runFileIngest(spark, srcDir, batch.schema, payloadSchema,
-          dest, checkpoint, compression = cfg.parquetCompression)
+          dest, checkpoint, compression = cfg.parquetCompression, dedupKeys = inlineKeys)
+        if (hasEventId && cfg.skipDeduplication)
+          dedupLakeInPlace(spark, dest, cfg.parquetCompression)
       case "kafka" =>
         // the source swap is IngestPipeline.kafkaSource(cfg.bootstrapServers,
         // GRAFT_TOPICS) with value.cast("string") as the payload column;
@@ -103,19 +132,20 @@ object CollectorMain {
       val src = spark.read.parquet(srcDir)
       val nLanded = landed.count()
       val nSrc = src.count()
+      // dedup runs in BOTH modes (inline or deferred), so the lake must
+      // hold exactly the source's DISTINCT events and zero duplicate keys
+      val hasKey = landed.columns.contains("event_id")
+      val expected =
+        if (hasKey) src.select(col("event_id")).distinct().count() else nSrc
       val dup =
-        if (landed.columns.contains("event_id"))
-          nLanded - landed.select(col("event_id")).distinct().count()
+        if (hasKey) nLanded - landed.select(col("event_id")).distinct().count()
         else 0L
-      // duplicates are fatal only when dedup was configured ON: with
-      // SKIP_DEDUPLICATION=true a source that itself carries redelivered
-      // event_ids drains exactly-once yet still shows dup > 0 — that is
-      // the configured behavior, reported, not an abort loop
-      val dupFatal = dup > 0L && !cfg.skipDeduplication
-      val status = if (nLanded == nSrc && !dupFatal) "OK" else "MISMATCH"
-      println(s"[collector] validation: landed=$nLanded source=$nSrc duplicates=$dup $status")
+      val status = if (nLanded == expected && dup == 0L) "OK" else "MISMATCH"
+      println(s"[collector] validation: landed=$nLanded expected=$expected " +
+        s"source_rows=$nSrc duplicates=$dup $status")
       if (status != "OK")
-        throw new IllegalStateException(s"count validation failed: $nLanded vs $nSrc (dup=$dup)")
+        throw new IllegalStateException(
+          s"count validation failed: landed=$nLanded expected=$expected (dup=$dup)")
     }
   }
 }

@@ -62,7 +62,8 @@ object Tables {
     // e.g. this repo's own date-partitioned sink), so walk recursively
     // and fail loudly when no footer exists instead of `empty.minBy`
     def firstParquet(p: Path): Option[Path] = {
-      val entries = fs.listStatus(p).filter(!_.getPath.getName.startsWith("_"))
+      val entries = fs.listStatus(p) // Hadoop hidden convention: '_' AND '.' (.spark-staging-*)
+        .filter(st => !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
         .sortBy(_.getPath.getName)
       entries.collectFirst {
         case s if !s.isDirectory && s.getPath.getName.endsWith(".parquet") => s.getPath

@@ -815,7 +815,7 @@ object SimilarityQueries {
         |  CAST(ss.dots - a.sumsq AS DOUBLE) / (n * (n - 1)) / 1099511627776.0 AS mean_pair_dot,
         |  CAST(a.sumsq AS DOUBLE) / n / 1099511627776.0 AS mean_self_dot,
         |  CAST(ss.dots - a.sumsq AS DOUBLE) / (n * (n - 1)) / 1099511627776.0
-        |    / (CAST(a.sumsq AS DOUBLE) / n / 1099511627776.0) AS cohesion
+        |    / NULLIF(CAST(a.sumsq AS DOUBLE) / n / 1099511627776.0, 0) AS cohesion
         |FROM a JOIN ss ON a.label = ss.label ORDER BY a.label""".stripMargin) { (s, dir) =>
       val e = Tables(s, dir, "embeddings")
         .select(col("label"), quantize("embedding").as("q"))
@@ -835,7 +835,11 @@ object SimilarityQueries {
             .as("mean_pair_dot"),
           (col("sumsq").cast("double") / col("n") / lit(1099511627776.0)).as("mean_self_dot"),
           (((col("dots") - col("sumsq")).cast("double") / col("nn") / lit(1099511627776.0))
-            / (col("sumsq").cast("double") / col("n") / lit(1099511627776.0))).as("cohesion"))
+            // NULLIF guard: a label of all-zero vectors (zero-padded
+            // placeholders) has mean_self_dot = 0 — cohesion is NULL
+            // there, not a 0/0 ANSI abort
+            / nullif(col("sumsq").cast("double") / col("n") / lit(1099511627776.0),
+                lit(0.0))).as("cohesion"))
         .orderBy(col("label"))
     }
   )

@@ -1676,7 +1676,8 @@ object TextQueries {
         |         COUNT(*) df FROM dt GROUP BY tok),
         | r AS (SELECT tok, s, ssq, df, ROW_NUMBER() OVER (ORDER BY s DESC, tok) rn FROM a)
         |SELECT CAST(rn AS BIGINT) AS rank, tok, s AS n_total, df,
-        |  CAST((SELECT d FROM nd) * ssq - s * s AS DOUBLE) / ((SELECT d FROM nd) * s) AS fano
+        |  CAST(CAST((SELECT d FROM nd) AS HUGEINT) * ssq - CAST(s AS HUGEINT) * s AS DOUBLE)
+        |    / CAST(CAST((SELECT d FROM nd) AS HUGEINT) * s AS DOUBLE) AS fano
         |FROM r WHERE rn <= 20 ORDER BY rank""".stripMargin) { (s, dir) =>
       val docs = Tables(s, dir, "documents")
       val nd = docs.agg(count(lit(1)).as("d"))
@@ -1692,8 +1693,12 @@ object TextQueries {
         .crossJoin(broadcast(nd))
         .select(col("rn").cast("long").as("rank"), col("tok"),
           col("s").as("n_total"), col("df"),
-          ((col("d") * col("ssq") - col("s") * col("s")).cast("double")
-            / (col("d") * col("s"))).as("fano"))
+          // decimal(38,0)/HUGEINT products: s > 3e9 (any multi-billion-
+          // token corpus) overflows s*s in raw int64
+          ((col("d").cast("decimal(19,0)") * col("ssq").cast("decimal(19,0)")
+              - col("s").cast("decimal(19,0)") * col("s").cast("decimal(19,0)")).cast("double")
+            / (col("d").cast("decimal(19,0)") * col("s").cast("decimal(19,0)")).cast("double"))
+            .as("fano"))
         .orderBy(col("rank"))
     },
 
@@ -1812,9 +1817,9 @@ object TextQueries {
         |  UNION ALL SELECT 'n_chars', CAST(n_chars AS DOUBLE) FROM s
         |  UNION ALL SELECT 'n_langs', CAST(n_langs AS DOUBLE) FROM s
         |  UNION ALL SELECT 'n_sources', CAST(n_sources AS DOUBLE) FROM s
-        |  UNION ALL SELECT 'dup_ratio', CAST(n_docs - n_unique AS DOUBLE) / n_docs FROM s
-        |  UNION ALL SELECT 'mean_chars_per_doc', CAST(n_chars AS DOUBLE) / n_docs FROM s
-        |  UNION ALL SELECT 'mean_tokens_per_doc', CAST(n_tokens AS DOUBLE) / n_docs FROM s
+        |  UNION ALL SELECT 'dup_ratio', CAST(n_docs - n_unique AS DOUBLE) / NULLIF(n_docs, 0) FROM s
+        |  UNION ALL SELECT 'mean_chars_per_doc', CAST(n_chars AS DOUBLE) / NULLIF(n_docs, 0) FROM s
+        |  UNION ALL SELECT 'mean_tokens_per_doc', CAST(n_tokens AS DOUBLE) / NULLIF(n_docs, 0) FROM s
         |  UNION ALL SELECT 'min_chars', CAST(min_chars AS DOUBLE) FROM s
         |  UNION ALL SELECT 'max_chars', CAST(max_chars AS DOUBLE) FROM s
         |) ORDER BY metric""".stripMargin) { (s, dir) =>
@@ -1834,9 +1839,9 @@ object TextQueries {
           "'n_chars', CAST(n_chars AS DOUBLE), " +
           "'n_langs', CAST(n_langs AS DOUBLE), " +
           "'n_sources', CAST(n_sources AS DOUBLE), " +
-          "'dup_ratio', CAST(n_docs - n_unique AS DOUBLE) / n_docs, " +
-          "'mean_chars_per_doc', CAST(n_chars AS DOUBLE) / n_docs, " +
-          "'mean_tokens_per_doc', CAST(n_tokens AS DOUBLE) / n_docs, " +
+          "'dup_ratio', CAST(n_docs - n_unique AS DOUBLE) / NULLIF(n_docs, 0), " +
+          "'mean_chars_per_doc', CAST(n_chars AS DOUBLE) / NULLIF(n_docs, 0), " +
+          "'mean_tokens_per_doc', CAST(n_tokens AS DOUBLE) / NULLIF(n_docs, 0), " +
           "'min_chars', CAST(min_chars AS DOUBLE), " +
           "'max_chars', CAST(max_chars AS DOUBLE)) AS (metric, value)")
         .orderBy(col("metric"))

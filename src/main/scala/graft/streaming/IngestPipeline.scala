@@ -50,11 +50,19 @@ object IngestPipeline {
         col("value"))
 
   /** File-source → decode/flatten → date-partitioned parquet sink, run-once.
-    * Blocks until caught up (AvailableNow), then returns. */
+    * Blocks until caught up (AvailableNow), then returns.
+    *
+    * `dedupKeys` non-empty = INLINE source-borne dedup during the drain
+    * (`dropDuplicates` without a watermark — state grows with distinct
+    * keys, which is bounded for a run-once drain the way the reference's
+    * in-memory ledger is; a forever-running stream should use
+    * [[streamingDedupWithinWatermark]] instead). */
   def runFileIngest(spark: SparkSession, srcDir: String, schema: StructType,
                     payloadSchema: StructType, dest: String, checkpoint: String,
-                    compression: String = "zstd"): StreamingQuery = {
-    val stream = spark.readStream.schema(schema).parquet(srcDir)
+                    compression: String = "zstd",
+                    dedupKeys: Seq[String] = Nil): StreamingQuery = {
+    val raw = spark.readStream.schema(schema).parquet(srcDir)
+    val stream = if (dedupKeys.isEmpty) raw else raw.dropDuplicates(dedupKeys)
     val decoded = stream
       .withColumn("data", from_json(col("props"), payloadSchema))
       .select(col("*"), col("data.*")).drop("data", "props")

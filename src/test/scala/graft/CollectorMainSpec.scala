@@ -44,17 +44,22 @@ class CollectorMainSpec extends SparkSpec {
     assert(e.getMessage.contains("count validation failed"))
   }
 
-  test("source-borne duplicate event_ids report, not abort, when dedup is off") {
-    val work = Files.createTempDirectory("collector3").toString
-    val src = s"$work/src"
-    val ev = Tables(spark, sf001, "events").limit(50)
-    ev.unionAll(ev).write.parquet(src) // every event_id delivered twice
-    // SKIP_DEDUPLICATION defaults true: an exactly-once drain of a
-    // duplicate-carrying source is the configured behavior — dup > 0
-    // must be reported, not an abort loop on every resume
-    val cfg = GraftConfig(outputDir = s"$work/out", skipValidation = false)
-    CollectorMain.run(spark, cfg, "file", src)
-    assert(spark.read.parquet(s"$work/out/lake").count() == 100)
+  test("source-borne duplicates dedup in BOTH modes (inline and deferred)") {
+    // the reference's SKIP_DEDUPLICATION is WHEN dedup happens, not IF —
+    // either mode must land exactly the distinct events and validate OK
+    for (deferred <- Seq(true, false)) {
+      val work = Files.createTempDirectory(s"collector3$deferred").toString
+      val src = s"$work/src"
+      val ev = Tables(spark, sf001, "events").limit(50)
+      ev.unionAll(ev).write.parquet(src) // every event_id delivered twice
+      val cfg = GraftConfig(outputDir = s"$work/out",
+        skipValidation = false, skipDeduplication = deferred)
+      CollectorMain.run(spark, cfg, "file", src)
+      val lake = spark.read.parquet(s"$work/out/lake")
+      assert(lake.count() == 50, s"deferred=$deferred")
+      assert(lake.select("event_id").distinct().count() == 50, s"deferred=$deferred")
+      assert(lake.columns.contains("date_path"), "deferred rewrite keeps the partitioning")
+    }
   }
 
   test("kafka mode refuses without a broker; bad mode refuses") {
