@@ -789,6 +789,90 @@ object SimilarityQueries {
         .orderBy(col("qid"))
     },
 
+    // ---- ANN RECALL evaluation: recall@10 of the IVF path against the
+    // exact brute baseline, per query — the continuous accuracy gate an
+    // ANN deployment runs whenever cells are refit or nprobe changes
+    // (AnnRecallSpec pins the clustered-fixture floor; THIS runs the
+    // audit as a first-class gated query on the live corpus, completing
+    // the eval family beside q_retrieval_eval). Both sub-pipelines are
+    // the exact oracle-gated q_knn_brute / q_knn_ivf plans — broadcast
+    // query slice, exact rational cell ranking in codegen, candidate-
+    // bounded windows — plus one (query, candidate)-keyed overlap join
+    // over 2×10×|queries| rows. Exact ints, one double division.
+    entry("q_ann_recall",
+      """WITH e AS (SELECT vec_id, label, [CAST(floor(CAST(x AS DOUBLE)*1048576.0) AS BIGINT) for x in embedding] q FROM embeddings),
+        | nt AS (SELECT vec_id, x*x t FROM (SELECT vec_id, unnest(q) x FROM e)),
+        | n AS (SELECT vec_id, sqrt(CAST(SUM(t) AS DOUBLE)) nrm FROM nt GROUP BY 1),
+        | qv AS (SELECT vec_id qid, q qe FROM e WHERE vec_id < 5),
+        | bpt AS (SELECT qid, c.vec_id cid, qe[i]*c.q[i] t
+        |        FROM qv CROSS JOIN e c CROSS JOIN generate_series(1,64) g(i) WHERE qid <> c.vec_id),
+        | bp AS (SELECT qid, cid, CAST(SUM(t) AS DOUBLE) dot FROM bpt GROUP BY 1,2),
+        | bs AS (SELECT qid, cid, dot/NULLIF(nq.nrm*nc.nrm, 0) cosine
+        |       FROM bp JOIN n nq ON bp.qid = nq.vec_id JOIN n nc ON bp.cid = nc.vec_id),
+        | br AS (SELECT qid, cid FROM (SELECT qid, cid,
+        |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) rnk FROM bs)
+        |       WHERE rnk <= 10),
+        | ct AS (SELECT label cl, i, SUM(q[i]) si, COUNT(*) cn FROM e CROSS JOIN generate_series(1,64) g(i) GROUP BY 1, 2),
+        | dt AS (SELECT e.vec_id, ct.cl, ct.cn, SUM((ct.cn*e.q[ct.i] - ct.si)*(ct.cn*e.q[ct.i] - ct.si)) d2
+        |        FROM e CROSS JOIN ct GROUP BY 1, 2, 3),
+        | asg AS (SELECT a.vec_id, a.cl,
+        |     1 + (SELECT COUNT(*) FROM dt b WHERE b.vec_id = a.vec_id AND b.cl <> a.cl
+        |          AND (CAST(b.d2 AS HUGEINT)*a.cn*a.cn < CAST(a.d2 AS HUGEINT)*b.cn*b.cn
+        |            OR (CAST(b.d2 AS HUGEINT)*a.cn*a.cn = CAST(a.d2 AS HUGEINT)*b.cn*b.cn AND b.cl < a.cl))) r
+        |   FROM dt a),
+        | cell AS (SELECT vec_id, cl FROM asg WHERE r = 1),
+        | probe AS (SELECT vec_id qid, cl FROM asg WHERE r <= 2 AND vec_id < 5),
+        | cands AS (SELECT p.qid, c.vec_id cid FROM probe p JOIN cell c ON p.cl = c.cl WHERE c.vec_id <> p.qid),
+        | ipt AS (SELECT cands.qid, cands.cid, a.q[i]*b.q[i] t
+        |        FROM cands JOIN e a ON cands.qid = a.vec_id JOIN e b ON cands.cid = b.vec_id
+        |        CROSS JOIN generate_series(1,64) g(i)),
+        | ipd AS (SELECT qid, cid, CAST(SUM(t) AS DOUBLE) dot FROM ipt GROUP BY 1,2),
+        | isc AS (SELECT ipd.qid, ipd.cid, dot/NULLIF(na.nrm*nb.nrm, 0) cosine FROM ipd
+        |        JOIN n na ON na.vec_id = ipd.qid JOIN n nb ON nb.vec_id = ipd.cid),
+        | iv AS (SELECT qid, cid FROM (SELECT qid, cid,
+        |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) rnk FROM isc)
+        |       WHERE rnk <= 10)
+        |SELECT br.qid, CAST(COUNT(iv.cid) AS BIGINT) AS n_overlap,
+        |  CAST(COUNT(iv.cid) AS DOUBLE)/10 AS recall_at_10
+        |FROM br LEFT JOIN iv ON br.qid = iv.qid AND br.cid = iv.cid
+        |GROUP BY br.qid ORDER BY br.qid""".stripMargin) { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+        .select(col("vec_id"), col("label"), quantize("embedding").as("q"))
+        .withColumn("nrm", qnorm("q"))
+        .persist() // five readers: brute pair, cell sums, ranking, query slice, search
+      val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid").asc)
+      val qe = broadcast(e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("q").as("aq"), col("nrm").as("qnrm")))
+      // brute top-10: the exact q_knn_brute plan
+      val brute = e.select(col("vec_id").as("cid"), col("q").as("bq"), col("nrm").as("cnrm"))
+        .join(qe, col("qid") =!= col("cid"))
+        .withColumn("cosine", cosineFrom(qdot("aq", "bq"), col("qnrm"), col("cnrm")))
+        .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 10)
+        .select(col("qid"), col("cid"))
+      // IVF top-10: the exact q_knn_ivf plan
+      val cs = labelSums(e)
+      val ranked = e.crossJoin(broadcast(graft.functions.KMeans.candidatesRow(cs)))
+        .withColumn("top2", expr(s"slice(${graft.functions.KMeans.nearestSorted()}, 1, 2)"))
+        .select(col("vec_id"), posexplode(col("top2")).as(Seq("p", "c")))
+        .select(col("vec_id"), (col("p") + 1).as("r"), col("c.cl").as("cl"))
+      val cell = ranked.filter(col("r") === 1).select(col("vec_id"), col("cl"))
+      val probe = ranked.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("cl"))
+      val cands = probe.join(cell, "cl").filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("cid"))
+      val ce = e.select(col("vec_id").as("cid"), col("q").as("bq"), col("nrm").as("cnrm"))
+      val ivf = cands.join(qe, "qid").join(ce, "cid")
+        .withColumn("cosine", cosineFrom(qdot("aq", "bq"), col("qnrm"), col("cnrm")))
+        .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 10)
+        .select(col("qid").as("i_qid"), col("cid").as("i_cid"))
+      brute.join(ivf, col("qid") === col("i_qid") && col("cid") === col("i_cid"), "left")
+        .groupBy(col("qid"))
+        .agg(count(col("i_cid")).as("n_overlap"),
+          (count(col("i_cid")).cast("double") / 10).as("recall_at_10"))
+        .orderBy(col("qid"))
+    },
+
     // ---- EMBEDDING DIVERSITY per label via the SUM-VECTOR IDENTITY:
     // mean pairwise dot = (‖Σv‖² − Σ‖v‖²) / (n·(n−1)) — an O(n²)
     // quantity in O(n), with NO pairwise join anywhere (the trick that
