@@ -57,21 +57,74 @@ object CollectorMain {
   /** Deferred (post-drain) dedup: one merge pass over the landed lake,
     * keep-first by (event_id, ts), stage-and-swap preserving the date
     * partitioning — the reference's staging+merge step; at scale this is
-    * one key-partitioned shuffle of the NEW drain's partitions. */
+    * one key-partitioned shuffle of the NEW drain's partitions.
+    *
+    * Two failure posures the swap must survive:
+    *  - `FileSystem.rename` reports failure by RETURNING FALSE, not by
+    *    throwing — every rename result is checked, and a failed second
+    *    rename rolls the original lake back before aborting, so no
+    *    ordering of failures can delete the only copy of the data.
+    *  - The rewrite replaces every part file, which makes the streaming
+    *    file sink's `_spark_metadata` log stale BY CONSTRUCTION (it lists
+    *    the old names). The drain's checkpoint survives the swap, so a
+    *    later incremental drain would recreate the log holding only its
+    *    own batch — and every `spark.read.parquet(lake)` thereafter
+    *    resolves through the log and silently hides the pre-swap files.
+    *    We therefore REBUILD the log over the rewritten files, replaying
+    *    batch ids 0..latest (empty deltas + the full listing at the
+    *    latest id) through Spark's own `FileStreamSinkLog`, so readers
+    *    and subsequent drains both see the whole lake. */
   private def dedupLakeInPlace(spark: SparkSession, dest: String, compression: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.execution.streaming.sinks.{FileStreamSinkLog, SinkFileStatus}
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(dest + ".rewrite")
-    val old = new org.apache.hadoop.fs.Path(dest + ".old")
+    val destPath = new Path(dest)
+    val tmp = new Path(dest + ".rewrite")
+    val old = new Path(dest + ".old")
     val cur = spark.read.parquet(dest)
     // skip the rewrite when the lake is already clean: the common resume
-    // path then never touches the files (or the file-sink metadata log,
-    // which a swap necessarily discards as stale)
+    // path then never touches the files or the sink metadata log
     if (cur.count() == cur.select(col("event_id")).distinct().count()) return
+    // capture the sink log's latest batch id BEFORE the swap moves it
+    val metaDir = new Path(destPath, "_spark_metadata")
+    val latestBatch: Option[Long] =
+      if (fs.exists(metaDir))
+        new FileStreamSinkLog(FileStreamSinkLog.VERSION, spark, metaDir.toString, None)
+          .getLatestBatchId()
+      else None
     graft.ingest.Dedup.dedupKeepFirst(cur, Seq(col("event_id")), col("ts"))
       .write.mode("overwrite").option("compression", compression)
       .partitionBy("date_path").parquet(tmp.toString)
-    fs.rename(new org.apache.hadoop.fs.Path(dest), old)
-    fs.rename(tmp, new org.apache.hadoop.fs.Path(dest))
+    if (!fs.rename(destPath, old))
+      throw new IllegalStateException(
+        s"dedup swap aborted: rename $dest -> $old returned false; " +
+          s"lake untouched, rewrite left at $tmp for inspection")
+    if (!fs.rename(tmp, destPath)) {
+      val rolledBack = fs.rename(old, destPath)
+      throw new IllegalStateException(
+        s"dedup swap failed: rename $tmp -> $dest returned false; " +
+          (if (rolledBack) "original lake restored"
+           else s"MANUAL ACTION REQUIRED: the lake is intact at $old"))
+    }
+    // rebuild the sink metadata log over the rewritten files (see scaladoc)
+    latestBatch.foreach { id =>
+      def dataFiles(p: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+        fs.listStatus(p).toSeq
+          .filterNot(st => st.getPath.getName.startsWith("_") || st.getPath.getName.startsWith("."))
+          .flatMap(st => if (st.isDirectory) dataFiles(st.getPath) else Seq(st))
+      val entries = dataFiles(destPath).map(SinkFileStatus.apply).toArray
+      val log = new FileStreamSinkLog(FileStreamSinkLog.VERSION, spark, metaDir.toString, None)
+      (0L to id).foreach { b =>
+        if (!log.add(b, if (b == id) entries else Array.empty[SinkFileStatus]))
+          throw new IllegalStateException(
+            s"rebuilding $metaDir failed at batch $b — the lake files are " +
+              s"correct but the sink log is partial; backup retained at $old")
+      }
+    }
+    // only discard the backup once the swapped lake is verifiably there
+    if (!fs.exists(destPath))
+      throw new IllegalStateException(
+        s"post-swap check failed: $dest missing; backup retained at $old")
     fs.delete(old, true)
   }
 
@@ -107,7 +160,17 @@ object CollectorMain {
         // SKIP_DEDUPLICATION is WHEN dedup happens, not IF (the
         // reference's `:87` semantics): false = inline during the drain,
         // true = deferred to one post-drain merge pass — either way the
-        // lake never carries duplicate event_ids
+        // lake never carries duplicate event_ids. KEEPER CONTRACT: both
+        // modes land exactly one row per key, but when duplicate
+        // deliveries DISAGREE on ts/payload the kept representative
+        // differs — inline `dropDuplicates` keeps an arbitrary
+        // first-seen row (an append-only sink cannot retract a landed
+        // row when a smaller-ts duplicate arrives in a later batch),
+        // while deferred keeps the canonical min-ts row. For broker
+        // redelivery (byte-identical duplicates, the reference's actual
+        // failure mode) the modes are indistinguishable; when producers
+        // may re-stamp retries, run deferred mode — it is the keeper
+        // authority.
         val inlineKeys = if (hasEventId && !cfg.skipDeduplication) Seq("event_id") else Nil
         // the writer option overrides the session conf, so the knob must
         // reach the sink explicitly — a session conf alone is ignored

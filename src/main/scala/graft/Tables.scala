@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -127,6 +127,32 @@ object Tables {
           .withColumn("ts", toMicros)
       case _ => spark.read.parquet(s"$dir/$name.parquet")
     })
+
+  /** Conditional corpus spread — replaces the former UNCONDITIONAL
+    * `repartition(defaultParallelism, keys…)` at every corpus-scan site.
+    * The sf testdata is a single parquet file, so a raw scan yields a
+    * handful of input splits and every per-document map (shingling,
+    * regex passes, vector hashing) would run on one core; at production
+    * scale the same scan already yields thousands of splits and the
+    * unconditional repartition becomes a full shuffle of the widest
+    * columns in the lake (text/embedding) ahead of aggregates that
+    * would shuffle only their reduced frames — pure wasted I/O. So:
+    * count the incoming plan's partitions and repartition ONLY when the
+    * scan under-fills the session parallelism; a plan already at or
+    * above it passes through untouched (SpreadSpec pins both arms).
+    *
+    * The count comes from the PRE-adaptive physical plan
+    * (`queryExecution.sparkPlan`): building its RDD lineage is
+    * driver-side planning only — no job runs, and no AQE stage
+    * materialization can trigger. Call it where the old crutch sat: on
+    * scan-rooted (scan + narrow maps) frames. */
+  def spread(df: DataFrame, keys: Column*): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    val parts = df.queryExecution.sparkPlan.execute().getNumPartitions
+    if (parts >= target) df
+    else if (keys.isEmpty) df.repartition(target)
+    else df.repartition(target, keys: _*)
+  }
 
   /** Register every table as a temp view so `spark.sql` mirrors the DuckDB
     * oracle's view of the same parquet files. */

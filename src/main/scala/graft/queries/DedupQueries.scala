@@ -33,7 +33,7 @@ object DedupQueries {
     * is the difference between 1 core and all of them. */
   private def shingled(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
-      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .transform(Tables.spread(_, col("doc_id")))
       .withColumn("toks", tokens("text"))
       .select(col("doc_id"), shingles("toks", 3).as("sh"))
 
@@ -156,7 +156,7 @@ object DedupQueries {
       val byDoc = org.apache.spark.sql.expressions.Window
         .partitionBy(col("doc_id")).orderBy(col("pos"))
       val w = Tables(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .transform(Tables.spread(_, col("doc_id")))
         .select(col("doc_id"), tokens("text").as("toks"))
         .select(col("doc_id"), posexplode(expr(
           "CASE WHEN size(toks) < 8 THEN CAST(array() AS ARRAY<BIGINT>) " +
@@ -478,7 +478,7 @@ object DedupQueries {
         .toDF("doc_id", "lbl")
       val fl = Tables(s, dir, "documents")
         // single-file input → spread the per-document regex pass
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .transform(Tables.spread(_, col("doc_id")))
         .select(col("doc_id"),
           (length(regexp_replace(col("text"), "[^a-z]", "")).cast("double") /
             length(col("text"))).as("q"))
@@ -525,7 +525,7 @@ object DedupQueries {
         |          FROM tr JOIN ev USING (g) GROUP BY tr.doc_id)
         |SELECT doc_id, n_eval_docs, n_shared_grams FROM hits ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val sh5 = Tables(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .transform(Tables.spread(_, col("doc_id")))
         .withColumn("toks", tokens("text"))
         .select(col("doc_id"), shingles("toks", 5).as("sh"))
         .select(col("doc_id"),
@@ -572,7 +572,7 @@ object DedupQueries {
           .select(col("doc_id").as("eid"), substring(col("text"), 1, 24).as("snip")),
         "q_decontaminate_exact eval snippets")
       docs.filter(col("doc_id") % 20 =!= 0)
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id")) // single-file input → spread the scan×snippet loop
+        .transform(Tables.spread(_, col("doc_id"))) // single-file input → spread the scan×snippet loop
         .select(col("doc_id"), col("text"))
         .crossJoin(ev)
         .filter(instr(col("text"), col("snip")) > 0)
@@ -606,7 +606,7 @@ object DedupQueries {
         |  CAST(len(fp) AS DOUBLE)/n_grams AS fp_ratio
         |FROM w ORDER BY doc_id""".stripMargin) { (s, dir) =>
       Tables(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .transform(Tables.spread(_, col("doc_id")))
         .withColumn("toks", tokens("text"))
         // POSITIONAL gram hashes (not the distinct shingle set): the
         // window structure is the point of winnowing
@@ -732,7 +732,7 @@ object DedupQueries {
         |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
       val f = Tables(s, dir, "documents")
         .filter(col("doc_id") < 1000)
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id")) // single-file input → spread the pair loop
+        .transform(Tables.spread(_, col("doc_id"))) // single-file input → spread the pair loop
         .withColumn("toks", tokens("text"))
         .withColumn("hs", expr("transform(array_distinct(toks), x -> md5(x))"))
         .withColumn("n", expr("size(array_distinct(toks))"))
@@ -770,7 +770,7 @@ object DedupQueries {
         |WHERE dot/NULLIF(na.nrm*nb.nrm, 0) >= 0.4 ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
       val e = Tables(s, dir, "embeddings")
         .filter(col("vec_id") < 1000)
-        .repartition(s.sparkContext.defaultParallelism, col("vec_id")) // single-file input → spread the pair loop
+        .transform(Tables.spread(_, col("vec_id"))) // single-file input → spread the pair loop
         .select(col("vec_id"), quantize("embedding").as("q"))
         .withColumn("nrm", qnorm("q"))
       val a = e.select(col("vec_id").as("a_id"), col("q").as("aq"), col("nrm").as("anrm"))
@@ -814,7 +814,7 @@ object DedupQueries {
       // sides read it — persist so shingling/hashing runs once (cleared
       // by the harness between queries)
       val sdf = Tables(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .transform(Tables.spread(_, col("doc_id")))
         .select(col("source"), tokens("text").as("toks"))
         .select(col("source"), explode(expr(
           // size < 2 guard: sequence(1, 0) DESCENDS where "no bigrams" is meant
@@ -864,7 +864,7 @@ object DedupQueries {
         |SELECT source_a, source_b, n_match, CAST(n_match AS DOUBLE)/16 AS est_jaccard
         |FROM p ORDER BY source_a, source_b""".stripMargin) { (s, dir) =>
       val sg = Tables(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .transform(Tables.spread(_, col("doc_id")))
         .withColumn("toks", tokens("text"))
         .select(col("source"), shingles("toks", 3).as("sh"))
         .withColumn("mh", minhashSignature("sh", 16))
@@ -908,7 +908,7 @@ object DedupQueries {
         |  h.doc_id = g.keeper AS kept
         |FROM h JOIN g ON h.ch = g.ch ORDER BY h.doc_id""".stripMargin) { (s, dir) =>
       val h = Tables(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id")) // single-file scan → spread the regex pass
+        .transform(Tables.spread(_, col("doc_id"))) // single-file scan → spread the regex pass
         .withColumn("canon", trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")))
         .select(col("doc_id"), expr(md5Prefix64Sql("canon")).as("ch"))
       val g = h.groupBy(col("ch").as("g_ch"))

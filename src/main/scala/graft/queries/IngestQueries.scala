@@ -395,7 +395,7 @@ object IngestQueries {
         |  CAST(COALESCE(COUNT(CASE WHEN st = 'unchanged' THEN 1 END), 0) AS BIGINT) n_unchanged
         |FROM j GROUP BY 1 ORDER BY source""".stripMargin) { (s, dir) =>
       val docs = Tables(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .transform(Tables.spread(_, col("doc_id")))
       val v1 = docs.filter(col("doc_id") % 11 =!= 0)
         .select(col("doc_id").as("a_id"), col("source").as("a_src"),
           when(col("doc_id") % 13 === 0, md5(concat(col("text"), lit("_v1"))))
@@ -423,9 +423,15 @@ object IngestQueries {
     // stalled producer (rate collapse) or a replay storm (rate spike)
     // right where the reference only counts rows after the fact
     // (`q_count_validation`). Exactness: the z-score fence is CROSS-
-    // MULTIPLIED into pure int64 — (n·w − s)² > 9·(w·ssq − s²) is
-    // (n − mean)² > 9·var with both sides scaled by w² — so no sqrt, no
-    // division, engines agree bit-for-bit; warm-up hours (trailing
+    // MULTIPLIED — (n·w − s)² > 9·(w·ssq − s²) is (n − mean)² > 9·var
+    // with both sides scaled by w² — so no sqrt, no division, engines
+    // agree bit-for-bit; the squared terms are widened to
+    // decimal(38,0)/HUGEINT (the q_burstiness treatment — raw int64
+    // wraps silently in Spark above ~1.3e8 events/hour while DuckDB
+    // errors loudly, diverging the engines), and the hour bucket floors
+    // on BOTH sides (date_trunc then exact DIV — bare
+    // `unix_timestamp DIV 3600` truncates toward zero, splitting
+    // pre-1970 timestamps across engines); warm-up hours (trailing
     // window < 12 rows) report false. Scale shape: the corpus reduces
     // map-side to ONE ROW PER DISTINCT HOUR before the window (8,760
     // rows/year — the q_degree_stats bounded-window discipline), so the
@@ -437,24 +443,27 @@ object IngestQueries {
         | w AS (SELECT hr, n,
         |   COUNT(*) OVER win w_hours,
         |   CAST(SUM(n) OVER win AS BIGINT) w_sum,
-        |   CAST(SUM(n*n) OVER win AS BIGINT) ssq
+        |   SUM(CAST(n AS HUGEINT) * n) OVER win ssq
         |  FROM h WINDOW win AS (ORDER BY hr ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
         |SELECT hr, n, w_hours, w_sum,
         |  w_hours >= 12 AND
-        |    (n * w_hours - w_sum) * (n * w_hours - w_sum) > 9 * (w_hours * ssq - w_sum * w_sum)
+        |    (CAST(n AS HUGEINT) * w_hours - w_sum) * (CAST(n AS HUGEINT) * w_hours - w_sum)
+        |      > 9 * (w_hours * ssq - CAST(w_sum AS HUGEINT) * w_sum)
         |    AS anomaly
         |FROM w ORDER BY hr""".stripMargin) { (s, dir) =>
       val w = Window.orderBy(col("hr")).rowsBetween(-24, -1)
+      val M = Exact.Moment
+      val dev = (col("n").cast(M) * col("w_hours") - col("w_sum")).cast(M)
       events(s, dir)
-        .groupBy(expr("unix_timestamp(ts) DIV 3600").as("hr"))
+        .groupBy(expr("unix_timestamp(date_trunc('hour', ts)) DIV 3600").as("hr"))
         .agg(count(lit(1)).as("n"))
         .withColumn("w_hours", count(lit(1)).over(w))
         .withColumn("w_sum", sum(col("n")).over(w))
-        .withColumn("ssq", sum(col("n") * col("n")).over(w))
+        .withColumn("ssq", sum((col("n").cast(M) * col("n")).cast(M)).over(w))
         .select(col("hr"), col("n"), col("w_hours"), col("w_sum"),
           (col("w_hours") >= 12 &&
-            (col("n") * col("w_hours") - col("w_sum")) * (col("n") * col("w_hours") - col("w_sum"))
-              > lit(9L) * (col("w_hours") * col("ssq") - col("w_sum") * col("w_sum"))).as("anomaly"))
+            (dev * dev).cast(M)
+              > lit(9L) * (col("w_hours").cast(M) * col("ssq") - (col("w_sum").cast(M) * col("w_sum")).cast(M))).as("anomaly"))
         .orderBy(col("hr"))
     }
   )

@@ -192,7 +192,7 @@ object MultimodalQueries {
           Tables(s, dir, "documents")
             .filter(length(col("text")) > 0 &&
               length(col("text")) === octet_length(col("text")))
-            .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+            .transform(Tables.spread(_, col("doc_id")))
             .withColumn("payload", col("text").cast("binary")),
           "doc_id", "payload")
         .toDF()
@@ -243,7 +243,7 @@ object MultimodalQueries {
           Tables(s, dir, "documents")
             .filter(length(col("text")) > 0 &&
               length(col("text")) === octet_length(col("text")))
-            .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+            .transform(Tables.spread(_, col("doc_id")))
             .withColumn("payload", col("text").cast("binary")),
           "doc_id", "payload")
         .toDF()
@@ -282,7 +282,7 @@ object MultimodalQueries {
           Tables(s, dir, "documents")
             .filter(length(col("text")) > 0 &&
               length(col("text")) === octet_length(col("text")))
-            .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+            .transform(Tables.spread(_, col("doc_id")))
             .withColumn("payload", col("text").cast("binary")),
           "doc_id", "payload")
         .toDF()

@@ -1119,7 +1119,11 @@ object RelationalQueries {
     // scale this gate targets (the q_random_projection accumulation
     // treatment — int64 would wrap silently in Spark and error in
     // DuckDB); one double division at the end, argmax tie-break
-    // (smallest value) total. Scale shape: the corpus reduces map-side
+    // (smallest value) total. The supremum numerator SURFACES as VARCHAR
+    // on both sides: decimals stay intermediates only, because the
+    // driver's two decimal128 fetch paths canonicalize differently
+    // (two rounds of bit-identical Decimal('6750') locally, hash still
+    // red at the driver) — strings cannot diverge under any fetch path. Scale shape: the corpus reduces map-side
     // to the distinct-value space (ONE scan — the sample sizes come from
     // summing the reduced counts, not a second pass) before the
     // running-sum window — O(distinct lengths) rows — and the 1-row
@@ -1134,7 +1138,7 @@ object RelationalQueries {
         | s AS (SELECT x, abs(CAST(cka AS HUGEINT) * nb - CAST(ckb AS HUGEINT) * na) num
         |       FROM r CROSS JOIN n),
         | m AS (SELECT x, num, ROW_NUMBER() OVER (ORDER BY num DESC, x) rn FROM s)
-        |SELECT n.na, n.nb, m.x AS at_x, CAST(m.num AS DECIMAL(38,0)) AS d_num,
+        |SELECT n.na, n.nb, m.x AS at_x, CAST(m.num AS VARCHAR) AS d_num,
         |  CAST(m.num AS DOUBLE) / CAST(CAST(n.na AS HUGEINT) * n.nb AS DOUBLE) AS ks
         |FROM m CROSS JOIN n WHERE m.rn = 1""".stripMargin) { (s, dir) =>
       import s.implicits._
@@ -1153,7 +1157,7 @@ object RelationalQueries {
         .select($"x", $"na", $"nb",
           abs($"cka".cast(dec) * $"nb" - $"ckb".cast(dec) * $"na").cast(dec).as("num"))
       topKRanked(sup, 1, "rn", $"num".desc, $"x".asc)
-        .select($"na", $"nb", $"x".as("at_x"), $"num".as("d_num"),
+        .select($"na", $"nb", $"x".as("at_x"), $"num".cast("string").as("d_num"),
           ($"num".cast("double") / ($"na".cast(dec) * $"nb").cast("double")).as("ks"))
     },
 

@@ -41,7 +41,7 @@ object SimilarityQueries {
         | r AS (SELECT qid, cid, cosine, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) rnk FROM s)
         |SELECT qid, rnk, cid, cosine FROM r WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin) { (s, dir) =>
       val e = Tables(s, dir, "embeddings")
-        .repartition(s.sparkContext.defaultParallelism, col("vec_id")) // single-file input → spread the scan×query loop
+        .transform(Tables.spread(_, col("vec_id"))) // single-file input → spread the scan×query loop
         .select(col("vec_id"), quantize("embedding").as("q"))
         .withColumn("nrm", qnorm("q"))
       val queries = broadcast(
@@ -81,7 +81,7 @@ object SimilarityQueries {
         |SELECT qid, q_label, rnk, cid, c_label, cosine FROM r WHERE rnk <= 3
         |ORDER BY qid, rnk""".stripMargin) { (s, dir) =>
       val e = Tables(s, dir, "embeddings")
-        .repartition(s.sparkContext.defaultParallelism, col("vec_id")) // single-file input → spread the scan×query loop
+        .transform(Tables.spread(_, col("vec_id"))) // single-file input → spread the scan×query loop
         .select(col("vec_id"), col("label"), quantize("embedding").as("q"))
         .withColumn("nrm", qnorm("q"))
       val queries = broadcast(
@@ -142,7 +142,7 @@ object SimilarityQueries {
         | r AS (SELECT qid, cid, cosine, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) rnk FROM sc)
         |SELECT qid, rnk, cid, cosine FROM r WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin) { (s, dir) =>
       val e = Tables(s, dir, "embeddings")
-        .repartition(s.sparkContext.defaultParallelism, col("vec_id")) // single-file input → spread assignment + search
+        .transform(Tables.spread(_, col("vec_id"))) // single-file input → spread assignment + search
         .select(col("vec_id"), col("label"), quantize("embedding").as("q"))
         .withColumn("nrm", qnorm("q"))
         // four readers (cell sums, ranked assignment, query slice, search
@@ -195,7 +195,7 @@ object SimilarityQueries {
     // partitions, cluster sums broadcast.
     entryNoOracle("q_knn_ivf_fitted") { (s, dir) =>
       val e = Tables(s, dir, "embeddings")
-        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+        .transform(Tables.spread(_, col("vec_id")))
         .select(col("vec_id"), col("label"), quantize("embedding").as("q"))
         .withColumn("nrm", qnorm("q"))
         // four readers (fit input, probe slice, query slice, search side)
@@ -269,7 +269,7 @@ object SimilarityQueries {
       }
       val planes = (0 to 7).map(b => (1 to 64).map(i => hpCoef(b, i)))
       val e = Tables(s, dir, "embeddings")
-        .repartition(s.sparkContext.defaultParallelism, col("vec_id")) // single-file input → spread hyperplane hashing
+        .transform(Tables.spread(_, col("vec_id"))) // single-file input → spread hyperplane hashing
         .select(col("vec_id"), quantize("embedding").as("q"))
         .withColumn("nrm", qnorm("q"))
       // One native-loop dot per plane against a literal coefficient vector
@@ -306,7 +306,7 @@ object SimilarityQueries {
         |SELECT label, CAST(dim AS BIGINT) AS dim, CAST(sx AS DOUBLE) / n / 1048576.0 AS centroid
         |FROM a ORDER BY label, dim""".stripMargin) { (s, dir) =>
       Tables(s, dir, "embeddings")
-        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+        .transform(Tables.spread(_, col("vec_id")))
         .select(col("label"), posexplode(quantize("embedding")).as(Seq("p", "xq")))
         .groupBy(col("label"), (col("p") + 1).cast("long").as("dim"))
         .agg(sum(col("xq")).as("sx"), count(lit(1)).as("n"))
@@ -353,7 +353,7 @@ object SimilarityQueries {
         |  CAST(sx AS DOUBLE) / n / 1048576.0 AS centroid, n AS n_members
         |FROM n1 ORDER BY cluster, dim""".stripMargin) { (s, dir) =>
       val emb = Tables(s, dir, "embeddings")
-        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+        .transform(Tables.spread(_, col("vec_id")))
         .select(col("vec_id"), col("label"), quantize("embedding").as("q"))
         .persist()
       // exact rational argmin in ONE aggregation (KMeans.assign): the k
@@ -402,7 +402,7 @@ object SimilarityQueries {
         |  CAST(COALESCE(g.n_added, 0) AS DOUBLE)/sz.cn AS growth_ratio
         |FROM sz LEFT JOIN g USING (cl) ORDER BY cell""".stripMargin) { (s, dir) =>
       val e = Tables(s, dir, "embeddings")
-        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+        .transform(Tables.spread(_, col("vec_id")))
         .select(col("vec_id"), col("label"), quantize("embedding").as("q"))
         .persist() // lake sums + batch assignment both read it
       val cells = labelSums(e.filter(col("vec_id") % 10 =!= 0))
@@ -432,7 +432,7 @@ object SimilarityQueries {
     // to itself.
     entryNoOracle("q_kmeans_fit") { (s, dir) =>
       val emb = Tables(s, dir, "embeddings")
-        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+        .transform(Tables.spread(_, col("vec_id")))
         .select(col("vec_id"), col("label"), quantize("embedding").as("q"))
       val fit = graft.functions.KMeans.fit(emb, maxIter = 5)
       fit.clusters
@@ -485,7 +485,7 @@ object SimilarityQueries {
         |SELECT qid, rnk, cid, d2 FROM fin WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin) { (s, dir) =>
       val OFF = 1048576L
       val e = Tables(s, dir, "embeddings")
-        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+        .transform(Tables.spread(_, col("vec_id")))
         .select(col("vec_id"), col("label"), quantize("embedding").as("q"))
         .persist() // codebook build, encode, LUT, and rerank all read it
       // codebook: per-label elementwise sums (bounded partials) → rounded
@@ -604,7 +604,7 @@ object SimilarityQueries {
         |SELECT tid AS vec_id, n_eval_near, max_cosine, eid AS nearest_eval
         |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin) { (s, dir) =>
       val e = Tables(s, dir, "embeddings")
-        .repartition(s.sparkContext.defaultParallelism, col("vec_id")) // single-file input → spread the scan×eval loop
+        .transform(Tables.spread(_, col("vec_id"))) // single-file input → spread the scan×eval loop
         .select(col("vec_id"), quantize("embedding").as("q"))
         .withColumn("nrm", qnorm("q"))
       // eval-suite boundedness is a CHECKED contract (functions.Guards):
@@ -698,7 +698,7 @@ object SimilarityQueries {
         |  CAST(sse AS DOUBLE)/64/(CAST(133169152 AS DOUBLE)*CAST(133169152 AS DOUBLE)) mse
         |FROM r ORDER BY sse DESC, vec_id LIMIT 20""".stripMargin) { (s, dir) =>
       Tables(s, dir, "embeddings")
-        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+        .transform(Tables.spread(_, col("vec_id")))
         .select(col("vec_id"), col("label").cast("long").as("label"),
           quantize("embedding").as("q"))
         .withColumn("s", expr("array_max(transform(q, x -> abs(x)))"))
@@ -761,7 +761,7 @@ object SimilarityQueries {
       }
       val planes = (0 to 7).map(b => (1 to 64).map(i => sgn(b, i)))
       val e = Tables(s, dir, "embeddings")
-        .repartition(s.sparkContext.defaultParallelism, col("vec_id")) // single-file input → spread the pair loop
+        .transform(Tables.spread(_, col("vec_id"))) // single-file input → spread the pair loop
         .select(col("vec_id"), quantize("embedding").as("q"))
       val qv = broadcast(e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("q").as("qe")))
@@ -837,7 +837,7 @@ object SimilarityQueries {
         |FROM br LEFT JOIN iv ON br.qid = iv.qid AND br.cid = iv.cid
         |GROUP BY br.qid ORDER BY br.qid""".stripMargin) { (s, dir) =>
       val e = Tables(s, dir, "embeddings")
-        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+        .transform(Tables.spread(_, col("vec_id")))
         .select(col("vec_id"), col("label"), quantize("embedding").as("q"))
         .withColumn("nrm", qnorm("q"))
         .persist() // five readers: brute pair, cell sums, ranking, query slice, search

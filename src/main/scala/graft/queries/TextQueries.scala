@@ -232,7 +232,7 @@ object TextQueries {
       Tables(s, dir, "documents")
         // the table is one parquet file → one input partition; the
         // tokenize+explode map is the heavy phase, so spread it first
-        .repartition(s.sparkContext.defaultParallelism)
+        .transform(Tables.spread(_))
         .withColumn("toks", tokens("text"))
         .filter(size(col("toks")) >= 2)
         .select(col("lang"), explode(expr(
@@ -460,7 +460,7 @@ object TextQueries {
         | r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY n_docs DESC, ta, tb) rk FROM pr)
         |SELECT rk, ta, tb, n_docs FROM r WHERE rk <= 15 ORDER BY rk""".stripMargin) { (s, dir) =>
       val t = Tables(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id")) // single-file scan → spread the pair loop
+        .transform(Tables.spread(_, col("doc_id"))) // single-file scan → spread the pair loop
         .select(col("doc_id"), explode(tokens("text")).as("term"))
         .distinct()
       val dfq = t.groupBy(col("term").as("df_term")).agg(count(lit(1)).as("df"))
@@ -511,7 +511,7 @@ object TextQueries {
         |  CAST(COALESCE(SUM(CASE WHEN sur >= 10 THEN n END), 0) AS BIGINT) n_rare
         |FROM s GROUP BY 1 ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val dt = Tables(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .transform(Tables.spread(_, col("doc_id")))
         .select(col("doc_id"), explode(tokens("text")).as("tok"))
         .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("n"))
       // checkpoint the DATA-REDUCED frame (vocab-sized), not the
@@ -545,7 +545,7 @@ object TextQueries {
         |  COUNT(*) n_types, CAST(SUM(cnt) AS BIGINT) n_tokens
         |FROM f GROUP BY 1 ORDER BY octave""".stripMargin) { (s, dir) =>
       Tables(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .transform(Tables.spread(_, col("doc_id")))
         .select(explode(tokens("text")).as("tok"))
         .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
         .groupBy(expr("CAST(length(bin(cnt)) - 1 AS BIGINT)").as("octave"))
@@ -569,7 +569,7 @@ object TextQueries {
         |  COUNT(CASE WHEN we > ws THEN 1 END) n_spanning
         |FROM w GROUP BY 1 ORDER BY window_id""".stripMargin) { (s, dir) =>
       val t = Tables(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .transform(Tables.spread(_, col("doc_id")))
         .select(col("doc_id"), size(tokens("text")).cast("long").as("n_tok"))
       graft.functions.Ranking.withGlobalRunningSum(t, col("n_tok"),
           col("doc_id"), primaryAsc = true, Seq(col("doc_id")), "cum")
@@ -601,7 +601,7 @@ object TextQueries {
     // invariant).
     entryNoOracle("q_bpe_vocab") { (s, dir) =>
       val docs = Tables(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .transform(Tables.spread(_, col("doc_id")))
         .select(col("doc_id"), tokens("text").as("toks"))
       val fit = graft.functions.BpeVocab.fit(docs, rounds = 5, batch = 5)
       // the merge table is plain driver data — drop the corpus
@@ -631,7 +631,7 @@ object TextQueries {
     // depth (QueryInvariantSpec).
     entryNoOracle("q_bpe_encode") { (s, dir) =>
       val docs = Tables(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .transform(Tables.spread(_, col("doc_id")))
         .select(col("doc_id"), tokens("text").as("toks"))
       val fit = graft.functions.BpeVocab.fit(docs, rounds = 5, batch = 5)
       fit.release() // the query re-encodes from the raw corpus below
@@ -680,7 +680,7 @@ object TextQueries {
         |  CAST(n_boiler AS DOUBLE)/n_chunks AS boiler_ratio
         |FROM s ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val c = Tables(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .transform(Tables.spread(_, col("doc_id")))
         .select(col("doc_id"), tokens("text").as("toks"))
         .select(col("doc_id"), explode(expr(
           // size=0 guard: Spark's sequence(0,-1) yields [0,-1] (descending)
@@ -733,7 +733,7 @@ object TextQueries {
         |FROM tot LEFT JOIN agg ON tot.doc_id = agg.doc_id
         |ORDER BY tot.doc_id""".stripMargin) { (s, dir) =>
       val c = Tables(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .transform(Tables.spread(_, col("doc_id")))
         .select(col("doc_id"), tokens("text").as("toks"))
         .select(col("doc_id"), posexplode(expr(
           // size=0 guard: Spark's sequence(0,-1) yields [0,-1] (descending)
@@ -792,7 +792,7 @@ object TextQueries {
         |  CAST(COALESCE(SUM(CASE WHEN sur >= 8 THEN n END),0) AS BIGINT) n_rare
         |FROM s GROUP BY 1 ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val dt = Tables(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .transform(Tables.spread(_, col("doc_id")))
         .select(col("doc_id"), tokens("text").as("toks"))
         .select(col("doc_id"), explode(expr(
           // size < 2 guard: sequence(1, 0) DESCENDS where "no bigrams" is meant
@@ -854,7 +854,7 @@ object TextQueries {
         |FROM sc GROUP BY 1,2,3 ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val targets = Seq("src0", "src1", "src2", "src3")
       val dt = Tables(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .transform(Tables.spread(_, col("doc_id")))
         .select(col("doc_id"), col("source"), tokens("text").as("toks"))
         .select(col("doc_id"), col("source"), explode(expr(
           // size < 2 guard: sequence(1, 0) DESCENDS where "no bigrams" is meant
@@ -916,7 +916,7 @@ object TextQueries {
         .toDF("query_id", "term")
       val qn = q.groupBy(col("query_id")).agg(count(lit(1)).as("nt"))
       val dt = Tables(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .transform(Tables.spread(_, col("doc_id")))
         .select(col("doc_id"), explode(tokens("text")).as("term"))
         .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("n"))
       // broadcast(q)/broadcast(qn) are configuration-bounded: the user's
@@ -1055,7 +1055,7 @@ object TextQueries {
         |  CAST(SUM(n_tok) AS DOUBLE)/COUNT(*) mean_tok
         |FROM r GROUP BY 1 ORDER BY phase""".stripMargin) { (s, dir) =>
       val d = Tables(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .transform(Tables.spread(_, col("doc_id")))
         .select(col("doc_id"), size(tokens("text")).cast("long").as("n_tok"))
       graft.functions.Ranking.withGlobalNtile(d, 4,
           col("n_tok"), primaryAsc = true, Seq(col("n_tok"), col("doc_id")), "phase")
@@ -1099,7 +1099,7 @@ object TextQueries {
         |FROM c GROUP BY 1 ORDER BY source""".stripMargin) { (s, dir) =>
       val budget = 1000L
       val d = Tables(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .transform(Tables.spread(_, col("doc_id")))
         .select(col("doc_id"), col("source"),
           size(tokens("text")).cast("long").as("n_tok"),
           (length(regexp_replace(col("text"), "[^a-z]", "")).cast("double")
@@ -1215,7 +1215,7 @@ object TextQueries {
           (2L, "merge"), (3L, "vector"), (3L, "fast"))
         .toDF("query_id", "term")
       val t = Tables(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .transform(Tables.spread(_, col("doc_id")))
         .select(col("doc_id"), explode(tokens("text")).as("term"))
       // doc lengths, corpus totals, df AND the score join all consume the
       // tf aggregate — checkpoint it so the tokenize+explode (the
@@ -1296,7 +1296,7 @@ object TextQueries {
       val qn = q.groupBy(col("query_id").as("qn_qid"))
         .agg(countDistinct(col("term")).as("qsize"))
       val t = Tables(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .transform(Tables.spread(_, col("doc_id")))
         .select(col("doc_id"), explode(tokens("text")).as("term"))
       val tf = graft.functions.Checkpoints.lazyLocal(
         t.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")))
@@ -1455,7 +1455,7 @@ object TextQueries {
         |  CAST(n_terms - n_buckets AS DOUBLE) / n_terms AS collision_rate
         |FROM a ORDER BY doc_id""".stripMargin) { (s, dir) =>
       Tables(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .transform(Tables.spread(_, col("doc_id")))
         .select(col("doc_id"), explode(tokens("text")).as("term"))
         .distinct()
         .withColumn("b", md5Prefix64("term") % 256)
@@ -1534,7 +1534,7 @@ object TextQueries {
     // vocabulary never shuffles.
     entryNoOracle("q_hll_tokens") { (s, dir) =>
       val t = Tables(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .transform(Tables.spread(_, col("doc_id")))
         .select(col("source"), explode(tokens("text")).as("term"))
       val per = t.groupBy(col("source")).agg(expr("hll_sketch_agg(term, 12)").as("sk"))
       val perOut = per.select(col("source"),
@@ -1606,7 +1606,7 @@ object TextQueries {
         |  CAST(SUM(n_chars) AS DOUBLE)/CAST(SUM(n_bpe) AS DOUBLE) AS chars_per_token
         |FROM t GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
       Tables(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id")) // single-file scan → spread the regex pass
+        .transform(Tables.spread(_, col("doc_id"))) // single-file scan → spread the regex pass
         .select(col("lang"), length(col("text")).cast("long").as("c"),
           size(wsTokens("text")).cast("long").as("w"),
           size(regexTokens("text")).cast("long").as("b"))
@@ -1640,7 +1640,7 @@ object TextQueries {
         |  CAST(COALESCE(ph.n_hapax, 0) AS DOUBLE)/per.n_tokens AS hapax_ratio
         |FROM per LEFT JOIN ph ON per.doc_id = ph.doc_id ORDER BY per.doc_id""".stripMargin) { (s, dir) =>
       val x = Tables(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .transform(Tables.spread(_, col("doc_id")))
         .select(col("doc_id"), explode(regexTokens("text")).as("tok"))
         .persist() // reused by all three aggregates below; Bench clears per-query
       val hapax = x.groupBy(col("tok")).agg(count(lit(1)).as("n"))
@@ -1682,7 +1682,7 @@ object TextQueries {
       val docs = Tables(s, dir, "documents")
       val nd = docs.agg(count(lit(1)).as("d"))
       val a = docs
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .transform(Tables.spread(_, col("doc_id")))
         .select(col("doc_id"), explode(tokens("text")).as("tok"))
         .groupBy(col("tok"), col("doc_id")).agg(count(lit(1)).as("n"))
         .groupBy(col("tok"))
@@ -1727,7 +1727,7 @@ object TextQueries {
       val docs = Tables(s, dir, "documents")
       val nd = docs.agg(count(lit(1)).as("n"))
       val fo = docs
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .transform(Tables.spread(_, col("doc_id")))
         .select(col("doc_id"), explode(tokens("text")).as("tok"))
         .groupBy(col("tok")).agg(min(col("doc_id")).as("first_doc"))
       val g = fo.crossJoin(broadcast(nd))
@@ -1774,7 +1774,7 @@ object TextQueries {
         |  CAST(n_masked AS DOUBLE)/n AS mask_ratio
         |FROM m ORDER BY doc_id""".stripMargin) { (s, dir) =>
       Tables(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .transform(Tables.spread(_, col("doc_id")))
         .withColumn("toks", tokens("text"))
         .select(col("doc_id"),
           expr("array_join(filter(transform(toks, (t, i) -> CASE WHEN i % 7 = 0 " +
@@ -1824,7 +1824,7 @@ object TextQueries {
         |  UNION ALL SELECT 'max_chars', CAST(max_chars AS DOUBLE) FROM s
         |) ORDER BY metric""".stripMargin) { (s, dir) =>
       Tables(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .transform(Tables.spread(_, col("doc_id")))
         .agg(count(lit(1)).as("n_docs"),
           sum(length(col("text")).cast("long")).as("n_chars"),
           sum(size(wsTokens("text")).cast("long")).as("n_tokens"),

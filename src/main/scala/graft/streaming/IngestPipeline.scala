@@ -297,7 +297,10 @@ object IngestPipeline {
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), "1 hour"))
       .agg(count(lit(1)).as("n"))
-      .select((unix_timestamp(col("window.start")).cast("long") / 3600).cast("long").as("hr"),
+      // window.start is hour-floored, so integer DIV is exact for
+      // pre-1970 hours too (a double divide + cast truncates toward
+      // zero and would split negative epochs from the batch twin)
+      .select(expr("unix_timestamp(window.start) DIV 3600").as("hr"),
         col("n").as("n"))
       .as[(Long, Long)]
     hourly
@@ -314,9 +317,13 @@ object IngestPipeline {
             // recovery spike, the one the alarm exists for)
             val win = seen.keys.filter(_ < hr).toSeq.sorted.takeRight(24).map(seen)
             val w = win.size.toLong
-            val s = win.sum
-            val ssq = win.map(x => x * x).sum
-            val d = n * w - s
+            // BigInt fence: the batch twin widens the squared terms to
+            // decimal(38,0) for exactly this wrap (raw int64 overflows
+            // silently above ~1.3e8 events/hour); 25 values per update,
+            // so the arbitrary-precision cost is nil
+            val s = win.map(BigInt(_)).sum
+            val ssq = win.map(x => BigInt(x) * x).sum
+            val d = BigInt(n) * w - s
             val anomaly = w >= 12 && d * d > 9 * (w * ssq - s * s)
             // state = the 25 most recent PRESENT hours (covers the next
             // hour's 24-row frame); an hour straggling in below that

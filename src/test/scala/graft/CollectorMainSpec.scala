@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.functions.col
+
 import graft.ingest.GraftConfig
 
 /** The runnable collector entry point: config-driven file-mode drain,
@@ -60,6 +62,36 @@ class CollectorMainSpec extends SparkSpec {
       assert(lake.select("event_id").distinct().count() == 50, s"deferred=$deferred")
       assert(lake.columns.contains("date_path"), "deferred rewrite keeps the partitioning")
     }
+  }
+
+  test("deferred-dedup swap keeps the WHOLE lake visible through a later incremental drain") {
+    // the regression this pins: the stage-and-swap rewrite replaces every
+    // part file, so the streaming sink's _spark_metadata log (which lists
+    // the OLD names) is stale; the drain checkpoint survives, so a later
+    // incremental drain used to recreate the log holding only its own
+    // batch — and every spark.read thereafter resolved through the log
+    // and silently hid the pre-swap files. The swap now rebuilds the log
+    // over the rewritten files.
+    val work = Files.createTempDirectory("collector4").toString
+    val src = s"$work/src"
+    val ev = Tables(spark, sf001, "events").orderBy("event_id").limit(50)
+    ev.unionAll(ev).write.parquet(src) // duplicates force the deferred rewrite
+    val cfg = GraftConfig(outputDir = s"$work/out",
+      skipValidation = false, skipDeduplication = true)
+    CollectorMain.run(spark, cfg, "file", src)
+    assert(spark.read.parquet(s"$work/out/lake").count() == 50)
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$work/out/lake/_spark_metadata")),
+      "the swap must rebuild the sink metadata log, not discard it")
+
+    // incremental drain: 25 NEW events appended as new source files; the
+    // surviving checkpoint processes only those. Without the log rebuild
+    // this read collapses to 25 (the fresh log's only batch).
+    Tables(spark, sf001, "events").orderBy(col("event_id").desc).limit(25)
+      .write.mode("append").parquet(src)
+    CollectorMain.run(spark, cfg, "file", src)
+    assert(spark.read.parquet(s"$work/out/lake").count() == 75,
+      "pre-swap rows must stay visible after the next incremental drain")
   }
 
   test("kafka mode refuses without a broker; bad mode refuses") {

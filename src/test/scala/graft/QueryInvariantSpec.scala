@@ -942,7 +942,8 @@ class QueryInvariantSpec extends SparkSpec {
 
   test("ks drift replays exactly against a Scala CDF supremum") {
     val out = SparkEntry.queries("q_ks_drift")(spark, sf001)
-      // d_num is decimal(38,0) in the output (overflow-safe at scale);
+      // d_num surfaces as VARCHAR (decimal128 is intermediates-only —
+      // the driver's decimal fetch paths canonicalize inconsistently);
       // the sf0.001 value fits a long exactly, so the cast is lossless here
       .select($"na", $"nb", $"at_x", $"d_num".cast("long"), $"ks")
       .as[(Long, Long, Long, Long, Double)].collect()
