@@ -120,7 +120,12 @@ object Bench {
       System.err.println(f"[bench] exhausted $maxRuns runs with total $total%.1f s still above " +
         f"the quiet threshold $quietSec%.1f s (${entries.size} queries): host contention, or the " +
         "per-query budget in Bench.scala needs raising")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","runs":$runsDone}""")
+    // The driver's artifact keeps only the TAIL of this output, so the
+    // headline numbers are REPEATED as trailing fields — a truncated
+    // capture then still carries total/count/failures (BENCH_r04-r10 all
+    // lost their totals to the leading-"total" layout).
+    val nFailed = entries.count { case (k, _) => best(k).isEmpty }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","runs":$runsDone,"total_sec":$total,"n_queries":${entries.size},"n_failed":$nFailed}""")
     spark.stop()
   }
 }

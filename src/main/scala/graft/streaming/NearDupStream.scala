@@ -37,16 +37,45 @@ import graft.functions.TextFunctions._
   *     100 TB the band index is the only relation the hot join reads, and
   *     it carries 8 rows × ~24 bytes per admitted doc.
   *
-  * Exactly-once: `foreachBatch` may re-run a batch after a crash, so every
-  * append first anti-joins its TARGET's existing doc_ids, the docs append
-  * runs LAST (the re-run guard keys on it — a crash before it leaves the
-  * whole batch in play on replay, which re-derives identical survivors
-  * and fills only the missing relations; a crash after it replays as a
-  * no-op), and lake candidates exclude self-pairs so partially appended
-  * index rows cannot shadow their own documents. Survivor selection is
-  * deterministic (min-doc_id greedy), so re-derived survivors are
-  * identical and the lake converges from any crash point — the spec
-  * replays the worst case (index rows written, docs not).
+  * Exactly-once, batchId-keyed (the cheap guard): `foreachBatch` may
+  * re-run a batch after a crash, so idempotence is keyed on the
+  * checkpoint's batchId through a tiny `_batches` marker ledger —
+  * `<id>.started` lands before any append, `<id>.done` after the last —
+  * and three cases fall out:
+  *   - done marker present → the batch fully landed; the replay returns
+  *     immediately (two file-exists probes, ZERO lake scans).
+  *   - neither marker → a genuinely new batch: the lake cannot contain
+  *     any of this batch's rows, so every append is a plain append and
+  *     NO append anti-joins its target — the fast path never reads the
+  *     lake's docs relation at all (NearDupStreamSpec proves it against
+  *     a deliberately unreadable docs file). This is what bounds
+  *     per-batch I/O: the old design re-read the full lake doc_id column
+  *     four times per micro-batch — gigabytes per batch at a
+  *     billion-doc lake — to guard against a case that file markers
+  *     distinguish for the cost of a metadata probe.
+  *   - started without done → a genuine crash replay, the RARE path: the
+  *     lake may hold this batch's partial appends, so the replay runs the
+  *     fully-guarded sequence — per-target anti-joins, and candidate
+  *     self-pair exclusion so partially appended index rows cannot shadow
+  *     their own documents. Survivor selection is deterministic
+  *     (min-doc_id greedy), so the re-derived survivors are identical and
+  *     the lake converges from any crash point; the appends run
+  *     index-first / docs-LAST so a mid-sequence crash leaves the docs
+  *     relation (what downstream reads) conservative. The spec replays
+  *     the worst case (index rows written, docs not).
+  *
+  * One writer per lake: batchIds are unique per CHECKPOINT, so two
+  * streams with different checkpoints must not share a lakeDir.
+  *
+  * Exact-redelivery contract: a doc_id redelivered in a LATER batch with
+  * the same text minhashes identically, band-matches its admitted copy and
+  * verifies at Jaccard 1 → dropped (the fast path keeps equal-id lake
+  * matches as true duplicates precisely for this). Short documents
+  * (< one 3-shingle) get a singleton whole-text shingle so the identical
+  * short doc still verifies at 1 instead of vanishing from the band index.
+  * A redelivery that REWRITES the text beyond the near-dup threshold under
+  * the same doc_id is admitted as a new document — same-id-different-text
+  * is an upstream id collision, not a duplicate.
   *
   * In-batch policy: a document is dropped when a VERIFIED near-dup with a
   * smaller doc_id exists in the same batch — the pessimistic greedy (a
@@ -61,10 +90,16 @@ object NearDupStream {
   private val Bands = 8
 
   /** doc-id'd shingle sets with the batch LSH family's exact recipe
-    * (3-token shingles — the `shingled` frame of DedupQueries). */
+    * (3-token shingles — the `shingled` frame of DedupQueries), plus the
+    * short-doc fallback: a document too short for one 3-shingle gets its
+    * WHOLE TEXT as a singleton shingle, so exact redeliveries of short
+    * docs still band-match and verify at Jaccard 1 instead of carrying an
+    * empty signature that never pairs with anything. */
   private def withShingles(docs: DataFrame): DataFrame =
     docs.withColumn("toks", tokens("text"))
-      .select(col("doc_id"), shingles("toks", 3).as("sh"))
+      .withColumn("sh3", shingles("toks", 3))
+      .select(col("doc_id"),
+        when(size(col("sh3")) === 0, array(col("text"))).otherwise(col("sh3")).as("sh"))
 
   private def bandRows(sh: DataFrame): DataFrame =
     sh.withColumn("mh", minhashSignature("sh", MinhashK))
@@ -91,43 +126,61 @@ object NearDupStream {
   }
 
   /** One micro-batch of near-dup admission against `lakeDir` (exposed for
-    * deterministic spec replay; `run` wires it into foreachBatch).
-    * Idempotent — re-processing the same batch appends nothing new. */
-  def processBatch(batch: DataFrame, lakeDir: String, threshold: Double = 0.5): Unit = {
+    * deterministic spec replay; `run` wires it into foreachBatch with the
+    * checkpoint's batchId). Idempotent per batchId — see the marker-ledger
+    * contract in the object scaladoc. */
+  def processBatch(batch: DataFrame, lakeDir: String, batchId: Long,
+                   threshold: Double = 0.5): Unit = {
     val spark = batch.sparkSession
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val started = new Path(s"$lakeDir/_batches/$batchId.started")
+    val done = new Path(s"$lakeDir/_batches/$batchId.done")
+    if (fs.exists(done)) return // fully landed — replay is a no-op
+    val crashReplay = fs.exists(started)
+    if (!crashReplay) fs.create(started, true).close()
+
     val docsPath = s"$lakeDir/docs"
     val bandsPath = s"$lakeDir/bands"
     val shPath = s"$lakeDir/shingles"
 
     // a redelivered doc_id INSIDE one micro-batch would otherwise ride
-    // through as two rows (the id self-join below is strict <, so equal
-    // ids never pair) and be admitted twice — keep one deterministically
+    // through as two rows (the in-batch self-join below is strict <, so
+    // equal ids never pair) and be admitted twice — keep one
+    // deterministically
     val docs = graft.ingest.Dedup.dedupKeepFirst(
       batch.select(col("doc_id").cast("long"), col("text")),
       Seq(col("doc_id")), col("text")).persist()
     val persisted = scala.collection.mutable.ArrayBuffer[DataFrame](docs)
     var checkpointed: Option[DataFrame] = None
     try {
-      // re-run guard: anything already admitted is not re-considered
-      val admittedIds = readOr(spark, docsPath, docs.schema).select(col("doc_id"))
-      val fresh = docs.join(admittedIds, Seq("doc_id"), "left_anti").persist()
-      persisted += fresh
+      // crash-replay guard only: on the fast path the lake cannot hold
+      // this batch's rows, so the full-lake doc_id anti-join (a
+      // lake-proportional scan) is skipped entirely
+      val fresh =
+        if (crashReplay) {
+          val admittedIds = readOr(spark, docsPath, docs.schema).select(col("doc_id"))
+          val f = docs.join(admittedIds, Seq("doc_id"), "left_anti").persist()
+          persisted += f; f
+        } else docs
       val freshSh = withShingles(fresh).persist()
       val freshBands = bandRows(freshSh).persist()
       persisted += freshSh; persisted += freshBands
 
       // batch ⋈ lake candidates — the lake side is only ever equi-joined.
-      // The self-pair exclusion (left ≠ right) is crash-replay
-      // load-bearing: a replay after a partial append can find the
-      // batch's OWN band rows already in the index, and without the
-      // filter every such doc would match itself (Jaccard 1) and be
-      // dropped as "already in the lake" before its docs row ever lands.
+      // The self-pair exclusion (left ≠ right) applies ONLY on crash
+      // replay, where a partial append can place the batch's OWN band
+      // rows in the index — without the filter every such doc would match
+      // itself (Jaccard 1) and be dropped as "already in the lake" before
+      // its docs row ever lands. On the fast path an equal-id band match
+      // can only be an EARLIER batch's admission of the same doc_id — a
+      // true redelivery, and exactly what must verify and drop.
       val lakeBands = readOr(spark, bandsPath, freshBands.schema)
+      val idGuard =
+        if (crashReplay) col("left_id") =!= col("right_id") else lit(true)
       val candLake = freshBands.select(col("doc_id").as("left_id"), col("band"), col("bkey"))
         .join(lakeBands.select(col("doc_id").as("right_id"),
           col("band").as("l_band"), col("bkey").as("l_bkey")),
-          col("band") === col("l_band") && col("bkey") === col("l_bkey")
-            && col("left_id") =!= col("right_id"))
+          col("band") === col("l_band") && col("bkey") === col("l_bkey") && idGuard)
         .select(col("left_id"), col("right_id")).distinct()
       val lakeSh = readOr(spark, shPath, freshSh.schema)
       val dupVsLake = verified(candLake, freshSh, lakeSh, threshold)
@@ -146,33 +199,36 @@ object NearDupStream {
 
       // Each append below triggers recacheByPath on every cached plan
       // whose lineage reads the written path — survivors' derivation
-      // reads ALL THREE (docs for the re-run guard, bands/shingles for
-      // the lake candidates) — so a persist() here would silently
-      // RECOMPUTE against the half-appended lake mid-sequence and hand
-      // later appends a different (even empty) frame. A localCheckpoint
-      // severs the lineage: all three appends see the same materialized
-      // survivor set no matter what the appends do to the paths
-      // underneath.
+      // reads the band/shingle relations (and docs, on crash replay) —
+      // so a persist() here would silently RECOMPUTE against the
+      // half-appended lake mid-sequence and hand later appends a
+      // different (even empty) frame. A localCheckpoint severs the
+      // lineage: all three appends see the same materialized survivor
+      // set no matter what the appends do to the paths underneath.
       val survivors = fresh
         .join(dupVsLake.unionByName(dupInBatch).distinct(), Seq("doc_id"), "left_anti")
         .localCheckpoint(true)
       checkpointed = Some(survivors)
 
-      // Three idempotent appends, each anti-joined against its own
-      // target. ORDER IS LOAD-BEARING: docs goes LAST because the re-run
-      // guard keys on docsPath — a crash anywhere before the docs append
-      // leaves the full batch in `fresh` on replay, which re-derives the
-      // SAME survivors (the self-pair exclusion above keeps partially
-      // appended index rows from shadowing their own docs) and fills only
-      // the missing relations; a crash after the docs append means
-      // everything else is already written and the replay is a no-op.
-      // Docs-first was the confirmed corruption: the replay would skip
-      // the already-admitted docs, never write their index rows, and
-      // admit in-batch near-dups that no longer saw their keeper.
+      // Three appends. ORDER IS LOAD-BEARING: docs goes LAST — a crash
+      // anywhere before the docs append leaves the full batch in play on
+      // replay, which re-derives the SAME survivors (the replay-only
+      // self-pair exclusion keeps partially appended index rows from
+      // shadowing their own docs) and fills only the missing relations;
+      // a crash after the docs append replays as no-op appends. Docs-first
+      // was the confirmed corruption: the replay would skip the
+      // already-admitted docs, never write their index rows, and admit
+      // in-batch near-dups that no longer saw their keeper. Target
+      // anti-joins run ONLY on crash replay — a fresh batch's appends are
+      // plain writes, so the fast path performs no lake-sized reads
+      // beyond the band/shingle joins above.
       def appendNew(df: DataFrame, path: String): Unit = {
-        val existing = readOr(spark, path, df.schema).select(col("doc_id").as("x_id"))
-        df.join(existing, col("doc_id") === col("x_id"), "left_anti")
-          .write.mode("append").option("compression", "zstd").parquet(path)
+        val out =
+          if (crashReplay) {
+            val existing = readOr(spark, path, df.schema).select(col("doc_id").as("x_id"))
+            df.join(existing, col("doc_id") === col("x_id"), "left_anti")
+          } else df
+        out.write.mode("append").option("compression", "zstd").parquet(path)
       }
       // cached: both index appends read it, and its lineage sits on the
       // checkpoint blocks (no path reads), so recacheByPath can't touch it
@@ -181,6 +237,7 @@ object NearDupStream {
       appendNew(bandRows(survSh), bandsPath)
       appendNew(survSh, shPath)
       appendNew(survivors, docsPath)
+      fs.create(done, true).close()
     } finally {
       persisted.foreach(_.unpersist()) // only this batch's blocks — not the session cache
       // checkpoint blocks are RDD-level: Dataset.unpersist can't see them
@@ -215,14 +272,15 @@ object NearDupStream {
   }
 
   /** File-source streaming wrapper: drain `srcDir` with AvailableNow,
-    * running [[processBatch]] per micro-batch. The Kafka variant swaps the
-    * source exactly as [[IngestPipeline.kafkaSource]] documents. */
+    * running [[processBatch]] per micro-batch under the checkpoint's
+    * batchId (the idempotence key). The Kafka variant swaps the source
+    * exactly as [[IngestPipeline.kafkaSource]] documents. */
   def run(spark: SparkSession, srcDir: String, schema: StructType,
           lakeDir: String, checkpoint: String, threshold: Double = 0.5): StreamingQuery = {
     val stream = spark.readStream.schema(schema).parquet(srcDir)
     val q = stream.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        processBatch(batch, lakeDir, threshold)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, lakeDir, batchId, threshold)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())

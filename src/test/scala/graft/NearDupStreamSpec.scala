@@ -7,7 +7,8 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
 import graft.streaming.NearDupStream
 
 /** Streaming near-dup admission: in-batch greedy dedup, cross-batch
-  * lake shadowing, idempotent re-runs, and the AvailableNow wrapper. */
+  * lake shadowing, batchId-keyed idempotent re-runs, the bounded-I/O
+  * fast path, and the AvailableNow wrapper. */
 class NearDupStreamSpec extends SparkSpec {
   import spark.implicits._
 
@@ -28,18 +29,18 @@ class NearDupStreamSpec extends SparkSpec {
     def admitted: Set[Long] =
       spark.read.parquet(s"$lake/docs").select("doc_id").as[Long].collect().toSet
 
-    // batch 1: 1 and 2 are near-dups (greedy keeps the smaller id), 3 distinct
+    // batch 0: 1 and 2 are near-dups (greedy keeps the smaller id), 3 distinct
     val b1 = Seq((1L, base), (2L, nearDup), (3L, distinct1)).toDF("doc_id", "text")
-    NearDupStream.processBatch(b1, lake)
+    NearDupStream.processBatch(b1, lake, batchId = 0)
     assert(admitted == Set(1L, 3L))
 
-    // batch 2: 4 near-dups the admitted 1 → shadowed by the lake; 5 is new
+    // batch 1: 4 near-dups the admitted 1 → shadowed by the lake; 5 is new
     val b2 = Seq((4L, nearDup), (5L, distinct2)).toDF("doc_id", "text")
-    NearDupStream.processBatch(b2, lake)
+    NearDupStream.processBatch(b2, lake, batchId = 1)
     assert(admitted == Set(1L, 3L, 5L))
 
-    // crash-retry: the same batch replays with no effect (appends anti-join)
-    NearDupStream.processBatch(b2, lake)
+    // crash-retry: the same batchId replays as a no-op (done marker)
+    NearDupStream.processBatch(b2, lake, batchId = 1)
     assert(admitted == Set(1L, 3L, 5L))
     // and the index relations stay doc-aligned (8 band rows, 1 shingle row per doc)
     assert(spark.read.parquet(s"$lake/bands").count() == 3 * 8)
@@ -47,28 +48,74 @@ class NearDupStreamSpec extends SparkSpec {
     // a doc_id redelivered INSIDE one batch is admitted exactly once
     val novel = "volcanic islands form long archipelagos as tectonic plates drift over stationary hotspots"
     val b3 = Seq((6L, novel), (6L, novel)).toDF("doc_id", "text")
-    NearDupStream.processBatch(b3, lake)
+    NearDupStream.processBatch(b3, lake, batchId = 2)
     assert(admitted == Set(1L, 3L, 5L, 6L))
     assert(spark.read.parquet(s"$lake/docs").count() == 4, "no duplicate doc rows")
+
+    // a doc_id redelivered in a LATER batch with the same text verifies
+    // at Jaccard 1 against its admitted copy and is dropped — the
+    // exact-redelivery contract that replaced the full-lake id anti-join
+    NearDupStream.processBatch(Seq((6L, novel)).toDF("doc_id", "text"), lake, batchId = 3)
+    assert(admitted == Set(1L, 3L, 5L, 6L))
+    assert(spark.read.parquet(s"$lake/docs").count() == 4, "redelivery must not re-admit")
+  }
+
+  test("short docs (< one 3-shingle) still dedup exactly via the singleton shingle") {
+    val lake = Files.createTempDirectory("neardupshort").toString
+    NearDupStream.processBatch(
+      Seq((1L, "hello world"), (2L, "tiny doc")).toDF("doc_id", "text"), lake, batchId = 0)
+    // identical short text redelivered later: singleton whole-text
+    // shingle → band match → Jaccard 1 → dropped; different short text
+    // admitted
+    NearDupStream.processBatch(
+      Seq((1L, "hello world"), (3L, "other words")).toDF("doc_id", "text"), lake, batchId = 1)
+    val ids = spark.read.parquet(s"$lake/docs").select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(1L, 2L, 3L))
+    assert(spark.read.parquet(s"$lake/docs").count() == 3, "no duplicate short-doc rows")
+  }
+
+  test("fast path reads NO lake docs column (bounded per-batch I/O)") {
+    val lake = Files.createTempDirectory("neardupio").toString
+    NearDupStream.processBatch(
+      Seq((1L, base), (2L, distinct1)).toDF("doc_id", "text"), lake, batchId = 0)
+    // plant an unreadable file in the docs relation: any attempt to READ
+    // the docs relation now fails loudly, while appends (write-only)
+    // succeed — so this batch passing proves the fast path's admission
+    // and appends never scan the lake's docs relation
+    val poison = new java.io.FileOutputStream(s"$lake/docs/part-poison.parquet")
+    poison.write("not parquet".getBytes); poison.close()
+    intercept[Exception] { spark.read.parquet(s"$lake/docs").count() }
+    NearDupStream.processBatch(
+      Seq((7L, distinct2)).toDF("doc_id", "text"), lake, batchId = 1)
+    // bands/shingles (the designed hot path) grew by the admitted doc
+    assert(spark.read.parquet(s"$lake/bands").count() == 3 * 8)
+    assert(spark.read.parquet(s"$lake/shingles").count() == 3)
   }
 
   test("crash between appends converges on replay (index written, docs not)") {
     // build a complete reference lake, then reconstruct the worst-case
-    // crash point: band + shingle indexes written, docs append never ran
+    // crash point: band + shingle indexes written, docs append never ran,
+    // and the batch's `started` marker in place (what a real crash leaves
+    // — the marker lands before any append)
     val ref = Files.createTempDirectory("neardupref").toString
     val b1 = Seq((1L, base), (2L, nearDup), (3L, distinct1)).toDF("doc_id", "text")
-    NearDupStream.processBatch(b1, ref)
+    NearDupStream.processBatch(b1, ref, batchId = 0)
     val crashed = Files.createTempDirectory("neardupcrash").toString
     spark.read.parquet(s"$ref/bands").write.parquet(s"$crashed/bands")
     spark.read.parquet(s"$ref/shingles").write.parquet(s"$crashed/shingles")
+    assert(new java.io.File(s"$crashed/_batches").mkdirs())
+    assert(new java.io.File(s"$crashed/_batches/0.started").createNewFile())
     // replay the same batch against the half-appended lake
-    NearDupStream.processBatch(b1, crashed)
+    NearDupStream.processBatch(b1, crashed, batchId = 0)
     val docs = spark.read.parquet(s"$crashed/docs").select("doc_id").as[Long].collect().toSet
     assert(docs == Set(1L, 3L),
       s"replay must converge to the reference survivors, got $docs " +
         "(1 self-shadowed or 2 re-admitted would be the docs-first corruption)")
     assert(spark.read.parquet(s"$crashed/bands").count() == 2 * 8)
     assert(spark.read.parquet(s"$crashed/shingles").count() == 2)
+    // the converged replay stamps its done marker: a second replay no-ops
+    NearDupStream.processBatch(b1, crashed, batchId = 0)
+    assert(spark.read.parquet(s"$crashed/docs").count() == 2)
   }
 
   test("maintain compacts the per-batch small files and admission still works") {
@@ -83,7 +130,7 @@ class NearDupStreamSpec extends SparkSpec {
       "jazz improvisation builds on chord changes while drummers push the rhythm forward")
     for (i <- 0 until 5)
       NearDupStream.processBatch(
-        Seq((100L + i, texts(i))).toDF("doc_id", "text"), lake)
+        Seq((100L + i, texts(i))).toDF("doc_id", "text"), lake, batchId = i)
     def nFiles(p: String): Int =
       new java.io.File(p).listFiles().count(_.getName.endsWith(".parquet"))
     assert(nFiles(s"$lake/bands") >= 5)
@@ -93,7 +140,7 @@ class NearDupStreamSpec extends SparkSpec {
     // the compacted lake still shadows near-dups and admits novel docs
     NearDupStream.processBatch(
       Seq((200L, texts(3).replace("sunlight", "daylight")), (201L, base))
-        .toDF("doc_id", "text"), lake)
+        .toDF("doc_id", "text"), lake, batchId = 5)
     val ids = spark.read.parquet(s"$lake/docs").select("doc_id").as[Long].collect().toSet
     assert(ids == (100L until 105L).toSet + 201L, ids.toSeq.sorted.mkString(","))
   }
