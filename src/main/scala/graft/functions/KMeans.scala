@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Exact distributed k-means (Lloyd) over quantized integer vectors —
@@ -24,15 +24,22 @@ import org.apache.spark.sql.functions._
   * bounded (dim+1)-long partial sum vector. The corpus is read twice
   * per iteration and shuffles only those bounded partials.
   *
-  * Iteration hygiene (same lessons as
-  * [[graft.functions.ConnectedComponents]]): per-iteration survivors
-  * (assignments) are localCheckpoint'ed so unpersisting a previous
-  * iteration can never force a recompute through stale lineage, and the
-  * convergence check (moved = 0 — an EXACT fixpoint, possible because
-  * assignments are exact integers, not double-rounded) shares one
-  * action with the objective read and the moved flag is computed INLINE
-  * in the assignment row (prev label travels with the row), so no
-  * prev-vs-next join runs at all.
+  * Iteration state lives ON THE DRIVER: the k cluster descriptors
+  * (cl, s[dim], cn) are k·(dim+1) exact integers — a model-sized
+  * constant, collected per round exactly as Spark MLlib's Lloyd loop
+  * does — and each round embeds them back as a constant-folded literal
+  * array. One round is therefore ONE map-side-combined aggregation job
+  * over the cached corpus (assign to nearest under the current
+  * descriptors, group by the new cluster, emit new sums + objective +
+  * moved-count partials); there is no assignment frame, no per-round
+  * join, no checkpoint, and no broadcast exchange in the loop at all.
+  * The previous round's assignment is recomputed in the same pass from
+  * the PREVIOUS descriptors (assignment is a pure function of the
+  * descriptors, so the recomputation is exact) — trading a second
+  * in-row argmin for the prev-vs-next join/state a materialized
+  * assignment would need. The convergence check (moved = 0) is an EXACT
+  * fixpoint, possible because assignments are exact integers, not
+  * double-rounded.
   */
 object KMeans {
 
@@ -107,10 +114,11 @@ object KMeans {
     * sums (cl, s, cn), iterations actually run, whether the assignment
     * fixpoint was reached, and the per-iteration objective (Σ d2/cn² in
     * quantized units — monotonically non-increasing by Lloyd's
-    * argument). Assignment and cluster frames are localCheckpoint'ed
-    * and registry-registered (the harness reclaims them after the
-    * consuming query materializes); direct library users can
-    * [[Fit.release]] earlier. */
+    * argument). `clusters` is a driver-local relation (k rows) and
+    * `assignments` a LAZY narrow plan over the caller's frame (one
+    * constant-folded argmin pass when consumed) — nothing is pinned in
+    * block storage, so [[Fit.release]] is retained only for API
+    * compatibility and is a no-op. */
   final case class Fit(assignments: DataFrame, clusters: DataFrame,
                        iterations: Int, converged: Boolean,
                        objective: Seq[Double]) {
@@ -120,57 +128,91 @@ object KMeans {
     }
   }
 
+  /** The k cluster descriptors as ONE constant-folded literal
+    * array<struct(cl, s, cn)> column — the loop's way to hand the
+    * driver-resident round state back to the executors without a
+    * broadcast exchange (k·(dim+1) integers fold to a single Literal). */
+  private def candsLit(cs: Seq[(Long, Seq[Long], Long)]): Column =
+    array(cs.map { case (cl, sv, cn) =>
+      struct(lit(cl).as("cl"), array(sv.map(lit): _*).as("s"), lit(cn).as("cn"))
+    }: _*)
+
   /** Lloyd iterations from the `label` column init until the assignment
     * fixpoint or `maxIter`. `emb` must carry (vec_id, label, q). */
   def fit(emb: DataFrame, maxIter: Int): Fit = {
     require(maxIter >= 1)
+    val spark = emb.sparkSession
+    import spark.implicits._
     val e = emb.select(col("vec_id"), col("label"), col("q")).persist()
-    e.count()
-    var asg = e.select(col("vec_id"), col("label").as("cl")).localCheckpoint(true)
+    def descriptors(rows: Seq[org.apache.spark.sql.Row]): Seq[(Long, Seq[Long], Long)] =
+      // label (the init cl) ships as int32 in the lake — widen on read
+      rows.map(r => (r.getAs[Number](0).longValue, r.getSeq[Long](1), r.getLong(2)))
+    // S₁ from the label init — this action also materializes the cache
+    var s = descriptors(labelSums(e.select(col("label"), col("q"))).collect().toIndexedSeq)
+    if (s.isEmpty) {
+      // empty corpus: the fixpoint is immediate and every frame is a
+      // well-formed empty (KMeansSpec pins no-NPE here)
+      val emptyAsg = e.select(col("vec_id"), col("label").as("cl"), lit(0.0).as("d2n"))
+        .filter(lit(false))
+      e.unpersist()
+      return Fit(emptyAsg, Seq.empty[(Long, Seq[Long], Long)].toDF("cl", "s", "cn"),
+        1, converged = true, Seq(0.0))
+    }
+    val dim = s.head._2.length
     var obj = List.empty[Double]
     var iter = 0
     var converged = false
+    var prev: Option[Seq[(Long, Seq[Long], Long)]] = None // None = label init
+    var used = s
     while (iter < maxIter && !converged) {
-      // The iteration's whole dataflow fans out of ONE small join
-      // (cached e ⋈ checkpointed asg — the prev label rides along):
-      // cluster sums reduce it map-side; the broadcast candidate row
-      // then drives the NARROW re-assignment, whose rows carry
-      // (new cl, d2n, moved) so the single stats action below reads
-      // convergence and objective with no prev-vs-next join.
-      val ea = e.join(asg.select(col("vec_id").as("a_vec"), col("cl").as("p_cl")),
-          col("vec_id") === col("a_vec"))
-        .select(col("vec_id"), col("q"), col("p_cl"))
-      val cands = candidatesRow(labelSums(ea.select(col("p_cl").as("label"), col("q"))))
-      // LAZY checkpoint: the stats action computes (and thereby
-      // checkpoints) next in the same job — an eager checkpoint would
-      // spend an extra job on the same work
-      val next = ea.crossJoin(broadcast(cands))
-        .filter(size(col("cands")) > 0)
+      used = s
+      // ONE aggregation job: assign each row to its nearest descriptor
+      // (exact rational argmin over the literal array — narrow, inside
+      // codegen), re-derive the PREVIOUS assignment the same way (or take
+      // the label column on round 1), and reduce to the new per-cluster
+      // sums plus the objective and moved-count partials. The shuffle
+      // carries only k bounded partial states.
+      val base = prev match {
+        case None    => e.withColumn("cands", candsLit(used))
+        case Some(p) => e.withColumn("cands", candsLit(used))
+          .withColumn("pcands", candsLit(p))
+      }
+      val assigned = base
         .withColumn("w", expr(s"element_at(${nearestSorted()}, 1)"))
-        .select(col("vec_id"), col("w.cl").as("cl"),
+        .withColumn("p_cl", prev match {
+          case None    => col("label")
+          case Some(_) => expr(s"element_at(${nearestSorted("pcands")}, 1).cl")
+        })
+      val rows = assigned
+        .select(col("w.cl").as("cl"), col("q"),
           (col("w.d2").cast("double") /
             (col("w.cn") * col("w.cn")).cast("double")).as("d2n"),
           (col("w.cl") =!= col("p_cl")).as("moved"))
-        .localCheckpoint(false)
-      val stats = next
-        .agg(count(when(col("moved"), 1)).as("moved"), sum(col("d2n")).as("obj"))
-        .head()
-      // empty input: sum(d2n) aggregates to NULL (SQL semantics) — read
-      // it as a zero objective instead of NPEing; moved=0 then ends the
-      // loop at the fixpoint with well-formed empty frames
-      obj ::= (if (stats.isNullAt(1)) 0.0 else stats.getDouble(1))
-      // RDD-level release (Dataset.unpersist is a no-op for checkpoint
-      // blocks) — safe NOW because `next` materialized in the stats
-      // action above
-      Checkpoints.releaseNow(asg)
-      asg = next
+        .groupBy(col("cl"))
+        .agg(array((1 to dim).map(i => sum(element_at(col("q"), i))): _*).as("s"),
+          count(lit(1)).as("cn"),
+          sum(col("d2n")).as("obj"),
+          count(when(col("moved"), 1)).as("moved"))
+        .collect().toIndexedSeq
+      obj ::= rows.map(r => if (r.isNullAt(3)) 0.0 else r.getDouble(3)).sum
+      converged = rows.map(_.getLong(4)).sum == 0L
+      prev = Some(used)
+      s = descriptors(rows)
       iter += 1
-      converged = stats.getLong(0) == 0L
     }
-    val out = asg.select(col("vec_id"), col("cl"), col("d2n"))
-    val cs = clusterSums(e, asg.select(col("vec_id"), col("cl"))).localCheckpoint(true)
-    e.unpersist() // plain persist() — the CacheManager path applies
-    Fit(Checkpoints.register(out), Checkpoints.register(cs),
-      iter, converged, obj.reverse)
+    // final assignment = argmin under the LAST round's input descriptors
+    // (what the loop's convergence statement is about); final clusters =
+    // the sums of that assignment, which the last round already
+    // collected as `s`. Both are cheap: assignments re-derive in one
+    // narrow pass when (if) a consumer materializes them, clusters are a
+    // k-row local relation.
+    val out = e
+      .withColumn("cands", candsLit(used))
+      .withColumn("w", expr(s"element_at(${nearestSorted()}, 1)"))
+      .select(col("vec_id"), col("w.cl").as("cl"),
+        (col("w.d2").cast("double") /
+          (col("w.cn") * col("w.cn")).cast("double")).as("d2n"))
+    e.unpersist()
+    Fit(out, s.toDF("cl", "s", "cn"), iter, converged, obj.reverse)
   }
 }

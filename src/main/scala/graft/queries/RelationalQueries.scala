@@ -1327,10 +1327,6 @@ object RelationalQueries {
       val e = pairs.select($"pa".as("u"), $"pb".as("v"))
         .unionAll(pairs.select($"pb".as("u"), $"pa".as("v")))
       val deg = e.groupBy($"u").agg(count(lit(1)).as("d"))
-      val nn = deg.agg(count(lit(1)).as("n"))
-      // 1-row frames: bounded by construction
-      val base = nn.select(expr("((1000000000000 DIV n) * 15) DIV 100").as("b"),
-        expr("1000000000000 DIV n").as("r0"))
       // degree folded into the static edge list once, outside the loop,
       // and CHECKPOINTED: three iterations reference this subtree, and
       // without the checkpoint each would re-run the basket explode +
@@ -1339,14 +1335,22 @@ object RelationalQueries {
       // the query (the KMeans.fit / ConnectedComponents treatment)
       val e2 = graft.functions.Checkpoints.lazyLocal(
         e.join(deg.toDF("du", "d"), $"u" === $"du").select($"u", $"v", $"d"))
-      val r1 = e2.crossJoin(broadcast(base))
-        .groupBy($"v", $"b").agg(sum(expr("r0 DIV d")).as("c"))
-        .select($"v".as("u"), ($"b" + expr("(85 * c) DIV 100")).as("r"))
+      // N and the damping constants are DRIVER-SIDE scalars, read from
+      // the checkpointed frame (one bounded job): the former 1-row
+      // `base` frame derived from deg's UN-checkpointed lineage, so its
+      // broadcast re-ran the whole basket explode a second time, and its
+      // three crossJoin(broadcast(…)) uses each paid a broadcast
+      // exchange. max(1,·) only guards the n=0 division — the rank
+      // frames are empty then regardless of the constants.
+      val n = math.max(1L, e2.select($"u").distinct().count())
+      val r0v = 1000000000000L / n // all positive: Long / == floor == DIV
+      val bv = (r0v * 15L) / 100L
+      val r1 = e2.groupBy($"v").agg(sum(expr(s"$r0v DIV d")).as("c"))
+        .select($"v".as("u"), (lit(bv) + expr("(85 * c) DIV 100")).as("r"))
       def step(r: org.apache.spark.sql.DataFrame) =
         e2.join(r.toDF("ru", "rr"), $"u" === $"ru")
-          .crossJoin(broadcast(base))
-          .groupBy($"v", $"b").agg(sum(expr("rr DIV d")).as("c"))
-          .select($"v".as("u"), ($"b" + expr("(85 * c) DIV 100")).as("r"))
+          .groupBy($"v").agg(sum(expr("rr DIV d")).as("c"))
+          .select($"v".as("u"), (lit(bv) + expr("(85 * c) DIV 100")).as("r"))
       val r3 = step(step(r1))
       topKRanked(r3, 20, "rn", $"r".desc, $"u".asc)
         .select($"rn".cast("long").as("rn"), $"u".as("node"), $"r".as("rank_fp"))
