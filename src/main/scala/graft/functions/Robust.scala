@@ -117,6 +117,43 @@ object Robust {
         max(col("_lo")).as("lo_fence"), max(col("_hi")).as("hi_fence"))
   }
 
+  /** Global heavy hitters over one key column: `(rk, <key>, n)` — the
+    * true top-`topK` keys by exact count, ranked with a deterministic
+    * (n DESC, key ASC) tie-break. The mode moves only the CANDIDATE
+    * discovery, never the arithmetic:
+    *  - Exact — one vocabulary-sized count shuffle (map-side partials),
+    *    then the distributed top-k. The bounded-scale contract: fine
+    *    whenever the distinct-key table is an acceptable shuffle.
+    *  - Sketch — a Misra–Gries summary (map-side partial maps of
+    *    ≤ `capacity` entries, merged; per-key rows never shuffle)
+    *    narrows the corpus to ≤ `capacity` candidates, then ONE exact
+    *    pass counts just those (broadcast semi-join). MG guarantees
+    *    every key with true count > N/(capacity+1) survives, so the
+    *    answer IS the exact top-k whenever the k-th count clears that
+    *    line — at 100 TB pick capacity ≈ 10-100× topK.
+    * Same output schema in all modes (the Robust contract); the gated
+    * q_heavy_hitters / q_heavy_hitters_sketch queries are the two
+    * shapes' oracle-gated twins. */
+  def heavyHitters(df: DataFrame, key: String, topK: Int = 20,
+      mode: Mode = Mode.Sketch, capacity: Int = 256): DataFrame = {
+    require(capacity > topK,
+      s"MG capacity $capacity must exceed topK $topK for the exactness guarantee")
+    val counts =
+      if (useExact(df, mode)) df.groupBy(col(key)).agg(count(lit(1)).as("n"))
+      else {
+        val cands = df.agg(Sketches.misraGries(capacity)(col(key)).as("_mg"))
+          .select(explode(map_keys(col("_mg"))).as(key))
+        df.join(broadcast(cands), key).groupBy(col(key)).agg(count(lit(1)).as("n"))
+      }
+    val order = Seq(col("n").desc, col(key).asc)
+    // distributed sort+limit first (TakeOrderedAndProject), the rank
+    // window over only the k survivors — never a global one-partition sort
+    counts.orderBy(order: _*).limit(topK)
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(order: _*)))
+      .select(col("rk"), col(key), col("n"))
+  }
+
   /** Per-group interpolated percentiles of one value column:
     * `(group, <name>, ...)` — one double column per requested
     * `(quantile, name)`. The grouped-percentile front door. */

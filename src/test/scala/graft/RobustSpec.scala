@@ -51,6 +51,23 @@ class RobustSpec extends SparkSpec {
     assert(p.collect().toSeq == ref.collect().toSeq)
   }
 
+  test("heavyHitters: both modes return the exact top-k with one schema") {
+    import graft.functions.TextFunctions.tokens
+    val terms = Tables(spark, sf001, "documents")
+      .select(explode(tokens("text")).as("term"))
+    val exact = Robust.heavyHitters(terms, "term", topK = 20, Robust.Mode.Exact)
+    val sketch = Robust.heavyHitters(terms, "term", topK = 20, Robust.Mode.Sketch)
+    assert(exact.columns.toSeq == Seq("rk", "term", "n"))
+    assert(sketch.columns.toSeq == Seq("rk", "term", "n"))
+    // the MG guarantee holds here (20th count clears N/257), so the
+    // sketch path must be INVISIBLE in the answer
+    assert(sketch.collect().toSeq == exact.collect().toSeq)
+    assert(exact.count() == 20)
+    intercept[IllegalArgumentException] {
+      Robust.heavyHitters(terms, "term", topK = 20, Robust.Mode.Sketch, capacity = 10)
+    }
+  }
+
   test("Auto picks exact under the threshold and sketch above it") {
     // Threshold far above sf0.001 row count -> exact; 0 -> sketch. The two
     // sides are distinguishable through the fence values on this data only
