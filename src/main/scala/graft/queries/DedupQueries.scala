@@ -917,6 +917,125 @@ object DedupQueries {
         .select(col("doc_id"), col("keeper_id"), col("n_members"),
           (col("doc_id") === col("keeper_id")).as("kept"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- Dedup SCALING CURVE: duplicate rate at nested corpus prefixes
+    // (1/8, 1/4, 1/2, full by doc_id — ingest order) — the "how much
+    // UNIQUE data do we actually have left" projection a corpus build
+    // runs before committing to another crawl epoch: a dup rate that
+    // GROWS along the curve means new data increasingly re-collects what
+    // the lake already holds, and the unique-token budget is saturating.
+    // Content key = 64-bit md5 prefix of the 40-char head snippet (the
+    // q_decontaminate_exact snippet-identity convention; the production
+    // key is the full content hash v2 — the head fingerprint also gives
+    // this all-unique synthetic corpus real duplicate groups). EXACT
+    // everywhere: prefix membership is the cross-multiplied integer test
+    // doc_id·8 < max·k (no division-rounding ambiguity), a prefix's
+    // distinct count is the count of groups whose FIRST occurrence falls
+    // inside it (min-id per group — one pass, no per-prefix rescans),
+    // and the four dup rates are one double division each. Scale shape:
+    // ONE shuffle on the 8-byte content key (map-side combined), a 1-row
+    // threshold frame broadcast, then a 1-row fold to the 4-row curve.
+    entry("q_dedup_scaling",
+      s"""WITH m AS (SELECT MAX(doc_id)+1 mm FROM documents),
+        | h AS (SELECT doc_id, ${md5Prefix64Oracle("substr(text, 1, 40)")} ch FROM documents),
+        | g AS (SELECT ch, MIN(doc_id) fid,
+        |    COUNT(CASE WHEN doc_id*8 < (SELECT mm FROM m)*1 THEN 1 END) c1,
+        |    COUNT(CASE WHEN doc_id*8 < (SELECT mm FROM m)*2 THEN 1 END) c2,
+        |    COUNT(CASE WHEN doc_id*8 < (SELECT mm FROM m)*4 THEN 1 END) c4,
+        |    COUNT(*) c8
+        |  FROM h GROUP BY 1),
+        | a AS (SELECT
+        |    CAST(SUM(c1) AS BIGINT) r1, CAST(SUM(c2) AS BIGINT) r2,
+        |    CAST(SUM(c4) AS BIGINT) r4, CAST(SUM(c8) AS BIGINT) r8,
+        |    COUNT(CASE WHEN fid*8 < (SELECT mm FROM m)*1 THEN 1 END) u1,
+        |    COUNT(CASE WHEN fid*8 < (SELECT mm FROM m)*2 THEN 1 END) u2,
+        |    COUNT(CASE WHEN fid*8 < (SELECT mm FROM m)*4 THEN 1 END) u4,
+        |    COUNT(*) u8
+        |  FROM g),
+        | curve AS (
+        |  SELECT CAST(1 AS BIGINT) scale_eighths, r1 n_rows, u1 n_unique FROM a UNION ALL
+        |  SELECT 2, r2, u2 FROM a UNION ALL
+        |  SELECT 4, r4, u4 FROM a UNION ALL
+        |  SELECT 8, r8, u8 FROM a)
+        |SELECT scale_eighths, n_rows, n_unique,
+        |  CAST(n_rows - n_unique AS DOUBLE)/n_rows AS dup_rate
+        |FROM curve ORDER BY scale_eighths""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val m = docs.agg((max(col("doc_id")) + 1).as("mm"))
+      val h = docs.crossJoin(broadcast(m))
+        .select(col("doc_id"), col("mm"),
+          expr(md5Prefix64Sql("substring(text, 1, 40)")).as("ch"))
+      def inPrefix(id: org.apache.spark.sql.Column, k: Int) =
+        id * 8 < col("mm") * k
+      val g = h.groupBy(col("ch"))
+        .agg(min(col("doc_id")).as("fid"), min(col("mm")).as("mm2"),
+          count(when(inPrefix(col("doc_id"), 1), 1)).as("c1"),
+          count(when(inPrefix(col("doc_id"), 2), 1)).as("c2"),
+          count(when(inPrefix(col("doc_id"), 4), 1)).as("c4"),
+          count(lit(1)).as("c8"))
+        .withColumnRenamed("mm2", "mm")
+      val a = g.agg(
+        sum(col("c1")).as("r1"), sum(col("c2")).as("r2"),
+        sum(col("c4")).as("r4"), sum(col("c8")).as("r8"),
+        count(when(inPrefix(col("fid"), 1), 1)).as("u1"),
+        count(when(inPrefix(col("fid"), 2), 1)).as("u2"),
+        count(when(inPrefix(col("fid"), 4), 1)).as("u4"),
+        count(lit(1)).as("u8"))
+      a.select(expr(
+          "stack(4, CAST(1 AS BIGINT), r1, u1, CAST(2 AS BIGINT), r2, u2, " +
+            "CAST(4 AS BIGINT), r4, u4, CAST(8 AS BIGINT), r8, u8) " +
+            "AS (scale_eighths, n_rows, n_unique)"))
+        .select(col("scale_eighths"), col("n_rows"), col("n_unique"),
+          ((col("n_rows") - col("n_unique")).cast("double") / col("n_rows")).as("dup_rate"))
+        .orderBy(col("scale_eighths"))
+    },
+
+    // ---- Train/eval SPLIT-LEAKAGE audit: duplicate content straddling
+    // fold boundaries — the contamination a per-document hash split
+    // (q_fold_split) silently produces whenever the corpus still carries
+    // copies: the same text lands in train AND eval, and every eval
+    // metric on it is memorization, not generalization. Groups are the
+    // head-fingerprint content groups (the q_dedup_scaling key); a group
+    // is LEAKY when its members span >1 fold. n_moved_docs prices the
+    // fix: re-keying every member to its group REPRESENTATIVE's fold
+    // (first occurrence — deterministic) moves exactly those documents
+    // and provably zeroes the leak, since a group then has one fold by
+    // construction. Exact int64 counts end to end. Scale shape: ONE
+    // shuffle on the content key; the per-group first-fold window runs
+    // inside duplicate groups (bounded by copy multiplicity, never
+    // corpus-wide); the audit folds to a single row.
+    entry("q_split_leakage",
+      s"""WITH f AS (SELECT doc_id,
+        |    ${md5Prefix64Oracle("substr(text, 1, 40)")} ch,
+        |    CAST(${md5Prefix64Oracle("'fold_' || CAST(doc_id AS VARCHAR)")} % 5 AS BIGINT) fold
+        |  FROM documents),
+        | w AS (SELECT doc_id, ch, fold,
+        |    FIRST_VALUE(fold) OVER (PARTITION BY ch ORDER BY doc_id) gfold FROM f),
+        | g AS (SELECT ch, COUNT(*) cnt, COUNT(DISTINCT fold) nf,
+        |    COUNT(CASE WHEN fold <> gfold THEN 1 END) moved
+        |  FROM w GROUP BY 1)
+        |SELECT CAST(COUNT(*) AS BIGINT) n_groups, CAST(SUM(cnt) AS BIGINT) n_docs,
+        |  COUNT(CASE WHEN cnt > 1 THEN 1 END) n_dup_groups,
+        |  COUNT(CASE WHEN nf > 1 THEN 1 END) n_leaky_groups,
+        |  CAST(SUM(CASE WHEN nf > 1 THEN cnt ELSE 0 END) AS BIGINT) n_leaked_docs,
+        |  CAST(SUM(moved) AS BIGINT) n_moved_docs
+        |FROM g""".stripMargin) { (s, dir) =>
+      val byGroup = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("ch")).orderBy(col("doc_id"))
+      val f = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          expr(md5Prefix64Sql("substring(text, 1, 40)")).as("ch"),
+          (md5Prefix64("concat('fold_', CAST(doc_id AS STRING))") % 5).as("fold"))
+      val w = f.withColumn("gfold", first(col("fold")).over(byGroup))
+      val g = w.groupBy(col("ch"))
+        .agg(count(lit(1)).as("cnt"), countDistinct(col("fold")).as("nf"),
+          count(when(col("fold") =!= col("gfold"), 1)).as("moved"))
+      g.agg(count(lit(1)).as("n_groups"), sum(col("cnt")).as("n_docs"),
+        count(when(col("cnt") > 1, 1)).as("n_dup_groups"),
+        count(when(col("nf") > 1, 1)).as("n_leaky_groups"),
+        sum(when(col("nf") > 1, col("cnt")).otherwise(0L)).as("n_leaked_docs"),
+        sum(col("moved")).as("n_moved_docs"))
     }
   )
 }

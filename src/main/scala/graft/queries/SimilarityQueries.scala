@@ -925,6 +925,55 @@ object SimilarityQueries {
             / nullif(col("sumsq").cast("double") / col("n") / lit(1099511627776.0),
                 lit(0.0))).as("cohesion"))
         .orderBy(col("label"))
+    },
+
+    // ---- Embedding OUTLIER audit: the 3 vectors farthest from their own
+    // label centroid, per label — the mislabeled/corrupt-vector sweep a
+    // curation pipeline runs before trusting labels for IVF cells or
+    // contrastive sampling (a wrong-label vector sits far from its
+    // claimed centroid; a zero-padded or clipped one sits far from
+    // every centroid). EXACT: distance to the centroid s/cn is the
+    // integer lattice d2 = Σ(cn·q_i − s_i)² (the KMeans family's scaled
+    // form) — within one label cn is CONSTANT, so ranking by raw d2 IS
+    // the exact distance order, no cross-multiplied rational compare
+    // needed; d2 accumulates in decimal(38,0)/HUGEINT (the 64-dim sum
+    // passes int64 right around this corpus shape) and surfaces only as
+    // the d2n = d2/cn² double. Scale shape: label sums are a bounded
+    // (k × dim) aggregate broadcast back into ONE narrow corpus pass;
+    // the per-label top-3 is a rank window that WindowGroupLimit prunes
+    // to per-partition heads — no corpus-wide window state.
+    entry("q_embed_outliers",
+      """WITH e AS (SELECT vec_id, label, [CAST(floor(CAST(x AS DOUBLE)*1048576.0) AS BIGINT) for x in embedding] q FROM embeddings),
+        | c AS (SELECT label, COUNT(*) cn FROM e GROUP BY 1),
+        | u AS (SELECT vec_id, label, generate_subscripts(q,1) dim, unnest(q) xq FROM e),
+        | s AS (SELECT label, dim, CAST(SUM(xq) AS BIGINT) sx FROM u GROUP BY 1,2),
+        | d AS (SELECT u.vec_id, u.label,
+        |    SUM((CAST(c.cn AS HUGEINT)*u.xq - s.sx)*(CAST(c.cn AS HUGEINT)*u.xq - s.sx)) d2
+        |  FROM u JOIN s ON u.label = s.label AND u.dim = s.dim
+        |  JOIN c ON c.label = u.label GROUP BY 1,2),
+        | r AS (SELECT d.label, d.vec_id, d.d2, c.cn,
+        |    ROW_NUMBER() OVER (PARTITION BY d.label ORDER BY d.d2 DESC, d.vec_id) rn
+        |  FROM d JOIN c ON c.label = d.label)
+        |SELECT label, CAST(rn AS BIGINT) rn, vec_id,
+        |  CAST(d2 AS DOUBLE) / CAST(CAST(cn AS HUGEINT)*cn AS DOUBLE) AS d2n
+        |FROM r WHERE rn <= 3 ORDER BY label, rn""".stripMargin) { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+        .transform(Tables.spread(_, col("vec_id")))
+        .select(col("vec_id"), col("label"), quantize("embedding").as("q"))
+      val cs = graft.functions.KMeans.labelSums(
+        e.select(col("label"), col("q")))
+      val d = e.join(broadcast(cs), col("label") === col("cl"))
+        .withColumn("d2", expr(
+          "aggregate(zip_with(q, s, (x, y) -> (cn*x - y)*(cn*x - y)), " +
+            "CAST(0 AS DECIMAL(38,0)), (acc, v) -> acc + v)"))
+      val byLabel = Window.partitionBy(col("label"))
+        .orderBy(col("d2").desc, col("vec_id").asc)
+      d.withColumn("rn", row_number().over(byLabel))
+        .filter(col("rn") <= 3)
+        .select(col("label"), col("rn").cast("long").as("rn"), col("vec_id"),
+          (col("d2").cast("double") /
+            (col("cn") * col("cn")).cast("double")).as("d2n"))
+        .orderBy(col("label"), col("rn"))
     }
   )
 }
