@@ -1036,6 +1036,46 @@ object DedupQueries {
         count(when(col("nf") > 1, 1)).as("n_leaky_groups"),
         sum(when(col("nf") > 1, col("cnt")).otherwise(0L)).as("n_leaked_docs"),
         sum(col("moved")).as("n_moved_docs"))
+    },
+
+    // ---- CHUNK-granularity dedup audit: repeated 10-token chunks per
+    // source — document-level dedup misses boilerplate that repeats
+    // INSIDE otherwise-distinct documents (headers, licence blocks,
+    // navigation), and chunk-level training dedup (the "train on unique
+    // chunks" recipe) needs exactly this rate to size its win. Chunks
+    // are fixed non-overlapping 10-token windows built NARROWLY from
+    // each doc's token array (integer count (len+9) DIV 10, clamped ≥ 1
+    // on both engines so the empty doc cannot diverge, never a
+    // per-token explode-then-regroup); keys are the 8-byte md5-prefix
+    // family. Exact int counts, one double division per source. Scale
+    // shape: ONE shuffle on the chunk key builds the global occurrence
+    // table (map-side combined), the join back is chunk-keyed, the
+    // final aggregate reduces to the source alphabet.
+    entry("q_chunk_dedup",
+      s"""WITH d AS (SELECT doc_id, source, string_split(text,' ') toks FROM documents),
+        | c AS (SELECT doc_id, source, unnest([array_to_string(toks[(i*10+1):(i*10+10)], ' ')
+        |          for i in range(greatest((len(toks)+9)//10, 1))]) chunk FROM d),
+        | h AS (SELECT source, ${md5Prefix64Oracle("chunk")} chash FROM c),
+        | g AS (SELECT chash, COUNT(*) n FROM h GROUP BY 1)
+        |SELECT h.source, COUNT(*) n_chunks,
+        |  COUNT(CASE WHEN g.n > 1 THEN 1 END) n_dup_instances,
+        |  CAST(COUNT(CASE WHEN g.n > 1 THEN 1 END) AS DOUBLE)/COUNT(*) dup_chunk_rate
+        |FROM h JOIN g USING (chash) GROUP BY 1 ORDER BY source""".stripMargin) { (s, dir) =>
+      val h = Tables(s, dir, "documents")
+        .transform(Tables.spread(_, col("doc_id")))
+        .withColumn("toks", tokens("text"))
+        .select(col("source"), explode(expr(
+          "transform(sequence(1, greatest((size(toks)+9) DIV 10, 1)), " +
+            "i -> array_join(slice(toks, (i-1)*10+1, 10), ' '))")).as("chunk"))
+        .select(col("source"), expr(md5Prefix64Sql("chunk")).as("chash"))
+      val g = h.groupBy(col("chash").as("g_chash")).agg(count(lit(1)).as("n"))
+      h.join(g, col("chash") === col("g_chash"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_chunks"),
+          count(when(col("n") > 1, 1)).as("n_dup_instances"),
+          (count(when(col("n") > 1, 1)).cast("double") / count(lit(1)))
+            .as("dup_chunk_rate"))
+        .orderBy(col("source"))
     }
   )
 }

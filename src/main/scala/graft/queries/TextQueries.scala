@@ -2016,6 +2016,142 @@ object TextQueries {
       p.select(col("n"), col("n00"), col("n01"), col("n10"), col("n11"),
         col("po"), col("pe"),
         ((col("po") - col("pe")) / nullif(lit(1.0) - col("pe"), lit(0.0))).as("kappa"))
+    },
+
+    // ---- Token-budget WATERFILL across sources: allocate a training
+    // budget (here 90% of the corpus's tokens) so every source gets the
+    // same water level L, sources with less than L contribute everything
+    // (capped), and the integer remainder goes +1 to the first uncapped
+    // sources in (avail, source) order — the max-min fair allocation a
+    // mixture designer runs instead of proportional sampling (which lets
+    // one giant crawl drown the small curated sources). EXACT integer
+    // end to end: per-k candidate levels L_k = (target − prefix_k) DIV
+    // (n − k), the unique k validated by avail_k ≤ L_k < avail_{k+1},
+    // and Σ allocated == target by construction (the oracle proves it
+    // row by row). Target < total by construction (90%), so a valid k
+    // always exists. Scale shape: the corpus reduces map-side to one
+    // row per source; every window after that runs on the bounded
+    // source frame; the 1-row totals broadcast.
+    entry("q_token_waterfill",
+      """WITH s AS (SELECT source, CAST(SUM(len(string_split(text,' '))) AS BIGINT) avail
+        |           FROM documents GROUP BY 1),
+        | t AS (SELECT COUNT(*) n, (CAST(SUM(avail) AS BIGINT) * 9) // 10 tgt FROM s),
+        | r AS (SELECT source, avail,
+        |         ROW_NUMBER() OVER (ORDER BY avail, source) rn,
+        |         CAST(SUM(avail) OVER (ORDER BY avail, source) AS BIGINT) p
+        |       FROM s),
+        | cand AS (SELECT rn - 1 AS k, COALESCE(LAG(p) OVER (ORDER BY rn), 0) pk,
+        |            COALESCE(LAG(avail) OVER (ORDER BY rn), 0) ak, avail nxt
+        |          FROM r),
+        | lvl AS (SELECT k, pk, ((SELECT tgt FROM t) - pk) // ((SELECT n FROM t) - k) L
+        |         FROM cand
+        |         WHERE ak <= ((SELECT tgt FROM t) - pk) // ((SELECT n FROM t) - k)
+        |           AND ((SELECT tgt FROM t) - pk) // ((SELECT n FROM t) - k) < nxt),
+        | fin AS (SELECT r.source, r.avail, r.rn, lvl.L, lvl.k,
+        |           (SELECT tgt FROM t) - (lvl.pk + lvl.L * ((SELECT n FROM t) - lvl.k)) rem
+        |         FROM r CROSS JOIN lvl)
+        |SELECT source, avail AS avail_tokens,
+        |  CASE WHEN rn <= k THEN avail
+        |       ELSE L + (CASE WHEN rn - k <= rem THEN 1 ELSE 0 END) END AS allocated,
+        |  rn <= k AS capped
+        |FROM fin ORDER BY source""".stripMargin) { (s, dir) =>
+      val byAvail = Window.orderBy(col("avail"), col("source"))
+      val src = Tables(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(sum(size(tokens("text")).cast("long")).as("avail"))
+      val t = src.agg(count(lit(1)).as("n"),
+        expr("(SUM(avail) * 9) DIV 10").as("tgt"))
+      val r = src
+        .withColumn("rn", row_number().over(byAvail))
+        .withColumn("p", sum(col("avail")).over(byAvail))
+      val cand = r.select((col("rn") - 1).as("k"),
+          coalesce(lag(col("p"), 1).over(Window.orderBy(col("rn"))), lit(0L)).as("pk"),
+          coalesce(lag(col("avail"), 1).over(Window.orderBy(col("rn"))), lit(0L)).as("ak"),
+          col("avail").as("nxt"))
+        .crossJoin(broadcast(t))
+      val lvl = cand
+        .withColumn("L", expr("(tgt - pk) DIV (n - k)"))
+        .filter(col("ak") <= col("L") && col("L") < col("nxt"))
+        .select(col("k"), col("pk"), col("L"),
+          (col("tgt") - (col("pk") + col("L") * (col("n") - col("k")))).as("rem"))
+      r.crossJoin(broadcast(lvl))
+        .select(col("source"), col("avail").as("avail_tokens"),
+          when(col("rn") <= col("k"), col("avail"))
+            .otherwise(col("L") +
+              when(col("rn") - col("k") <= col("rem"), 1L).otherwise(0L))
+            .as("allocated"),
+          (col("rn") <= col("k")).as("capped"))
+        .orderBy(col("source"))
+    },
+
+    // ---- Quality-filter MIXTURE SHIFT: per-source corpus share before
+    // vs after a quality gate (tokens ≥ 40 — the q_judge_agreement B
+    // judge) — the audit that catches a filter silently rebalancing the
+    // source mixture (a length gate deletes short-form sources first,
+    // and the trained model's domain balance shifts with it). Exact
+    // int64 counts; three double divisions per source at the end; the
+    // 1-row totals broadcast. ONE map-side-combined aggregate over the
+    // corpus.
+    entry("q_filter_shift",
+      """WITH d AS (SELECT source, len(string_split(text,' ')) t FROM documents),
+        | tot AS (SELECT COUNT(*) nb, COUNT(CASE WHEN t >= 40 THEN 1 END) na FROM d),
+        | s AS (SELECT source, COUNT(*) n_before,
+        |         COUNT(CASE WHEN t >= 40 THEN 1 END) n_after FROM d GROUP BY 1)
+        |SELECT source, n_before, n_after,
+        |  CAST(n_before AS DOUBLE)/(SELECT nb FROM tot) share_before,
+        |  CAST(n_after AS DOUBLE)/(SELECT na FROM tot) share_after,
+        |  CAST(n_after AS DOUBLE)/(SELECT na FROM tot)
+        |    - CAST(n_before AS DOUBLE)/(SELECT nb FROM tot) AS shift
+        |FROM s ORDER BY source""".stripMargin) { (s, dir) =>
+      val d = Tables(s, dir, "documents")
+        .select(col("source"), size(tokens("text")).cast("long").as("t"))
+      val tot = d.agg(count(lit(1)).as("nb"),
+        count(when(col("t") >= 40, 1)).as("na"))
+      d.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_before"),
+          count(when(col("t") >= 40, 1)).as("n_after"))
+        .crossJoin(broadcast(tot))
+        .select(col("source"), col("n_before"), col("n_after"),
+          (col("n_before").cast("double") / col("nb")).as("share_before"),
+          (col("n_after").cast("double") / col("na")).as("share_after"),
+          ((col("n_after").cast("double") / col("na"))
+            - (col("n_before").cast("double") / col("nb"))).as("shift"))
+        .orderBy(col("source"))
+    },
+
+    // ---- N-gram NOVELTY per document in ingest order: the fraction of
+    // a doc's distinct 3-grams whose corpus-wide FIRST occurrence (min
+    // doc_id) is that doc — the per-document contribution score behind
+    // "is new data still adding anything" curves (the document-level
+    // refinement of q_dedup_scaling's corpus curve; a late doc with
+    // near-zero novelty is recombination, not new signal). Exact: gram
+    // first-occurrence is one min-aggregate; counts are int64; one
+    // double division per doc. Scale shape: per-doc distinct shingles
+    // explode narrowly, ONE gram-keyed shuffle builds the first-seen
+    // table (map-side combined), the join back is gram-keyed (no
+    // broadcast of a corpus-sized side), and the final aggregate is
+    // doc-keyed.
+    entry("q_ngram_novelty",
+      """WITH d AS (SELECT doc_id, string_split(text,' ') toks FROM documents),
+        | dg AS (SELECT doc_id, unnest(list_distinct([array_to_string(toks[i:i+2],' ')
+        |          for i in generate_series(1, greatest(len(toks)-2,1))])) gram FROM d),
+        | f AS (SELECT gram, MIN(doc_id) fid FROM dg GROUP BY 1)
+        |SELECT dg.doc_id, COUNT(*) n_grams,
+        |  COUNT(CASE WHEN f.fid = dg.doc_id THEN 1 END) n_novel,
+        |  CAST(COUNT(CASE WHEN f.fid = dg.doc_id THEN 1 END) AS DOUBLE)/COUNT(*) novelty
+        |FROM dg JOIN f USING (gram) GROUP BY 1 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val dg = Tables(s, dir, "documents")
+        .transform(Tables.spread(_, col("doc_id")))
+        .withColumn("toks", tokens("text"))
+        .select(col("doc_id"), explode(shingles("toks", 3)).as("gram"))
+      val f = dg.groupBy(col("gram").as("f_gram")).agg(min(col("doc_id")).as("fid"))
+      dg.join(f, col("gram") === col("f_gram"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          count(when(col("fid") === col("doc_id"), 1)).as("n_novel"),
+          (count(when(col("fid") === col("doc_id"), 1)).cast("double") / count(lit(1)))
+            .as("novelty"))
+        .orderBy(col("doc_id"))
     }
   )
 }
