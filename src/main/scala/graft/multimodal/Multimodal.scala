@@ -399,6 +399,49 @@ object Multimodal {
       }
   }
 
+  case class ClipProfile(doc_id: Long, n_samples: Long, n_clipped: Long,
+                         max_amp: Long, longest_clip_run: Long, clip_rate: Double)
+
+  /** CLIPPING detection — the rail-hitting audit an audio-curation
+    * pipeline runs before training on a clip (a recording that slams the
+    * converter's rails carries distortion, and a long consecutive
+    * clipped RUN is the tell that separates true clipping from a single
+    * hot sample). Reports per item: sample count, clipped-sample count,
+    * max amplitude, the longest consecutive clipped run, and the clip
+    * rate. Recognized WAV payloads use the real |int16| samples against
+    * `clipAmp`·256 (the silenceProfile scale convention); anything else
+    * takes the unsigned-byte stub, character-replayable by the DuckDB
+    * oracle over ASCII text payloads (ascii(c) >= `clipAmp`). Exact
+    * integer counting per partition batch; the one double is the final
+    * rate. */
+  def clipProfile(df: DataFrame, idCol: String, payloadCol: String,
+                  clipAmp: Int = 120): Dataset[ClipProfile] = {
+    require(clipAmp > 0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          val (samples: Array[Int], rail: Int) = decodeWav(bytes) match {
+            case Some(a) => (a.samples.map(math.abs), clipAmp * 256) // int16 scale
+            case None => (bytes.map(x => x & 0xff), clipAmp)
+          }
+          if (samples.isEmpty) Iterator.empty
+          else {
+            var nc = 0; var run = 0; var best = 0; var mx = 0
+            samples.foreach { s =>
+              mx = math.max(mx, s)
+              if (s >= rail) { nc += 1; run += 1; best = math.max(best, run) }
+              else run = 0
+            }
+            Iterator.single(ClipProfile(id, samples.length.toLong, nc.toLong,
+              mx.toLong, best.toLong, nc.toDouble / samples.length))
+          }
+        }
+      }
+  }
+
   /** Feature extraction over a binary payload column, one output row per
     * (item, feature-slot). Recognized images decode for REAL (luminance
     * histogram over the pixels, normalized by pixel count); anything else

@@ -134,6 +134,41 @@ object MultimodalQueries {
         .orderBy(col("doc_id"))
     },
 
+    // ---- CLIPPING detection (rail-hitting audit, same byte-as-sample
+    // stub contract as the energy/silence pair): clipped = amplitude ≥
+    // 120 ('x' and above in the ASCII stub; real WAVs compare |int16| ≥
+    // 120·256), with the LONGEST consecutive clipped run as the
+    // distortion tell that separates true clipping from one hot sample.
+    // The oracle replays the per-character thresholding and derives the
+    // run from the flags string (max '1'-block after splitting on '0' —
+    // the q_mm_silence string idiom); exact integers, one final double
+    // rate. Same ASCII chars==bytes gate.
+    entry("q_mm_clipping",
+      """WITH c AS (SELECT doc_id, [ascii(x) for x in regexp_extract_all(text, '.')] amps
+        |           FROM documents WHERE length(text) > 0),
+        | f AS (SELECT doc_id, len(amps) n_samples,
+        |    len(list_filter(amps, x -> x >= 120)) n_clipped,
+        |    list_max(amps) max_amp,
+        |    list_max([len(y) for y in string_split(array_to_string(
+        |      [CASE WHEN x >= 120 THEN '1' ELSE '0' END for x in amps], ''), '0')]) run
+        |  FROM c)
+        |SELECT doc_id, CAST(n_samples AS BIGINT) n_samples,
+        |  CAST(n_clipped AS BIGINT) n_clipped, CAST(max_amp AS BIGINT) max_amp,
+        |  CAST(run AS BIGINT) longest_clip_run,
+        |  CAST(n_clipped AS DOUBLE)/n_samples clip_rate
+        |FROM f ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import graft.multimodal.Multimodal
+      Multimodal.clipProfile(
+          Tables(s, dir, "documents")
+            .filter(length(col("text")) > 0)
+            .filter(assert_true(length(col("text")) === octet_length(col("text")),
+              lit("q_mm_clipping requires an ASCII corpus: chars != bytes")).isNull)
+            .withColumn("payload", col("text").cast("binary")),
+          "doc_id", "payload", clipAmp = 120)
+        .toDF()
+        .orderBy(col("doc_id"))
+    },
+
     // ---- Frame sampling (video-decoder stub): 256-byte frames, every 4th
     // sampled, md5-fingerprinted — mapPartitions batch shape again; the
     // oracle slices the same bytes with substr (ASCII ⇒ chars == bytes).

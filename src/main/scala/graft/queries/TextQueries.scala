@@ -480,6 +480,97 @@ object TextQueries {
         .orderBy(col("rk"))
     },
 
+    // ---- PMI association pairs: top-15 token pairs by pointwise mutual
+    // information LIFT (N·n_xy)/(df_x·df_y) with a min-support floor —
+    // where q_cooccurrence ranks by raw co-count (surfacing stopword
+    // pairs), PMI lift surfaces the SPECIFICALLY associated pairs
+    // (named-entity collocations, templated phrases), the signal behind
+    // phrase mining and embedding-context weighting. Candidate
+    // discipline inherited from q_cooccurrence verbatim (df floor +
+    // per-doc top-256 cap bound the per-doc quadratic). Exactness: lift
+    // numerator and denominator are exact int64 products widened to
+    // decimal(38,0)/HUGEINT (N·n_xy passes int64 at web scale) and the
+    // rank orders by the ONE double division both engines compute from
+    // identical integers, tie-broken totally.
+    entry("q_pmi_pairs",
+      """WITH t AS (SELECT DISTINCT doc_id, unnest(string_split(text,' ')) term FROM documents),
+        | nn AS (SELECT COUNT(DISTINCT doc_id) nd FROM t),
+        | dfq AS (SELECT term, COUNT(*) df FROM t GROUP BY 1 HAVING COUNT(*) >= 3),
+        | cp AS (SELECT doc_id, term, df FROM (
+        |    SELECT t.doc_id, t.term, d.df, ROW_NUMBER() OVER (PARTITION BY t.doc_id
+        |      ORDER BY d.df DESC, t.term) rn FROM t JOIN dfq d USING (term)) WHERE rn <= 256),
+        | pr AS (SELECT a.term ta, b.term tb, a.df dfa, b.df dfb, COUNT(*) n_docs
+        |        FROM cp a JOIN cp b ON a.doc_id = b.doc_id AND a.term < b.term
+        |        GROUP BY 1,2,3,4 HAVING COUNT(*) >= 3),
+        | sc AS (SELECT ta, tb, n_docs,
+        |          CAST(CAST((SELECT nd FROM nn) AS HUGEINT) * n_docs AS DOUBLE)
+        |            / CAST(CAST(dfa AS HUGEINT) * dfb AS DOUBLE) lift FROM pr),
+        | r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY lift DESC, ta, tb) rk FROM sc)
+        |SELECT rk, ta, tb, n_docs, lift FROM r WHERE rk <= 15 ORDER BY rk""".stripMargin) { (s, dir) =>
+      val dec = "decimal(38,0)"
+      val t = Tables(s, dir, "documents")
+        .transform(Tables.spread(_, col("doc_id"))) // single-file scan → spread the pair loop
+        .select(col("doc_id"), explode(tokens("text")).as("term"))
+        .distinct()
+      val nn = t.agg(countDistinct(col("doc_id")).as("nd"))
+      val dfq = t.groupBy(col("term").as("df_term")).agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 3)
+      val byDoc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("df").desc, col("term").asc)
+      val cp = t.join(dfq, col("term") === col("df_term"))
+        .withColumn("rn", row_number().over(byDoc))
+        .filter(col("rn") <= 256)
+        .select(col("doc_id"), col("term"), col("df"))
+      val a = cp.toDF("doc_id", "ta", "dfa")
+      val b = cp.toDF("b_doc_id", "tb", "dfb")
+      val pr = a.join(b, col("doc_id") === col("b_doc_id") && col("ta") < col("tb"))
+        .groupBy(col("ta"), col("tb"), col("dfa"), col("dfb"))
+        .agg(count(lit(1)).as("n_docs"))
+        .filter(col("n_docs") >= 3)
+      val sc = pr.crossJoin(broadcast(nn))
+        .select(col("ta"), col("tb"), col("n_docs"),
+          ((col("nd").cast(dec) * col("n_docs")).cast("double")
+            / (col("dfa").cast(dec) * col("dfb")).cast("double")).as("lift"))
+      topKRanked(sc, 15, "rk", col("lift").desc, col("ta").asc, col("tb").asc)
+        .select(col("rk"), col("ta"), col("tb"), col("n_docs"), col("lift"))
+        .orderBy(col("rk"))
+    },
+
+    // ---- Incremental INVERTED-INDEX maintenance: merge a materialized
+    // index's per-term statistics with a delta batch's instead of
+    // rebuilding from history — the q_incr_agg_maintain pattern applied
+    // to the retrieval index (at 100 TB the nightly crawl must UPDATE
+    // tf/df/doc-length stats, not re-tokenize the lake). Correct because
+    // the split is doc-disjoint (doc_id mod 4), so df (a count of
+    // DISTINCT docs per term) merges by plain addition — the one
+    // index statistic that is NOT mergeable under overlapping doc sets —
+    // and tf totals are re-aggregable sums. The oracle is the one-pass
+    // rebuild: partial+merge must be bit-identical to it. Scale shape:
+    // each side reduces map-side to its term-keyed summary; the merge
+    // shuffles only the two vocabulary-sized summaries, never documents.
+    entry("q_index_maintain",
+      """WITH t AS (SELECT doc_id, unnest(string_split(text,' ')) term FROM documents),
+        | tf AS (SELECT doc_id, term, COUNT(*) tf FROM t GROUP BY 1,2),
+        | x AS (SELECT term, COUNT(*) df, CAST(SUM(tf) AS BIGINT) tf_total FROM tf GROUP BY 1),
+        | r AS (SELECT term, df, tf_total,
+        |         ROW_NUMBER() OVER (ORDER BY tf_total DESC, term) rk FROM x)
+        |SELECT rk, term, df, tf_total FROM r WHERE rk <= 20 ORDER BY rk""".stripMargin) { (s, dir) =>
+      def side(pred: org.apache.spark.sql.Column) =
+        Tables(s, dir, "documents").filter(pred)
+          .select(col("doc_id"), explode(tokens("text")).as("term"))
+          .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+          .groupBy(col("term"))
+          .agg(count(lit(1)).as("df"), sum(col("tf")).as("tf_total"))
+      val materialized = side(col("doc_id") % 4 =!= 0) // "yesterday's" index
+      val delta = side(col("doc_id") % 4 === 0)        // today's crawl
+      val merged = materialized.unionByName(delta)
+        .groupBy(col("term"))
+        .agg(sum(col("df")).as("df"), sum(col("tf_total")).as("tf_total"))
+      topKRanked(merged, 20, "rk", col("tf_total").desc, col("term").asc)
+        .select(col("rk"), col("term"), col("df"), col("tf_total"))
+        .orderBy(col("rk"))
+    },
+
     // ---- Corpus-LM surprisal scoring: per-document mean unigram
     // surprisal in whole bits — the frequency-weighted "how unusual is
     // this document under the corpus's own unigram LM" quality signal

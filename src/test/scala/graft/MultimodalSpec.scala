@@ -198,6 +198,26 @@ class MultimodalSpec extends SparkSpec {
     assert(w2.map(_.n_samples).toSeq == Seq(2L, 1L))
   }
 
+  test("clipping profile: real WAV rails vs byte stub, run length, empty drop") {
+    // |int16| >= 120*256 = 30720 counts as clipped on the real path;
+    // 32767, -32768, 31000 clip (the NEGATIVE rail via abs), 100 does not,
+    // and the longest run must span the consecutive trio
+    val mono = tinyWav(1, Seq(Seq(100), Seq(32767), Seq(-32768), Seq(31000), Seq(-200)))
+    val df = Seq((1L, mono), (2L, "xyza".getBytes), (3L, Array.empty[Byte]))
+      .toDF("doc_id", "payload")
+    val out = Multimodal.clipProfile(df, "doc_id", "payload", clipAmp = 120)
+      .collect().map(p => p.doc_id -> p).toMap
+    assert(!out.contains(3L), "empty payloads drop (the oracle's length>0 filter)")
+    val wav = out(1L)
+    assert(wav.n_samples == 5 && wav.n_clipped == 3 && wav.longest_clip_run == 3)
+    assert(wav.max_amp == 32768)
+    assert(wav.clip_rate == 3.0 / 5)
+    // stub: 'x'=120 'y'=121 'z'=122 clip, 'a'=97 does not; run = 3
+    val stub = out(2L)
+    assert(stub.n_samples == 4 && stub.n_clipped == 3 && stub.longest_clip_run == 3)
+    assert(stub.max_amp == 122 && stub.clip_rate == 3.0 / 4)
+  }
+
   test("recognized images take the real feature/resize path through Spark") {
     val df = Seq((1L, tinyBmp), (2L, "plain bytes".getBytes)).toDF("doc_id", "payload")
     val feats = Multimodal.extractFeatures(df, "doc_id", "payload", dim = 4)
