@@ -138,12 +138,18 @@ object Robust {
       mode: Mode = Mode.Sketch, capacity: Int = 256): DataFrame = {
     require(capacity > topK,
       s"MG capacity $capacity must exceed topK $topK for the exactness guarantee")
+    // NULL keys are excluded in BOTH modes (a missing key is not a
+    // hitter): the MG aggregator skips nulls and an equi-join can never
+    // match them, so without this filter Exact would rank a null-key
+    // group the Sketch path structurally cannot see — breaking the
+    // same-answer contract on exactly the dirty data this runs on
+    val rows = df.filter(col(key).isNotNull)
     val counts =
-      if (useExact(df, mode)) df.groupBy(col(key)).agg(count(lit(1)).as("n"))
+      if (useExact(rows, mode)) rows.groupBy(col(key)).agg(count(lit(1)).as("n"))
       else {
-        val cands = df.agg(Sketches.misraGries(capacity)(col(key)).as("_mg"))
+        val cands = rows.agg(Sketches.misraGries(capacity)(col(key)).as("_mg"))
           .select(explode(map_keys(col("_mg"))).as(key))
-        df.join(broadcast(cands), key).groupBy(col(key)).agg(count(lit(1)).as("n"))
+        rows.join(broadcast(cands), key).groupBy(col(key)).agg(count(lit(1)).as("n"))
       }
     val order = Seq(col("n").desc, col(key).asc)
     // distributed sort+limit first (TakeOrderedAndProject), the rank

@@ -963,9 +963,13 @@ object SimilarityQueries {
       val cs = graft.functions.KMeans.labelSums(
         e.select(col("label"), col("q")))
       val d = e.join(broadcast(cs), col("label") === col("cl"))
+        // the per-term square itself widens (not just the accumulator):
+        // |cn·x − s| ≈ 3e9 at a 30k-vector label, whose int64 square
+        // would ANSI-overflow in Spark while the HUGEINT oracle sails on
         .withColumn("d2", expr(
-          "aggregate(zip_with(q, s, (x, y) -> (cn*x - y)*(cn*x - y)), " +
-            "CAST(0 AS DECIMAL(38,0)), (acc, v) -> acc + v)"))
+          "aggregate(zip_with(q, s, (x, y) -> " +
+            "(CAST(cn AS DECIMAL(38,0))*x - y) * (CAST(cn AS DECIMAL(38,0))*x - y)), " +
+            "CAST(0 AS DECIMAL(38,0)), (acc, v) -> CAST(acc + v AS DECIMAL(38,0)))"))
       val byLabel = Window.partitionBy(col("label"))
         .orderBy(col("d2").desc, col("vec_id").asc)
       d.withColumn("rn", row_number().over(byLabel))

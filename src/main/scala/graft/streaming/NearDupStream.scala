@@ -5,6 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
+import org.apache.spark.util.sketch.BloomFilter
 
 import graft.functions.TextFunctions._
 
@@ -21,6 +22,19 @@ import graft.functions.TextFunctions._
   * near-dup admission at ingest time is the LLM-corpus extension — the
   * same banded no-all-pairs discipline as the batch LSH family
   * (DedupQueries), run continuously.
+  *
+  * Identity contract — FIRST WRITE WINS per doc_id: a redelivered doc_id
+  * is dropped whatever its text says (an upstream producer that reuses an
+  * id with new content is an id collision, resolved deterministically in
+  * favor of the first admission). The guard is a PERSISTED Bloom filter
+  * over admitted ids (`_idbloom/<batchId>`, a constant few MB read per
+  * batch): bloom misses are definitely-new and skip every lake read;
+  * only bloom hits — true redeliveries plus the configured false-positive
+  * sliver — pay one exact column-pruned anti-join against the docs
+  * relation. A false positive can therefore never drop a new document,
+  * and the normal all-new batch touches no lake-proportional state at
+  * all. Blooms must keep one (items, fpp) sizing per lake — a mismatched
+  * merge fails loudly.
   *
   * Scale shape per batch:
   *   - batch bands ⋈ lake band index is an equi-join on (band, bkey) —
@@ -40,42 +54,39 @@ import graft.functions.TextFunctions._
   * Exactly-once, batchId-keyed (the cheap guard): `foreachBatch` may
   * re-run a batch after a crash, so idempotence is keyed on the
   * checkpoint's batchId through a tiny `_batches` marker ledger —
-  * `<id>.started` lands before any append, `<id>.done` after the last —
-  * and three cases fall out:
+  * `<id>.started` lands (hsync'd best-effort) before any append,
+  * `<id>.done` after the last — and three cases fall out:
   *   - done marker present → the batch fully landed; the replay returns
   *     immediately (two file-exists probes, ZERO lake scans).
   *   - neither marker → a genuinely new batch: the lake cannot contain
   *     any of this batch's rows, so every append is a plain append and
-  *     NO append anti-joins its target — the fast path never reads the
-  *     lake's docs relation at all (NearDupStreamSpec proves it against
-  *     a deliberately unreadable docs file). This is what bounds
-  *     per-batch I/O: the old design re-read the full lake doc_id column
-  *     four times per micro-batch — gigabytes per batch at a
-  *     billion-doc lake — to guard against a case that file markers
-  *     distinguish for the cost of a metadata probe.
+  *     NO append anti-joins its target — beyond the id-bloom probe the
+  *     fast path never reads the lake's docs relation
+  *     (NearDupStreamSpec proves it against a deliberately unreadable
+  *     docs file). This is what bounds per-batch I/O: the old design
+  *     re-read the full lake doc_id column four times per micro-batch —
+  *     gigabytes per batch at a billion-doc lake.
   *   - started without done → a genuine crash replay, the RARE path: the
-  *     lake may hold this batch's partial appends, so the replay runs the
-  *     fully-guarded sequence — per-target anti-joins, and candidate
-  *     self-pair exclusion so partially appended index rows cannot shadow
-  *     their own documents. Survivor selection is deterministic
-  *     (min-doc_id greedy), so the re-derived survivors are identical and
+  *     lake may hold this batch's partial appends, so the replay runs
+  *     per-target anti-joined appends, and candidate self-pair exclusion
+  *     so partially appended index rows cannot shadow their own
+  *     documents. Survivor selection is deterministic (min-doc_id
+  *     greedy) and the id guard is the SAME first-write-wins bloom probe
+  *     as the fast path, so the re-derived survivors are identical and
   *     the lake converges from any crash point; the appends run
-  *     index-first / docs-LAST so a mid-sequence crash leaves the docs
-  *     relation (what downstream reads) conservative. The spec replays
-  *     the worst case (index rows written, docs not).
+  *     index-first / docs-LAST, then the bloom update, then the done
+  *     marker — each step's replay is covered by the step after it. The
+  *     spec replays the worst case (index rows written, docs not).
+  *
+  * Durability assumption, stated: the `.started` marker is created with a
+  * best-effort hsync before the first append. On a filesystem that loses
+  * the unsynced marker in a crash WHILE retaining later-written parquet
+  * appends (no ordering guarantee at all), a replay could take the fast
+  * path over a partially appended batch; HDFS/object-store semantics and
+  * any POSIX fs with ordered metadata satisfy the requirement.
   *
   * One writer per lake: batchIds are unique per CHECKPOINT, so two
   * streams with different checkpoints must not share a lakeDir.
-  *
-  * Exact-redelivery contract: a doc_id redelivered in a LATER batch with
-  * the same text minhashes identically, band-matches its admitted copy and
-  * verifies at Jaccard 1 → dropped (the fast path keeps equal-id lake
-  * matches as true duplicates precisely for this). Short documents
-  * (< one 3-shingle) get a singleton whole-text shingle so the identical
-  * short doc still verifies at 1 instead of vanishing from the band index.
-  * A redelivery that REWRITES the text beyond the near-dup threshold under
-  * the same doc_id is admitted as a new document — same-id-different-text
-  * is an upstream id collision, not a duplicate.
   *
   * In-batch policy: a document is dropped when a VERIFIED near-dup with a
   * smaller doc_id exists in the same batch — the pessimistic greedy (a
@@ -90,16 +101,14 @@ object NearDupStream {
   private val Bands = 8
 
   /** doc-id'd shingle sets with the batch LSH family's exact recipe
-    * (3-token shingles — the `shingled` frame of DedupQueries), plus the
-    * short-doc fallback: a document too short for one 3-shingle gets its
-    * WHOLE TEXT as a singleton shingle, so exact redeliveries of short
-    * docs still band-match and verify at Jaccard 1 instead of carrying an
-    * empty signature that never pairs with anything. */
+    * (3-token shingles — the `shingled` frame of DedupQueries). The
+    * shingles() helper clamps to at least ONE shingle — a document too
+    * short for a 3-shingle carries its whole text as a singleton — so
+    * even sub-3-token docs band-match their content duplicates instead
+    * of vanishing from the index with an empty signature. */
   private def withShingles(docs: DataFrame): DataFrame =
     docs.withColumn("toks", tokens("text"))
-      .withColumn("sh3", shingles("toks", 3))
-      .select(col("doc_id"),
-        when(size(col("sh3")) === 0, array(col("text"))).otherwise(col("sh3")).as("sh"))
+      .select(col("doc_id"), shingles("toks", 3).as("sh"))
 
   private def bandRows(sh: DataFrame): DataFrame =
     sh.withColumn("mh", minhashSignature("sh", MinhashK))
@@ -109,6 +118,27 @@ object NearDupStream {
     val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(new Path(path))) spark.read.parquet(path)
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
+  /** Latest persisted id-bloom (highest batchId file under `_idbloom`),
+    * or None on a fresh lake. Crash-safe by construction: a new bloom is
+    * a NEW file, so a torn write can only lose the newest generation —
+    * which the batch replay (no done marker) rewrites. */
+  private def latestBloom(fs: FileSystem, lakeDir: String): Option[BloomFilter] = {
+    val dir = new Path(s"$lakeDir/_idbloom")
+    if (!fs.exists(dir)) return None
+    val latest = fs.listStatus(dir).map(_.getPath)
+      .filter(_.getName.forall(_.isDigit))
+      .sortBy(_.getName.toLong)
+    latest.lastOption.map { p =>
+      val in = fs.open(p)
+      try BloomFilter.readFrom(in) finally in.close()
+    }
+  }
+
+  private def bloomBytes(bf: BloomFilter): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    bf.writeTo(out); out.toByteArray
   }
 
   /** Verified near-dup pairs (left_id, right_id) given candidate pairs and
@@ -128,16 +158,21 @@ object NearDupStream {
   /** One micro-batch of near-dup admission against `lakeDir` (exposed for
     * deterministic spec replay; `run` wires it into foreachBatch with the
     * checkpoint's batchId). Idempotent per batchId — see the marker-ledger
-    * contract in the object scaladoc. */
+    * and first-write-wins contracts in the object scaladoc. */
   def processBatch(batch: DataFrame, lakeDir: String, batchId: Long,
-                   threshold: Double = 0.5): Unit = {
+                   threshold: Double = 0.5,
+                   bloomItems: Long = 1L << 22, bloomFpp: Double = 0.001): Unit = {
     val spark = batch.sparkSession
     val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val started = new Path(s"$lakeDir/_batches/$batchId.started")
     val done = new Path(s"$lakeDir/_batches/$batchId.done")
     if (fs.exists(done)) return // fully landed — replay is a no-op
     val crashReplay = fs.exists(started)
-    if (!crashReplay) fs.create(started, true).close()
+    if (!crashReplay) {
+      val out = fs.create(started, true)
+      try out.hsync() catch { case _: UnsupportedOperationException => () }
+      out.close()
+    }
 
     val docsPath = s"$lakeDir/docs"
     val bandsPath = s"$lakeDir/bands"
@@ -147,22 +182,36 @@ object NearDupStream {
     // through as two rows (the in-batch self-join below is strict <, so
     // equal ids never pair) and be admitted twice — keep one
     // deterministically
-    val docs = graft.ingest.Dedup.dedupKeepFirst(
+    val docs0 = graft.ingest.Dedup.dedupKeepFirst(
       batch.select(col("doc_id").cast("long"), col("text")),
-      Seq(col("doc_id")), col("text")).persist()
+      Seq(col("doc_id")), col("text"))
+
+    // FIRST-WRITE-WINS id guard (both paths): probe the persisted bloom;
+    // misses are definitely new (no false negatives); only hits pay the
+    // exact column-pruned confirm against the docs relation — the rare,
+    // redelivery-proportional lake read
+    val loadedBloom = latestBloom(fs, lakeDir)
+    val docs = (loadedBloom match {
+      case None => docs0
+      case Some(bf) =>
+        import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+        import org.apache.spark.sql.classic.{GraftExpressionBridge => Bridge}
+        import org.apache.spark.sql.types.BinaryType
+        val mightContain = coalesce(Bridge.column(BloomFilterMightContain(
+          Literal(bloomBytes(bf), BinaryType), Bridge.expression(col("doc_id")))), lit(false))
+        val hits = docs0.filter(mightContain)
+        if (hits.isEmpty) docs0
+        else {
+          val lakeIds = readOr(spark, docsPath, docs0.schema)
+            .select(col("doc_id").as("x_id"))
+          docs0.filter(!mightContain).unionByName(
+            hits.join(lakeIds, col("doc_id") === col("x_id"), "left_anti"))
+        }
+    }).persist()
     val persisted = scala.collection.mutable.ArrayBuffer[DataFrame](docs)
     var checkpointed: Option[DataFrame] = None
     try {
-      // crash-replay guard only: on the fast path the lake cannot hold
-      // this batch's rows, so the full-lake doc_id anti-join (a
-      // lake-proportional scan) is skipped entirely
-      val fresh =
-        if (crashReplay) {
-          val admittedIds = readOr(spark, docsPath, docs.schema).select(col("doc_id"))
-          val f = docs.join(admittedIds, Seq("doc_id"), "left_anti").persist()
-          persisted += f; f
-        } else docs
-      val freshSh = withShingles(fresh).persist()
+      val freshSh = withShingles(docs).persist()
       val freshBands = bandRows(freshSh).persist()
       persisted += freshSh; persisted += freshBands
 
@@ -171,9 +220,9 @@ object NearDupStream {
       // replay, where a partial append can place the batch's OWN band
       // rows in the index — without the filter every such doc would match
       // itself (Jaccard 1) and be dropped as "already in the lake" before
-      // its docs row ever lands. On the fast path an equal-id band match
-      // can only be an EARLIER batch's admission of the same doc_id — a
-      // true redelivery, and exactly what must verify and drop.
+      // its docs row ever lands. On the fast path the id guard above has
+      // already removed every id the lake knows, so equal-id matches
+      // cannot occur at all.
       val lakeBands = readOr(spark, bandsPath, freshBands.schema)
       val idGuard =
         if (crashReplay) col("left_id") =!= col("right_id") else lit(true)
@@ -199,13 +248,13 @@ object NearDupStream {
 
       // Each append below triggers recacheByPath on every cached plan
       // whose lineage reads the written path — survivors' derivation
-      // reads the band/shingle relations (and docs, on crash replay) —
-      // so a persist() here would silently RECOMPUTE against the
-      // half-appended lake mid-sequence and hand later appends a
+      // reads the band/shingle relations (and docs, on a bloom-hit
+      // guard) — so a persist() here would silently RECOMPUTE against
+      // the half-appended lake mid-sequence and hand later appends a
       // different (even empty) frame. A localCheckpoint severs the
       // lineage: all three appends see the same materialized survivor
       // set no matter what the appends do to the paths underneath.
-      val survivors = fresh
+      val survivors = docs
         .join(dupVsLake.unionByName(dupInBatch).distinct(), Seq("doc_id"), "left_anti")
         .localCheckpoint(true)
       checkpointed = Some(survivors)
@@ -220,8 +269,7 @@ object NearDupStream {
       // already-admitted docs, never write their index rows, and admit
       // in-batch near-dups that no longer saw their keeper. Target
       // anti-joins run ONLY on crash replay — a fresh batch's appends are
-      // plain writes, so the fast path performs no lake-sized reads
-      // beyond the band/shingle joins above.
+      // plain writes.
       def appendNew(df: DataFrame, path: String): Unit = {
         val out =
           if (crashReplay) {
@@ -237,6 +285,23 @@ object NearDupStream {
       appendNew(bandRows(survSh), bandsPath)
       appendNew(survSh, shPath)
       appendNew(survivors, docsPath)
+      // bloom update AFTER the docs append, BEFORE the done marker: a
+      // crash in between replays the batch (guarded path, no-op appends)
+      // and rewrites the bloom; distributed build + merge, no collect.
+      // stat.bloomFilter NPEs on an EMPTY frame (null aggregation
+      // buffer), so an all-duplicate batch carries the loaded bloom
+      // forward unchanged
+      val survBloom =
+        if (survivors.isEmpty)
+          loadedBloom.getOrElse(BloomFilter.create(bloomItems, bloomFpp))
+        else {
+          val b = survivors.stat.bloomFilter("doc_id", bloomItems, bloomFpp)
+          loadedBloom.foreach(b.mergeInPlace) // same sizing or fail loudly
+          b
+        }
+      val bp = new Path(s"$lakeDir/_idbloom/$batchId")
+      val bout = fs.create(bp, true)
+      try survBloom.writeTo(bout) finally bout.close()
       fs.create(done, true).close()
     } finally {
       persisted.foreach(_.unpersist()) // only this batch's blocks — not the session cache
@@ -245,18 +310,24 @@ object NearDupStream {
     }
   }
 
-  /** Small-file maintenance for the three lake relations: every
-    * micro-batch append lands a fresh file set, and the hot-path band
-    * index degrades fastest (one file group per batch, 8 rows per doc).
-    * Compacts any relation whose parquet file count exceeds `maxFiles`,
-    * clustering the band index by (band, bkey) — so the per-batch
-    * candidate lookup benefits from parquet min/max pruning on the very
-    * keys it joins — and the doc-keyed relations by doc_id. Run this
-    * BETWEEN drains (or from a scheduled maintenance job), never inside
-    * a running query: `LakeWriter.compact` stages and swaps atomically,
+  /** Small-file maintenance for the three lake relations, plus ledger
+    * pruning: every micro-batch append lands a fresh file set, and the
+    * hot-path band index degrades fastest (one file group per batch, 8
+    * rows per doc). Compacts any relation whose parquet file count
+    * exceeds `maxFiles`, clustering the band index by (band, bkey) — so
+    * the per-batch candidate lookup benefits from parquet min/max
+    * pruning on the very keys it joins — and the doc-keyed relations by
+    * doc_id. Also prunes the `_batches` marker ledger and `_idbloom`
+    * generations: only the newest `keepBatches` done ids can ever be
+    * replayed (foreachBatch replays at most the last uncommitted batch),
+    * so older markers and blooms are dead weight that would otherwise
+    * accumulate two tiny files per batch forever. Run this BETWEEN
+    * drains (or from a scheduled maintenance job), never inside a
+    * running query: `LakeWriter.compact` stages and swaps atomically,
     * and the next batch lists the directory fresh. */
   def maintain(spark: SparkSession, lakeDir: String,
-               targetRowsPerFile: Long = 4L * 1024 * 1024, maxFiles: Int = 16): Unit = {
+               targetRowsPerFile: Long = 4L * 1024 * 1024, maxFiles: Int = 16,
+               keepBatches: Int = 16): Unit = {
     val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
     def nFiles(p: String): Int = {
       val path = new Path(p)
@@ -269,6 +340,26 @@ object NearDupStream {
     maybe(s"$lakeDir/docs", Seq("doc_id"))
     maybe(s"$lakeDir/bands", Seq("band", "bkey"))
     maybe(s"$lakeDir/shingles", Seq("doc_id"))
+    // ledger pruning: markers strictly below the retention floor go, as
+    // do bloom generations below it (the latest bloom is a superset of
+    // every earlier one, so only the newest is ever read)
+    val markers = new Path(s"$lakeDir/_batches")
+    if (fs.exists(markers)) {
+      val done = fs.listStatus(markers).map(_.getPath.getName)
+        .filter(_.endsWith(".done")).map(_.stripSuffix(".done").toLong)
+      if (done.nonEmpty) {
+        val floor = done.max - keepBatches
+        fs.listStatus(markers).map(_.getPath).foreach { p =>
+          val id = p.getName.stripSuffix(".done").stripSuffix(".started")
+          if (id.forall(_.isDigit) && id.toLong < floor) fs.delete(p, false)
+        }
+        val blooms = new Path(s"$lakeDir/_idbloom")
+        if (fs.exists(blooms))
+          fs.listStatus(blooms).map(_.getPath)
+            .filter(p => p.getName.forall(_.isDigit) && p.getName.toLong < floor)
+            .foreach(fs.delete(_, false))
+      }
+    }
   }
 
   /** File-source streaming wrapper: drain `srcDir` with AvailableNow,

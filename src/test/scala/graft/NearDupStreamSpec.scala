@@ -52,23 +52,33 @@ class NearDupStreamSpec extends SparkSpec {
     assert(admitted == Set(1L, 3L, 5L, 6L))
     assert(spark.read.parquet(s"$lake/docs").count() == 4, "no duplicate doc rows")
 
-    // a doc_id redelivered in a LATER batch with the same text verifies
-    // at Jaccard 1 against its admitted copy and is dropped — the
-    // exact-redelivery contract that replaced the full-lake id anti-join
+    // a doc_id redelivered in a LATER batch is dropped by the
+    // first-write-wins id guard (bloom hit → exact confirm) — whatever
+    // the text says: same-text redelivery and an upstream id collision
+    // both resolve in favor of the first admission
     NearDupStream.processBatch(Seq((6L, novel)).toDF("doc_id", "text"), lake, batchId = 3)
     assert(admitted == Set(1L, 3L, 5L, 6L))
     assert(spark.read.parquet(s"$lake/docs").count() == 4, "redelivery must not re-admit")
+    NearDupStream.processBatch(
+      Seq((6L, distinct2 + " reworded beyond any near dup threshold entirely"))
+        .toDF("doc_id", "text"), lake, batchId = 4)
+    assert(spark.read.parquet(s"$lake/docs").count() == 4,
+      "an id collision (same id, different text) must resolve first-write-wins")
+    // and the index relations carry no orphan rows for the dropped text
+    assert(spark.read.parquet(s"$lake/shingles").count() == 4)
   }
 
   test("short docs (< one 3-shingle) still dedup exactly via the singleton shingle") {
     val lake = Files.createTempDirectory("neardupshort").toString
     NearDupStream.processBatch(
       Seq((1L, "hello world"), (2L, "tiny doc")).toDF("doc_id", "text"), lake, batchId = 0)
-    // identical short text redelivered later: singleton whole-text
-    // shingle → band match → Jaccard 1 → dropped; different short text
-    // admitted
+    // identical short text under a DIFFERENT id: the shingles() clamp
+    // gives sub-3-token docs a singleton whole-text shingle, so the copy
+    // band-matches at Jaccard 1 and drops as a content dup; a redelivered
+    // id drops via the id guard; a different short text is admitted
     NearDupStream.processBatch(
-      Seq((1L, "hello world"), (3L, "other words")).toDF("doc_id", "text"), lake, batchId = 1)
+      Seq((1L, "hello world"), (3L, "other words"), (4L, "tiny doc"))
+        .toDF("doc_id", "text"), lake, batchId = 1)
     val ids = spark.read.parquet(s"$lake/docs").select("doc_id").as[Long].collect().toSet
     assert(ids == Set(1L, 2L, 3L))
     assert(spark.read.parquet(s"$lake/docs").count() == 3, "no duplicate short-doc rows")
@@ -134,9 +144,20 @@ class NearDupStreamSpec extends SparkSpec {
     def nFiles(p: String): Int =
       new java.io.File(p).listFiles().count(_.getName.endsWith(".parquet"))
     assert(nFiles(s"$lake/bands") >= 5)
-    NearDupStream.maintain(spark, lake, targetRowsPerFile = 1000000L, maxFiles = 2)
+    NearDupStream.maintain(spark, lake, targetRowsPerFile = 1000000L, maxFiles = 2,
+      keepBatches = 2)
     assert(nFiles(s"$lake/bands") == 1, "band index must compact to one file")
     assert(nFiles(s"$lake/docs") == 1)
+    // ledger pruning: markers and bloom generations below maxDone-keep go
+    // (skip the local FS's hidden .crc sidecars)
+    val markerIds = new java.io.File(s"$lake/_batches").listFiles()
+      .filterNot(_.getName.startsWith("."))
+      .map(_.getName.stripSuffix(".done").stripSuffix(".started")).map(_.toLong).toSet
+    assert(markerIds == Set(2L, 3L, 4L), s"pruned ledger was $markerIds")
+    val bloomIds = new java.io.File(s"$lake/_idbloom").listFiles()
+      .filterNot(_.getName.startsWith("."))
+      .map(_.getName.toLong).toSet
+    assert(bloomIds == Set(2L, 3L, 4L), s"pruned blooms were $bloomIds")
     // the compacted lake still shadows near-dups and admits novel docs
     NearDupStream.processBatch(
       Seq((200L, texts(3).replace("sunlight", "daylight")), (201L, base))

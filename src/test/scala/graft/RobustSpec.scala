@@ -68,6 +68,22 @@ class RobustSpec extends SparkSpec {
     }
   }
 
+  test("heavyHitters: NULL keys are excluded identically in both modes") {
+    import spark.implicits._
+    // a null-heavy dirty column: without the shared filter, Exact would
+    // rank the null group #1 while the MG sketch structurally cannot
+    // see it — two different answers from one front door
+    val dirty = (Seq.fill(50)(Option.empty[String]) ++
+      Seq.fill(30)(Some("a")) ++ Seq.fill(20)(Some("b")) ++ Seq.fill(10)(Some("c")))
+      .toDF("k")
+    val exact = Robust.heavyHitters(dirty, "k", topK = 3, Robust.Mode.Exact)
+      .as[(Int, String, Long)].collect().toSeq
+    val sketch = Robust.heavyHitters(dirty, "k", topK = 3, Robust.Mode.Sketch)
+      .as[(Int, String, Long)].collect().toSeq
+    assert(exact == Seq((1, "a", 30L), (2, "b", 20L), (3, "c", 10L)))
+    assert(sketch == exact)
+  }
+
   test("Auto picks exact under the threshold and sketch above it") {
     // Threshold far above sf0.001 row count -> exact; 0 -> sketch. The two
     // sides are distinguishable through the fence values on this data only
