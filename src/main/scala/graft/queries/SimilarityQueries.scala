@@ -844,10 +844,19 @@ object SimilarityQueries {
       val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid").asc)
       val qe = broadcast(e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("q").as("aq"), col("nrm").as("qnrm")))
+      // ALL query×corpus cosines scored ONCE and checkpointed: the IVF
+      // arm's candidates are by construction a subset of the brute-
+      // scored (qid, cid) pairs, so both arms RANK the same scored frame
+      // instead of each paying its own corpus-wide cosine join — the
+      // frame is |queries|-bounded × corpus, exactly what the brute arm
+      // alone already computes (registry-released after the query)
+      val scored = graft.functions.Checkpoints.lazyLocal(
+        e.select(col("vec_id").as("cid"), col("q").as("bq"), col("nrm").as("cnrm"))
+          .join(qe, col("qid") =!= col("cid"))
+          .withColumn("cosine", cosineFrom(qdot("aq", "bq"), col("qnrm"), col("cnrm")))
+          .select(col("qid"), col("cid"), col("cosine")))
       // brute top-10: the exact q_knn_brute plan
-      val brute = e.select(col("vec_id").as("cid"), col("q").as("bq"), col("nrm").as("cnrm"))
-        .join(qe, col("qid") =!= col("cid"))
-        .withColumn("cosine", cosineFrom(qdot("aq", "bq"), col("qnrm"), col("cnrm")))
+      val brute = scored
         .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 10)
         .select(col("qid"), col("cid"))
       // IVF top-10: the exact q_knn_ivf plan
@@ -861,9 +870,9 @@ object SimilarityQueries {
         .select(col("vec_id").as("qid"), col("cl"))
       val cands = probe.join(cell, "cl").filter(col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id").as("cid"))
-      val ce = e.select(col("vec_id").as("cid"), col("q").as("bq"), col("nrm").as("cnrm"))
-      val ivf = cands.join(qe, "qid").join(ce, "cid")
-        .withColumn("cosine", cosineFrom(qdot("aq", "bq"), col("qnrm"), col("cnrm")))
+      // IVF rescoring = a semi-join into the already-scored pairs, not a
+      // second corpus-wide cosine pass
+      val ivf = cands.join(scored, Seq("qid", "cid"))
         .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 10)
         .select(col("qid").as("i_qid"), col("cid").as("i_cid"))
       brute.join(ivf, col("qid") === col("i_qid") && col("cid") === col("i_cid"), "left")
