@@ -2210,6 +2210,67 @@ object TextQueries {
         .orderBy(col("source"))
     },
 
+    // ---- Source MIXTURE DRIFT over ingest order: per-source corpus
+    // share in each ingest-order eighth, with the share shift against
+    // the source's previous eighth and a drift flag — the continuous
+    // mixture monitor behind "did the crawler's source balance move
+    // under us" (q_filter_shift audits a FILTER's rebalance; this
+    // audits TIME's). Exact int counts; shares and shifts are double
+    // expressions computed identically on both engines; a source absent
+    // from an eighth simply has no row there, so the lag compares
+    // against its last PRESENT eighth (documented). Scale shape: the
+    // corpus reduces map-side to the (8 × sources) grid; every window
+    // after that runs on that bounded frame; the 1-row max broadcasts.
+    entry("q_mixture_drift",
+      """WITH m AS (SELECT MAX(doc_id)+1 mm FROM documents),
+        | d AS (SELECT source, doc_id*8 // (SELECT mm FROM m) e FROM documents),
+        | g AS (SELECT e, source, COUNT(*) n FROM d GROUP BY 1,2),
+        | t AS (SELECT e, CAST(SUM(n) AS BIGINT) tot FROM g GROUP BY 1),
+        | s AS (SELECT g.e, g.source, g.n, CAST(g.n AS DOUBLE)/t.tot AS share
+        |       FROM g JOIN t USING (e)),
+        | w AS (SELECT e, source, n, share,
+        |         LAG(share) OVER (PARTITION BY source ORDER BY e) prev FROM s)
+        |SELECT e AS eighth, source, n, share,
+        |  share - COALESCE(prev, share) AS shift,
+        |  ABS(share - COALESCE(prev, share)) > 0.01 AS drifted
+        |FROM w ORDER BY eighth, source""".stripMargin) { (s, dir) =>
+      val bySource = Window.partitionBy(col("source")).orderBy(col("e"))
+      val docs = Tables(s, dir, "documents")
+      val m = docs.agg((max(col("doc_id")) + 1).as("mm"))
+      val g = docs.crossJoin(broadcast(m))
+        .select(col("source"), expr("doc_id*8 DIV mm").as("e"))
+        .groupBy(col("e"), col("source")).agg(count(lit(1)).as("n"))
+      val t = g.groupBy(col("e").as("t_e")).agg(sum(col("n")).as("tot"))
+      val sh = g.join(t, col("e") === col("t_e"))
+        .select(col("e"), col("source"), col("n"),
+          (col("n").cast("double") / col("tot")).as("share"))
+        .withColumn("prev", lag(col("share"), 1).over(bySource))
+      sh.select(col("e").as("eighth"), col("source"), col("n"), col("share"),
+          (col("share") - coalesce(col("prev"), col("share"))).as("shift"),
+          (abs(col("share") - coalesce(col("prev"), col("share"))) > 0.01).as("drifted"))
+        .orderBy(col("eighth"), col("source"))
+    },
+
+    // ---- Deflate COMPRESSION-RATIO quality signal
+    // ([[graft.functions.Compression]]): bytes-out / bytes-in per
+    // document under zlib DEFLATE level 6 — the Gopher-style corpus
+    // filter whose BOTH tails are cut (templated/repetitive docs
+    // compress abnormally well, near-random noise barely at all). NO
+    // DuckDB oracle BY DESIGN: the DEFLATE byte stream is unspecified
+    // across zlib builds, so the driver runs the rows-only gate and
+    // QueryInvariantSpec pins the semantics (bounds, repetition
+    // ordering, raw_bytes == octet_length, determinism). Scale shape:
+    // one narrow mapPartitions (imperative byte work — the policy
+    // exception), one row out per doc, no shuffle before the
+    // presentation sort.
+    entryNoOracle("q_compress_ratio") { (s, dir) =>
+      graft.functions.Compression.deflateStats(
+          Tables(s, dir, "documents").transform(Tables.spread(_, col("doc_id"))),
+          "doc_id", "text")
+        .toDF()
+        .orderBy(col("doc_id"))
+    },
+
     // ---- N-gram NOVELTY per document in ingest order: the fraction of
     // a doc's distinct 3-grams whose corpus-wide FIRST occurrence (min
     // doc_id) is that doc — the per-document contribution score behind

@@ -962,6 +962,38 @@ class QueryInvariantSpec extends SparkSpec {
     assert(ks == dNum.toDouble / (na * nb) && ks >= 0.0 && ks <= 1.0)
   }
 
+  test("compress ratio: bounds, byte accounting, repetition ordering, determinism") {
+    val out = SparkEntry.queries("q_compress_ratio")(spark, sf001)
+      .as[(Long, Long, Long, Double)].collect()
+    val n = Tables(spark, sf001, "documents").count()
+    assert(out.length == n)
+    out.foreach { case (_, raw, defl, ratio) =>
+      // DEFLATE overhead is bounded (~11 bytes + 5/16k block headers), so
+      // the ratio can exceed 1 only slightly on tiny inputs
+      assert(raw > 0 && defl > 0 && ratio > 0.0 && ratio <= 1.2,
+        s"ratio $ratio (raw=$raw defl=$defl) outside the sane band")
+      assert(ratio == defl.toDouble / raw, "ratio must be defl/raw exactly")
+    }
+    // raw_bytes is plain UTF-8 byte accounting
+    val rawSpark = Tables(spark, sf001, "documents")
+      .select($"doc_id", octet_length($"text").cast("long")).as[(Long, Long)]
+      .collect().toMap
+    out.foreach { case (id, raw, _, _) => assert(raw == rawSpark(id)) }
+    // repetitive text compresses strictly better than varied text
+    val probe = Seq(
+      (1L, Seq.fill(200)("spam").mkString(" ")),
+      (2L, (0 until 200).map(i => s"w${i * 2654435761L % 9973}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val pr = graft.functions.Compression.deflateStats(probe, "doc_id", "text")
+      .collect().map(p => p.doc_id -> p.ratio).toMap
+    assert(pr(1L) < pr(2L) / 2,
+      s"repetition must compress far better: ${pr(1L)} vs ${pr(2L)}")
+    // same input, same stream: the column is reproducible
+    val again = SparkEntry.queries("q_compress_ratio")(spark, sf001)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out.toSeq == again.toSeq)
+  }
+
   /** Exact rational d/(den) comparable via cross-multiplication. */
   private case class ExactFrac(num: BigInt, den: BigInt)
   private object ExactFrac {
