@@ -936,6 +936,81 @@ object SimilarityQueries {
         .orderBy(col("label"))
     },
 
+    // ---- Embedding NORM DRIFT over ingest order: mean squared norm per
+    // vec_id-order eighth with the shift against the previous eighth —
+    // the cheap detector for a MIXED-ENCODER corpus (an embedding
+    // service upgraded mid-crawl changes the norm envelope before it
+    // changes anything semantic, and similarity scores silently stop
+    // being comparable across the boundary). Exact: quantized int64
+    // self-dots summed in HUGEINT/decimal(38,0); mean and shift are
+    // double expressions with literally identical division order on
+    // both engines (÷2⁴⁰ denormalizes the quantization, the
+    // q_embed_diversity constant). Scale shape: the corpus reduces
+    // map-side to the 8-row eighth grid; the lag window runs on those 8
+    // rows; the 1-row max broadcasts.
+    entry("q_emb_norm_drift",
+      """WITH m AS (SELECT MAX(vec_id)+1 mm FROM embeddings),
+        | e AS (SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE)*1048576.0) AS BIGINT) for x in embedding] q FROM embeddings),
+        | p AS (SELECT vec_id*8 // (SELECT mm FROM m) eighth,
+        |         CAST(list_sum([x*x for x in q]) AS BIGINT) q2 FROM e),
+        | g AS (SELECT eighth, COUNT(*) n, SUM(CAST(q2 AS HUGEINT)) s2 FROM p GROUP BY 1),
+        | w AS (SELECT eighth, n, CAST(s2 AS DOUBLE)/n/1099511627776.0 AS mean_norm2,
+        |         LAG(CAST(s2 AS DOUBLE)/n/1099511627776.0) OVER (ORDER BY eighth) prev
+        |       FROM g)
+        |SELECT eighth, n, mean_norm2,
+        |  mean_norm2 - COALESCE(prev, mean_norm2) AS shift
+        |FROM w ORDER BY eighth""".stripMargin) { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      val m = emb.agg((max(col("vec_id")) + 1).as("mm"))
+      val p = emb.crossJoin(broadcast(m))
+        .select(expr("vec_id*8 DIV mm").as("eighth"),
+          quantize("embedding").as("q"))
+        .select(col("eighth"), qdot("q", "q").as("q2"))
+      val g = p.groupBy(col("eighth"))
+        .agg(count(lit(1)).as("n"), sum(col("q2").cast("decimal(38,0)")).as("s2"))
+      val mean = col("s2").cast("double") / col("n") / lit(1099511627776.0)
+      val w = g.select(col("eighth"), col("n"), mean.as("mean_norm2"))
+        .withColumn("prev", lag(col("mean_norm2"), 1)
+          .over(Window.orderBy(col("eighth"))))
+      w.select(col("eighth"), col("n"), col("mean_norm2"),
+          (col("mean_norm2") - coalesce(col("prev"), col("mean_norm2"))).as("shift"))
+        .orderBy(col("eighth"))
+    },
+
+    // ---- Label BALANCE audit (chi-square vs uniform): per-label count,
+    // share, the exact integer scaled residual k·o − n, and the
+    // chi-square contribution (k·o − n)²/(k·n) — the class-imbalance
+    // gate run before labels drive IVF cells, stratified splits, or
+    // contrastive sampling (a label at 3× its uniform share dominates
+    // every cell it touches). Exact: residuals are int64, their squares
+    // widen to HUGEINT/decimal(38,0) (k·o ≈ n at web scale, so the
+    // square passes int64 exactly when it matters), one double division
+    // per label. Scale shape: ONE map-side label-keyed aggregate; the
+    // 1-row totals broadcast.
+    entry("q_label_balance",
+      """WITH c AS (SELECT label, COUNT(*) o FROM embeddings GROUP BY 1),
+        | t AS (SELECT CAST(SUM(o) AS BIGINT) n, COUNT(*) k FROM c)
+        |SELECT c.label, c.o AS n_vecs,
+        |  CAST(c.o AS DOUBLE)/(SELECT n FROM t) AS share,
+        |  CAST(c.o*(SELECT k FROM t) - (SELECT n FROM t) AS BIGINT) AS scaled_resid,
+        |  CAST(CAST(c.o*(SELECT k FROM t) - (SELECT n FROM t) AS HUGEINT)
+        |      * (c.o*(SELECT k FROM t) - (SELECT n FROM t)) AS DOUBLE)
+        |    / (CAST((SELECT k FROM t) AS DOUBLE) * (SELECT n FROM t)) AS chi2_term
+        |FROM c ORDER BY label""".stripMargin) { (s, dir) =>
+      val dec = "decimal(38,0)"
+      val c = Tables(s, dir, "embeddings")
+        .groupBy(col("label")).agg(count(lit(1)).as("o"))
+      val t = c.agg(sum(col("o")).as("n"), count(lit(1)).as("k"))
+      c.crossJoin(broadcast(t))
+        .select(col("label"), col("o").as("n_vecs"),
+          (col("o").cast("double") / col("n")).as("share"),
+          (col("o") * col("k") - col("n")).as("scaled_resid"),
+          (((col("o") * col("k") - col("n")).cast(dec)
+            * (col("o") * col("k") - col("n"))).cast("double")
+            / (col("k").cast("double") * col("n"))).as("chi2_term"))
+        .orderBy(col("label"))
+    },
+
     // ---- Embedding OUTLIER audit: the 3 vectors farthest from their own
     // label centroid, per label — the mislabeled/corrupt-vector sweep a
     // curation pipeline runs before trusting labels for IVF cells or
