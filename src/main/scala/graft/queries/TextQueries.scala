@@ -2146,32 +2146,10 @@ object TextQueries {
         |       ELSE L + (CASE WHEN rn - k <= rem THEN 1 ELSE 0 END) END AS allocated,
         |  rn <= k AS capped
         |FROM fin ORDER BY source""".stripMargin) { (s, dir) =>
-      val byAvail = Window.orderBy(col("avail"), col("source"))
       val src = Tables(s, dir, "documents")
         .groupBy(col("source"))
         .agg(sum(size(tokens("text")).cast("long")).as("avail"))
-      val t = src.agg(count(lit(1)).as("n"),
-        expr("(SUM(avail) * 9) DIV 10").as("tgt"))
-      val r = src
-        .withColumn("rn", row_number().over(byAvail))
-        .withColumn("p", sum(col("avail")).over(byAvail))
-      val cand = r.select((col("rn") - 1).as("k"),
-          coalesce(lag(col("p"), 1).over(Window.orderBy(col("rn"))), lit(0L)).as("pk"),
-          coalesce(lag(col("avail"), 1).over(Window.orderBy(col("rn"))), lit(0L)).as("ak"),
-          col("avail").as("nxt"))
-        .crossJoin(broadcast(t))
-      val lvl = cand
-        .withColumn("L", expr("(tgt - pk) DIV (n - k)"))
-        .filter(col("ak") <= col("L") && col("L") < col("nxt"))
-        .select(col("k"), col("pk"), col("L"),
-          (col("tgt") - (col("pk") + col("L") * (col("n") - col("k")))).as("rem"))
-      r.crossJoin(broadcast(lvl))
-        .select(col("source"), col("avail").as("avail_tokens"),
-          when(col("rn") <= col("k"), col("avail"))
-            .otherwise(col("L") +
-              when(col("rn") - col("k") <= col("rem"), 1L).otherwise(0L))
-            .as("allocated"),
-          (col("rn") <= col("k")).as("capped"))
+      graft.functions.Waterfill.allocate(src, "source", "avail", 9, 10)
         .orderBy(col("source"))
     },
 

@@ -82,4 +82,32 @@ object InvariantProps extends Properties("graft.invariants") {
       h.forall(v => v >= 0 && v < p)
     }
   }
+
+  // ---- Waterfill allocation (q_token_waterfill's core): the sequential
+  // reference must satisfy the max-min fairness contract on ANY
+  // instance — the Spark plan is pinned ≡ reference in WaterfillSpec,
+  // so these properties transfer to the gated query.
+  private val availsGen: Gen[List[(String, Long)]] = for {
+    n  <- Gen.chooseNum(1, 12)
+    as <- Gen.listOfN(n, Gen.chooseNum(1L, 5000L))
+  } yield as.zipWithIndex.map { case (a, i) => (f"s$i%02d", a) }
+
+  property("waterfill: sums to target, caps, bounded spread, fairness") =
+    Prop.forAll(availsGen, Gen.chooseNum(0, 9)) { (avails, num) =>
+      val total = avails.map(_._2).sum
+      val target = total * num / 10
+      val alloc = graft.functions.Waterfill.reference(avails, num, 10)
+      val byKey = avails.toMap
+      val sumsToTarget = alloc.values.sum == target
+      val withinAvail = alloc.forall { case (k, a) => a >= 0 && a <= byKey(k) }
+      // capped ⇔ allocated == avail; all uncapped allocations within 1
+      val uncapped = alloc.filter { case (k, a) => a < byKey(k) }.values
+      val spread1 = uncapped.isEmpty || (uncapped.max - uncapped.min) <= 1
+      // max-min fairness: every capped group's avail sits at or below
+      // the water level every uncapped group drinks at
+      val cappedAvail = alloc.collect { case (k, a) if a == byKey(k) => a }
+      val fair = uncapped.isEmpty || cappedAvail.isEmpty ||
+        cappedAvail.max <= uncapped.min
+      sumsToTarget && withinAvail && spread1 && fair
+    }
 }
