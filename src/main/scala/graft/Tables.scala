@@ -154,6 +154,21 @@ object Tables {
     else df.repartition(target, keys: _*)
   }
 
+  /** Ingest-order EIGHTH bucketing shared by the drift monitors
+    * (`q_mixture_drift`, `q_emb_norm_drift`): adds an `eighth` column
+    * `id·8 DIV (max(id)+1)` ∈ 0..7 — the cross-multiplied integer form
+    * both DuckDB oracles replay verbatim, kept in ONE place so the
+    * constant and the DIV shape cannot drift between the twins. The
+    * 1-row max aggregate broadcasts; the scan it reads is column-pruned
+    * to the id. */
+  def withIngestEighth(df: DataFrame, idCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, expr, max}
+    val m = df.agg((max(col(idCol)) + 1).as("_mm"))
+    df.crossJoin(broadcast(m))
+      .withColumn("eighth", expr(s"$idCol*8 DIV _mm"))
+      .drop("_mm")
+  }
+
   /** Register every table as a temp view so `spark.sql` mirrors the DuckDB
     * oracle's view of the same parquet files. */
   def registerAll(spark: SparkSession, dir: String): Unit =

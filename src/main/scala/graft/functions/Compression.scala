@@ -36,16 +36,28 @@ object Compression {
       .as[(Long, String)]
       .mapPartitions { rows =>
         val deflater = new java.util.zip.Deflater(level, false)
+        // a Deflater holds NATIVE zlib buffers outside the heap: without
+        // an explicit end() each task leaks them until finalization,
+        // which on large-heap executors lands long after the container's
+        // overhead limit — release at task completion, not GC's leisure
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => deflater.end()))
         val buf = new Array[Byte](16 * 1024)
         rows.map { case (id, text) =>
           val in = (if (text == null) "" else text).getBytes("UTF-8")
-          deflater.reset()
-          deflater.setInput(in)
-          deflater.finish()
-          var n = 0L
-          while (!deflater.finished()) n += deflater.deflate(buf)
-          CompressStats(id, in.length.toLong, n,
-            n.toDouble / math.max(in.length, 1))
+          if (in.isEmpty)
+            // pinned semantics for the empty document: (0, 0, 0.0) — the
+            // zlib header bytes of deflating "" would otherwise report an
+            // empty doc as ratio ≈ 8, i.e. maximally incompressible noise
+            CompressStats(id, 0L, 0L, 0.0)
+          else {
+            deflater.reset()
+            deflater.setInput(in)
+            deflater.finish()
+            var n = 0L
+            while (!deflater.finished()) n += deflater.deflate(buf)
+            CompressStats(id, in.length.toLong, n, n.toDouble / in.length)
+          }
         }
       }
   }

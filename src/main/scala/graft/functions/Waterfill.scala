@@ -36,16 +36,21 @@ object Waterfill {
                tgtNum: Int, tgtDen: Int): DataFrame = {
     require(tgtNum >= 0 && tgtDen > 0 && tgtNum < tgtDen,
       s"target fraction $tgtNum/$tgtDen must sit in [0, 1)")
-    val byAvail = Window.orderBy(col(avail), col(key))
-    val t = df.agg(count(lit(1)).as("n"),
-      expr(s"(SUM($avail) * $tgtNum) DIV $tgtDen").as("tgt"))
-    val r = df
+    // normalize to FIXED internal names first: every expr() below then
+    // parses only names this function owns, so a caller's column called
+    // "avail tokens" (or any name needing backquotes) cannot break the
+    // generated SQL or resolve to something else
+    val in = df.select(col(key).as("_wf_key"), col(avail).as("_wf_avail"))
+    val byAvail = Window.orderBy(col("_wf_avail"), col("_wf_key"))
+    val t = in.agg(count(lit(1)).as("n"),
+      expr(s"(SUM(_wf_avail) * $tgtNum) DIV $tgtDen").as("tgt"))
+    val r = in
       .withColumn("rn", row_number().over(byAvail))
-      .withColumn("p", sum(col(avail)).over(byAvail))
+      .withColumn("p", sum(col("_wf_avail")).over(byAvail))
     val cand = r.select((col("rn") - 1).as("k"),
         coalesce(lag(col("p"), 1).over(Window.orderBy(col("rn"))), lit(0L)).as("pk"),
-        coalesce(lag(col(avail), 1).over(Window.orderBy(col("rn"))), lit(0L)).as("ak"),
-        col(avail).as("nxt"))
+        coalesce(lag(col("_wf_avail"), 1).over(Window.orderBy(col("rn"))), lit(0L)).as("ak"),
+        col("_wf_avail").as("nxt"))
       .crossJoin(broadcast(t))
     val lvl = cand
       .withColumn("L", expr("(tgt - pk) DIV (n - k)"))
@@ -53,8 +58,8 @@ object Waterfill {
       .select(col("k"), col("pk"), col("L"),
         (col("tgt") - (col("pk") + col("L") * (col("n") - col("k")))).as("rem"))
     r.crossJoin(broadcast(lvl))
-      .select(col(key), col(avail).as("avail_tokens"),
-        when(col("rn") <= col("k"), col(avail))
+      .select(col("_wf_key").as(key), col("_wf_avail").as("avail_tokens"),
+        when(col("rn") <= col("k"), col("_wf_avail"))
           .otherwise(col("L") +
             when(col("rn") - col("k") <= col("rem"), 1L).otherwise(0L))
           .as("allocated"),

@@ -960,11 +960,8 @@ object SimilarityQueries {
         |SELECT eighth, n, mean_norm2,
         |  mean_norm2 - COALESCE(prev, mean_norm2) AS shift
         |FROM w ORDER BY eighth""".stripMargin) { (s, dir) =>
-      val emb = Tables(s, dir, "embeddings")
-      val m = emb.agg((max(col("vec_id")) + 1).as("mm"))
-      val p = emb.crossJoin(broadcast(m))
-        .select(expr("vec_id*8 DIV mm").as("eighth"),
-          quantize("embedding").as("q"))
+      val p = Tables.withIngestEighth(Tables(s, dir, "embeddings"), "vec_id")
+        .select(col("eighth"), quantize("embedding").as("q"))
         .select(col("eighth"), qdot("q", "q").as("q2"))
       val g = p.groupBy(col("eighth"))
         .agg(count(lit(1)).as("n"), sum(col("q2").cast("decimal(38,0)")).as("s2"))
@@ -998,8 +995,12 @@ object SimilarityQueries {
         |    / (CAST((SELECT k FROM t) AS DOUBLE) * (SELECT n FROM t)) AS chi2_term
         |FROM c ORDER BY label""".stripMargin) { (s, dir) =>
       val dec = "decimal(38,0)"
-      val c = Tables(s, dir, "embeddings")
-        .groupBy(col("label")).agg(count(lit(1)).as("o"))
+      // checkpoint the |labels|-row counts: the totals frame would
+      // otherwise re-derive them from a SECOND full corpus scan (the
+      // q_ann_recall treatment — registry-released after the query)
+      val c = graft.functions.Checkpoints.lazyLocal(
+        Tables(s, dir, "embeddings")
+          .groupBy(col("label")).agg(count(lit(1)).as("o")))
       val t = c.agg(sum(col("o")).as("n"), count(lit(1)).as("k"))
       c.crossJoin(broadcast(t))
         .select(col("label"), col("o").as("n_vecs"),

@@ -2213,10 +2213,8 @@ object TextQueries {
         |  ABS(share - COALESCE(prev, share)) > 0.01 AS drifted
         |FROM w ORDER BY eighth, source""".stripMargin) { (s, dir) =>
       val bySource = Window.partitionBy(col("source")).orderBy(col("e"))
-      val docs = Tables(s, dir, "documents")
-      val m = docs.agg((max(col("doc_id")) + 1).as("mm"))
-      val g = docs.crossJoin(broadcast(m))
-        .select(col("source"), expr("doc_id*8 DIV mm").as("e"))
+      val g = Tables.withIngestEighth(Tables(s, dir, "documents"), "doc_id")
+        .select(col("source"), col("eighth").as("e"))
         .groupBy(col("e"), col("source")).agg(count(lit(1)).as("n"))
       val t = g.groupBy(col("e").as("t_e")).agg(sum(col("n")).as("tot"))
       val sh = g.join(t, col("e") === col("t_e"))

@@ -100,14 +100,19 @@ object InvariantProps extends Properties("graft.invariants") {
       val byKey = avails.toMap
       val sumsToTarget = alloc.values.sum == target
       val withinAvail = alloc.forall { case (k, a) => a >= 0 && a <= byKey(k) }
-      // capped ⇔ allocated == avail; all uncapped allocations within 1
-      val uncapped = alloc.filter { case (k, a) => a < byKey(k) }.values
-      val spread1 = uncapped.isEmpty || (uncapped.max - uncapped.min) <= 1
-      // max-min fairness: every capped group's avail sits at or below
-      // the water level every uncapped group drinks at
-      val cappedAvail = alloc.collect { case (k, a) if a == byKey(k) => a }
-      val fair = uncapped.isEmpty || cappedAvail.isEmpty ||
-        cappedAvail.max <= uncapped.min
+      // STRICTLY-uncapped groups (alloc < avail) all drink at the level
+      // or level+1 — a remainder-boosted group can coincidentally land
+      // exactly on its avail, so alloc == avail does NOT identify a
+      // capped group (the {2,3,3}@9/10 instance boosts the middle group
+      // to its own avail); the strict set sidesteps the ambiguity
+      val strictUncapped = alloc.filter { case (k, a) => a < byKey(k) }.values
+      val spread1 = strictUncapped.isEmpty ||
+        (strictUncapped.max - strictUncapped.min) <= 1
+      // max-min fairness: nobody — capped (avail ≤ level) or boosted
+      // (level+1) — exceeds the lowest uncapped drink by more than the
+      // integer remainder grain
+      val fair = strictUncapped.isEmpty ||
+        alloc.values.forall(_ <= strictUncapped.min + 1)
       sumsToTarget && withinAvail && spread1 && fair
     }
 }

@@ -979,15 +979,23 @@ class QueryInvariantSpec extends SparkSpec {
       .select($"doc_id", octet_length($"text").cast("long")).as[(Long, Long)]
       .collect().toMap
     out.foreach { case (id, raw, _, _) => assert(raw == rawSpark(id)) }
-    // repetitive text compresses strictly better than varied text
+    // repetitive text compresses strictly better than varied text, and
+    // the empty/null documents pin to (0, 0, 0.0) rather than reporting
+    // zlib header bytes as incompressibility
     val probe = Seq(
       (1L, Seq.fill(200)("spam").mkString(" ")),
-      (2L, (0 until 200).map(i => s"w${i * 2654435761L % 9973}").mkString(" ")))
+      (2L, (0 until 200).map(i => s"w${i * 2654435761L % 9973}").mkString(" ")),
+      (3L, ""), (4L, null.asInstanceOf[String]))
       .toDF("doc_id", "text")
-    val pr = graft.functions.Compression.deflateStats(probe, "doc_id", "text")
-      .collect().map(p => p.doc_id -> p.ratio).toMap
+    val pp = graft.functions.Compression.deflateStats(probe, "doc_id", "text")
+      .collect().map(p => p.doc_id -> p).toMap
+    val pr = pp.view.mapValues(_.ratio).toMap
     assert(pr(1L) < pr(2L) / 2,
       s"repetition must compress far better: ${pr(1L)} vs ${pr(2L)}")
+    Seq(3L, 4L).foreach { id =>
+      assert(pp(id).raw_bytes == 0 && pp(id).deflate_bytes == 0 && pp(id).ratio == 0.0,
+        s"empty doc $id must pin to (0, 0, 0.0)")
+    }
     // same input, same stream: the column is reproducible
     val again = SparkEntry.queries("q_compress_ratio")(spark, sf001)
       .as[(Long, Long, Long, Double)].collect()
