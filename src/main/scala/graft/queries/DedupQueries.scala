@@ -1038,6 +1038,46 @@ object DedupQueries {
         sum(col("moved")).as("n_moved_docs"))
     },
 
+    // ---- Token-weighted DUP INFLATION: how much of the TOKEN budget —
+    // not the doc count — is duplicate content (every group member
+    // beyond the first-by-id keeper is inflation), split by source. A
+    // 5% doc-level dup rate hides a 30% token-level one when the copies
+    // are the long documents — and training cost is paid in tokens, so
+    // this is the number the dedup business case is made of
+    // (q_dedup_scaling counts docs over prefixes; this weighs tokens
+    // per source). Exact int64 sums; keeper = min doc_id per
+    // head-fingerprint group via one window inside duplicate groups
+    // (bounded by copy multiplicity); one double division per source.
+    // Scale shape: ONE shuffle on the 8-byte content key; the source
+    // rollup reduces to the source alphabet.
+    entry("q_dup_inflation",
+      s"""WITH h AS (SELECT doc_id, source, len(string_split(text,' ')) t,
+        |     ${md5Prefix64Oracle("substr(text, 1, 40)")} ch FROM documents),
+        | w AS (SELECT doc_id, source, t, ch,
+        |     MIN(doc_id) OVER (PARTITION BY ch) keeper FROM h)
+        |SELECT source, COUNT(*) n_docs,
+        |  COUNT(CASE WHEN doc_id <> keeper THEN 1 END) n_dup_docs,
+        |  CAST(SUM(t) AS BIGINT) total_tokens,
+        |  CAST(COALESCE(SUM(CASE WHEN doc_id <> keeper THEN t END), 0) AS BIGINT) dup_tokens,
+        |  CAST(COALESCE(SUM(CASE WHEN doc_id <> keeper THEN t END), 0) AS DOUBLE)
+        |    / SUM(t) AS token_inflation
+        |FROM w GROUP BY 1 ORDER BY source""".stripMargin) { (s, dir) =>
+      val byGroup = org.apache.spark.sql.expressions.Window.partitionBy(col("ch"))
+      val h = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"), size(tokens("text")).cast("long").as("t"),
+          expr(md5Prefix64Sql("substring(text, 1, 40)")).as("ch"))
+        .withColumn("keeper", min(col("doc_id")).over(byGroup))
+      h.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("doc_id") =!= col("keeper"), 1)).as("n_dup_docs"),
+          sum(col("t")).as("total_tokens"),
+          coalesce(sum(when(col("doc_id") =!= col("keeper"), col("t"))), lit(0L))
+            .as("dup_tokens"),
+          (coalesce(sum(when(col("doc_id") =!= col("keeper"), col("t"))), lit(0L))
+            .cast("double") / sum(col("t"))).as("token_inflation"))
+        .orderBy(col("source"))
+    },
+
     // ---- CHUNK-granularity dedup audit: repeated 10-token chunks per
     // source — document-level dedup misses boilerplate that repeats
     // INSIDE otherwise-distinct documents (headers, licence blocks,
