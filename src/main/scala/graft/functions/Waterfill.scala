@@ -39,8 +39,13 @@ object Waterfill {
     // normalize to FIXED internal names first: every expr() below then
     // parses only names this function owns, so a caller's column called
     // "avail tokens" (or any name needing backquotes) cannot break the
-    // generated SQL or resolve to something else
-    val in = df.select(col(key).as("_wf_key"), col(avail).as("_wf_avail"))
+    // generated SQL or resolve to something else. Checkpoint the reduced
+    // frame: `t`, `cand` (via r) and the final select each consume it,
+    // and without the checkpoint the CALLER's corpus aggregate lineage
+    // re-runs three times per allocation (registry-released by the
+    // harness after the query; the frame is one row per group)
+    val in = Checkpoints.lazyLocal(
+      df.select(col(key).as("_wf_key"), col(avail).as("_wf_avail")))
     val byAvail = Window.orderBy(col("_wf_avail"), col("_wf_key"))
     val t = in.agg(count(lit(1)).as("n"),
       expr(s"(SUM(_wf_avail) * $tgtNum) DIV $tgtDen").as("tgt"))

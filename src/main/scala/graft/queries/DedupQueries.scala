@@ -1101,13 +1101,18 @@ object DedupQueries {
         |  COUNT(CASE WHEN g.n > 1 THEN 1 END) n_dup_instances,
         |  CAST(COUNT(CASE WHEN g.n > 1 THEN 1 END) AS DOUBLE)/COUNT(*) dup_chunk_rate
         |FROM h JOIN g USING (chash) GROUP BY 1 ORDER BY source""".stripMargin) { (s, dir) =>
-      val h = Tables(s, dir, "documents")
-        .transform(Tables.spread(_, col("doc_id")))
-        .withColumn("toks", tokens("text"))
-        .select(col("source"), explode(expr(
-          "transform(sequence(1, greatest((size(toks)+9) DIV 10, 1)), " +
-            "i -> array_join(slice(toks, (i-1)*10+1, 10), ' '))")).as("chunk"))
-        .select(col("source"), expr(md5Prefix64Sql("chunk")).as("chash"))
+      // checkpoint the hashed chunk frame: the occurrence aggregate `g`
+      // and the join back both consume it — without the checkpoint the
+      // tokenize→chunk→md5 explode (a full corpus re-chunking) runs
+      // twice in one query (registry-released after the query)
+      val h = graft.functions.Checkpoints.lazyLocal(
+        Tables(s, dir, "documents")
+          .transform(Tables.spread(_, col("doc_id")))
+          .withColumn("toks", tokens("text"))
+          .select(col("source"), explode(expr(
+            "transform(sequence(1, greatest((size(toks)+9) DIV 10, 1)), " +
+              "i -> array_join(slice(toks, (i-1)*10+1, 10), ' '))")).as("chunk"))
+          .select(col("source"), expr(md5Prefix64Sql("chunk")).as("chash")))
       val g = h.groupBy(col("chash").as("g_chash")).agg(count(lit(1)).as("n"))
       h.join(g, col("chash") === col("g_chash"))
         .groupBy(col("source"))

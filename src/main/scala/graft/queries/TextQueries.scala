@@ -508,10 +508,15 @@ object TextQueries {
         | r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY lift DESC, ta, tb) rk FROM sc)
         |SELECT rk, ta, tb, n_docs, lift FROM r WHERE rk <= 15 ORDER BY rk""".stripMargin) { (s, dir) =>
       val dec = "decimal(38,0)"
-      val t = Tables(s, dir, "documents")
-        .transform(Tables.spread(_, col("doc_id"))) // single-file scan → spread the pair loop
-        .select(col("doc_id"), explode(tokens("text")).as("term"))
-        .distinct()
+      // checkpoint the (doc_id, term) distinct frame: nn, dfq and the
+      // capped candidate join all consume it — without the checkpoint the
+      // tokenize→explode→distinct lineage (a full corpus re-tokenization)
+      // runs three times in one query (registry-released after the query)
+      val t = graft.functions.Checkpoints.lazyLocal(
+        Tables(s, dir, "documents")
+          .transform(Tables.spread(_, col("doc_id"))) // single-file scan → spread the pair loop
+          .select(col("doc_id"), explode(tokens("text")).as("term"))
+          .distinct())
       val nn = t.agg(countDistinct(col("doc_id")).as("nd"))
       val dfq = t.groupBy(col("term").as("df_term")).agg(count(lit(1)).as("df"))
         .filter(col("df") >= 3)
@@ -2172,14 +2177,18 @@ object TextQueries {
         |  CAST(n_after AS DOUBLE)/(SELECT na FROM tot)
         |    - CAST(n_before AS DOUBLE)/(SELECT nb FROM tot) AS shift
         |FROM s ORDER BY source""".stripMargin) { (s, dir) =>
-      val d = Tables(s, dir, "documents")
-        .select(col("source"), size(tokens("text")).cast("long").as("t"))
-      val tot = d.agg(count(lit(1)).as("nb"),
-        count(when(col("t") >= 40, 1)).as("na"))
-      d.groupBy(col("source"))
-        .agg(count(lit(1)).as("n_before"),
-          count(when(col("t") >= 40, 1)).as("n_after"))
-        .crossJoin(broadcast(tot))
+      // ONE corpus scan: reduce to the per-source counts first
+      // (checkpointed — the totals and the final select both consume
+      // them; registry-released after the query), then fold the totals
+      // from the bounded source frame instead of a second corpus pass
+      val g = graft.functions.Checkpoints.lazyLocal(
+        Tables(s, dir, "documents")
+          .select(col("source"), size(tokens("text")).cast("long").as("t"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_before"),
+            count(when(col("t") >= 40, 1)).as("n_after")))
+      val tot = g.agg(sum(col("n_before")).as("nb"), sum(col("n_after")).as("na"))
+      g.crossJoin(broadcast(tot))
         .select(col("source"), col("n_before"), col("n_after"),
           (col("n_before").cast("double") / col("nb")).as("share_before"),
           (col("n_after").cast("double") / col("na")).as("share_after"),
@@ -2213,9 +2222,14 @@ object TextQueries {
         |  ABS(share - COALESCE(prev, share)) > 0.01 AS drifted
         |FROM w ORDER BY eighth, source""".stripMargin) { (s, dir) =>
       val bySource = Window.partitionBy(col("source")).orderBy(col("e"))
-      val g = Tables.withIngestEighth(Tables(s, dir, "documents"), "doc_id")
-        .select(col("source"), col("eighth").as("e"))
-        .groupBy(col("e"), col("source")).agg(count(lit(1)).as("n"))
+      // checkpoint the (8 × sources) grid: the per-eighth totals and the
+      // join back both consume it — without the checkpoint the corpus
+      // scan + eighth bucketing runs twice (registry-released after the
+      // query)
+      val g = graft.functions.Checkpoints.lazyLocal(
+        Tables.withIngestEighth(Tables(s, dir, "documents"), "doc_id")
+          .select(col("source"), col("eighth").as("e"))
+          .groupBy(col("e"), col("source")).agg(count(lit(1)).as("n")))
       val t = g.groupBy(col("e").as("t_e")).agg(sum(col("n")).as("tot"))
       val sh = g.join(t, col("e") === col("t_e"))
         .select(col("e"), col("source"), col("n"),
@@ -2268,10 +2282,14 @@ object TextQueries {
         |  COUNT(CASE WHEN f.fid = dg.doc_id THEN 1 END) n_novel,
         |  CAST(COUNT(CASE WHEN f.fid = dg.doc_id THEN 1 END) AS DOUBLE)/COUNT(*) novelty
         |FROM dg JOIN f USING (gram) GROUP BY 1 ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val dg = Tables(s, dir, "documents")
-        .transform(Tables.spread(_, col("doc_id")))
-        .withColumn("toks", tokens("text"))
-        .select(col("doc_id"), explode(shingles("toks", 3)).as("gram"))
+      // checkpoint the exploded gram frame: the first-seen aggregate `f`
+      // and the join back both consume it — without the checkpoint the
+      // corpus shingling runs twice (registry-released after the query)
+      val dg = graft.functions.Checkpoints.lazyLocal(
+        Tables(s, dir, "documents")
+          .transform(Tables.spread(_, col("doc_id")))
+          .withColumn("toks", tokens("text"))
+          .select(col("doc_id"), explode(shingles("toks", 3)).as("gram")))
       val f = dg.groupBy(col("gram").as("f_gram")).agg(min(col("doc_id")).as("fid"))
       dg.join(f, col("gram") === col("f_gram"))
         .groupBy(col("doc_id"))

@@ -16,6 +16,9 @@ class WaterfillSpec extends SparkSpec {
       .select($"source", $"allocated", $"capped")
       .as[(String, Long, Boolean)].collect()
       .map(r => r._1 -> (r._2, r._3)).toMap
+    // allocate() registers a lazyLocal checkpoint per call — release the
+    // blocks between instances like the query harness does
+    graft.functions.Checkpoints.releaseAll()
     val want = Waterfill.reference(avails, num, den)
     val byKey = avails.toMap
     assert(got.keySet == avails.map(_._1).toSet, s"missing rows for $avails")
