@@ -120,12 +120,44 @@ object Bench {
       System.err.println(f"[bench] exhausted $maxRuns runs with total $total%.1f s still above " +
         f"the quiet threshold $quietSec%.1f s (${entries.size} queries): host contention, or the " +
         "per-query budget in Bench.scala needs raising")
+    // ---- regression self-report vs the previous round's committed
+    // artifact (BENCH_r{N}.json in the cwd — the repo root under sbt;
+    // override with SPARK_GRAFT_PREV, disable by pointing it at a
+    // missing file). The artifacts keep only the output TAIL, so the
+    // previous per-query map can be partial — comparison runs over the
+    // intersection. Flagging is noise-band aware (the same suite has
+    // measured 147-190 s on this shared host): a regression needs the
+    // old time ≥ 0.3 s, a ≥ 30% slowdown AND ≥ 0.3 s absolute growth.
+    val prevFile = sys.env.get("SPARK_GRAFT_PREV").orElse {
+      Option(new java.io.File(".").listFiles())
+        .map(_.filter(_.getName.matches("BENCH_r\\d+\\.json"))
+          .sortBy(f => f.getName.replaceAll("\\D", "").toInt))
+        .flatMap(_.lastOption).map(_.getPath)
+    }
+    val prev: Map[String, Double] = prevFile.map { p =>
+      try {
+        val txt = scala.io.Source.fromFile(p).mkString
+        """"(q1_agg|q_[a-z0-9_]+)":([0-9][0-9.eE-]*)""".r
+          .findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case scala.util.control.NonFatal(_) => Map.empty[String, Double] }
+    }.getOrElse(Map.empty)
+    val regressed = entries.flatMap { case (k, _) =>
+      for {
+        cur <- best(k); old <- prev.get(k)
+        if old >= 0.3 && cur > old * 1.3 && cur - old > 0.3
+      } yield (k, old, cur)
+    }
+    regressed.foreach { case (k, old, cur) =>
+      System.err.println(f"[bench] REGRESSION $k: $old%.2f s -> $cur%.2f s (${cur / old}%.2fx)")
+    }
+    val regJson = regressed.map { case (k, old, cur) => s""""$k":[$old,$cur]""" }
+      .mkString("{", ",", "}")
     // The driver's artifact keeps only the TAIL of this output, so the
     // headline numbers are REPEATED as trailing fields — a truncated
     // capture then still carries total/count/failures (BENCH_r04-r10 all
     // lost their totals to the leading-"total" layout).
     val nFailed = entries.count { case (k, _) => best(k).isEmpty }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","runs":$runsDone,"total_sec":$total,"n_queries":${entries.size},"n_failed":$nFailed}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","runs":$runsDone,"regressions":$regJson,"prev":${prevFile.map("\"" + _ + "\"").getOrElse("null")},"total_sec":$total,"n_queries":${entries.size},"n_failed":$nFailed}""")
     spark.stop()
   }
 }

@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-up generator for the empirical scaling harness: replicates a
+  * testdata lake `k`× as DISJOINT SHARDS — every id space shifted per
+  * replica, document tokens suffixed per replica (replica 0 verbatim),
+  * embeddings jittered per replica — so the scaled lake has `k`× the
+  * rows with the ORIGINAL's per-shard statistical structure (dup rate,
+  * degree distribution, label balance) and no cross-shard interactions.
+  * This is the "10× more sources" growth regime: scaling exponents
+  * measured on it capture how each operator's shuffles/aggregates grow
+  * with n. (It deliberately does NOT model densification — global dup
+  * multiplicity and graph degree stay constant — which COVERAGE.md's
+  * scaling table states next to the numbers.)
+  *
+  * Usage: `runMain graft.ScaleGen <srcSfDir> <destDir> [k=10]`. Writes
+  * parquet table directories the [[Tables]] loader reads like any sf
+  * dir. Only ever writes under the repo (e.g. `target/sf1`) — testdata
+  * itself is read-only.
+  */
+object ScaleGen {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: ScaleGen <srcSfDir> <destDir> [k]")
+    val src = args(0)
+    val dest = args(1)
+    val k = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.compression.codec", "zstd")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val reps = broadcast(spark.range(k).toDF("rep"))
+    def out(df: DataFrame, name: String, parts: Int): Unit =
+      df.repartition(parts).write.mode("overwrite")
+        .option("compression", "zstd").parquet(s"$dest/$name.parquet")
+
+    // small dims verbatim — FK targets for the unshifted keys
+    for (t <- Seq("region", "nation", "customer", "supplier", "part"))
+      out(spark.read.parquet(s"$src/$t.parquet"), t, 1)
+
+    // documents: shard the id space; replica r>0 suffixes every token
+    // (replica-disjoint vocab — per-shard dup/ngram structure identical
+    // to the original, zero cross-shard near-dups); n_chars recomputed
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val dMax = docs.agg(max($"doc_id")).head.getLong(0) + 1
+    out(docs.crossJoin(reps)
+      .select(($"doc_id" + $"rep" * dMax).as("doc_id"),
+        when($"rep" === 0, $"text").otherwise(expr(
+          "array_join(transform(split(text, ' '), t -> concat(t, 'x', CAST(rep AS STRING))), ' ')"))
+          .as("text"),
+        $"lang", $"source")
+      .withColumn("n_chars", length($"text").cast("long")), "documents", 8)
+
+    // embeddings: shard ids, jitter values per replica (keeps vectors
+    // distinct so ANN neighborhoods are not k-fold degenerate), labels
+    // unchanged (label groups grow k× in balance)
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val vMax = emb.agg(max($"vec_id")).head.getLong(0) + 1
+    out(emb.crossJoin(reps)
+      .select(($"vec_id" + $"rep" * vMax).as("vec_id"),
+        expr("transform(embedding, x -> CAST(x + rep * CAST(0.0009765625 AS FLOAT) AS FLOAT))")
+          .as("embedding"),
+        $"label"), "embeddings", 4)
+
+    // events: shard event AND user id spaces (k disjoint user
+    // populations), shift ts by rep minutes so time windows interleave
+    val ev = Tables(spark, src, "events") // normalizes the ts encoding
+    val eMax = ev.agg(max($"event_id")).head.getLong(0) + 1
+    val uMax = ev.agg(max($"user_id")).head.getLong(0) + 1
+    out(ev.crossJoin(reps)
+      .select(($"event_id" + $"rep" * eMax).as("event_id"),
+        expr("timestampadd(MINUTE, CAST(rep AS INT), ts)").as("ts"),
+        ($"user_id" + $"rep" * uMax).as("user_id"),
+        $"event_type", $"value", $"props"), "events", 8)
+
+    // orders + lineitem: one shared orderkey shift (FK preserved);
+    // partkeys shard too, so the co-purchase graph scales as k disjoint
+    // copies (constant degree) rather than densifying
+    val ord = spark.read.parquet(s"$src/orders.parquet")
+    val oMax = ord.agg(max($"o_orderkey")).head.getLong(0) + 1
+    out(ord.crossJoin(reps)
+      .select(($"o_orderkey" + $"rep" * oMax).as("o_orderkey"),
+        $"o_custkey", $"o_orderstatus", $"o_totalprice", $"o_orderdate",
+        $"o_orderpriority"), "orders", 8)
+    val li = spark.read.parquet(s"$src/lineitem.parquet")
+    val pMax = li.agg(max($"l_partkey")).head.getLong(0) + 1
+    out(li.crossJoin(reps)
+      .select(($"l_orderkey" + $"rep" * oMax).as("l_orderkey"),
+        ($"l_partkey" + $"rep" * pMax).as("l_partkey"),
+        $"l_suppkey", $"l_linenumber", $"l_quantity", $"l_extendedprice",
+        $"l_discount", $"l_tax", $"l_returnflag", $"l_linestatus", $"l_shipdate"),
+      "lineitem", 16)
+
+    println(s"[scalegen] wrote ${k}x of $src to $dest")
+    spark.stop()
+  }
+}

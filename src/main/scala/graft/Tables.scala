@@ -148,7 +148,35 @@ object Tables {
     * scan-rooted (scan + narrow maps) frames. */
   def spread(df: DataFrame, keys: Column*): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    val parts = df.queryExecution.sparkPlan.execute().getNumPartitions
+    // the partition count must come WITHOUT running plan fragments: when
+    // the plan declares its partitioning (an already-repartitioned /
+    // bucketed input), read the count off outputPartitioning — zero RDD
+    // construction. Only the UnknownPartitioning case falls back to
+    // execute(), and THAT path now guards the scan-rooted contract
+    // instead of trusting the comment: SparkPlan.execute() runs
+    // prepare(), which submits subquery jobs — and on the PRE-
+    // EnsureRequirements sparkPlan a join's build side has no exchange
+    // at all, so execute() outright throws doExecuteBroadcast. The
+    // guard is logical (exchanges only appear physically later): every
+    // node must be a leaf or a narrow map, with no subquery
+    // expressions. Misuse fails loudly instead of executing fragments.
+    val plan = df.queryExecution.sparkPlan
+    val declared = plan.outputPartitioning.numPartitions
+    val parts =
+      if (declared > 0) declared
+      else {
+        import org.apache.spark.sql.catalyst.plans.logical.{Filter, Generate, LeafNode, Project}
+        val logical = df.queryExecution.optimizedPlan
+        val offending = logical.exists {
+          case _: LeafNode | _: Project | _: Filter | _: Generate => false
+          case _ => true
+        } || logical.exists(_.expressions.exists(_.exists(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.SubqueryExpression])))
+        require(!offending,
+          "Tables.spread requires a scan-rooted frame (scan + narrow maps only); " +
+            s"got:\n${logical.treeString}")
+        plan.execute().getNumPartitions
+      }
     if (parts >= target) df
     else if (keys.isEmpty) df.repartition(target)
     else df.repartition(target, keys: _*)

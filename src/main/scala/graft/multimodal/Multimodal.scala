@@ -9,19 +9,19 @@ import org.apache.spark.sql.functions._
   * analog of PySpark's `mapInPandas` batch shape (one iterator per
   * partition, streaming through rows without materializing the partition).
   *
-  * The container ships no image/audio codec LIBRARIES, but three image
+  * The container ships no image/audio codec LIBRARIES, but four image
   * formats need none: uncompressed 24-bit BMP and binary PPM (P6) parse
-  * with plain byte arithmetic, and non-interlaced 8-bit RGB/RGBA PNG
-  * decodes through the JDK's own zlib (`java.util.zip.Inflater`).
-  * [[Multimodal.decodeImage]] implements all three for real
+  * with plain byte arithmetic, non-interlaced 8-bit RGB/RGBA PNG
+  * decodes through the JDK's own zlib (`java.util.zip.Inflater`), and
+  * JPEG through the JDK's own `javax.imageio` codec.
+  * [[Multimodal.decodeImage]] implements all four for real
   * (magic-sniffed; MultimodalSpec drives hand-built images through the
   * full Spark path). Payloads that are not recognized images — including
   * this repo's synthetic corpus — fall back to the DETERMINISTIC STUB
   * (byte-histogram "features", byte-slice "frames"), so gate-query
   * outputs are unchanged. Everything Spark-side is real either way:
   * binary columns, explicit schemas, partition-batched UDF signature,
-  * downstream joins/aggs. A JPEG codec would slot into `decodeImage`
-  * and nothing else changes.
+  * downstream joins/aggs.
   *
   * Scale: narrow maps, no shuffle; binary payloads stay columnar in
   * parquet; feature vectors are small fixed-size arrays suitable for the
@@ -56,6 +56,8 @@ object Multimodal {
     if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') decodeBmp(bytes)
     else if (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6') decodePpm(bytes)
     else if (bytes.length >= 8 && bytes(0) == 0x89.toByte && bytes(1) == 'P') decodePng(bytes)
+    else if (bytes.length >= 3 && bytes(0) == 0xFF.toByte && bytes(1) == 0xD8.toByte
+      && bytes(2) == 0xFF.toByte) decodeJpeg(bytes)
     else None
 
   private def le32(b: Array[Byte], off: Int): Int =
@@ -138,6 +140,48 @@ object Multimodal {
       _ = { i += 1 } // consume exactly that one whitespace
       if i.toLong + 3L * w * h <= b.length
     } yield DecodedImage(w, h, java.util.Arrays.copyOfRange(b, i, i + 3 * w * h))
+  }
+
+  /** Baseline/progressive JPEG via the JDK's own `javax.imageio` codec —
+    * zero new dependencies, and the format ~90% of real image corpora
+    * ship in. Hostile-input posture matches the hand-rolled decoders:
+    * dimensions are read from the header BEFORE any raster decode (the
+    * reader API exposes them without decoding), the pixel count is
+    * capped at 2^24 (~16M px → a 48 MB raster) so a declared-huge or
+    * crafted header returns None instead of allocating, truncated or
+    * malformed entropy streams surface as None via the catch, and the
+    * in-memory stream cache keeps executors from writing ImageIO tmp
+    * files per task. Decode is deterministic within a JVM (one libjpeg
+    * implementation); the synthetic gate corpus carries no JPEG
+    * payloads, so oracle outputs are untouched. */
+  private def decodeJpeg(b: Array[Byte]): Option[DecodedImage] = {
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(b))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return None
+      val reader = readers.next()
+      try {
+        reader.setInput(iis, true, true)
+        val w = reader.getWidth(0)
+        val h = reader.getHeight(0)
+        if (w <= 0 || h <= 0 || w.toLong * h > (1L << 24)) return None
+        val img = reader.read(0)
+        val px = new Array[Int](w * h)
+        img.getRGB(0, 0, w, h, px, 0, w)
+        val rgb = new Array[Byte](w * h * 3)
+        var i = 0
+        while (i < px.length) {
+          val p = px(i)
+          rgb(3 * i) = ((p >> 16) & 0xff).toByte
+          rgb(3 * i + 1) = ((p >> 8) & 0xff).toByte
+          rgb(3 * i + 2) = (p & 0xff).toByte
+          i += 1
+        }
+        Some(DecodedImage(w, h, rgb))
+      } finally reader.dispose()
+    } catch { case scala.util.control.NonFatal(_) => None }
+    finally iis.close()
   }
 
   private def be32(b: Array[Byte], off: Int): Int =

@@ -33,8 +33,15 @@ import graft.functions.TextFunctions._
   * sliver — pay one exact column-pruned anti-join against the docs
   * relation. A false positive can therefore never drop a new document,
   * and the normal all-new batch touches no lake-proportional state at
-  * all. Blooms must keep one (items, fpp) sizing per lake — a mismatched
-  * merge fails loudly.
+  * all. The `_idbloom/_sizing` ledger keeps ONE (items, fpp) sizing per
+  * lake (a mismatched merge fails loudly) plus the admitted-doc count;
+  * at half capacity the bloom is rebuilt at 4× from the docs relation —
+  * one column-pruned id scan per capacity DOUBLING (amortized O(log n)
+  * over the lake's lifetime) instead of fpp silently saturating and
+  * every batch degrading back into the exact confirm read. (Past a few
+  * hundred MB of bloom the plan-literal probe itself gets heavy — at
+  * that scale shard the filter by id range; the degradation mode either
+  * way is performance, never a dropped or duplicated document.)
   *
   * Scale shape per batch:
   *   - batch bands ⋈ lake band index is an equi-join on (band, bkey) —
@@ -85,8 +92,12 @@ import graft.functions.TextFunctions._
   * path over a partially appended batch; HDFS/object-store semantics and
   * any POSIX fs with ordered metadata satisfy the requirement.
   *
-  * One writer per lake: batchIds are unique per CHECKPOINT, so two
-  * streams with different checkpoints must not share a lakeDir.
+  * One writer per lake, ENFORCED: batchIds are unique per CHECKPOINT, so
+  * two streams with different checkpoints must not share a lakeDir — and
+  * since a reset checkpoint restarts batchIds at 0 (where the old done
+  * markers would silently swallow the new batches), the lake carries a
+  * `_batches/_writer` stamp of its stream's persistent query id, checked
+  * before the done-marker fast path; a foreign stream fails loudly.
   *
   * In-batch policy: a document is dropped when a VERIFIED near-dup with a
   * smaller doc_id exists in the same batch — the pessimistic greedy (a
@@ -120,21 +131,73 @@ object NearDupStream {
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
 
-  /** Latest persisted id-bloom (highest batchId file under `_idbloom`),
-    * or None on a fresh lake. Crash-safe by construction: a new bloom is
-    * a NEW file, so a torn write can only lose the newest generation —
-    * which the batch replay (no done marker) rewrites. */
+  /** Latest READABLE persisted id-bloom (highest batchId file under
+    * `_idbloom`), or None on a fresh lake. Generations land via
+    * tmp+rename (atomic on HDFS/POSIX), so torn files should not occur;
+    * on a filesystem without atomic rename a torn newest generation is
+    * skipped and the next-lower one used — sound because a generation
+    * can only be torn when its batch's done marker never landed, which
+    * means that batch REPLAYS and rewrites both its appends (anti-join
+    * guarded) and its bloom generation. The pre-batch generation is
+    * exactly the state the replay must probe. */
   private def latestBloom(fs: FileSystem, lakeDir: String): Option[BloomFilter] = {
     val dir = new Path(s"$lakeDir/_idbloom")
     if (!fs.exists(dir)) return None
-    val latest = fs.listStatus(dir).map(_.getPath)
+    val gens = fs.listStatus(dir).map(_.getPath)
       .filter(_.getName.forall(_.isDigit))
-      .sortBy(_.getName.toLong)
-    latest.lastOption.map { p =>
-      val in = fs.open(p)
-      try BloomFilter.readFrom(in) finally in.close()
+      .sortBy(-_.getName.toLong)
+    gens.iterator.map { p =>
+      try {
+        val in = fs.open(p)
+        try Some(BloomFilter.readFrom(in)) finally in.close()
+      } catch { case scala.util.control.NonFatal(_) => None } // torn — fall back
+    }.collectFirst { case Some(bf) => bf }
+  }
+
+  /** Write `bytes` at `dest` atomically: tmp file in the same directory,
+    * then rename (deleting a stale dest first — that only happens on
+    * crash REPLAY, where the done marker is absent and the whole batch
+    * re-runs, so a crash inside the delete+rename window just repeats
+    * the replay). */
+  private def atomicWrite(fs: FileSystem, dest: Path, bytes: Array[Byte]): Unit = {
+    val tmp = new Path(dest.getParent, s".tmp-${dest.getName}")
+    val out = fs.create(tmp, true)
+    try out.write(bytes) finally out.close()
+    if (fs.exists(dest)) fs.delete(dest, false)
+    if (!fs.rename(tmp, dest)) throw new java.io.IOException(s"rename $tmp -> $dest failed")
+  }
+
+  private def readSmall(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](8192)
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
+  }
+
+  /** Bloom sizing + admitted-count ledger (`_idbloom/_sizing`): the one
+    * (items, fpp) sizing every generation must share for mergeInPlace,
+    * plus an approximate admitted-doc count that triggers the capacity
+    * rebuild (approximate: a crash replay can double-count a batch —
+    * [[maintain]] backfills the exact docs count). Absent on lakes
+    * created before this ledger existed; adopted (with count 0) on
+    * their next batch. */
+  private def readSizing(fs: FileSystem, lakeDir: String): Option[(Long, Double, Long)] = {
+    val p = new Path(s"$lakeDir/_idbloom/_sizing")
+    if (!fs.exists(p)) None
+    else {
+      val parts = readSmall(fs, p).trim.split("\\s+")
+      Some((parts(0).toLong, parts(1).toDouble, parts(2).toLong))
     }
   }
+
+  private def writeSizing(fs: FileSystem, lakeDir: String,
+                          items: Long, fpp: Double, count: Long): Unit =
+    atomicWrite(fs, new Path(s"$lakeDir/_idbloom/_sizing"),
+      s"$items $fpp $count".getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
   private def bloomBytes(bf: BloomFilter): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
@@ -161,9 +224,29 @@ object NearDupStream {
     * and first-write-wins contracts in the object scaladoc. */
   def processBatch(batch: DataFrame, lakeDir: String, batchId: Long,
                    threshold: Double = 0.5,
-                   bloomItems: Long = 1L << 22, bloomFpp: Double = 0.001): Unit = {
+                   bloomItems: Long = 1L << 22, bloomFpp: Double = 0.001,
+                   writerId: Option[String] = None): Unit = {
     val spark = batch.sparkSession
     val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    // ONE WRITER PER LAKE, enforced (not just documented): batchIds are
+    // only unique per checkpoint, so a reset checkpoint (or a second
+    // stream pointed at an existing lakeDir) restarts them at 0 — and
+    // without this stamp the old done markers would match and whole new
+    // batches silently no-op as "already landed". The stamp is checked
+    // BEFORE the done-marker early return for exactly that reason, and
+    // a mismatch fails loudly: recovering means either restoring the
+    // original checkpoint or retiring the lake, never dropping data.
+    val writerFile = new Path(s"$lakeDir/_batches/_writer")
+    writerId.foreach { id =>
+      if (fs.exists(writerFile)) {
+        val existing = readSmall(fs, writerFile).trim
+        if (existing != id) throw new IllegalStateException(
+          s"lake $lakeDir belongs to stream '$existing' but batch $batchId came from " +
+            s"stream '$id' — a reset/foreign checkpoint restarts batchIds and its " +
+            "batches would silently collide with this lake's marker ledger")
+      } else atomicWrite(fs, writerFile,
+        id.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
     val started = new Path(s"$lakeDir/_batches/$batchId.started")
     val done = new Path(s"$lakeDir/_batches/$batchId.done")
     if (fs.exists(done)) return // fully landed — replay is a no-op
@@ -288,20 +371,38 @@ object NearDupStream {
       // bloom update AFTER the docs append, BEFORE the done marker: a
       // crash in between replays the batch (guarded path, no-op appends)
       // and rewrites the bloom; distributed build + merge, no collect.
-      // stat.bloomFilter NPEs on an EMPTY frame (null aggregation
-      // buffer), so an all-duplicate batch carries the loaded bloom
-      // forward unchanged
+      // Sizing comes from the _sizing ledger (defaults adopted on first
+      // batch), so every generation shares one (items, fpp) and
+      // mergeInPlace stays compatible across restarts with different
+      // parameters. CAPACITY: once the admitted count reaches HALF the
+      // sizing, the bloom is rebuilt at 4× from the docs relation
+      // (which at this point already includes this batch's survivors) —
+      // one column-pruned id scan per DOUBLING, amortized O(log n) full
+      // scans over the lake's lifetime, instead of fpp silently
+      // drifting toward 1 and every batch degrading into the exact
+      // confirm read. The rebuild rides the batch protocol: a crash
+      // anywhere in bloom/ledger writes replays the batch and re-runs
+      // the same deterministic rebuild. stat.bloomFilter NPEs on an
+      // EMPTY frame (null aggregation buffer), so an all-duplicate
+      // batch carries the loaded bloom forward unchanged.
+      val (bItems, bFpp, count0) =
+        readSizing(fs, lakeDir).getOrElse((bloomItems, bloomFpp, 0L))
+      val nSurv = survivors.count() // checkpointed — no recompute
+      val newCount = count0 + nSurv
+      val resize = newCount * 2 >= bItems
+      val newItems = if (resize) 4L * math.max(bItems, newCount) else bItems
       val survBloom =
-        if (survivors.isEmpty)
-          loadedBloom.getOrElse(BloomFilter.create(bloomItems, bloomFpp))
+        if (resize)
+          spark.read.parquet(docsPath).stat.bloomFilter("doc_id", newItems, bFpp)
+        else if (nSurv == 0)
+          loadedBloom.getOrElse(BloomFilter.create(bItems, bFpp))
         else {
-          val b = survivors.stat.bloomFilter("doc_id", bloomItems, bloomFpp)
+          val b = survivors.stat.bloomFilter("doc_id", bItems, bFpp)
           loadedBloom.foreach(b.mergeInPlace) // same sizing or fail loudly
           b
         }
-      val bp = new Path(s"$lakeDir/_idbloom/$batchId")
-      val bout = fs.create(bp, true)
-      try survBloom.writeTo(bout) finally bout.close()
+      atomicWrite(fs, new Path(s"$lakeDir/_idbloom/$batchId"), bloomBytes(survBloom))
+      writeSizing(fs, lakeDir, newItems, bFpp, newCount)
       fs.create(done, true).close()
     } finally {
       persisted.foreach(_.unpersist()) // only this batch's blocks — not the session cache
@@ -342,7 +443,11 @@ object NearDupStream {
     maybe(s"$lakeDir/shingles", Seq("doc_id"))
     // ledger pruning: markers strictly below the retention floor go, as
     // do bloom generations below it (the latest bloom is a superset of
-    // every earlier one, so only the newest is ever read)
+    // every earlier one, so only the newest is ever read); stale
+    // `.tmp-*` leftovers from crashed atomic writes go too (maintain
+    // runs BETWEEN drains — no concurrent writer can be mid-rename).
+    // The `_writer` stamp and `_sizing` ledger survive (non-digit
+    // names).
     val markers = new Path(s"$lakeDir/_batches")
     if (fs.exists(markers)) {
       val done = fs.listStatus(markers).map(_.getPath.getName)
@@ -356,22 +461,50 @@ object NearDupStream {
         val blooms = new Path(s"$lakeDir/_idbloom")
         if (fs.exists(blooms))
           fs.listStatus(blooms).map(_.getPath)
-            .filter(p => p.getName.forall(_.isDigit) && p.getName.toLong < floor)
+            .filter(p => (p.getName.forall(_.isDigit) && p.getName.toLong < floor)
+              || p.getName.startsWith(".tmp-"))
             .foreach(fs.delete(_, false))
       }
     }
+    // admitted-count backfill: the per-batch count is approximate (a
+    // crash replay can double-count its survivors) — reset it to the
+    // EXACT docs count (a parquet-metadata count, no data read) so the
+    // capacity-rebuild trigger never drifts
+    val docsP = new Path(s"$lakeDir/docs")
+    readSizing(fs, lakeDir).foreach { case (items, fpp, _) =>
+      val exact = if (fs.exists(docsP)) spark.read.parquet(s"$lakeDir/docs").count() else 0L
+      writeSizing(fs, lakeDir, items, fpp, exact)
+    }
+  }
+
+  /** The checkpoint's persistent query id (from its `metadata` file —
+    * stable across restarts of the SAME checkpoint, regenerated when the
+    * checkpoint is reset), the natural writer identity for the
+    * `_writer` stamp. None before the stream has started / on a foreign
+    * layout — the guard is then skipped, preserving direct
+    * [[processBatch]] callers that manage their own batchIds. */
+  private def checkpointQueryId(spark: SparkSession, checkpoint: String): Option[String] = {
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val p = new Path(s"$checkpoint/metadata")
+    if (!fs.exists(p)) None
+    else """"id"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(readSmall(fs, p)).map(_.group(1))
   }
 
   /** File-source streaming wrapper: drain `srcDir` with AvailableNow,
     * running [[processBatch]] per micro-batch under the checkpoint's
-    * batchId (the idempotence key). The Kafka variant swaps the source
-    * exactly as [[IngestPipeline.kafkaSource]] documents. */
+    * batchId (the idempotence key) and the checkpoint's query id (the
+    * writer stamp — a reset checkpoint gets a fresh id and fails loudly
+    * against a lake it no longer owns). The Kafka variant swaps the
+    * source exactly as [[IngestPipeline.kafkaSource]] documents. */
   def run(spark: SparkSession, srcDir: String, schema: StructType,
           lakeDir: String, checkpoint: String, threshold: Double = 0.5): StreamingQuery = {
     val stream = spark.readStream.schema(schema).parquet(srcDir)
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBatch(batch, lakeDir, batchId, threshold)
+        // read per batch (two tiny fs probes): the metadata file only
+        // exists once the query has started, which is guaranteed here
+        val wid = checkpointQueryId(spark, checkpoint)
+        processBatch(batch, lakeDir, batchId, threshold, writerId = wid)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())

@@ -27,6 +27,7 @@ object DecoderProps extends Properties("graft.decoders") {
     Array[Byte]('B', 'M'),
     Array[Byte]('P', '6'),
     Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a),
+    Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte),
     "RIFF1234WAVE".getBytes("US-ASCII"),
     Array.empty[Byte])
 
@@ -109,5 +110,19 @@ object DecoderProps extends Properties("graft.decoders") {
   property("bit-flipped/truncated WAV never crashes") =
     Prop.forAll(mutated(validWav)) { b =>
       wellFormedAudio(Multimodal.decodeWav(b))
+    }
+
+  private lazy val validJpeg: Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 4) img.setRGB(x, y, 0x336699)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", out)
+    out.toByteArray
+  }
+
+  property("bit-flipped/truncated JPEG never crashes") =
+    Prop.forAll(mutated(validJpeg)) { b =>
+      wellFormedImage(Multimodal.decodeImage(b))
     }
 }

@@ -142,6 +142,35 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.decodeImage(corrupt).get.rgb.length == 12) // wrong pixels ok, crash not
   }
 
+  /** JDK-encoded baseline JPEG: solid color, so the lossy round trip
+    * can be asserted within a tolerance. */
+  private def tinyJpeg(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", out), "JDK must ship a JPEG encoder")
+    out.toByteArray
+  }
+
+  test("real JPEG decode via the JDK codec: dims, lossy tolerance, hostile bytes") {
+    val bytes = tinyJpeg(6, 4, 0x4080C0)
+    assert(bytes(0) == 0xFF.toByte && bytes(1) == 0xD8.toByte, "JPEG magic expected")
+    val img = Multimodal.decodeImage(bytes).get
+    assert(img.width == 6 && img.height == 4)
+    assert(img.rgb.length == 6 * 4 * 3)
+    // a solid color survives the lossy round trip within JPEG tolerance
+    val (r, g, b) = (img.rgb(0) & 0xff, img.rgb(1) & 0xff, img.rgb(2) & 0xff)
+    assert(math.abs(r - 0x40) <= 8 && math.abs(g - 0x80) <= 8 && math.abs(b - 0xC0) <= 8,
+      s"lossy drift too large: ($r,$g,$b)")
+    // magic-prefixed junk: None, never a throw; a truncated entropy
+    // stream may decode partially on some readers — the contract is
+    // None-or-well-formed, never a crash (DecoderProps fuzzes this)
+    assert(Multimodal.decodeImage(Array(0xFF, 0xD8, 0xFF, 0x00).map(_.toByte)).isEmpty)
+    val trunc = Multimodal.decodeImage(bytes.take(bytes.length / 2))
+    assert(trunc.forall(i => i.rgb.length == i.width * i.height * 3))
+  }
+
   test("PNG payloads take the real feature/resize path through Spark") {
     val df = Seq((1L, tinyPng(2)), (2L, "plain bytes".getBytes)).toDF("doc_id", "payload")
     val feats = Multimodal.extractFeatures(df, "doc_id", "payload", dim = 4)

@@ -155,15 +155,92 @@ class NearDupStreamSpec extends SparkSpec {
       .map(_.getName.stripSuffix(".done").stripSuffix(".started")).map(_.toLong).toSet
     assert(markerIds == Set(2L, 3L, 4L), s"pruned ledger was $markerIds")
     val bloomIds = new java.io.File(s"$lake/_idbloom").listFiles()
-      .filterNot(_.getName.startsWith("."))
+      .filterNot(f => f.getName.startsWith(".") || f.getName.startsWith("_"))
       .map(_.getName.toLong).toSet
     assert(bloomIds == Set(2L, 3L, 4L), s"pruned blooms were $bloomIds")
+    // the admitted-count backfill reset the ledger to the exact docs count
+    val sizing = scala.io.Source.fromFile(s"$lake/_idbloom/_sizing").mkString.trim.split("\\s+")
+    assert(sizing(2).toLong == 5L, s"backfilled count was ${sizing.mkString(" ")}")
     // the compacted lake still shadows near-dups and admits novel docs
     NearDupStream.processBatch(
       Seq((200L, texts(3).replace("sunlight", "daylight")), (201L, base))
         .toDF("doc_id", "text"), lake, batchId = 5)
     val ids = spark.read.parquet(s"$lake/docs").select("doc_id").as[Long].collect().toSet
     assert(ids == (100L until 105L).toSet + 201L, ids.toSeq.sorted.mkString(","))
+  }
+
+  test("a foreign writer fails loudly instead of silently no-opping") {
+    val lake = Files.createTempDirectory("neardupwriter").toString
+    val b1 = Seq((1L, base), (2L, distinct1)).toDF("doc_id", "text")
+    NearDupStream.processBatch(b1, lake, batchId = 0, writerId = Some("stream-A"))
+    assert(spark.read.parquet(s"$lake/docs").count() == 2)
+    // the SAME writer replaying its batch is the normal done-marker no-op
+    NearDupStream.processBatch(b1, lake, batchId = 0, writerId = Some("stream-A"))
+    assert(spark.read.parquet(s"$lake/docs").count() == 2)
+    // a reset/foreign checkpoint restarts batchIds at 0 — without the
+    // stamp its first batch would match the old done marker and be
+    // silently dropped; with it, the mismatch must throw BEFORE the
+    // done-marker check
+    val foreign = Seq((9L, distinct2)).toDF("doc_id", "text")
+    val e = intercept[IllegalStateException] {
+      NearDupStream.processBatch(foreign, lake, batchId = 0, writerId = Some("stream-B"))
+    }
+    assert(e.getMessage.contains("stream-A"), e.getMessage)
+    assert(spark.read.parquet(s"$lake/docs").count() == 2, "foreign batch must not land")
+    // direct callers that manage their own batchIds (no writer id) keep working
+    NearDupStream.processBatch(foreign, lake, batchId = 1)
+    assert(spark.read.parquet(s"$lake/docs").count() == 3)
+  }
+
+  test("a torn newest bloom generation falls back to the previous one") {
+    val lake = Files.createTempDirectory("nearduptorn").toString
+    NearDupStream.processBatch(
+      Seq((1L, base), (2L, distinct1)).toDF("doc_id", "text"), lake, batchId = 0)
+    NearDupStream.processBatch(
+      Seq((3L, distinct2)).toDF("doc_id", "text"), lake, batchId = 1)
+    // reconstruct a non-atomic-FS crash: generation 1's bytes torn AND
+    // batch 1 not marked done (the only state in which a torn newest
+    // generation can exist — the done marker lands after the bloom)
+    val gen1 = new java.io.FileOutputStream(s"$lake/_idbloom/1")
+    gen1.write("torn bloom bytes".getBytes); gen1.close()
+    assert(new java.io.File(s"$lake/_batches/1.done").delete())
+    assert(new java.io.File(s"$lake/_batches/1.started").exists(),
+      "the started marker from the real run is what a crash leaves behind")
+    // the replay must read generation 0 (fall back past the torn file),
+    // converge, and rewrite generation 1 — not throw on readFrom
+    NearDupStream.processBatch(
+      Seq((3L, distinct2)).toDF("doc_id", "text"), lake, batchId = 1)
+    val ids = spark.read.parquet(s"$lake/docs").select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(1L, 2L, 3L), s"replay after torn bloom diverged: $ids")
+    assert(spark.read.parquet(s"$lake/docs").count() == 3)
+    // and the id guard still works off the rewritten generation
+    NearDupStream.processBatch(
+      Seq((3L, "totally new text for an already admitted id collision case here"))
+        .toDF("doc_id", "text"), lake, batchId = 2)
+    assert(spark.read.parquet(s"$lake/docs").count() == 3, "first write wins")
+  }
+
+  test("bloom capacity rebuild at half-full grows the sizing, admission stays exact") {
+    val lake = Files.createTempDirectory("neardupgrow").toString
+    val novel = "volcanic islands form long archipelagos as tectonic plates drift over hotspots"
+    // items=4: the 3 admitted docs hit half capacity immediately → the
+    // batch rebuilds at 4×max(4,3)=16 from the docs relation
+    NearDupStream.processBatch(
+      Seq((1L, base), (2L, distinct1), (3L, distinct2)).toDF("doc_id", "text"),
+      lake, batchId = 0, bloomItems = 4, bloomFpp = 0.01)
+    def sizing: Array[String] =
+      scala.io.Source.fromFile(s"$lake/_idbloom/_sizing").mkString.trim.split("\\s+")
+    assert(sizing(0).toLong == 16L, s"sizing after rebuild: ${sizing.mkString(" ")}")
+    assert(sizing(2).toLong == 3L)
+    // the next batch adopts the LEDGER sizing (its own default is
+    // ignored), merges compatibly, and the guard still first-write-wins
+    NearDupStream.processBatch(
+      Seq((1L, base), (50L, novel)).toDF("doc_id", "text"),
+      lake, batchId = 1, bloomItems = 4, bloomFpp = 0.01)
+    val ids = spark.read.parquet(s"$lake/docs").select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(1L, 2L, 3L, 50L), s"post-rebuild admission diverged: $ids")
+    assert(spark.read.parquet(s"$lake/docs").count() == 4)
+    assert(sizing(2).toLong == 4L, s"count after batch 1: ${sizing.mkString(" ")}")
   }
 
   test("AvailableNow wrapper drains a file source through the same admission") {

@@ -38,6 +38,28 @@ class SpreadSpec extends SparkSpec {
       "exactly-at-parallelism is already spread")
   }
 
+  test("a non-scan-rooted frame with unknown partitioning fails loudly") {
+    // a broadcast join's output partitioning is the streamed scan's
+    // (unknown), so the count would need execute() — whose prepare()
+    // would build the broadcast exchange at planning time. The guard
+    // must reject it instead of silently doing driver work.
+    val docs = Tables(spark, sf001, "documents")
+    val dims = spark.range(10).toDF("doc_id")
+    val joined = docs.join(broadcast(dims), "doc_id")
+    val e = intercept[IllegalArgumentException](Tables.spread(joined, col("doc_id")))
+    assert(e.getMessage.contains("scan-rooted"), e.getMessage)
+  }
+
+  test("a declared-partitioning input is counted without building its RDD") {
+    // repartition output declares its count: spread must read it off
+    // outputPartitioning (no execute(), no shuffle registration) and
+    // pass the frame through untouched
+    val target = spark.sparkContext.defaultParallelism
+    val wide = spark.range(1000).toDF("doc_id").repartition(target + 3)
+    assert(wide.queryExecution.sparkPlan.outputPartitioning.numPartitions == target + 3)
+    assert(Tables.spread(wide, col("doc_id")) eq wide)
+  }
+
   test("spread never runs a job to decide") {
     // planning-only partition counting: nothing in the UI/job tracker
     val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
