@@ -160,24 +160,33 @@ object CollectorMain {
         // SKIP_DEDUPLICATION is WHEN dedup happens, not IF (the
         // reference's `:87` semantics): false = inline during the drain,
         // true = deferred to one post-drain merge pass — either way the
-        // lake never carries duplicate event_ids. KEEPER CONTRACT: both
-        // modes land exactly one row per key, but when duplicate
-        // deliveries DISAGREE on ts/payload the kept representative
-        // differs — inline `dropDuplicates` keeps an arbitrary
-        // first-seen row (an append-only sink cannot retract a landed
-        // row when a smaller-ts duplicate arrives in a later batch),
-        // while deferred keeps the canonical min-ts row. For broker
-        // redelivery (byte-identical duplicates, the reference's actual
-        // failure mode) the modes are indistinguishable; when producers
-        // may re-stamp retries, run deferred mode — it is the keeper
-        // authority.
-        val inlineKeys = if (hasEventId && !cfg.skipDeduplication) Seq("event_id") else Nil
-        // the writer option overrides the session conf, so the knob must
-        // reach the sink explicitly — a session conf alone is ignored
-        IngestPipeline.runFileIngest(spark, srcDir, batch.schema, payloadSchema,
-          dest, checkpoint, compression = cfg.parquetCompression, dedupKeys = inlineKeys)
-        if (hasEventId && cfg.skipDeduplication)
-          dedupLakeInPlace(spark, dest, cfg.parquetCompression)
+        // lake never carries duplicate event_ids. KEEPER CONTRACT:
+        // inline mode now applies the SAME min-ts keeper as the
+        // deferred rewrite WITHIN each micro-batch
+        // (IngestPipeline.runFileIngestKeeper — dedupKeepFirst per
+        // batch + anti-join against landed keys), so the two modes pick
+        // identical representatives for every within-batch duplicate
+        // (CollectorMainSpec pins the equality). The residual
+        // divergence is cross-batch only: an append-only sink cannot
+        // retract a landed row when a smaller-ts duplicate arrives in a
+        // LATER batch, while deferred re-arbitrates globally. For
+        // broker redelivery (byte-identical duplicates, the reference's
+        // actual failure mode) the modes are indistinguishable; when
+        // producers may re-stamp retries ACROSS batches, run deferred
+        // mode — it remains the keeper authority.
+        if (hasEventId && !cfg.skipDeduplication)
+          IngestPipeline.runFileIngestKeeper(spark, srcDir, batch.schema,
+            payloadSchema, dest, checkpoint,
+            compression = cfg.parquetCompression, keys = Seq("event_id"))
+        else {
+          // the writer option overrides the session conf, so the knob
+          // must reach the sink explicitly — a session conf alone is
+          // ignored
+          IngestPipeline.runFileIngest(spark, srcDir, batch.schema, payloadSchema,
+            dest, checkpoint, compression = cfg.parquetCompression)
+          if (hasEventId && cfg.skipDeduplication)
+            dedupLakeInPlace(spark, dest, cfg.parquetCompression)
+        }
       case "kafka" =>
         // the source swap is IngestPipeline.kafkaSource(cfg.bootstrapServers,
         // GRAFT_TOPICS) with value.cast("string") as the payload column;

@@ -61,10 +61,16 @@ object KMeans {
     * of this is the exact nearest cluster; `slice(…, 1, p)` is an exact
     * probe list. */
   def nearestSorted(cands: String = "cands", q: String = "q"): String = {
+    // the per-TERM square itself widens to decimal(38,0), not just the
+    // accumulator: |cn·x − s| ≈ cn·2^20 grows WITH cluster size, and its
+    // int64 square ANSI-overflows right around 200k-vector clusters —
+    // found empirically by the sf10 (100×) scaling harness, the exact
+    // class q_embed_outliers already widened against
     val scored = s"transform($cands, c -> named_struct(" +
       s"'cl', c.cl, 'cn', c.cn, " +
-      s"'d2', aggregate(zip_with($q, c.s, (x, y) -> (c.cn*x - y)*(c.cn*x - y)), " +
-      "CAST(0 AS BIGINT), (acc, v) -> acc + v)))"
+      s"'d2', aggregate(zip_with($q, c.s, (x, y) -> " +
+      "(CAST(c.cn AS DECIMAL(38,0))*x - y) * (CAST(c.cn AS DECIMAL(38,0))*x - y)), " +
+      "CAST(0 AS DECIMAL(38,0)), (acc, v) -> CAST(acc + v AS DECIMAL(38,0)))))"
     s"array_sort($scored, $exactCmp)"
   }
 

@@ -63,18 +63,83 @@ object IngestPipeline {
                     dedupKeys: Seq[String] = Nil): StreamingQuery = {
     val raw = spark.readStream.schema(schema).parquet(srcDir)
     val stream = if (dedupKeys.isEmpty) raw else raw.dropDuplicates(dedupKeys)
-    val decoded = stream
-      .withColumn("data", from_json(col("props"), payloadSchema))
-      .select(col("*"), col("data.*")).drop("data", "props")
-      // dash format: a slashed partition VALUE percent-escapes in the
-      // directory name (see LakeWriter.withDatePath's rationale)
-      .withColumn("date_path", date_format(col("ts"), "yyyy-MM-dd"))
+    val decoded = decodeAndDatePartition(stream, payloadSchema)
     val q = decoded.writeStream
       .format("parquet")
       .option("path", dest)
       .option("checkpointLocation", checkpoint)
       .option("compression", compression)
       .partitionBy("date_path")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
+  /** Shared decode/flatten + date partition column (dash format: a
+    * slashed partition VALUE percent-escapes in the directory name —
+    * see LakeWriter.withDatePath's rationale). */
+  private def decodeAndDatePartition(stream: DataFrame,
+                                     payloadSchema: StructType): DataFrame =
+    stream
+      .withColumn("data", from_json(col("props"), payloadSchema))
+      .select(col("*"), col("data.*")).drop("data", "props")
+      .withColumn("date_path", date_format(col("ts"), "yyyy-MM-dd"))
+
+  /** File-drain ingest with the DEFERRED KEEPER AUTHORITY applied
+    * inline: each micro-batch is reduced to its min-`tsCol` row per key
+    * ([[graft.ingest.Dedup.dedupKeepFirst]] — byte-identical to the
+    * post-drain rewrite's choice), then anti-joined against the landed
+    * key column before a plain partitioned append.
+    *
+    * Why not `dropDuplicates` + the exactly-once file sink
+    * ([[runFileIngest]]'s inline path): streaming `dropDuplicates`
+    * keeps an ARBITRARY first-seen row within a batch, and the min-ts
+    * choice cannot be expressed upstream of an append-mode sink (a
+    * `min_by` aggregation would hold back every group until the
+    * watermark passes it — on a run-once drain the tail would never
+    * land). So this variant trades the FileStreamSink's metadata log
+    * for foreachBatch + one anti-join per batch, and the anti-join IS
+    * the idempotence story: a replayed batch's keys already landed, so
+    * the replay appends nothing — same convergence as the reference's
+    * lake-mined anti-join (`redpanda_to_parquet_collector.py:741-748`).
+    * A crashed append's partially committed task files are a consistent
+    * subset of the batch; the replay's anti-join completes the rest.
+    *
+    * Cost, stated: one column-pruned read of the lake's key column per
+    * micro-batch — the reference's in-memory ledger shape, acceptable
+    * for a run-once drain's handful of batches. A forever-running
+    * stream at lake scale should keep [[runFileIngest]]'s state-store
+    * dedup (or the NearDupStream bloom-guard pattern) instead.
+    *
+    * KEEPER CONTRACT vs the deferred pass: identical WITHIN a batch
+    * (both pick min-ts); across batches an append-only sink cannot
+    * retract, so an earlier-batch row shadows a later smaller-ts
+    * duplicate — divergence is confined to cross-batch re-stamped
+    * retries (CollectorMainSpec pins the within-batch equality). */
+  def runFileIngestKeeper(spark: SparkSession, srcDir: String, schema: StructType,
+                          payloadSchema: StructType, dest: String, checkpoint: String,
+                          compression: String = "zstd",
+                          keys: Seq[String] = Seq("event_id"),
+                          tsCol: String = "ts"): StreamingQuery = {
+    val raw = spark.readStream.schema(schema).parquet(srcDir)
+    val q = raw.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val decoded = decodeAndDatePartition(batch, payloadSchema)
+        val keep = graft.ingest.Dedup.dedupKeepFirst(
+          decoded, keys.map(col), col(tsCol))
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        val novel =
+          if (fs.exists(new org.apache.hadoop.fs.Path(dest)))
+            keep.join(spark.read.parquet(dest).select(keys.map(col): _*)
+              .dropDuplicates(keys), keys, "left_anti")
+          else keep
+        novel.write.mode("append")
+          .option("compression", compression)
+          .partitionBy("date_path").parquet(dest)
+      }
+      .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()

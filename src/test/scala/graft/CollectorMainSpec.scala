@@ -64,6 +64,35 @@ class CollectorMainSpec extends SparkSpec {
     }
   }
 
+  test("within-batch keeper equality: inline picks the deferred min-ts representative") {
+    // duplicates that DISAGREE on ts and payload (re-stamped producer
+    // retries) inside ONE micro-batch: both modes must keep the SAME
+    // canonical min-ts row — the r11 contract divergence, now closed for
+    // everything except cross-batch retries (which deferred alone can
+    // re-arbitrate; see CollectorMain's keeper contract comment)
+    val base = Tables(spark, sf001, "events").orderBy("event_id").limit(30)
+    val restamped = base
+      .withColumn("ts", org.apache.spark.sql.functions.expr("ts + INTERVAL 1 HOUR"))
+      .withColumn("value", col("value") + 1000)
+    def lakeOf(deferred: Boolean): Map[Long, (java.sql.Timestamp, Double)] = {
+      val work = Files.createTempDirectory(s"collector5$deferred").toString
+      base.unionAll(restamped).write.parquet(s"$work/src")
+      val cfg = GraftConfig(outputDir = s"$work/out",
+        skipValidation = false, skipDeduplication = deferred)
+      CollectorMain.run(spark, cfg, "file", s"$work/src")
+      spark.read.parquet(s"$work/out/lake").select("event_id", "ts", "value")
+        .collect().map(r => (r.getLong(0), (r.getTimestamp(1), r.getDouble(2)))).toMap
+    }
+    val inline = lakeOf(deferred = false)
+    val deferredLake = lakeOf(deferred = true)
+    assert(inline == deferredLake,
+      "inline and deferred modes must keep identical within-batch representatives")
+    // and the representative is the ORIGINAL min-ts row, never the retry
+    val want = base.select("event_id", "ts", "value")
+      .collect().map(r => (r.getLong(0), (r.getTimestamp(1), r.getDouble(2)))).toMap
+    assert(inline == want, "keeper must be the min-ts original")
+  }
+
   test("deferred-dedup swap keeps the WHOLE lake visible through a later incremental drain") {
     // the regression this pins: the stage-and-swap rewrite replaces every
     // part file, so the streaming sink's _spark_metadata log (which lists
