@@ -32,6 +32,10 @@ object ScaleGen {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.compression.codec", "zstd")
+      // Spark's default timestamp output is INT96, which carries NO
+      // logical-type annotation — Tables.sniffTsUnit refuses to guess on
+      // it (by design). Write annotated micros like the driver testdata.
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -42,8 +46,10 @@ object ScaleGen {
       df.repartition(parts).write.mode("overwrite")
         .option("compression", "zstd").parquet(s"$dest/$name.parquet")
 
-    // small dims verbatim — FK targets for the unshifted keys
-    for (t <- Seq("region", "nation", "customer", "supplier", "part"))
+    // small dims verbatim — FK targets for the unshifted keys (customer
+    // is NOT here: it shares the user/customer id space with
+    // events.user_id and orders.o_custkey, which shards — see below)
+    for (t <- Seq("region", "nation", "supplier", "part"))
       out(spark.read.parquet(s"$src/$t.parquet"), t, 1)
 
     // documents: shard the id space; replica r>0 suffixes every token
@@ -70,25 +76,41 @@ object ScaleGen {
           .as("embedding"),
         $"label"), "embeddings", 4)
 
+    // the user/customer id space is SHARED across events.user_id,
+    // orders.o_custkey and customer.c_custkey (the as-of/cohort joins
+    // ride it) — one shift base for all three, or per-user order
+    // history DENSIFIES k× instead of sharding (measured: the composed
+    // as-of join's pair count grew 10× from exactly this mistake in the
+    // first generator cut)
+    val ev = Tables(spark, src, "events") // normalizes the ts encoding
+    val cust = spark.read.parquet(s"$src/customer.parquet")
+    val ord = spark.read.parquet(s"$src/orders.parquet")
+    val uMax = math.max(
+      math.max(ev.agg(max($"user_id")).head.getLong(0),
+        cust.agg(max($"c_custkey")).head.getLong(0)),
+      ord.agg(max($"o_custkey")).head.getLong(0)) + 1
+
     // events: shard event AND user id spaces (k disjoint user
     // populations), shift ts by rep minutes so time windows interleave
-    val ev = Tables(spark, src, "events") // normalizes the ts encoding
     val eMax = ev.agg(max($"event_id")).head.getLong(0) + 1
-    val uMax = ev.agg(max($"user_id")).head.getLong(0) + 1
     out(ev.crossJoin(reps)
       .select(($"event_id" + $"rep" * eMax).as("event_id"),
         expr("timestampadd(MINUTE, CAST(rep AS INT), ts)").as("ts"),
         ($"user_id" + $"rep" * uMax).as("user_id"),
         $"event_type", $"value", $"props"), "events", 8)
 
+    out(cust.crossJoin(reps)
+      .select(($"c_custkey" + $"rep" * uMax).as("c_custkey"),
+        $"c_name", $"c_nationkey", $"c_acctbal", $"c_mktsegment"), "customer", 2)
+
     // orders + lineitem: one shared orderkey shift (FK preserved);
     // partkeys shard too, so the co-purchase graph scales as k disjoint
     // copies (constant degree) rather than densifying
-    val ord = spark.read.parquet(s"$src/orders.parquet")
     val oMax = ord.agg(max($"o_orderkey")).head.getLong(0) + 1
     out(ord.crossJoin(reps)
       .select(($"o_orderkey" + $"rep" * oMax).as("o_orderkey"),
-        $"o_custkey", $"o_orderstatus", $"o_totalprice", $"o_orderdate",
+        ($"o_custkey" + $"rep" * uMax).as("o_custkey"),
+        $"o_orderstatus", $"o_totalprice", $"o_orderdate",
         $"o_orderpriority"), "orders", 8)
     val li = spark.read.parquet(s"$src/lineitem.parquet")
     val pMax = li.agg(max($"l_partkey")).head.getLong(0) + 1
