@@ -128,16 +128,39 @@ object Bench {
     // intersection. Flagging is noise-band aware (the same suite has
     // measured 147-190 s on this shared host): a regression needs the
     // old time ≥ 0.3 s, a ≥ 30% slowdown AND ≥ 0.3 s absolute growth.
+    // A CURRENT-round artifact can already sit in the cwd (the driver
+    // writes BENCH_r{N}.json mid-round; a second bench run would then
+    // self-compare and mask drift vs the actual previous round). The
+    // previous round's artifact is distinguishable mechanically: it is
+    // COMMITTED (the driver commits each round's artifacts at round
+    // end), while the current round's is still untracked — so prefer
+    // the highest-numbered git-tracked artifact, falling back to the
+    // plain newest when git is unavailable.
     val prevFile = sys.env.get("SPARK_GRAFT_PREV").orElse {
-      Option(new java.io.File(".").listFiles())
-        .map(_.filter(_.getName.matches("BENCH_r\\d+\\.json"))
-          .sortBy(f => f.getName.replaceAll("\\D", "").toInt))
-        .flatMap(_.lastOption).map(_.getPath)
+      val all = Option(new java.io.File(".").listFiles()).toSeq.flatten
+        .filter(_.getName.matches("BENCH_r\\d+\\.json"))
+        .sortBy(f => f.getName.replaceAll("\\D", "").toInt)
+      val tracked = try {
+        import scala.sys.process._
+        val out = Seq("git", "ls-files", "--", "BENCH_r*.json").!!(ProcessLogger(_ => ()))
+        Some(out.split("\n").map(_.trim).filter(_.nonEmpty).toSet)
+      } catch { case scala.util.control.NonFatal(_) => None }
+      val candidates = tracked match {
+        case Some(ts) if all.exists(f => ts.contains(f.getName)) =>
+          all.filter(f => ts.contains(f.getName))
+        case _ => all
+      }
+      candidates.lastOption.map(_.getPath)
     }
+    // The committed artifacts EMBED this program's JSON line inside a
+    // driver envelope with escaped quotes (`\"q_x\":1.2`) — the quotes in
+    // the pattern are therefore optionally backslash-prefixed, or the
+    // parse silently matches nothing and the self-report goes vacuous
+    // (which is exactly what happened to the r12 comparison).
     val prev: Map[String, Double] = prevFile.map { p =>
       try {
         val txt = scala.io.Source.fromFile(p).mkString
-        """"(q1_agg|q_[a-z0-9_]+)":([0-9][0-9.eE-]*)""".r
+        """\\?"(q1_agg|q_[a-z0-9_]+)\\?":([0-9][0-9.eE-]*)""".r
           .findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
       } catch { case scala.util.control.NonFatal(_) => Map.empty[String, Double] }
     }.getOrElse(Map.empty)

@@ -76,7 +76,7 @@ object CollectorMain {
     *    and subsequent drains both see the whole lake. */
   private def dedupLakeInPlace(spark: SparkSession, dest: String, compression: String): Unit = {
     import org.apache.hadoop.fs.Path
-    import org.apache.spark.sql.execution.streaming.sinks.{FileStreamSinkLog, SinkFileStatus}
+    import org.apache.spark.sql.execution.streaming.sinks.FileStreamSinkLog
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val destPath = new Path(dest)
     val tmp = new Path(dest + ".rewrite")
@@ -106,21 +106,10 @@ object CollectorMain {
           (if (rolledBack) "original lake restored"
            else s"MANUAL ACTION REQUIRED: the lake is intact at $old"))
     }
-    // rebuild the sink metadata log over the rewritten files (see scaladoc)
-    latestBatch.foreach { id =>
-      def dataFiles(p: Path): Seq[org.apache.hadoop.fs.FileStatus] =
-        fs.listStatus(p).toSeq
-          .filterNot(st => st.getPath.getName.startsWith("_") || st.getPath.getName.startsWith("."))
-          .flatMap(st => if (st.isDirectory) dataFiles(st.getPath) else Seq(st))
-      val entries = dataFiles(destPath).map(SinkFileStatus.apply).toArray
-      val log = new FileStreamSinkLog(FileStreamSinkLog.VERSION, spark, metaDir.toString, None)
-      (0L to id).foreach { b =>
-        if (!log.add(b, if (b == id) entries else Array.empty[SinkFileStatus]))
-          throw new IllegalStateException(
-            s"rebuilding $metaDir failed at batch $b — the lake files are " +
-              s"correct but the sink log is partial; backup retained at $old")
-      }
-    }
+    // rebuild the sink metadata log over the rewritten files (see
+    // scaladoc; shared with the inline keeper's reconciliation)
+    latestBatch.foreach(id =>
+      graft.sources.LakeWriter.rebuildSinkLog(spark, dest, id))
     // only discard the backup once the swapped lake is verifiably there
     if (!fs.exists(destPath))
       throw new IllegalStateException(
@@ -164,9 +153,12 @@ object CollectorMain {
         // inline mode now applies the SAME min-ts keeper as the
         // deferred rewrite WITHIN each micro-batch
         // (IngestPipeline.runFileIngestKeeper — dedupKeepFirst per
-        // batch + anti-join against landed keys), so the two modes pick
-        // identical representatives for every within-batch duplicate
-        // (CollectorMainSpec pins the equality). The residual
+        // batch + a persisted id-bloom guard whose misses skip the lake
+        // entirely and whose hits pay one column-pruned anti-join), so
+        // the two modes pick identical representatives for every
+        // within-batch duplicate (CollectorMainSpec pins the equality)
+        // and inline mode stays O(batch) per trigger even on a
+        // forever-running stream. The residual
         // divergence is cross-batch only: an append-only sink cannot
         // retract a landed row when a smaller-ts duplicate arrives in a
         // LATER batch, while deferred re-arbitrates globally. For

@@ -3,29 +3,45 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Scale-up generator for the empirical scaling harness: replicates a
-  * testdata lake `k`× as DISJOINT SHARDS — every id space shifted per
-  * replica, document tokens suffixed per replica (replica 0 verbatim),
-  * embeddings jittered per replica — so the scaled lake has `k`× the
-  * rows with the ORIGINAL's per-shard statistical structure (dup rate,
-  * degree distribution, label balance) and no cross-shard interactions.
-  * This is the "10× more sources" growth regime: scaling exponents
-  * measured on it capture how each operator's shuffles/aggregates grow
-  * with n. (It deliberately does NOT model densification — global dup
-  * multiplicity and graph degree stay constant — which COVERAGE.md's
-  * scaling table states next to the numbers.)
+/** Scale-up generator for the empirical scaling harness, with two growth
+  * regimes:
   *
-  * Usage: `runMain graft.ScaleGen <srcSfDir> <destDir> [k=10]`. Writes
-  * parquet table directories the [[Tables]] loader reads like any sf
-  * dir. Only ever writes under the repo (e.g. `target/sf1`) — testdata
-  * itself is read-only.
+  * DEFAULT (disjoint shards): replicates a testdata lake `k`× with every
+  * id space shifted per replica, document tokens suffixed per replica
+  * (replica 0 verbatim), embeddings jittered per replica — so the scaled
+  * lake has `k`× the rows with the ORIGINAL's per-shard statistical
+  * structure (dup rate, degree distribution, label balance) and no
+  * cross-shard interactions. This is the "10× more sources" growth
+  * regime: scaling exponents measured on it capture how each operator's
+  * shuffles/aggregates grow with n.
+  *
+  * `--densify`: the complementary regime the shard mode deliberately
+  * avoids — per-item MULTIPLICITY grows with k instead of source count.
+  * Documents and embeddings replicate VERBATIM (ids still shifted, so
+  * row identity survives, but every text / vector now has k exact
+  * copies: duplicate groups, near-dup neighborhoods and ANN candidate
+  * lists all grow k×), and lineitem keeps ONE SHARED partkey space (the
+  * co-purchase graph densifies: per-part support, degree, and triangle
+  * counts grow with k instead of sharding into k disjoint copies).
+  * Orders/events/customers still shard (per-user history growing k× is
+  * a generator artifact, not a regime — measured as a 34× as-of-join
+  * inflation in the first generator cut). This is the regime where
+  * group-bounded windows (dedup keepers, per-key dedup ranks, basket
+  * explodes) would go super-linear first; COVERAGE.md carries the
+  * measured exponents.
+  *
+  * Usage: `runMain graft.ScaleGen <srcSfDir> <destDir> [k=10] [--densify]`.
+  * Writes parquet table directories the [[Tables]] loader reads like any
+  * sf dir. Only ever writes under the repo (e.g. `target/sf1`) —
+  * testdata itself is read-only.
   */
 object ScaleGen {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: ScaleGen <srcSfDir> <destDir> [k]")
+    require(args.length >= 2, "usage: ScaleGen <srcSfDir> <destDir> [k] [--densify]")
     val src = args(0)
     val dest = args(1)
-    val k = if (args.length > 2) args(2).toInt else 10
+    val densify = args.contains("--densify")
+    val k = args.drop(2).filterNot(_.startsWith("--")).headOption.map(_.toInt).getOrElse(10)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -48,32 +64,41 @@ object ScaleGen {
 
     // small dims verbatim — FK targets for the unshifted keys (customer
     // is NOT here: it shares the user/customer id space with
-    // events.user_id and orders.o_custkey, which shards — see below)
-    for (t <- Seq("region", "nation", "supplier", "part"))
+    // events.user_id and orders.o_custkey, which shards — see below;
+    // part is NOT here either: its key space must follow l_partkey —
+    // shifted per replica in shard mode, shared in densify mode)
+    for (t <- Seq("region", "nation", "supplier"))
       out(spark.read.parquet(s"$src/$t.parquet"), t, 1)
 
-    // documents: shard the id space; replica r>0 suffixes every token
-    // (replica-disjoint vocab — per-shard dup/ngram structure identical
-    // to the original, zero cross-shard near-dups); n_chars recomputed
+    // documents: shard the id space; in SHARD mode replica r>0 suffixes
+    // every token (replica-disjoint vocab — per-shard dup/ngram structure
+    // identical to the original, zero cross-shard near-dups; n_chars
+    // recomputed); in DENSIFY mode the text replicates VERBATIM, so every
+    // document gains k−1 exact copies and duplicate multiplicity grows k×
     val docs = spark.read.parquet(s"$src/documents.parquet")
     val dMax = docs.agg(max($"doc_id")).head.getLong(0) + 1
+    val scaledText =
+      if (densify) $"text"
+      else when($"rep" === 0, $"text").otherwise(expr(
+        "array_join(transform(split(text, ' '), t -> concat(t, 'x', CAST(rep AS STRING))), ' ')"))
     out(docs.crossJoin(reps)
       .select(($"doc_id" + $"rep" * dMax).as("doc_id"),
-        when($"rep" === 0, $"text").otherwise(expr(
-          "array_join(transform(split(text, ' '), t -> concat(t, 'x', CAST(rep AS STRING))), ' ')"))
-          .as("text"),
+        scaledText.as("text"),
         $"lang", $"source")
       .withColumn("n_chars", length($"text").cast("long")), "documents", 8)
 
-    // embeddings: shard ids, jitter values per replica (keeps vectors
-    // distinct so ANN neighborhoods are not k-fold degenerate), labels
-    // unchanged (label groups grow k× in balance)
+    // embeddings: shard ids; SHARD mode jitters values per replica (keeps
+    // vectors distinct so ANN neighborhoods are not k-fold degenerate);
+    // DENSIFY mode replicates vectors verbatim — every neighborhood and
+    // cosine-duplicate group grows k×. Labels unchanged either way.
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
     val vMax = emb.agg(max($"vec_id")).head.getLong(0) + 1
+    val scaledEmb =
+      if (densify) $"embedding"
+      else expr("transform(embedding, x -> CAST(x + rep * CAST(0.0009765625 AS FLOAT) AS FLOAT))")
     out(emb.crossJoin(reps)
       .select(($"vec_id" + $"rep" * vMax).as("vec_id"),
-        expr("transform(embedding, x -> CAST(x + rep * CAST(0.0009765625 AS FLOAT) AS FLOAT))")
-          .as("embedding"),
+        scaledEmb.as("embedding"),
         $"label"), "embeddings", 4)
 
     // the user/customer id space is SHARED across events.user_id,
@@ -103,9 +128,14 @@ object ScaleGen {
       .select(($"c_custkey" + $"rep" * uMax).as("c_custkey"),
         $"c_name", $"c_nationkey", $"c_acctbal", $"c_mktsegment"), "customer", 2)
 
-    // orders + lineitem: one shared orderkey shift (FK preserved);
-    // partkeys shard too, so the co-purchase graph scales as k disjoint
-    // copies (constant degree) rather than densifying
+    // orders + lineitem: one shared orderkey shift (FK preserved). SHARD
+    // mode shifts partkeys too — the co-purchase graph scales as k
+    // disjoint copies (constant degree); the part DIMENSION replicates
+    // with the SAME shift (one shared pMax base across part and
+    // lineitem), or every replica r>0 would carry dangling part FKs and
+    // part-joining queries would silently measure a 1/k-pruned join.
+    // DENSIFY mode keeps ONE partkey space (part verbatim, l_partkey
+    // unshifted): per-part co-purchase support and degree grow k×.
     val oMax = ord.agg(max($"o_orderkey")).head.getLong(0) + 1
     out(ord.crossJoin(reps)
       .select(($"o_orderkey" + $"rep" * oMax).as("o_orderkey"),
@@ -113,15 +143,24 @@ object ScaleGen {
         $"o_orderstatus", $"o_totalprice", $"o_orderdate",
         $"o_orderpriority"), "orders", 8)
     val li = spark.read.parquet(s"$src/lineitem.parquet")
-    val pMax = li.agg(max($"l_partkey")).head.getLong(0) + 1
+    val part = spark.read.parquet(s"$src/part.parquet")
+    val pMax = math.max(
+      li.agg(max($"l_partkey")).head.getLong(0),
+      part.agg(max($"p_partkey")).head.getLong(0)) + 1
+    if (densify) out(part, "part", 1)
+    else out(part.crossJoin(reps)
+      .select((($"p_partkey" + $"rep" * pMax).as("p_partkey") +:
+        part.columns.filter(_ != "p_partkey").map(col).toSeq): _*), "part", 1)
+    val liPartkey = if (densify) $"l_partkey" else $"l_partkey" + $"rep" * pMax
     out(li.crossJoin(reps)
       .select(($"l_orderkey" + $"rep" * oMax).as("l_orderkey"),
-        ($"l_partkey" + $"rep" * pMax).as("l_partkey"),
+        liPartkey.as("l_partkey"),
         $"l_suppkey", $"l_linenumber", $"l_quantity", $"l_extendedprice",
         $"l_discount", $"l_tax", $"l_returnflag", $"l_linestatus", $"l_shipdate"),
       "lineitem", 16)
 
-    println(s"[scalegen] wrote ${k}x of $src to $dest")
+    println(s"[scalegen] wrote ${k}x of $src to $dest" +
+      (if (densify) " (densify regime)" else " (disjoint-shard regime)"))
     spark.stop()
   }
 }

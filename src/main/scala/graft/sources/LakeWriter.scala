@@ -214,4 +214,51 @@ object LakeWriter {
     fs.rename(tmp, new Path(path))
     fs.delete(old, true)
   }
+
+  /** Committed data files under a lake directory, recursively — skipping
+    * metadata (`_spark_metadata`, `_batches`, `_idbloom`, `_temporary`)
+    * and hidden files. The listing a sink-log rebuild and the mixed-mode
+    * guards reason over. */
+  def listDataFiles(fs: FileSystem, dest: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+    if (!fs.exists(dest)) Nil
+    else fs.listStatus(dest).toSeq
+      .filterNot(st => st.getPath.getName.startsWith("_") || st.getPath.getName.startsWith("."))
+      .flatMap(st => if (st.isDirectory) listDataFiles(fs, st.getPath) else Seq(st))
+
+  /** Rebuild a streaming FileStreamSink's `_spark_metadata` log so it
+    * lists EXACTLY the data files currently under `dest`, replaying batch
+    * ids 0..`latestBatchId` (empty deltas + the full listing at the
+    * latest id) through Spark's own `FileStreamSinkLog`.
+    *
+    * Why this exists: every `spark.read.parquet(dest)` on a directory
+    * with a sink log resolves THROUGH the log — files the log does not
+    * list are silently invisible, and a log listing replaced/removed
+    * files breaks reads. Two writers make the log stale by construction:
+    * an in-place dedup rewrite (every part file replaced — the
+    * CollectorMain deferred pass) and the inline keeper's plain
+    * foreachBatch appends landing next to a log a previous deferred
+    * drain created. Both call this after mutating the files.
+    *
+    * `latestBatchId` must be ≥ the checkpoint's last committed batch if
+    * a FileStreamSink drain may later resume against this lake (the sink
+    * skips batch ids already in the log — a TOO-LOW id would make it
+    * skip real batches). A pre-existing log is deleted first; the
+    * crash window between delete and rebuild leaves NO log, which plain
+    * readers treat as a normal parquet directory (all files visible) —
+    * degraded to safe. */
+  def rebuildSinkLog(spark: SparkSession, dest: String, latestBatchId: Long): Unit = {
+    import org.apache.spark.sql.execution.streaming.sinks.{FileStreamSinkLog, SinkFileStatus}
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val destPath = new Path(dest)
+    val metaDir = new Path(destPath, "_spark_metadata")
+    if (fs.exists(metaDir)) fs.delete(metaDir, true)
+    val entries = listDataFiles(fs, destPath).map(SinkFileStatus.apply).toArray
+    val log = new FileStreamSinkLog(FileStreamSinkLog.VERSION, spark, metaDir.toString, None)
+    (0L to latestBatchId).foreach { b =>
+      if (!log.add(b, if (b == latestBatchId) entries else Array.empty[SinkFileStatus]))
+        throw new IllegalStateException(
+          s"rebuilding $metaDir failed at batch $b — the lake files are " +
+            "correct but the sink log is partial; rerun the rebuild")
+    }
+  }
 }

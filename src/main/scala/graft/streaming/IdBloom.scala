@@ -1,0 +1,237 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
+
+/** Persisted first-write-wins id guard shared by the streaming admission
+  * paths ([[NearDupStream]]'s doc_id guard, [[IngestPipeline]]'s inline
+  * keeper): a generation'd Bloom filter lake (`<lake>/_idbloom/...`) with
+  * a single sizing ledger, optionally RANGE-SHARDED by id once a monolith
+  * bloom would grow past `shardMaxItems`.
+  *
+  * Contract (identical to the unsharded original): a bloom MISS is
+  * definitely-new (no false negatives — every admitted id is in its
+  * shard's latest generation); only hits pay an exact confirm against the
+  * lake. A false positive can never drop a new row; the degradation mode
+  * of any sizing/shard imbalance is extra exact confirms, never a dropped
+  * or duplicated row.
+  *
+  * Sharding, when active (`Sizing.width` > 0): ids map to shards by
+  * ARITHMETIC RIGHT SHIFT — `shard = id >> log2(width)` with `width` a
+  * power of two, which is exact floor division for every long (including
+  * negatives, where `floor(x / w) != x DIV w`). Each shard keeps its own
+  * generation chain under `_idbloom/s<shard>/<batchId>`; a batch loads
+  * ONLY the shards its own ids touch, so with locality-bearing ids
+  * (monotonic producer ids, time-prefixed ids) per-batch probe I/O stays
+  * constant as the lake grows — the monolith's plan-literal probe grows
+  * with lake size and gets heavy past a few hundred MB. Ids without
+  * locality still work (every batch touches every shard); the win is
+  * then only that no single literal exceeds the per-shard capacity.
+  *
+  * Layout:
+  *   - `_idbloom/_sizing` — `items fpp count width` (one line; `items` is
+  *     the PER-SHARD capacity, `count` the lake-wide admitted ids,
+  *     `width` the shard width, 0 = unsharded). Legacy 3-field ledgers
+  *     read as width 0.
+  *   - unsharded generations: `_idbloom/<batchId>` (the original layout).
+  *   - sharded generations: `_idbloom/s<shard>/<batchId>`.
+  *
+  * All small files land via tmp+rename ([[atomicWrite]]) — atomic on
+  * HDFS/POSIX; a torn newest generation on a filesystem without atomic
+  * rename is skipped in favor of the next-lower one, which is sound
+  * because a torn generation implies its batch's done marker never
+  * landed, so that batch replays and rewrites both appends and blooms.
+  */
+object IdBloom {
+
+  /** Sizing ledger row. `items` = per-shard bloom capacity; `count` =
+    * admitted ids lake-wide; `width` = range-shard width (power of two;
+    * 0 = unsharded monolith). */
+  case class Sizing(items: Long, fpp: Double, count: Long, width: Long) {
+    def sharded: Boolean = width > 0
+    def shardBits: Int = if (width <= 0) 0 else java.lang.Long.numberOfTrailingZeros(width)
+  }
+
+  def shardOf(id: Long, width: Long): Long =
+    if (width <= 0) 0L
+    else id >> java.lang.Long.numberOfTrailingZeros(width)
+
+  private def genDir(lakeDir: String, shard: Long, width: Long): Path =
+    if (width <= 0) new Path(s"$lakeDir/_idbloom")
+    else new Path(s"$lakeDir/_idbloom/s$shard")
+
+  // ---- tiny-file IO ----------------------------------------------------
+
+  /** Write `bytes` at `dest` atomically: tmp file in the same directory,
+    * then rename (deleting a stale dest first — that only happens on
+    * crash REPLAY, where the done marker is absent and the whole batch
+    * re-runs, so a crash inside the delete+rename window just repeats
+    * the replay). */
+  def atomicWrite(fs: FileSystem, dest: Path, bytes: Array[Byte]): Unit = {
+    val tmp = new Path(dest.getParent, s".tmp-${dest.getName}")
+    val out = fs.create(tmp, true)
+    try out.write(bytes) finally out.close()
+    if (fs.exists(dest)) fs.delete(dest, false)
+    if (!fs.rename(tmp, dest)) throw new java.io.IOException(s"rename $tmp -> $dest failed")
+  }
+
+  def readSmall(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](8192)
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      new String(buf.toByteArray, UTF_8)
+    } finally in.close()
+  }
+
+  def bloomBytes(bf: BloomFilter): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    bf.writeTo(out); out.toByteArray
+  }
+
+  // ---- sizing ledger ---------------------------------------------------
+
+  def readSizing(fs: FileSystem, lakeDir: String): Option[Sizing] = {
+    val p = new Path(s"$lakeDir/_idbloom/_sizing")
+    if (!fs.exists(p)) None
+    else {
+      val parts = readSmall(fs, p).trim.split("\\s+")
+      Some(Sizing(parts(0).toLong, parts(1).toDouble, parts(2).toLong,
+        if (parts.length > 3) parts(3).toLong else 0L))
+    }
+  }
+
+  def writeSizing(fs: FileSystem, lakeDir: String, s: Sizing): Unit = {
+    require(s.width == 0 || java.lang.Long.bitCount(s.width) == 1,
+      s"shard width must be a power of two (got ${s.width}) — shardOf is an arithmetic shift")
+    atomicWrite(fs, new Path(s"$lakeDir/_idbloom/_sizing"),
+      s"${s.items} ${s.fpp} ${s.count} ${s.width}".getBytes(UTF_8))
+  }
+
+  // ---- generations -----------------------------------------------------
+
+  /** Latest READABLE generation for one shard (highest batchId file), or
+    * None on a fresh shard. Torn newest generations are skipped — see the
+    * object scaladoc for why that is sound. */
+  def latestGen(fs: FileSystem, lakeDir: String, shard: Long, width: Long): Option[BloomFilter] = {
+    val dir = genDir(lakeDir, shard, width)
+    if (!fs.exists(dir)) return None
+    val gens = fs.listStatus(dir).filter(_.isFile).map(_.getPath)
+      .filter(p => p.getName.nonEmpty && p.getName.forall(c => c.isDigit || c == '-'))
+      .sortBy(-_.getName.toLong)
+    gens.iterator.map { p =>
+      try {
+        val in = fs.open(p)
+        try Some(BloomFilter.readFrom(in)) finally in.close()
+      } catch { case scala.util.control.NonFatal(_) => None } // torn — fall back
+    }.collectFirst { case Some(bf) => bf }
+  }
+
+  def writeGen(fs: FileSystem, lakeDir: String, shard: Long, width: Long,
+               batchId: Long, bf: BloomFilter): Unit =
+    atomicWrite(fs, new Path(genDir(lakeDir, shard, width), batchId.toString), bloomBytes(bf))
+
+  /** Shard indices with an existing generation directory (sharded layout
+    * only) — the implicit capacity multiplier for the resize trigger. */
+  def presentShards(fs: FileSystem, lakeDir: String): Seq[Long] = {
+    val dir = new Path(s"$lakeDir/_idbloom")
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).filter(_.isDirectory).map(_.getPath.getName)
+      .filter(n => n.startsWith("s") && n.drop(1).nonEmpty
+        && n.drop(1).forall(c => c.isDigit || c == '-'))
+      .map(_.drop(1).toLong).toSeq.sorted
+  }
+
+  // ---- probing ---------------------------------------------------------
+
+  /** Distinct shards the frame's id column touches — ONE tiny job over
+    * what is always a micro-batch-sized frame (callers persist it first). */
+  def touchedShards(ids: DataFrame, idCol: String, sizing: Sizing): Seq[Long] =
+    if (!sizing.sharded) Seq(0L)
+    else ids.select(shiftright(col(idCol), sizing.shardBits).as("s"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+
+  /** Load the latest generation for each touched shard. */
+  def loadTouched(fs: FileSystem, lakeDir: String, shards: Seq[Long],
+                  sizing: Sizing): Map[Long, BloomFilter] =
+    shards.flatMap(s => latestGen(fs, lakeDir, s, sizing.width).map(s -> _)).toMap
+
+  /** Might-contain column over the loaded per-shard blooms. A row whose
+    * shard carries no generation is definitely-new (false) — every
+    * admitted id is in its shard's latest generation by construction. */
+  def probe(blooms: Map[Long, BloomFilter], idCol: Column, sizing: Sizing): Column = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.classic.{GraftExpressionBridge => Bridge}
+    import org.apache.spark.sql.types.BinaryType
+    def mc(bf: BloomFilter): Column = coalesce(Bridge.column(BloomFilterMightContain(
+      Literal(bloomBytes(bf), BinaryType), Bridge.expression(idCol))), lit(false))
+    if (!sizing.sharded) blooms.get(0L).map(mc).getOrElse(lit(false))
+    else {
+      val shardCol = shiftright(idCol, sizing.shardBits)
+      blooms.foldLeft(lit(false)) { case (acc, (s, bf)) =>
+        acc || (shardCol === lit(s) && mc(bf))
+      }
+    }
+  }
+
+  // ---- capacity rebuild / split -----------------------------------------
+
+  /** Rebuild the whole guard from the authoritative id frame (the lake's
+    * id column — which at call time already includes the current batch's
+    * admissions): a 4× monolith while that stays under `shardMaxItems`,
+    * otherwise a RANGE-SHARDED layout (split, or re-split at half the
+    * width when already sharded). Writes every shard's generation at
+    * `batchId` plus the new sizing, and returns it. Deterministic and
+    * atomic per file, so a crash replay re-runs the identical rebuild.
+    *
+    * Cost: one column-pruned id scan (cached) + one bloom build per
+    * present shard — amortized O(log n) full scans over the lake's
+    * lifetime, same as the monolith doubling schedule. Shard count is
+    * derived from the OBSERVED id span, so per-shard fill lands near
+    * `items/4` for uniform-in-span ids; skewed ids overfill some shards,
+    * which degrades their fpp (more exact confirms), never correctness. */
+  def rebuild(fs: FileSystem, lakeDir: String, ids: DataFrame, idCol: String,
+              batchId: Long, cur: Sizing, newCount: Long,
+              shardMaxItems: Long): Sizing = {
+    val targetItems = 4L * math.max(cur.items, newCount)
+    if (!cur.sharded && targetItems <= shardMaxItems) {
+      val bf = ids.stat.bloomFilter(idCol, targetItems, cur.fpp)
+      val s = Sizing(targetItems, cur.fpp, newCount, 0L)
+      writeGen(fs, lakeDir, 0L, 0L, batchId, bf)
+      writeSizing(fs, lakeDir, s)
+      s
+    } else {
+      val perShard = math.min(math.max(cur.items, 1L << 10), shardMaxItems)
+      val cached = ids.persist()
+      try {
+        val mm = cached.agg(min(col(idCol)).as("lo"), max(col(idCol)).as("hi")).head()
+        val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+        // span as BigInt: hi - lo overflows long when ids straddle the
+        // full range (hashed ids)
+        val span = BigInt(hi) - BigInt(lo) + 1
+        val wantShards = math.max(2L, (4L * newCount + perShard - 1) / perShard)
+        // smallest power-of-two width giving at least wantShards over the span
+        var width = java.lang.Long.highestOneBit(math.max(1L,
+          (span / wantShards).min(BigInt(Long.MaxValue / 2)).toLong))
+        if (width < 1L) width = 1L
+        val sNew = Sizing(perShard, cur.fpp, newCount, width)
+        val bits = sNew.shardBits
+        val shards = cached.select(shiftright(col(idCol), bits).as("s"))
+          .distinct().collect().map(_.getLong(0))
+        shards.foreach { sh =>
+          val bf = cached.filter(shiftright(col(idCol), bits) === lit(sh))
+            .stat.bloomFilter(idCol, perShard, cur.fpp)
+          writeGen(fs, lakeDir, sh, width, batchId, bf)
+        }
+        writeSizing(fs, lakeDir, sNew)
+        sNew
+      } finally cached.unpersist()
+    }
+  }
+}

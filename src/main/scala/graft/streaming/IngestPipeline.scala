@@ -61,6 +61,49 @@ object IngestPipeline {
                     payloadSchema: StructType, dest: String, checkpoint: String,
                     compression: String = "zstd",
                     dedupKeys: Seq[String] = Nil): StreamingQuery = {
+    // MIXED-MODE GUARD: a FileStreamSink resolves reads through its
+    // `_spark_metadata` log, so data files the log does not list (the
+    // inline keeper's plain appends, or any foreign writer's) are
+    // silently invisible to every spark.read — the same corruption class
+    // the deferred-dedup swap rebuild closes. When the checkpoint has
+    // committed batches (same-checkpoint resume after keeper-mode
+    // drains), rebuild the log over the full listing at the last
+    // committed id — the sink then resumes at the next id and never
+    // skips a real batch. A FRESH checkpoint over un-logged files has no
+    // safe anchor id (a seeded log would make the sink skip its first
+    // batches as "already committed") → fail loudly.
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val destPath = new org.apache.hadoop.fs.Path(dest)
+    val dataFiles = graft.sources.LakeWriter.listDataFiles(fs, destPath)
+    if (dataFiles.nonEmpty) {
+      import org.apache.spark.sql.execution.streaming.sinks.FileStreamSinkLog
+      val metaDir = new org.apache.hadoop.fs.Path(destPath, "_spark_metadata")
+      val log =
+        if (fs.exists(metaDir))
+          Some(new FileStreamSinkLog(FileStreamSinkLog.VERSION, spark, metaDir.toString, None))
+        else None
+      // compare scheme-less path parts: the sink records fully-qualified
+      // URIs whose scheme/authority spelling can differ from a fresh
+      // listStatus of the same filesystem
+      val logged = log.map(_.allFiles()
+        .map(s => new org.apache.hadoop.fs.Path(s.path).toUri.getPath).toSet)
+        .getOrElse(Set.empty[String])
+      val unlogged = dataFiles.filterNot(st => logged.contains(st.getPath.toUri.getPath))
+      if (unlogged.nonEmpty) {
+        latestCommittedBatch(fs, checkpoint) match {
+          case Some(k) =>
+            val anchor = math.max(k, log.flatMap(_.getLatestBatchId()).getOrElse(0L))
+            graft.sources.LakeWriter.rebuildSinkLog(spark, dest, anchor)
+          case None => throw new IllegalStateException(
+            s"$dest holds ${unlogged.size} data files its streaming sink log does not list " +
+              "(inline-keeper appends or a foreign writer) and the checkpoint has no " +
+              "committed batches to anchor a rebuild — a fresh FileStreamSink drain would " +
+              "hide those files behind a log listing only its own batches. Re-run inline " +
+              "keeper mode, pick a fresh dest, or rebuild the log " +
+              "(LakeWriter.rebuildSinkLog) first.")
+        }
+      }
+    }
     val raw = spark.readStream.schema(schema).parquet(srcDir)
     val stream = if (dedupKeys.isEmpty) raw else raw.dropDuplicates(dedupKeys)
     val decoded = decodeAndDatePartition(stream, payloadSchema)
@@ -76,6 +119,18 @@ object IngestPipeline {
     q
   }
 
+  /** Last batch id with a commit marker under the checkpoint (the
+    * authoritative "this batch fully landed" record for both sink
+    * flavors), or None on a fresh/foreign checkpoint. */
+  private def latestCommittedBatch(fs: org.apache.hadoop.fs.FileSystem,
+                                   checkpoint: String): Option[Long] = {
+    val commits = new org.apache.hadoop.fs.Path(s"$checkpoint/commits")
+    if (!fs.exists(commits)) None
+    else fs.listStatus(commits).map(_.getPath.getName)
+      .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong)
+      .reduceOption(_ max _)
+  }
+
   /** Shared decode/flatten + date partition column (dash format: a
     * slashed partition VALUE percent-escapes in the directory name —
     * see LakeWriter.withDatePath's rationale). */
@@ -89,8 +144,8 @@ object IngestPipeline {
   /** File-drain ingest with the DEFERRED KEEPER AUTHORITY applied
     * inline: each micro-batch is reduced to its min-`tsCol` row per key
     * ([[graft.ingest.Dedup.dedupKeepFirst]] — byte-identical to the
-    * post-drain rewrite's choice), then anti-joined against the landed
-    * key column before a plain partitioned append.
+    * post-drain rewrite's choice), guarded by a persisted first-write-
+    * wins id bloom, and appended as plain partitioned parquet.
     *
     * Why not `dropDuplicates` + the exactly-once file sink
     * ([[runFileIngest]]'s inline path): streaming `dropDuplicates`
@@ -99,18 +154,33 @@ object IngestPipeline {
     * `min_by` aggregation would hold back every group until the
     * watermark passes it — on a run-once drain the tail would never
     * land). So this variant trades the FileStreamSink's metadata log
-    * for foreachBatch + one anti-join per batch, and the anti-join IS
-    * the idempotence story: a replayed batch's keys already landed, so
-    * the replay appends nothing — same convergence as the reference's
-    * lake-mined anti-join (`redpanda_to_parquet_collector.py:741-748`).
-    * A crashed append's partially committed task files are a consistent
-    * subset of the batch; the replay's anti-join completes the rest.
+    * for foreachBatch + the [[IdBloom]] guard.
     *
-    * Cost, stated: one column-pruned read of the lake's key column per
-    * micro-batch — the reference's in-memory ledger shape, acceptable
-    * for a run-once drain's handful of batches. A forever-running
-    * stream at lake scale should keep [[runFileIngest]]'s state-store
-    * dedup (or the NearDupStream bloom-guard pattern) instead.
+    * SCALE SHAPE (the NearDupStream bloom-guard pattern, shared via
+    * [[IdBloom]]): the lake keeps a generation'd bloom over
+    * `xxhash64(keys)` under `<dest>/_idbloom`. A bloom MISS is
+    * definitely-new and skips every lake read — the normal all-new
+    * batch touches NO lake-proportional state, so a forever-running
+    * stream stays O(batch) per trigger, not O(lake). Only bloom hits
+    * (true redeliveries + the fpp sliver) pay one column-pruned exact
+    * anti-join against the landed keys. Capacity rides the `_sizing`
+    * ledger with the 4× half-full rebuild.
+    *
+    * IDEMPOTENCE is batchId-keyed through the same `_batches` marker
+    * ledger as [[NearDupStream.processBatch]] (done marker → replay
+    * no-ops; started-without-done → crash replay runs the EXACT
+    * anti-join against landed keys, read with the batch's own decoded
+    * schema so a dest holding only uncommitted `_temporary` litter can
+    * never wedge the drain on schema inference), and a `_writer` stamp
+    * makes a reset/foreign checkpoint fail loudly instead of silently
+    * no-opping against stale done markers.
+    *
+    * MIXED-MODE: keeper appends land OUTSIDE any FileStreamSink
+    * `_spark_metadata` log a previous deferred drain created — readers
+    * resolving through the log would silently miss them, so after the
+    * drain the log (when present) is REBUILT over the full listing
+    * ([[graft.sources.LakeWriter.rebuildSinkLog]]); symmetrically,
+    * [[runFileIngest]] refuses/rebuilds over keeper-written files.
     *
     * KEEPER CONTRACT vs the deferred pass: identical WITHIN a batch
     * (both pick min-ts); across batches an append-only sink cannot
@@ -121,29 +191,162 @@ object IngestPipeline {
                           payloadSchema: StructType, dest: String, checkpoint: String,
                           compression: String = "zstd",
                           keys: Seq[String] = Seq("event_id"),
-                          tsCol: String = "ts"): StreamingQuery = {
+                          tsCol: String = "ts",
+                          bloomItems: Long = 1L << 22,
+                          bloomFpp: Double = 0.001): StreamingQuery = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.execution.streaming.sinks.FileStreamSinkLog
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val metaDir = new Path(s"$dest/_spark_metadata")
+    val hadSinkLog = fs.exists(metaDir)
     val raw = spark.readStream.schema(schema).parquet(srcDir)
     val q = raw.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val decoded = decodeAndDatePartition(batch, payloadSchema)
-        val keep = graft.ingest.Dedup.dedupKeepFirst(
-          decoded, keys.map(col), col(tsCol))
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          spark.sparkContext.hadoopConfiguration)
-        val novel =
-          if (fs.exists(new org.apache.hadoop.fs.Path(dest)))
-            keep.join(spark.read.parquet(dest).select(keys.map(col): _*)
-              .dropDuplicates(keys), keys, "left_anti")
-          else keep
-        novel.write.mode("append")
-          .option("compression", compression)
-          .partitionBy("date_path").parquet(dest)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        keeperBatch(spark, batch, batchId, payloadSchema, dest, checkpoint,
+          compression, keys, tsCol, bloomItems, bloomFpp)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    if (hadSinkLog) {
+      // inline-after-deferred: reconcile the pre-existing sink log with
+      // the keeper's appends so every reader (and a later deferred
+      // drain) sees the whole lake. Anchor at max(log latest, checkpoint
+      // latest) so a resumed FileStreamSink never collides with a
+      // rebuilt id. A crash before this rebuild leaves the stale log
+      // one more drain (the next keeper run rebuilds it) — within the
+      // same exposure window the deferred swap already carries.
+      val logLatest = new FileStreamSinkLog(
+        FileStreamSinkLog.VERSION, spark, metaDir.toString, None)
+        .getLatestBatchId().getOrElse(0L)
+      val anchor = math.max(logLatest, latestCommittedBatch(fs, checkpoint).getOrElse(0L))
+      graft.sources.LakeWriter.rebuildSinkLog(spark, dest, anchor)
+    }
     q
+  }
+
+  /** One keeper micro-batch — see [[runFileIngestKeeper]]'s contract.
+    * Package-visible for deterministic crash-state replay in specs. */
+  private[graft] def keeperBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
+                          payloadSchema: StructType, dest: String, checkpoint: String,
+                          compression: String, keys: Seq[String], tsCol: String,
+                          bloomItems: Long, bloomFpp: Double): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    // one writer per lake: batchIds are only unique per checkpoint, so a
+    // reset/foreign checkpoint restarting at 0 would silently no-op
+    // against the old done markers — fail loudly instead
+    val writerFile = new Path(s"$dest/_batches/_writer")
+    checkpointQueryId(fs, checkpoint).foreach { id =>
+      if (fs.exists(writerFile)) {
+        val existing = IdBloom.readSmall(fs, writerFile).trim
+        if (existing != id) throw new IllegalStateException(
+          s"lake $dest belongs to stream '$existing' but batch $batchId came from " +
+            s"stream '$id' — a reset/foreign checkpoint restarts batchIds and its " +
+            "batches would silently collide with this lake's marker ledger")
+      } else IdBloom.atomicWrite(fs, writerFile,
+        id.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    val started = new Path(s"$dest/_batches/$batchId.started")
+    val done = new Path(s"$dest/_batches/$batchId.done")
+    if (fs.exists(done)) return // fully landed — replay is a no-op
+    val crashReplay = fs.exists(started)
+    if (!crashReplay) {
+      val out = fs.create(started, true)
+      try out.hsync() catch { case _: UnsupportedOperationException => () }
+      out.close()
+    }
+
+    val decoded = decodeAndDatePartition(batch, payloadSchema)
+    val keep = graft.ingest.Dedup.dedupKeepFirst(decoded, keys.map(col), col(tsCol))
+    val keySchema = StructType(keep.schema.fields.filter(f => keys.contains(f.name)))
+    // landed keys, read with the KNOWN schema and only when committed
+    // data files exist: a crashed first append leaves dest with nothing
+    // but `_temporary` litter, where bare fs.exists + schema inference
+    // used to wedge the drain forever
+    def landedKeys: Option[DataFrame] =
+      if (graft.sources.LakeWriter.listDataFiles(fs, new Path(dest)).isEmpty) None
+      else Some(spark.read.schema(keySchema).parquet(dest).select(keys.map(col): _*))
+    val kh = xxhash64(keys.map(col): _*)
+    val sizing = IdBloom.readSizing(fs, dest)
+      .getOrElse(IdBloom.Sizing(bloomItems, bloomFpp, 0L, 0L))
+    val prevBloom = IdBloom.latestGen(fs, dest, 0L, 0L)
+    val novel0 =
+      if (crashReplay)
+        // partial appends possible — every landed key must be excluded
+        // exactly, so the replay pays the full column-pruned anti-join
+        landedKeys.map(lk => keep.join(lk, keys, "left_anti")).getOrElse(keep)
+      else prevBloom match {
+        case Some(bf) =>
+          val mc = IdBloom.probe(Map(0L -> bf), kh, sizing.copy(width = 0L))
+          val hits = keep.filter(mc)
+          if (hits.isEmpty) keep // all-new batch: zero lake reads
+          else landedKeys match {
+            case Some(lk) =>
+              keep.filter(!mc).unionByName(hits.join(lk, keys, "left_anti"))
+            case None => keep // bloom without data files: nothing landed
+          }
+        case None =>
+          // pre-bloom lake (or fresh): exact anti-join this once; the
+          // guard update below adopts the FULL lake so misses stay sound
+          landedKeys.map(lk => keep.join(lk, keys, "left_anti")).getOrElse(keep)
+      }
+    // the append below changes dest, and novel's lineage may read dest
+    // (anti-join) — recacheByPath would silently recompute it against
+    // the post-append lake, so sever the lineage first
+    val novel = novel0.localCheckpoint(true)
+    try {
+      val nNovel = novel.count()
+      if (nNovel > 0)
+        novel.write.mode("append").option("compression", compression)
+          .partitionBy("date_path").parquet(dest)
+      // guard update AFTER the append, BEFORE the done marker: a crash
+      // in between replays the batch through the exact anti-join (no-op
+      // appends) and rewrites the generation — same protocol as
+      // NearDupStream. Keeper blooms stay UNSHARDED (hashed keys carry
+      // no range locality to exploit): monolith 4× growth only.
+      val lakeIds = () => spark.read.schema(keySchema).parquet(dest)
+        .select(kh.as("_kh"))
+      if (prevBloom.isEmpty) {
+        // first build / legacy-lake adoption: size off the exact landed
+        // count (keys are unique in the lake by construction)
+        val cnt = landedKeys.map(_.count()).getOrElse(0L)
+        if (cnt > 0) {
+          val items = math.max(sizing.items,
+            if (cnt * 2 >= sizing.items) 4L * cnt else 0L)
+          val bf = lakeIds().stat.bloomFilter("_kh", items, sizing.fpp)
+          IdBloom.writeGen(fs, dest, 0L, 0L, batchId, bf)
+          IdBloom.writeSizing(fs, dest, IdBloom.Sizing(items, sizing.fpp, cnt, 0L))
+        }
+      } else {
+        val newCount = sizing.count + nNovel
+        if (newCount * 2 >= sizing.items) {
+          IdBloom.rebuild(fs, dest, lakeIds(), "_kh", batchId, sizing,
+            newCount, Long.MaxValue)
+        } else {
+          if (nNovel > 0) {
+            val b = novel.select(kh.as("_kh"))
+              .stat.bloomFilter("_kh", sizing.items, sizing.fpp)
+            prevBloom.foreach(b.mergeInPlace) // same sizing or fail loudly
+            IdBloom.writeGen(fs, dest, 0L, 0L, batchId, b)
+          }
+          IdBloom.writeSizing(fs, dest, sizing.copy(count = newCount))
+        }
+      }
+      fs.create(done, true).close()
+    } finally graft.functions.Checkpoints.releaseNow(novel)
+  }
+
+  /** The checkpoint's persistent query id (from its `metadata` file) —
+    * the natural writer identity for the `_writer` stamp; None before
+    * the stream has started / on a foreign layout. */
+  private def checkpointQueryId(fs: org.apache.hadoop.fs.FileSystem,
+                                checkpoint: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(s"$checkpoint/metadata")
+    if (!fs.exists(p)) None
+    else """"id"\s*:\s*"([^"]+)"""".r
+      .findFirstMatchIn(IdBloom.readSmall(fs, p)).map(_.group(1))
   }
 
   /** Streaming key-dedup with a watermark — the streaming twin of the

@@ -38,10 +38,17 @@ import graft.functions.TextFunctions._
   * at half capacity the bloom is rebuilt at 4× from the docs relation —
   * one column-pruned id scan per capacity DOUBLING (amortized O(log n)
   * over the lake's lifetime) instead of fpp silently saturating and
-  * every batch degrading back into the exact confirm read. (Past a few
-  * hundred MB of bloom the plan-literal probe itself gets heavy — at
-  * that scale shard the filter by id range; the degradation mode either
-  * way is performance, never a dropped or duplicated document.)
+  * every batch degrading back into the exact confirm read. Past a few
+  * hundred MB of bloom the plan-literal probe itself gets heavy — so
+  * once a monolith rebuild would exceed `shardMaxItems` the rebuild
+  * SPLITS the guard into power-of-two id-RANGE shards instead
+  * ([[IdBloom.rebuild]]): each shard keeps its own generation chain
+  * under `_idbloom/s<shard>/`, a batch loads only the shards its own
+  * doc_ids touch, and with locality-bearing ids (monotonic producers)
+  * per-batch probe I/O stays constant as the lake grows. Skewed ids
+  * overfill a shard and degrade its fpp (more exact confirms); the
+  * degradation mode either way is performance, never a dropped or
+  * duplicated document.
   *
   * Scale shape per batch:
   *   - batch bands ⋈ lake band index is an equi-join on (band, bkey) —
@@ -131,78 +138,18 @@ object NearDupStream {
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
 
-  /** Latest READABLE persisted id-bloom (highest batchId file under
-    * `_idbloom`), or None on a fresh lake. Generations land via
-    * tmp+rename (atomic on HDFS/POSIX), so torn files should not occur;
-    * on a filesystem without atomic rename a torn newest generation is
-    * skipped and the next-lower one used — sound because a generation
-    * can only be torn when its batch's done marker never landed, which
-    * means that batch REPLAYS and rewrites both its appends (anti-join
-    * guarded) and its bloom generation. The pre-batch generation is
-    * exactly the state the replay must probe. */
-  private def latestBloom(fs: FileSystem, lakeDir: String): Option[BloomFilter] = {
-    val dir = new Path(s"$lakeDir/_idbloom")
-    if (!fs.exists(dir)) return None
-    val gens = fs.listStatus(dir).map(_.getPath)
-      .filter(_.getName.forall(_.isDigit))
-      .sortBy(-_.getName.toLong)
-    gens.iterator.map { p =>
-      try {
-        val in = fs.open(p)
-        try Some(BloomFilter.readFrom(in)) finally in.close()
-      } catch { case scala.util.control.NonFatal(_) => None } // torn — fall back
-    }.collectFirst { case Some(bf) => bf }
-  }
+  // Bloom/ledger mechanics live in [[IdBloom]] — shared with the inline
+  // keeper's id guard (IngestPipeline.runFileIngestKeeper). The sizing
+  // ledger (`_idbloom/_sizing`) keeps the one (items, fpp) every
+  // generation must share for mergeInPlace, the approximate admitted-doc
+  // count that triggers the capacity rebuild ([[maintain]] backfills the
+  // exact docs count), and the shard width (0 = unsharded). Absent on
+  // lakes created before the ledger existed; adopted (count 0) on their
+  // next batch.
+  private def atomicWrite(fs: FileSystem, dest: Path, bytes: Array[Byte]): Unit =
+    IdBloom.atomicWrite(fs, dest, bytes)
 
-  /** Write `bytes` at `dest` atomically: tmp file in the same directory,
-    * then rename (deleting a stale dest first — that only happens on
-    * crash REPLAY, where the done marker is absent and the whole batch
-    * re-runs, so a crash inside the delete+rename window just repeats
-    * the replay). */
-  private def atomicWrite(fs: FileSystem, dest: Path, bytes: Array[Byte]): Unit = {
-    val tmp = new Path(dest.getParent, s".tmp-${dest.getName}")
-    val out = fs.create(tmp, true)
-    try out.write(bytes) finally out.close()
-    if (fs.exists(dest)) fs.delete(dest, false)
-    if (!fs.rename(tmp, dest)) throw new java.io.IOException(s"rename $tmp -> $dest failed")
-  }
-
-  private def readSmall(fs: FileSystem, p: Path): String = {
-    val in = fs.open(p)
-    try {
-      val buf = new java.io.ByteArrayOutputStream()
-      val chunk = new Array[Byte](8192)
-      var n = in.read(chunk)
-      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
-      new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
-    } finally in.close()
-  }
-
-  /** Bloom sizing + admitted-count ledger (`_idbloom/_sizing`): the one
-    * (items, fpp) sizing every generation must share for mergeInPlace,
-    * plus an approximate admitted-doc count that triggers the capacity
-    * rebuild (approximate: a crash replay can double-count a batch —
-    * [[maintain]] backfills the exact docs count). Absent on lakes
-    * created before this ledger existed; adopted (with count 0) on
-    * their next batch. */
-  private def readSizing(fs: FileSystem, lakeDir: String): Option[(Long, Double, Long)] = {
-    val p = new Path(s"$lakeDir/_idbloom/_sizing")
-    if (!fs.exists(p)) None
-    else {
-      val parts = readSmall(fs, p).trim.split("\\s+")
-      Some((parts(0).toLong, parts(1).toDouble, parts(2).toLong))
-    }
-  }
-
-  private def writeSizing(fs: FileSystem, lakeDir: String,
-                          items: Long, fpp: Double, count: Long): Unit =
-    atomicWrite(fs, new Path(s"$lakeDir/_idbloom/_sizing"),
-      s"$items $fpp $count".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-
-  private def bloomBytes(bf: BloomFilter): Array[Byte] = {
-    val out = new java.io.ByteArrayOutputStream()
-    bf.writeTo(out); out.toByteArray
-  }
+  private def readSmall(fs: FileSystem, p: Path): String = IdBloom.readSmall(fs, p)
 
   /** Verified near-dup pairs (left_id, right_id) given candidate pairs and
     * a shingle lookup per side. */
@@ -225,7 +172,8 @@ object NearDupStream {
   def processBatch(batch: DataFrame, lakeDir: String, batchId: Long,
                    threshold: Double = 0.5,
                    bloomItems: Long = 1L << 22, bloomFpp: Double = 0.001,
-                   writerId: Option[String] = None): Unit = {
+                   writerId: Option[String] = None,
+                   shardMaxItems: Long = 1L << 28): Unit = {
     val spark = batch.sparkSession
     val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
     // ONE WRITER PER LAKE, enforced (not just documented): batchIds are
@@ -269,27 +217,26 @@ object NearDupStream {
       batch.select(col("doc_id").cast("long"), col("text")),
       Seq(col("doc_id")), col("text"))
 
-    // FIRST-WRITE-WINS id guard (both paths): probe the persisted bloom;
-    // misses are definitely new (no false negatives); only hits pay the
-    // exact column-pruned confirm against the docs relation — the rare,
+    // FIRST-WRITE-WINS id guard (both paths): probe the persisted bloom
+    // — only the shards this batch's ids touch, when sharded; misses are
+    // definitely new (no false negatives); only hits pay the exact
+    // column-pruned confirm against the docs relation — the rare,
     // redelivery-proportional lake read
-    val loadedBloom = latestBloom(fs, lakeDir)
-    val docs = (loadedBloom match {
-      case None => docs0
-      case Some(bf) =>
-        import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
-        import org.apache.spark.sql.classic.{GraftExpressionBridge => Bridge}
-        import org.apache.spark.sql.types.BinaryType
-        val mightContain = coalesce(Bridge.column(BloomFilterMightContain(
-          Literal(bloomBytes(bf), BinaryType), Bridge.expression(col("doc_id")))), lit(false))
-        val hits = docs0.filter(mightContain)
-        if (hits.isEmpty) docs0
-        else {
-          val lakeIds = readOr(spark, docsPath, docs0.schema)
-            .select(col("doc_id").as("x_id"))
-          docs0.filter(!mightContain).unionByName(
-            hits.join(lakeIds, col("doc_id") === col("x_id"), "left_anti"))
-        }
+    val sizing = IdBloom.readSizing(fs, lakeDir)
+      .getOrElse(IdBloom.Sizing(bloomItems, bloomFpp, 0L, 0L))
+    val blooms = IdBloom.loadTouched(fs, lakeDir,
+      IdBloom.touchedShards(docs0, "doc_id", sizing), sizing)
+    val docs = (if (blooms.isEmpty) docs0
+    else {
+      val mightContain = IdBloom.probe(blooms, col("doc_id"), sizing)
+      val hits = docs0.filter(mightContain)
+      if (hits.isEmpty) docs0
+      else {
+        val lakeIds = readOr(spark, docsPath, docs0.schema)
+          .select(col("doc_id").as("x_id"))
+        docs0.filter(!mightContain).unionByName(
+          hits.join(lakeIds, col("doc_id") === col("x_id"), "left_anti"))
+      }
     }).persist()
     val persisted = scala.collection.mutable.ArrayBuffer[DataFrame](docs)
     var checkpointed: Option[DataFrame] = None
@@ -375,34 +322,49 @@ object NearDupStream {
       // batch), so every generation shares one (items, fpp) and
       // mergeInPlace stays compatible across restarts with different
       // parameters. CAPACITY: once the admitted count reaches HALF the
-      // sizing, the bloom is rebuilt at 4× from the docs relation
-      // (which at this point already includes this batch's survivors) —
-      // one column-pruned id scan per DOUBLING, amortized O(log n) full
-      // scans over the lake's lifetime, instead of fpp silently
-      // drifting toward 1 and every batch degrading into the exact
-      // confirm read. The rebuild rides the batch protocol: a crash
-      // anywhere in bloom/ledger writes replays the batch and re-runs
-      // the same deterministic rebuild. stat.bloomFilter NPEs on an
-      // EMPTY frame (null aggregation buffer), so an all-duplicate
-      // batch carries the loaded bloom forward unchanged.
-      val (bItems, bFpp, count0) =
-        readSizing(fs, lakeDir).getOrElse((bloomItems, bloomFpp, 0L))
+      // guard's capacity (per-shard items × shard count), the guard is
+      // rebuilt from the docs relation (which at this point already
+      // includes this batch's survivors) — a 4× monolith while that fits
+      // under `shardMaxItems`, a power-of-two id-RANGE SHARD SPLIT
+      // beyond it ([[IdBloom.rebuild]]). One column-pruned id scan per
+      // DOUBLING, amortized O(log n) full scans over the lake's
+      // lifetime, instead of fpp silently drifting toward 1 and every
+      // batch degrading into the exact confirm read. The rebuild rides
+      // the batch protocol: a crash anywhere in bloom/ledger writes
+      // replays the batch and re-runs the same deterministic rebuild.
+      // stat.bloomFilter NPEs on an EMPTY frame (null aggregation
+      // buffer), so an all-duplicate batch writes no generation and the
+      // latest one simply carries forward.
       val nSurv = survivors.count() // checkpointed — no recompute
-      val newCount = count0 + nSurv
-      val resize = newCount * 2 >= bItems
-      val newItems = if (resize) 4L * math.max(bItems, newCount) else bItems
-      val survBloom =
-        if (resize)
-          spark.read.parquet(docsPath).stat.bloomFilter("doc_id", newItems, bFpp)
-        else if (nSurv == 0)
-          loadedBloom.getOrElse(BloomFilter.create(bItems, bFpp))
-        else {
-          val b = survivors.stat.bloomFilter("doc_id", bItems, bFpp)
-          loadedBloom.foreach(b.mergeInPlace) // same sizing or fail loudly
-          b
+      val newCount = sizing.count + nSurv
+      val nShards =
+        if (sizing.sharded) math.max(1L, IdBloom.presentShards(fs, lakeDir).size.toLong)
+        else 1L
+      if (newCount * 2 >= sizing.items * nShards) {
+        IdBloom.rebuild(fs, lakeDir,
+          spark.read.parquet(docsPath).select(col("doc_id")), "doc_id",
+          batchId, sizing, newCount, shardMaxItems)
+      } else {
+        if (nSurv > 0) {
+          // merge the survivors into each touched shard's generation
+          // chain — only shards with new admissions get a new file
+          IdBloom.touchedShards(survivors, "doc_id", sizing).foreach { sh =>
+            val in =
+              if (sizing.sharded)
+                survivors.filter(shiftright(col("doc_id"), sizing.shardBits) === lit(sh))
+              else survivors
+            val b = in.stat.bloomFilter("doc_id", sizing.items, sizing.fpp)
+            IdBloom.latestGen(fs, lakeDir, sh, sizing.width).foreach(b.mergeInPlace)
+            IdBloom.writeGen(fs, lakeDir, sh, sizing.width, batchId, b)
+          }
+        } else if (blooms.isEmpty && !sizing.sharded) {
+          // fresh unsharded lake whose first batch was all-duplicate:
+          // seed an empty generation so the ledger layout exists
+          IdBloom.writeGen(fs, lakeDir, 0L, 0L, batchId,
+            BloomFilter.create(sizing.items, sizing.fpp))
         }
-      atomicWrite(fs, new Path(s"$lakeDir/_idbloom/$batchId"), bloomBytes(survBloom))
-      writeSizing(fs, lakeDir, newItems, bFpp, newCount)
+        IdBloom.writeSizing(fs, lakeDir, sizing.copy(count = newCount))
+      }
       fs.create(done, true).close()
     } finally {
       persisted.foreach(_.unpersist()) // only this batch's blocks — not the session cache
@@ -442,12 +404,14 @@ object NearDupStream {
     maybe(s"$lakeDir/bands", Seq("band", "bkey"))
     maybe(s"$lakeDir/shingles", Seq("doc_id"))
     // ledger pruning: markers strictly below the retention floor go, as
-    // do bloom generations below it (the latest bloom is a superset of
-    // every earlier one, so only the newest is ever read); stale
+    // do bloom generations below it — EXCEPT each directory's newest
+    // generation, which is the cumulative filter its shard still probes
+    // (a shard untouched for > keepBatches batches keeps exactly one
+    // file; the flat layout keeps its newest the same way). Stale
     // `.tmp-*` leftovers from crashed atomic writes go too (maintain
     // runs BETWEEN drains — no concurrent writer can be mid-rename).
     // The `_writer` stamp and `_sizing` ledger survive (non-digit
-    // names).
+    // names), as do the `s<shard>` directories themselves.
     val markers = new Path(s"$lakeDir/_batches")
     if (fs.exists(markers)) {
       val done = fs.listStatus(markers).map(_.getPath.getName)
@@ -458,22 +422,32 @@ object NearDupStream {
           val id = p.getName.stripSuffix(".done").stripSuffix(".started")
           if (id.forall(_.isDigit) && id.toLong < floor) fs.delete(p, false)
         }
+        def pruneGens(dir: Path): Unit = if (fs.exists(dir)) {
+          val files = fs.listStatus(dir).filter(_.isFile).map(_.getPath)
+          val gens = files.filter(p =>
+            p.getName.nonEmpty && p.getName.forall(c => c.isDigit || c == '-'))
+          val newest = if (gens.isEmpty) Long.MinValue else gens.map(_.getName.toLong).max
+          files.filter { p =>
+            val n = p.getName
+            (n.nonEmpty && n.forall(c => c.isDigit || c == '-')
+              && n.toLong < floor && n.toLong != newest) || n.startsWith(".tmp-")
+          }.foreach(fs.delete(_, false))
+        }
         val blooms = new Path(s"$lakeDir/_idbloom")
+        pruneGens(blooms)
         if (fs.exists(blooms))
-          fs.listStatus(blooms).map(_.getPath)
-            .filter(p => (p.getName.forall(_.isDigit) && p.getName.toLong < floor)
-              || p.getName.startsWith(".tmp-"))
-            .foreach(fs.delete(_, false))
+          fs.listStatus(blooms).filter(_.isDirectory).map(_.getPath)
+            .filter(_.getName.startsWith("s")).foreach(pruneGens)
       }
     }
     // admitted-count backfill: the per-batch count is approximate (a
     // crash replay can double-count its survivors) — reset it to the
     // EXACT docs count (a parquet-metadata count, no data read) so the
-    // capacity-rebuild trigger never drifts
+    // capacity-rebuild trigger never drifts. Width survives the rewrite.
     val docsP = new Path(s"$lakeDir/docs")
-    readSizing(fs, lakeDir).foreach { case (items, fpp, _) =>
+    IdBloom.readSizing(fs, lakeDir).foreach { s =>
       val exact = if (fs.exists(docsP)) spark.read.parquet(s"$lakeDir/docs").count() else 0L
-      writeSizing(fs, lakeDir, items, fpp, exact)
+      IdBloom.writeSizing(fs, lakeDir, s.copy(count = exact))
     }
   }
 

@@ -1,0 +1,171 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+import graft.streaming.IngestPipeline
+
+/** The inline keeper's scale-safety + mixed-mode contracts: the persisted
+  * id-bloom guard (all-new batches read NO lake state), the `_batches`
+  * marker-ledger replay protocol (including the `_temporary`-only crash
+  * state that used to wedge the drain on schema inference), the writer
+  * stamp, and the `_spark_metadata` reconciliation between the inline
+  * keeper and the deferred FileStreamSink drain. */
+class KeeperGuardSpec extends SparkSpec {
+
+  private val payloadSchema = StructType(Seq(StructField("k", LongType)))
+  private def events: DataFrame = Tables(spark, sf001, "events")
+  private def slice(lo: Long, hi: Long): DataFrame =
+    events.filter(col("event_id") >= lo && col("event_id") < hi)
+  private def keeper(batch: DataFrame, dest: String, ckpt: String, id: Long): Unit =
+    IngestPipeline.keeperBatch(spark, batch, id, payloadSchema, dest, ckpt,
+      "zstd", Seq("event_id"), "ts", 1L << 22, 0.001)
+  private def lakeCount(dest: String): Long = spark.read.parquet(dest).count()
+
+  test("bloom guard: an all-new drain reads no lake data (unreadable-file trick)") {
+    val work = Files.createTempDirectory("keeperbloom").toString
+    val src = s"$work/src"; val dest = s"$work/lake"; val ckpt = s"$work/ckpt"
+    slice(0, 50).write.parquet(src)
+    IngestPipeline.runFileIngestKeeper(spark, src, events.schema, payloadSchema,
+      dest, ckpt)
+    assert(lakeCount(dest) == 50)
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dest/_idbloom/_sizing")),
+      "the drain must persist the id-bloom guard")
+
+    // poison a data file inside a real partition: any lake READ now fails
+    // loudly, while listings and appends still work — the second, all-new
+    // drain passing proves the bloom fast path never scans the lake
+    val part = new java.io.File(dest).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("date_path=")).head
+    val poison = new java.io.FileOutputStream(s"${part.getPath}/part-poison.parquet")
+    poison.write("not parquet".getBytes); poison.close()
+    intercept[Exception] { lakeCount(dest) }
+
+    slice(50, 80).write.mode("append").parquet(src)
+    IngestPipeline.runFileIngestKeeper(spark, src, events.schema, payloadSchema,
+      dest, ckpt)
+    assert(new java.io.File(s"${part.getPath}/part-poison.parquet").delete())
+    assert(lakeCount(dest) == 80, "the all-new batch must land through the bloom miss path")
+
+    // a third drain REDELIVERING old ids plus new ones: bloom hits pay
+    // the exact confirm, only the genuinely new rows land
+    slice(0, 50).unionAll(slice(80, 90)).write.mode("append").parquet(src)
+    IngestPipeline.runFileIngestKeeper(spark, src, events.schema, payloadSchema,
+      dest, ckpt)
+    assert(lakeCount(dest) == 90, "redelivered ids must drop via bloom hit → exact confirm")
+    assert(spark.read.parquet(dest).select("event_id").distinct().count() == 90)
+  }
+
+  test("crash replay: full-append-no-done converges; append-nothing crash lands everything") {
+    val work = Files.createTempDirectory("keepercrash").toString
+    val dest = s"$work/lake"; val ckpt = s"$work/ckpt" // no checkpoint metadata: direct calls
+    keeper(slice(0, 20), dest, ckpt, 0)
+    assert(lakeCount(dest) == 20)
+
+    // crash AFTER the batch-1 append but BEFORE the done marker: replay
+    // must anti-join every landed key and append nothing
+    keeper(slice(20, 40), dest, ckpt, 1)
+    assert(new java.io.File(s"$dest/_batches/1.done").delete())
+    keeper(slice(20, 40), dest, ckpt, 1)
+    assert(lakeCount(dest) == 40, "replay after a completed append must be a no-op")
+    assert(spark.read.parquet(dest).select("event_id").distinct().count() == 40)
+    assert(new java.io.File(s"$dest/_batches/1.done").exists(), "replay re-stamps done")
+
+    // crash BEFORE any append (started marker only): replay lands the batch
+    assert(new java.io.File(s"$dest/_batches/2.started").createNewFile())
+    keeper(slice(40, 60), dest, ckpt, 2)
+    assert(lakeCount(dest) == 60)
+
+    // done marker present: the whole batch no-ops (two fs probes)
+    keeper(slice(40, 60), dest, ckpt, 2)
+    assert(lakeCount(dest) == 60)
+  }
+
+  test("a first-batch crash leaving only _temporary litter no longer wedges the drain") {
+    val work = Files.createTempDirectory("keepertmp").toString
+    val dest = s"$work/lake"; val ckpt = s"$work/ckpt"
+    // reconstruct the dead-end state: dest exists, holds ONLY the
+    // writer's uncommitted _temporary litter, batch 0 started — the old
+    // bare fs.exists + spark.read.parquet(dest) threw 'unable to infer
+    // schema' here on EVERY replay until a human deleted dest
+    // (uncommitted task-attempt litter lives under _temporary/0/_temporary/
+    // in the v1 committer layout — the next job commit ignores it)
+    assert(new java.io.File(s"$dest/_temporary/0/_temporary/attempt_crashed").mkdirs())
+    val junk = new java.io.FileOutputStream(
+      s"$dest/_temporary/0/_temporary/attempt_crashed/task-junk")
+    junk.write("partial".getBytes); junk.close()
+    assert(new java.io.File(s"$dest/_batches").mkdirs())
+    assert(new java.io.File(s"$dest/_batches/0.started").createNewFile())
+    keeper(slice(0, 30), dest, ckpt, 0)
+    assert(lakeCount(dest) == 30, "the replay must land the batch, not wedge on inference")
+  }
+
+  test("a reset/foreign checkpoint fails loudly instead of silently no-opping") {
+    val work = Files.createTempDirectory("keeperwriter").toString
+    val src = s"$work/src"; val dest = s"$work/lake"
+    slice(0, 20).write.parquet(src)
+    IngestPipeline.runFileIngestKeeper(spark, src, events.schema, payloadSchema,
+      dest, s"$work/ckptA")
+    assert(lakeCount(dest) == 20)
+    // a FRESH checkpoint restarts batchIds at 0; without the stamp its
+    // batch 0 would no-op against the old done marker (data loss)
+    val e = intercept[Exception] {
+      IngestPipeline.runFileIngestKeeper(spark, src, events.schema, payloadSchema,
+        dest, s"$work/ckptB")
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("belongs to stream")), messages(e).mkString("; "))
+  }
+
+  test("inline keeper after a deferred drain rebuilds the sink log — every row stays visible") {
+    val work = Files.createTempDirectory("keepermixed1").toString
+    val src = s"$work/src"; val dest = s"$work/lake"; val ckpt = s"$work/ckpt"
+    slice(0, 40).write.parquet(src)
+    IngestPipeline.runFileIngest(spark, src, events.schema, payloadSchema, dest, ckpt)
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dest/_spark_metadata")))
+    assert(lakeCount(dest) == 40)
+    // keeper drain resumes the SAME checkpoint over the log-bearing lake:
+    // its plain appends land outside the log — without the end-of-drain
+    // rebuild every read through the log would hide them
+    slice(40, 70).write.mode("append").parquet(src)
+    IngestPipeline.runFileIngestKeeper(spark, src, events.schema, payloadSchema,
+      dest, ckpt)
+    assert(lakeCount(dest) == 70,
+      "keeper appends must be visible through the rebuilt sink log")
+    assert(spark.read.parquet(dest).select("event_id").distinct().count() == 70)
+  }
+
+  test("deferred drain over keeper files: rebuilds with checkpoint commits, refuses fresh") {
+    val work = Files.createTempDirectory("keepermixed2").toString
+    val src = s"$work/src"; val dest = s"$work/lake"; val ckpt = s"$work/ckpt"
+    slice(0, 40).write.parquet(src)
+    IngestPipeline.runFileIngestKeeper(spark, src, events.schema, payloadSchema,
+      dest, ckpt)
+    assert(lakeCount(dest) == 40)
+    // same-checkpoint resume in DEFERRED mode: the keeper's un-logged
+    // files anchor a log rebuild at the last committed batch, then the
+    // FileStreamSink appends the new batch — nothing hidden either way
+    slice(40, 70).write.mode("append").parquet(src)
+    IngestPipeline.runFileIngest(spark, src, events.schema, payloadSchema, dest, ckpt)
+    assert(lakeCount(dest) == 70,
+      "keeper-written rows must stay visible after the deferred resume")
+
+    // a FRESH checkpoint has no anchor id: seeding a log would make the
+    // sink skip its first batches as committed — must refuse loudly
+    val work2 = Files.createTempDirectory("keepermixed3").toString
+    slice(0, 10).write.parquet(s"$work2/src")
+    IngestPipeline.runFileIngestKeeper(spark, s"$work2/src", events.schema,
+      payloadSchema, s"$work2/lake", s"$work2/ckpt")
+    val e = intercept[IllegalStateException] {
+      IngestPipeline.runFileIngest(spark, s"$work2/src", events.schema,
+        payloadSchema, s"$work2/lake", s"$work2/ckptFresh")
+    }
+    assert(e.getMessage.contains("sink log"), e.getMessage)
+  }
+}

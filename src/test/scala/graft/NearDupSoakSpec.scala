@@ -77,4 +77,77 @@ class NearDupSoakSpec extends SparkSpec {
     assert(spark.read.parquet(s"$lake/bands").count() == 100L * 8)
     assert(spark.read.parquet(s"$lake/shingles").count() == 100L)
   }
+
+  test("forced shard split: guard goes range-sharded past shardMaxItems, admission exact") {
+    val lake = Files.createTempDirectory("neardupshard").toString
+    def batch(ids: Seq[Long]) = ids.map(i => (i, text(i.toInt))).toDF("doc_id", "text")
+    def run(b: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      NearDupStream.processBatch(b, lake, batchId = id,
+        bloomItems = 8, bloomFpp = 0.01, shardMaxItems = 16)
+    def sizing: Array[String] =
+      scala.io.Source.fromFile(s"$lake/_idbloom/_sizing").mkString.trim.split("\\s+")
+    def shardDirs: Set[String] = Option(new java.io.File(s"$lake/_idbloom").listFiles())
+      .toSeq.flatten.filter(f => f.isDirectory && f.getName.startsWith("s"))
+      .map(_.getName).toSet
+    def admitted: Set[Long] =
+      spark.read.parquet(s"$lake/docs").select("doc_id").as[Long].collect().toSet
+
+    // b0 stays a flat monolith (count 2, capacity 8)
+    run(batch(Seq(0L, 1L)), 0)
+    assert(sizing(3).toLong == 0L && shardDirs.isEmpty, "no split yet")
+
+    // b1 crosses half capacity; the 4× rebuild target (32) exceeds
+    // shardMaxItems (16) → SPLIT into power-of-two id-range shards
+    run(batch(Seq(2L, 3L)) unionAll batch(Seq(0L)), 1)
+    assert(sizing(0).toLong == 16L, s"per-shard items: ${sizing.mkString(" ")}")
+    assert(sizing(2).toLong == 4L, s"count: ${sizing.mkString(" ")}")
+    val width1 = sizing(3).toLong
+    assert(width1 > 0 && java.lang.Long.bitCount(width1) == 1,
+      s"split must set a power-of-two width: ${sizing.mkString(" ")}")
+    assert(shardDirs.nonEmpty, "shard generation dirs must exist after the split")
+
+    // post-split admission across existing + brand-new shards; the
+    // redelivered id 0 still drops via its shard's bloom → exact confirm
+    run(batch(Seq(4L, 5L)) unionAll batch(Seq(0L)), 2)
+    assert(admitted == (0L to 5L).toSet)
+
+    // a large batch re-triggers the capacity rule while ALREADY sharded →
+    // re-split (width recomputed over the grown span; count rebuilt)
+    run(batch(6L to 35L), 3)
+    assert(sizing(2).toLong == 36L, s"count after re-split: ${sizing.mkString(" ")}")
+    assert(java.lang.Long.bitCount(sizing(3).toLong) == 1)
+    assert(admitted == (0L to 35L).toSet)
+
+    // id collision against a mid-range shard resolves first-write-wins
+    run(Seq((7L, "completely new text for an already admitted id here today"))
+      .toDF("doc_id", "text") unionAll batch(Seq(36L)), 4)
+    assert(admitted == (0L to 36L).toSet, "id 7 must not re-admit")
+
+    // maintain on the sharded layout: prunes old generations but KEEPS
+    // each shard's newest (an untouched shard's only bloom), backfills
+    // the exact count, preserves the width
+    val widthBefore = sizing(3).toLong
+    NearDupStream.maintain(spark, lake, targetRowsPerFile = 1000000L,
+      maxFiles = 2, keepBatches = 2)
+    assert(sizing(2).toLong == 37L, s"backfill: ${sizing.mkString(" ")}")
+    assert(sizing(3).toLong == widthBefore, "width must survive the backfill")
+    shardDirs.foreach { d =>
+      val gens = new java.io.File(s"$lake/_idbloom/$d").listFiles()
+        .count(f => !f.getName.startsWith("."))
+      assert(gens >= 1, s"shard $d lost its newest generation to pruning")
+    }
+    run(batch(Seq(37L)) unionAll batch(Seq(0L)), 5)
+    assert(admitted == (0L to 37L).toSet, "post-maintain admission diverged")
+
+    // fast-path I/O on the SHARDED lake: an all-new batch into a
+    // brand-new shard reads no docs relation at all (the unreadable-file
+    // trick from NearDupStreamSpec)
+    val poison = new java.io.FileOutputStream(s"$lake/docs/part-poison.parquet")
+    poison.write("not parquet".getBytes); poison.close()
+    run(batch(Seq(1000L, 1001L)), 6)
+    assert(spark.read.parquet(s"$lake/shingles").count() == 40L)
+    assert(new java.io.File(s"$lake/docs/part-poison.parquet").delete())
+    assert(admitted == (0L to 37L).toSet ++ Set(1000L, 1001L))
+    assert(spark.read.parquet(s"$lake/bands").count() == 40L * 8)
+  }
 }
