@@ -17,7 +17,9 @@ object Bench {
       .config("spark.sql.parquet.compression.codec", "zstd")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // INFO exposes executor spill events (Spillable/UnsafeExternalSorter
+    // log spills at INFO) — the memory-pressure scale gate greps for them
+    spark.sparkContext.setLogLevel(sys.env.getOrElse("SPARK_GRAFT_LOGLEVEL", "WARN"))
     // Warm the JVM once through the codepaths the queries share — parquet
     // scan, hash agg, sort, window, higher-order array exprs — so
     // per-query numbers measure the query, not first-use JIT/codegen.

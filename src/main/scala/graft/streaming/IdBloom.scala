@@ -151,10 +151,13 @@ object IdBloom {
   // ---- probing ---------------------------------------------------------
 
   /** Distinct shards the frame's id column touches — ONE tiny job over
-    * what is always a micro-batch-sized frame (callers persist it first). */
+    * what is always a micro-batch-sized frame (callers persist it first).
+    * Null ids map to no shard (they probe false — definitely-new — the
+    * same tolerance the unsharded path's coalesce gives them). */
   def touchedShards(ids: DataFrame, idCol: String, sizing: Sizing): Seq[Long] =
     if (!sizing.sharded) Seq(0L)
-    else ids.select(shiftright(col(idCol), sizing.shardBits).as("s"))
+    else ids.filter(col(idCol).isNotNull)
+      .select(shiftright(col(idCol), sizing.shardBits).as("s"))
       .distinct().collect().map(_.getLong(0)).toSeq
 
   /** Load the latest generation for each touched shard. */
@@ -174,9 +177,13 @@ object IdBloom {
     if (!sizing.sharded) blooms.get(0L).map(mc).getOrElse(lit(false))
     else {
       val shardCol = shiftright(idCol, sizing.shardBits)
-      blooms.foldLeft(lit(false)) { case (acc, (s, bf)) =>
+      // outer coalesce: a NULL id makes `shardCol === s` null, and a
+      // null probe would drop the row from BOTH filter(mc) and
+      // filter(!mc) — null ids must read as false (definitely new),
+      // matching the unsharded path's coalesce
+      coalesce(blooms.foldLeft(lit(false)) { case (acc, (s, bf)) =>
         acc || (shardCol === lit(s) && mc(bf))
-      }
+      }, lit(false))
     }
   }
 
@@ -222,7 +229,8 @@ object IdBloom {
         if (width < 1L) width = 1L
         val sNew = Sizing(perShard, cur.fpp, newCount, width)
         val bits = sNew.shardBits
-        val shards = cached.select(shiftright(col(idCol), bits).as("s"))
+        val shards = cached.filter(col(idCol).isNotNull)
+          .select(shiftright(col(idCol), bits).as("s"))
           .distinct().collect().map(_.getLong(0))
         shards.foreach { sh =>
           val bf = cached.filter(shiftright(col(idCol), bits) === lit(sh))
@@ -230,6 +238,24 @@ object IdBloom {
           writeGen(fs, lakeDir, sh, width, batchId, bf)
         }
         writeSizing(fs, lakeDir, sNew)
+        // retire layouts this rebuild replaced: shard dirs from an older
+        // width (their indices are not in `shards`) would inflate
+        // presentShards — overstating capacity and delaying the next
+        // rebuild — and dead flat generations would linger forever.
+        // Runs AFTER the sizing write: a crash mid-deletion leaves only
+        // stale-but-unread state (probes already resolve via the new
+        // width), and the batch replay re-runs the same deletion.
+        val live = shards.toSet
+        val dir = new Path(s"$lakeDir/_idbloom")
+        fs.listStatus(dir).foreach { st =>
+          val n = st.getPath.getName
+          val staleDir = st.isDirectory && n.startsWith("s") &&
+            n.drop(1).nonEmpty && n.drop(1).forall(c => c.isDigit || c == '-') &&
+            !live.contains(n.drop(1).toLong)
+          val staleFlat = st.isFile && n.nonEmpty &&
+            n.forall(c => c.isDigit || c == '-')
+          if (staleDir || staleFlat) fs.delete(st.getPath, true)
+        }
         sNew
       } finally cached.unpersist()
     }

@@ -75,6 +75,7 @@ object IngestPipeline {
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val destPath = new org.apache.hadoop.fs.Path(dest)
     val dataFiles = graft.sources.LakeWriter.listDataFiles(fs, destPath)
+    val ckptLatest = latestCommittedBatch(fs, checkpoint)
     if (dataFiles.nonEmpty) {
       import org.apache.spark.sql.execution.streaming.sinks.FileStreamSinkLog
       val metaDir = new org.apache.hadoop.fs.Path(destPath, "_spark_metadata")
@@ -82,6 +83,23 @@ object IngestPipeline {
         if (fs.exists(metaDir))
           Some(new FileStreamSinkLog(FileStreamSinkLog.VERSION, spark, metaDir.toString, None))
         else None
+      // FOREIGN-LOG / RESET-CHECKPOINT GUARD (checked FIRST): the
+      // FileStreamSink silently skips every batch id ≤ the log's latest
+      // as "already committed" — so a log whose latest id is AHEAD of
+      // this checkpoint's commits (a fresh checkpoint over any logged
+      // lake, or a resume after another checkpoint's keeper drain
+      // advanced the log) would swallow this drain's first real batches
+      // while the checkpoint commits them: silent data loss, refuse.
+      // This is the deferred path's analog of the keeper's _writer stamp.
+      val logLatest = log.flatMap(_.getLatestBatchId())
+      logLatest.foreach { ll =>
+        if (ll > ckptLatest.getOrElse(-1L)) throw new IllegalStateException(
+          s"$dest carries a sink log at batch $ll but checkpoint $checkpoint has " +
+            s"only committed ${ckptLatest.fold("no batches")(k => s"batch $k")} — the " +
+            "FileStreamSink would silently skip this drain's first batches as " +
+            "'already committed'. Resume with the checkpoint that owns the log, " +
+            "or start a fresh dest.")
+      }
       // compare scheme-less path parts: the sink records fully-qualified
       // URIs whose scheme/authority spelling can differ from a fresh
       // listStatus of the same filesystem
@@ -90,10 +108,11 @@ object IngestPipeline {
         .getOrElse(Set.empty[String])
       val unlogged = dataFiles.filterNot(st => logged.contains(st.getPath.toUri.getPath))
       if (unlogged.nonEmpty) {
-        latestCommittedBatch(fs, checkpoint) match {
+        ckptLatest match {
           case Some(k) =>
-            val anchor = math.max(k, log.flatMap(_.getLatestBatchId()).getOrElse(0L))
-            graft.sources.LakeWriter.rebuildSinkLog(spark, dest, anchor)
+            // logLatest ≤ k (guarded above), so anchoring at k can never
+            // make the sink skip a batch this checkpoint hasn't committed
+            graft.sources.LakeWriter.rebuildSinkLog(spark, dest, k)
           case None => throw new IllegalStateException(
             s"$dest holds ${unlogged.size} data files its streaming sink log does not list " +
               "(inline-keeper appends or a foreign writer) and the checkpoint has no " +
@@ -104,6 +123,13 @@ object IngestPipeline {
         }
       }
     }
+    // deferred appends bypass the keeper's id-bloom: a guard missing this
+    // drain's keys would treat their redeliveries as definitely-new and
+    // admit duplicates, so invalidate it up front — bloom ABSENCE is
+    // always safe (the next keeper drain re-adopts the lake exactly), a
+    // stale bloom never is
+    val bloomDir = new org.apache.hadoop.fs.Path(s"$dest/_idbloom")
+    if (fs.exists(bloomDir)) fs.delete(bloomDir, true)
     val raw = spark.readStream.schema(schema).parquet(srcDir)
     val stream = if (dedupKeys.isEmpty) raw else raw.dropDuplicates(dedupKeys)
     val decoded = decodeAndDatePartition(stream, payloadSchema)
@@ -199,17 +225,22 @@ object IngestPipeline {
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val metaDir = new Path(s"$dest/_spark_metadata")
     val hadSinkLog = fs.exists(metaDir)
+    @volatile var processed = false
     val raw = spark.readStream.schema(schema).parquet(srcDir)
     val q = raw.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        keeperBatch(spark, batch, batchId, payloadSchema, dest, checkpoint,
-          compression, keys, tsCol, bloomItems, bloomFpp)
+        processed |= keeperBatch(spark, batch, batchId, payloadSchema, dest,
+          checkpoint, compression, keys, tsCol, bloomItems, bloomFpp)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    if (hadSinkLog) {
+    // `processed` excludes done-marker no-op replays but INCLUDES crash
+    // replays and ran-but-appended-nothing batches — a crashed previous
+    // drain's missing rebuild is therefore retried here, while an idle
+    // drain (no new source files) skips the O(lake-listing) rebuild
+    if (hadSinkLog && processed) {
       // inline-after-deferred: reconcile the pre-existing sink log with
       // the keeper's appends so every reader (and a later deferred
       // drain) sees the whole lake. Anchor at max(log latest, checkpoint
@@ -227,11 +258,14 @@ object IngestPipeline {
   }
 
   /** One keeper micro-batch — see [[runFileIngestKeeper]]'s contract.
-    * Package-visible for deterministic crash-state replay in specs. */
+    * Package-visible for deterministic crash-state replay in specs.
+    * Returns true when the batch was PROCESSED (false only on the
+    * done-marker no-op replay) — the drain wrapper uses it to decide
+    * whether a sink-log rebuild is owed. */
   private[graft] def keeperBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
                           payloadSchema: StructType, dest: String, checkpoint: String,
                           compression: String, keys: Seq[String], tsCol: String,
-                          bloomItems: Long, bloomFpp: Double): Unit = {
+                          bloomItems: Long, bloomFpp: Double): Boolean = {
     import org.apache.hadoop.fs.Path
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     // one writer per lake: batchIds are only unique per checkpoint, so a
@@ -250,7 +284,7 @@ object IngestPipeline {
     }
     val started = new Path(s"$dest/_batches/$batchId.started")
     val done = new Path(s"$dest/_batches/$batchId.done")
-    if (fs.exists(done)) return // fully landed — replay is a no-op
+    if (fs.exists(done)) return false // fully landed — replay is a no-op
     val crashReplay = fs.exists(started)
     if (!crashReplay) {
       val out = fs.create(started, true)
@@ -259,7 +293,11 @@ object IngestPipeline {
     }
 
     val decoded = decodeAndDatePartition(batch, payloadSchema)
+    // persisted: the guard probes it (hits split), the checkpoint
+    // materializes it, and a crash replay builds its bloom from it —
+    // without the persist each job re-runs the decode + dedup window
     val keep = graft.ingest.Dedup.dedupKeepFirst(decoded, keys.map(col), col(tsCol))
+      .persist()
     val keySchema = StructType(keep.schema.fields.filter(f => keys.contains(f.name)))
     // landed keys, read with the KNOWN schema and only when committed
     // data files exist: a crashed first append leaves dest with nothing
@@ -320,13 +358,24 @@ object IngestPipeline {
           IdBloom.writeSizing(fs, dest, IdBloom.Sizing(items, sizing.fpp, cnt, 0L))
         }
       } else {
-        val newCount = sizing.count + nNovel
+        // On a CRASH REPLAY the anti-join can be a no-op (the crashed
+        // attempt landed everything before the generation write) — so
+        // the merge input is the WHOLE batch's keys, not just the novel
+        // ones (a key dropped as a redelivery is in the lake already;
+        // re-adding it to the bloom is harmless, while skipping a
+        // landed-but-unbloomed key would leave it invisible to every
+        // future probe → duplicates). The count is recomputed exactly
+        // for the same reason (the crashed attempt never updated it).
+        val newCount =
+          if (crashReplay) landedKeys.map(_.count()).getOrElse(0L)
+          else sizing.count + nNovel
         if (newCount * 2 >= sizing.items) {
           IdBloom.rebuild(fs, dest, lakeIds(), "_kh", batchId, sizing,
             newCount, Long.MaxValue)
         } else {
-          if (nNovel > 0) {
-            val b = novel.select(kh.as("_kh"))
+          val guardRows = if (crashReplay) keep else novel
+          if (!guardRows.isEmpty) {
+            val b = guardRows.select(kh.as("_kh"))
               .stat.bloomFilter("_kh", sizing.items, sizing.fpp)
             prevBloom.foreach(b.mergeInPlace) // same sizing or fail loudly
             IdBloom.writeGen(fs, dest, 0L, 0L, batchId, b)
@@ -335,7 +384,11 @@ object IngestPipeline {
         }
       }
       fs.create(done, true).close()
-    } finally graft.functions.Checkpoints.releaseNow(novel)
+      true
+    } finally {
+      keep.unpersist()
+      graft.functions.Checkpoints.releaseNow(novel)
+    }
   }
 
   /** The checkpoint's persistent query id (from its `metadata` file) —

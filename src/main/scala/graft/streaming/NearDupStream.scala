@@ -213,7 +213,7 @@ object NearDupStream {
     // through as two rows (the in-batch self-join below is strict <, so
     // equal ids never pair) and be admitted twice — keep one
     // deterministically
-    val docs0 = graft.ingest.Dedup.dedupKeepFirst(
+    val docs0raw = graft.ingest.Dedup.dedupKeepFirst(
       batch.select(col("doc_id").cast("long"), col("text")),
       Seq(col("doc_id")), col("text"))
 
@@ -224,6 +224,16 @@ object NearDupStream {
     // redelivery-proportional lake read
     val sizing = IdBloom.readSizing(fs, lakeDir)
       .getOrElse(IdBloom.Sizing(bloomItems, bloomFpp, 0L, 0L))
+    // SHARDED lakes run an extra job here (the touched-shard collect), so
+    // the batch frame is persisted to keep the dedup window single-run.
+    // Unsharded lakes deliberately skip the persist: touchedShards is
+    // job-free there, and the extra InMemoryRelation nesting would
+    // re-render the (multi-MB) monolith bloom literal once more in every
+    // AQE explain string — enough to OOM the driver on explain-heavy
+    // plans (observed; sharded blooms are per-shard-capacity small)
+    val docs0 =
+      if (sizing.sharded) docs0raw.persist()
+      else docs0raw
     val blooms = IdBloom.loadTouched(fs, lakeDir,
       IdBloom.touchedShards(docs0, "doc_id", sizing), sizing)
     val docs = (if (blooms.isEmpty) docs0
@@ -239,6 +249,7 @@ object NearDupStream {
       }
     }).persist()
     val persisted = scala.collection.mutable.ArrayBuffer[DataFrame](docs)
+    if (sizing.sharded) persisted += docs0
     var checkpointed: Option[DataFrame] = None
     try {
       val freshSh = withShingles(docs).persist()

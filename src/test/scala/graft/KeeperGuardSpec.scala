@@ -85,6 +85,36 @@ class KeeperGuardSpec extends SparkSpec {
     assert(lakeCount(dest) == 60)
   }
 
+  test("crash between append and bloom write: replay re-blooms the landed keys") {
+    // the insidious window: batch 3 landed every row, then crashed BEFORE
+    // its bloom generation/sizing writes. The replay's anti-join appends
+    // nothing — but it must still merge the batch's keys into the guard,
+    // or every future redelivery of them bloom-misses and APPENDS A
+    // DUPLICATE (a miss is trusted as definitely-new)
+    val work = Files.createTempDirectory("keeperbloomcrash").toString
+    val dest = s"$work/lake"; val ckpt = s"$work/ckpt"
+    keeper(slice(0, 20), dest, ckpt, 0)
+    val sizingAfter0 = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$dest/_idbloom/_sizing"))
+    keeper(slice(20, 40), dest, ckpt, 1)
+    // reconstruct the crash state: gen 1 + done marker gone, sizing
+    // rolled back to its pre-batch content (all three land after the
+    // append, so a crash in that window leaves exactly this)
+    assert(new java.io.File(s"$dest/_idbloom/1").delete())
+    assert(new java.io.File(s"$dest/_batches/1.done").delete())
+    // raw rewrites must drop the local FS's checksum sidecar too, or the
+    // next hadoop read fails on the stale .crc
+    new java.io.File(s"$dest/_idbloom/._sizing.crc").delete()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dest/_idbloom/_sizing"), sizingAfter0)
+    keeper(slice(20, 40), dest, ckpt, 1) // replay: appends nothing, re-blooms
+    assert(lakeCount(dest) == 40)
+    // the redelivery probe must now HIT and confirm-drop, not re-append
+    keeper(slice(20, 40), dest, ckpt, 2)
+    assert(lakeCount(dest) == 40, "landed-but-unbloomed keys must not re-admit")
+    assert(spark.read.parquet(dest).select("event_id").distinct().count() == 40)
+  }
+
   test("a first-batch crash leaving only _temporary litter no longer wedges the drain") {
     val work = Files.createTempDirectory("keepertmp").toString
     val dest = s"$work/lake"; val ckpt = s"$work/ckpt"

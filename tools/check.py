@@ -11,7 +11,10 @@ sfdir = sys.argv[2] if len(sys.argv) > 2 else '/root/testdata/sf0.01'
 
 con = duckdb.connect()
 for t in ['region','nation','customer','supplier','part','orders','lineitem','events','documents','embeddings']:
-    con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+    # driver testdata ships single files; ScaleGen lakes are directories
+    p = f'{sfdir}/{t}.parquet'
+    src = f'{p}/*.parquet' if os.path.isdir(p) else p
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
 
 oracle = json.load(open(f'{outdir}/oracle_sql.json'))
 names = sorted(d for d in os.listdir(outdir) if os.path.isdir(f'{outdir}/{d}'))
