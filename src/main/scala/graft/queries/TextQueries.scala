@@ -395,6 +395,41 @@ object TextQueries {
         .orderBy(col("rk"))
     },
 
+    // ---- Sketch-guarantee audit: the Misra–Gries contract above is
+    // conditional — the sketch's top-20 is exactly the true top-20 only
+    // while the 20th count clears the detection line N/(k+1). This query
+    // makes the precondition ITSELF a first-class, exactly-checkable
+    // output (run it beside any sketch-first rollout; alert when
+    // guarantee_holds flips false — the one sf1-replay mismatch in
+    // COVERAGE.md was exactly this precondition going void on a
+    // frequency-flattened corpus). All integer arithmetic: N and the
+    // 20th count are exact int64s from the same one-shuffle count
+    // aggregate as q_heavy_hitters; the threshold is integer DIV; the
+    // comparison is int-exact on both engines. Scale shape: one
+    // vocabulary-keyed count (map-side partials), one 20-row top-k, two
+    // 1-row frames crossed — nothing beyond q_heavy_hitters' cost.
+    entry("q_heavy_hitters_guarantee",
+      """WITH t AS (SELECT unnest(string_split(text,' ')) term FROM documents),
+        | c AS (SELECT term, COUNT(*) n FROM t GROUP BY 1),
+        | tot AS (SELECT CAST(SUM(n) AS BIGINT) nt FROM c),
+        | r AS (SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, term) rk FROM c),
+        | t20 AS (SELECT CAST(MIN(n) AS BIGINT) count20 FROM r WHERE rk <= 20)
+        |SELECT nt AS n_tokens, nt // 257 AS mg_threshold, count20,
+        |  count20 > nt // 257 AS guarantee_holds
+        |FROM tot, t20""".stripMargin) { (s, dir) =>
+      val c = Tables(s, dir, "documents")
+        .select(explode(tokens("text")).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("n"))
+      val tot = c.agg(sum(col("n")).cast("long").as("nt"))
+      val t20 = topKRanked(c, 20, "rk", col("n").desc, col("term").asc)
+        .agg(min(col("n")).as("count20"))
+      tot.crossJoin(broadcast(t20))
+        .select(col("nt").as("n_tokens"),
+          expr("nt DIV 257").as("mg_threshold"),
+          col("count20"),
+          (col("count20") > expr("nt DIV 257")).as("guarantee_holds"))
+    },
+
     // ---- Out-of-vocabulary rate: tokenizer-coverage analysis against a
     // frequency-derived vocabulary (top-25 tokens here; a real run
     // broadcasts the released tokenizer vocab). Per-language corpus OOV

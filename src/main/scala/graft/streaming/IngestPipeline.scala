@@ -145,6 +145,14 @@ object IngestPipeline {
     q
   }
 
+  /** Keeper bloom growth clamp — see the rebuild comment in
+    * [[keeperBatch]]: a bloom literal is hex-rendered in full into every
+    * explain string, so unbounded 4× growth would OOM the driver on plan
+    * rendering long before probe cost mattered. 2^24 items ≈ 30 MB at
+    * the default fpp; past saturation the guard degrades into exact
+    * confirms, never incorrectness. */
+  private val keeperMaxBloomItems: Long = 1L << 24
+
   /** Last batch id with a commit marker under the checkpoint (the
     * authoritative "this batch fully landed" record for both sink
     * flavors), or None on a fresh/foreign checkpoint. */
@@ -348,11 +356,13 @@ object IngestPipeline {
         .select(kh.as("_kh"))
       if (prevBloom.isEmpty) {
         // first build / legacy-lake adoption: size off the exact landed
-        // count (keys are unique in the lake by construction)
+        // count (keys are unique in the lake by construction), clamped
+        // like the rebuild below
         val cnt = landedKeys.map(_.count()).getOrElse(0L)
         if (cnt > 0) {
-          val items = math.max(sizing.items,
-            if (cnt * 2 >= sizing.items) 4L * cnt else 0L)
+          val items = math.min(
+            math.max(sizing.items, if (cnt * 2 >= sizing.items) 4L * cnt else 0L),
+            math.max(keeperMaxBloomItems, sizing.items))
           val bf = lakeIds().stat.bloomFilter("_kh", items, sizing.fpp)
           IdBloom.writeGen(fs, dest, 0L, 0L, batchId, bf)
           IdBloom.writeSizing(fs, dest, IdBloom.Sizing(items, sizing.fpp, cnt, 0L))
@@ -369,9 +379,21 @@ object IngestPipeline {
         val newCount =
           if (crashReplay) landedKeys.map(_.count()).getOrElse(0L)
           else sizing.count + nNovel
-        if (newCount * 2 >= sizing.items) {
-          IdBloom.rebuild(fs, dest, lakeIds(), "_kh", batchId, sizing,
-            newCount, Long.MaxValue)
+        if (newCount * 2 >= sizing.items && sizing.items < keeperMaxBloomItems) {
+          // clamped monolith rebuild (keeper blooms never shard — the
+          // hashed key space has no range locality, so every shard
+          // would load on every batch and the aggregate plan-literal
+          // size wouldn't drop). At the clamp the bloom saturates and
+          // fpp degrades gracefully: more bloom hits, each paying the
+          // exact column-pruned anti-join — performance, never
+          // correctness. Lakes past ~16M keys should drain through
+          // runFileIngest's state-store dedup instead.
+          val targetItems = math.min(4L * math.max(sizing.items, newCount),
+            math.max(keeperMaxBloomItems, sizing.items))
+          val bf = lakeIds().stat.bloomFilter("_kh", targetItems, sizing.fpp)
+          IdBloom.writeGen(fs, dest, 0L, 0L, batchId, bf)
+          IdBloom.writeSizing(fs, dest,
+            IdBloom.Sizing(targetItems, sizing.fpp, newCount, 0L))
         } else {
           val guardRows = if (crashReplay) keep else novel
           if (!guardRows.isEmpty) {
@@ -383,6 +405,18 @@ object IngestPipeline {
           IdBloom.writeSizing(fs, dest, sizing.copy(count = newCount))
         }
       }
+      // generation pruning, inline (the keeper has no maintain() pass):
+      // only the newest generation (the probe) and its predecessor (the
+      // torn-newest fallback for the one batch that can ever replay) are
+      // readable state — older files are dead weight at a full bloom's
+      // size each, so a forever-running drain would otherwise accumulate
+      // them without bound
+      val genDir = new Path(s"$dest/_idbloom")
+      if (fs.exists(genDir))
+        fs.listStatus(genDir).filter(_.isFile).map(_.getPath)
+          .filter(p => p.getName.nonEmpty && p.getName.forall(_.isDigit))
+          .sortBy(-_.getName.toLong).drop(2)
+          .foreach(fs.delete(_, false))
       fs.create(done, true).close()
       true
     } finally {

@@ -169,11 +169,22 @@ object NearDupStream {
     * deterministic spec replay; `run` wires it into foreachBatch with the
     * checkpoint's batchId). Idempotent per batchId — see the marker-ledger
     * and first-write-wins contracts in the object scaladoc. */
+  /* shardMaxItems default, derived empirically: a bloom literal is
+   * hex-rendered IN FULL into every AQE explain string the driver
+   * builds, so the practical monolith ceiling is set by plan-string
+   * rendering, not probe cost — a 2^22-item/0.001 bloom is ~7.5 MB
+   * (15 MB hex) and already measurably heavy at several occurrences
+   * per plan; an earlier 2^28 default would have let the monolith
+   * reach ~480 MB and OOM the driver on explain long before the
+   * split activated (observed as a spec-suite driver OOM at one
+   * extra InMemoryRelation nesting of the 2^22 literal). 2^24 caps
+   * the rebuilt monolith at ~30 MB and the per-shard blooms at the
+   * proven 2^22 regime. */
   def processBatch(batch: DataFrame, lakeDir: String, batchId: Long,
                    threshold: Double = 0.5,
                    bloomItems: Long = 1L << 22, bloomFpp: Double = 0.001,
                    writerId: Option[String] = None,
-                   shardMaxItems: Long = 1L << 28): Unit = {
+                   shardMaxItems: Long = 1L << 24): Unit = {
     val spark = batch.sparkSession
     val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
     // ONE WRITER PER LAKE, enforced (not just documented): batchIds are
