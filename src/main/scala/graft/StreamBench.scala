@@ -40,6 +40,12 @@ object StreamBench {
     val shardMax = if (args.length > 4) args(4).toLong else 262144L
     val startBatch = if (args.length > 5) args(5).toInt else 0
     val mode = if (args.length > 6) args(6) else "full"
+    // near-dup rows for batch b reference src docs 100+b..199+b, which
+    // must already be admitted by earlier batches or they'd be admitted
+    // as novel and silently break the exact-admission contract
+    require(mode == "fresh" || startBatch.toLong.max(1L) * newPerBatch > 199 + startBatch + nBatches,
+      s"newPerBatch=$newPerBatch too small for the near-dup composition — " +
+        "batch 1+'s near-dup sources would not be in the lake yet (use mode=fresh or raise it)")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -82,13 +88,17 @@ object StreamBench {
       NearDupStream.processBatch(df, lake, batchId = b,
         bloomItems = bloomItems, bloomFpp = 0.001, shardMaxItems = shardMax)
       val dt = (System.nanoTime() - t0) / 1e9
+      // drop the batch's checkpoint blocks — a soak must not accumulate
+      // dead storage whose pressure would skew the very series it measures
+      graft.functions.Checkpoints.releaseNow(df)
       if (b % 10 == 9) NearDupStream.maintain(spark, lake, keepBatches = 8)
       System.err.println(f"[streambench] batch $b%3d ${dt}%.2f s")
       dt
     }
+    def mean(xs: Seq[Double]): Double = if (xs.isEmpty) Double.NaN else xs.sum / xs.size
     val half = nBatches / 2
-    val m1 = times.take(half).sum / half
-    val m2 = times.drop(half).sum / (nBatches - half)
+    val m1 = mean(times.take(half))
+    val m2 = mean(times.drop(half))
     val admitted = spark.read.parquet(s"$lake/docs").count()
     val sizing = {
       val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
@@ -96,10 +106,15 @@ object StreamBench {
         .map(s => s"""{"items":${s.items},"count":${s.count},"width":${s.width}}""")
         .getOrElse("null")
     }
+    // raw Double interpolation throughout, like Bench's JSON line: an
+    // f-interpolator is locale-dependent (comma decimal separators would
+    // corrupt the array); NaN halves (single-batch ablations) emit null
+    def jnum(x: Double): String = if (x.isNaN) "null" else x.toString
+    def round3(x: Double): String = (math.round(x * 1000) / 1000.0).toString
     println(s"""{"metric":"neardup_stream_soak","batches":$nBatches,"new_per_batch":$newPerBatch,""" +
-      s""""admitted":$admitted,"mean_first_half_sec":$m1,"mean_second_half_sec":$m2,""" +
-      s""""flatness_ratio":${m2 / m1},"sizing":$sizing,""" +
-      s""""per_batch_sec":[${times.map(t => f"$t%.3f").mkString(",")}]}""")
+      s""""admitted":$admitted,"mean_first_half_sec":${jnum(m1)},"mean_second_half_sec":${jnum(m2)},""" +
+      s""""flatness_ratio":${jnum(m2 / m1)},"sizing":$sizing,""" +
+      s""""per_batch_sec":[${times.map(round3).mkString(",")}]}""")
     spark.stop()
   }
 }
