@@ -27,10 +27,12 @@ object IngestPipeline {
 
   /** Kafka source with the reference's consumer tuning (collector
     * `:332-337`: 10MB min fetch, 50MB per partition) and the 5-column
-    * metadata envelope the collector emits (`:388-399`). Compiles against
-    * the bundled spark-sql-kafka jar; needs a live broker to run, which
-    * this container lacks — the file-source twin below exercises the
-    * identical downstream pipeline. */
+    * metadata envelope the collector emits (`:388-399`). `.format("kafka")`
+    * is a runtime string lookup, so this compiles with NO connector on the
+    * classpath; actually running it needs the `spark-sql-kafka-0-10`
+    * connector jars (not present in `/opt/spark/jars`) AND a live broker —
+    * this container has neither, and the file-source twin below exercises
+    * the identical downstream pipeline. */
   def kafkaSource(spark: SparkSession, brokers: String, topics: String,
                   startingOffsets: String = "earliest"): DataFrame =
     spark.readStream
@@ -92,13 +94,25 @@ object IngestPipeline {
       // while the checkpoint commits them: silent data loss, refuse.
       // This is the deferred path's analog of the keeper's _writer stamp.
       val logLatest = log.flatMap(_.getLatestBatchId())
+      // The sink's NORMAL crash window: the log legitimately runs EXACTLY
+      // ONE batch ahead of the commits when the crash fell between the
+      // sink's log write and the checkpoint commit — provided this
+      // checkpoint actually STARTED that batch (its offsets entry is
+      // written before the batch executes). Same-checkpoint recovery
+      // replays the batch and the sink skips the already-logged id.
+      // Any further lead, or a batch this checkpoint never started, is a
+      // foreign/reset checkpoint whose first real batches the sink would
+      // swallow as "already committed" — refuse those, not the window.
       logLatest.foreach { ll =>
-        if (ll > ckptLatest.getOrElse(-1L)) throw new IllegalStateException(
+        val committed = ckptLatest.getOrElse(-1L)
+        val started = latestStartedBatch(fs, checkpoint).getOrElse(-1L)
+        if (ll > committed + 1 || ll > started) throw new IllegalStateException(
           s"$dest carries a sink log at batch $ll but checkpoint $checkpoint has " +
-            s"only committed ${ckptLatest.fold("no batches")(k => s"batch $k")} — the " +
-            "FileStreamSink would silently skip this drain's first batches as " +
-            "'already committed'. Resume with the checkpoint that owns the log, " +
-            "or start a fresh dest.")
+            s"only committed ${ckptLatest.fold("no batches")(k => s"batch $k")} and " +
+            s"started ${if (started < 0) "none" else s"batch $started"} — beyond the " +
+            "sink's one-batch crash window, so the FileStreamSink would silently " +
+            "skip this drain's first batches as 'already committed'. Resume with " +
+            "the checkpoint that owns the log, or start a fresh dest.")
       }
       // compare scheme-less path parts: the sink records fully-qualified
       // URIs whose scheme/authority spelling can differ from a fresh
@@ -108,19 +122,21 @@ object IngestPipeline {
         .getOrElse(Set.empty[String])
       val unlogged = dataFiles.filterNot(st => logged.contains(st.getPath.toUri.getPath))
       if (unlogged.nonEmpty) {
-        ckptLatest match {
-          case Some(k) =>
-            // logLatest ≤ k (guarded above), so anchoring at k can never
-            // make the sink skip a batch this checkpoint hasn't committed
-            graft.sources.LakeWriter.rebuildSinkLog(spark, dest, k)
-          case None => throw new IllegalStateException(
-            s"$dest holds ${unlogged.size} data files its streaming sink log does not list " +
-              "(inline-keeper appends or a foreign writer) and the checkpoint has no " +
-              "committed batches to anchor a rebuild — a fresh FileStreamSink drain would " +
-              "hide those files behind a log listing only its own batches. Re-run inline " +
-              "keeper mode, pick a fresh dest, or rebuild the log " +
-              "(LakeWriter.rebuildSinkLog) first.")
-        }
+        // anchor at max(commits, log latest): logLatest ≤ ckptLatest + 1
+        // (guarded above), and when the log runs one batch AHEAD (the
+        // sink's crash window) anchoring below it would drop that batch's
+        // log entry — recovery would then re-append its already-landed
+        // files as a "new" batch: duplicates. Anchoring AT it keeps the
+        // replay a skip, and its files are in the full listing anyway.
+        val anchor = math.max(ckptLatest.getOrElse(-1L), logLatest.getOrElse(-1L))
+        if (anchor >= 0) graft.sources.LakeWriter.rebuildSinkLog(spark, dest, anchor)
+        else throw new IllegalStateException(
+          s"$dest holds ${unlogged.size} data files its streaming sink log does not list " +
+            "(inline-keeper appends or a foreign writer) and the checkpoint has no " +
+            "committed batches to anchor a rebuild — a fresh FileStreamSink drain would " +
+            "hide those files behind a log listing only its own batches. Re-run inline " +
+            "keeper mode, pick a fresh dest, or rebuild the log " +
+            "(LakeWriter.rebuildSinkLog) first.")
       }
     }
     // deferred appends bypass the keeper's id-bloom: a guard missing this
@@ -157,10 +173,22 @@ object IngestPipeline {
     * authoritative "this batch fully landed" record for both sink
     * flavors), or None on a fresh/foreign checkpoint. */
   private def latestCommittedBatch(fs: org.apache.hadoop.fs.FileSystem,
-                                   checkpoint: String): Option[Long] = {
-    val commits = new org.apache.hadoop.fs.Path(s"$checkpoint/commits")
-    if (!fs.exists(commits)) None
-    else fs.listStatus(commits).map(_.getPath.getName)
+                                   checkpoint: String): Option[Long] =
+    latestLedgerEntry(fs, s"$checkpoint/commits")
+
+  /** Last batch id with an OFFSETS entry under the checkpoint — written
+    * BEFORE the batch executes, so it bounds every batch id this
+    * checkpoint can ever have handed to a sink; a sink-log id above it
+    * cannot be this checkpoint's work. */
+  private def latestStartedBatch(fs: org.apache.hadoop.fs.FileSystem,
+                                 checkpoint: String): Option[Long] =
+    latestLedgerEntry(fs, s"$checkpoint/offsets")
+
+  private def latestLedgerEntry(fs: org.apache.hadoop.fs.FileSystem,
+                                dir: String): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    if (!fs.exists(p)) None
+    else fs.listStatus(p).map(_.getPath.getName)
       .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong)
       .reduceOption(_ max _)
   }
@@ -307,13 +335,29 @@ object IngestPipeline {
     val keep = graft.ingest.Dedup.dedupKeepFirst(decoded, keys.map(col), col(tsCol))
       .persist()
     val keySchema = StructType(keep.schema.fields.filter(f => keys.contains(f.name)))
-    // landed keys, read with the KNOWN schema and only when committed
-    // data files exist: a crashed first append leaves dest with nothing
-    // but `_temporary` litter, where bare fs.exists + schema inference
-    // used to wedge the drain forever
-    def landedKeys: Option[DataFrame] =
-      if (graft.sources.LakeWriter.listDataFiles(fs, new Path(dest)).isEmpty) None
-      else Some(spark.read.schema(keySchema).parquet(dest).select(keys.map(col): _*))
+    // keys must live in the DATA files: lake reads below go through the
+    // explicit leaf-file listing, which never synthesizes the partition
+    // column's directory-encoded values
+    require(!keys.contains("date_path"),
+      "the keeper cannot key on the partition column date_path")
+    // Landed-key reads go through the EXPLICIT data-file listing, never
+    // the directory path, for two reasons: (1) MIXED MODE — a lake a
+    // previous deferred drain wrote carries a FileStreamSink
+    // `_spark_metadata` log, and a directory read resolves THROUGH it,
+    // so this drain's own just-appended (still-unlogged) files would be
+    // invisible to the bloom build, the sizing count, and batch N's
+    // anti-join in a multi-batch drain — later redeliveries of those
+    // keys would bloom-MISS and land as silent duplicates (the log is
+    // only reconciled once, at end of drain). (2) A crashed first append
+    // leaves dest with nothing but `_temporary` litter, where bare
+    // fs.exists + schema inference used to wedge the drain forever —
+    // the known schema + committed-files-only listing sidesteps both.
+    def lakeDf(): Option[DataFrame] = {
+      val files = graft.sources.LakeWriter.listDataFiles(fs, new Path(dest))
+      if (files.isEmpty) None
+      else Some(spark.read.schema(keySchema).parquet(files.map(_.getPath.toString): _*))
+    }
+    def landedKeys: Option[DataFrame] = lakeDf().map(_.select(keys.map(col): _*))
     val kh = xxhash64(keys.map(col): _*)
     val sizing = IdBloom.readSizing(fs, dest)
       .getOrElse(IdBloom.Sizing(bloomItems, bloomFpp, 0L, 0L))
@@ -352,7 +396,8 @@ object IngestPipeline {
       // appends) and rewrites the generation — same protocol as
       // NearDupStream. Keeper blooms stay UNSHARDED (hashed keys carry
       // no range locality to exploit): monolith 4× growth only.
-      val lakeIds = () => spark.read.schema(keySchema).parquet(dest)
+      val lakeIds = () => lakeDf().getOrElse(throw new IllegalStateException(
+          s"$dest has no data files but the guard update expected landed keys"))
         .select(kh.as("_kh"))
       if (prevBloom.isEmpty) {
         // first build / legacy-lake adoption: size off the exact landed
@@ -388,12 +433,22 @@ object IngestPipeline {
           // exact column-pruned anti-join — performance, never
           // correctness. Lakes past ~16M keys should drain through
           // runFileIngest's state-store dedup instead.
-          val targetItems = math.min(4L * math.max(sizing.items, newCount),
+          // exact-count BACKFILL: sizing.count is maintained incrementally
+          // between rebuilds and can drift low (crash replays recompute it,
+          // but a pre-fix mixed-mode lake may carry an undercount) — the
+          // rebuild already scans every landed key for the bloom, so one
+          // extra count() over the same column-pruned read corrects the
+          // ledger exactly (keys are unique in the lake by construction),
+          // the keeper's analog of NearDupStream.maintain()'s backfill
+          val ids = lakeIds()
+          val exact = ids.count()
+          val targetItems = math.min(
+            4L * math.max(sizing.items, math.max(newCount, exact)),
             math.max(keeperMaxBloomItems, sizing.items))
-          val bf = lakeIds().stat.bloomFilter("_kh", targetItems, sizing.fpp)
+          val bf = ids.stat.bloomFilter("_kh", targetItems, sizing.fpp)
           IdBloom.writeGen(fs, dest, 0L, 0L, batchId, bf)
           IdBloom.writeSizing(fs, dest,
-            IdBloom.Sizing(targetItems, sizing.fpp, newCount, 0L))
+            IdBloom.Sizing(targetItems, sizing.fpp, exact, 0L))
         } else {
           val guardRows = if (crashReplay) keep else novel
           if (!guardRows.isEmpty) {

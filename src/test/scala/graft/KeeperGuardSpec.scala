@@ -169,6 +169,70 @@ class KeeperGuardSpec extends SparkSpec {
     assert(lakeCount(dest) == 70,
       "keeper appends must be visible through the rebuilt sink log")
     assert(spark.read.parquet(dest).select("event_id").distinct().count() == 70)
+
+    // REDELIVERY after the mixed drain — the round-13 blind spot: the
+    // keeper's bloom/sizing were built while its own appends were still
+    // outside the sink log, so a directory read at build time would have
+    // seen only the deferred drain's 40 keys; keys 40-70 would then be
+    // bloom-invisible and every redelivery of them trusted as
+    // definitely-new (silent duplicates). The explicit-file-list reads
+    // make the guard see the whole lake.
+    slice(40, 70).unionAll(slice(70, 80)).write.mode("append").parquet(src)
+    IngestPipeline.runFileIngestKeeper(spark, src, events.schema, payloadSchema,
+      dest, ckpt)
+    assert(lakeCount(dest) == 80,
+      "keys landed during the mixed drain must not re-admit on redelivery")
+    assert(spark.read.parquet(dest).select("event_id").distinct().count() == 80)
+  }
+
+  test("deferred resume: the sink's one-batch crash window heals; a foreign checkpoint is refused") {
+    val work = Files.createTempDirectory("keeperwindow").toString
+    val src = s"$work/src"; val dest = s"$work/lake"; val ckpt = s"$work/ckpt"
+    slice(0, 40).write.parquet(src)
+    IngestPipeline.runFileIngest(spark, src, events.schema, payloadSchema, dest, ckpt)
+    assert(lakeCount(dest) == 40)
+    // reconstruct the crash BETWEEN the sink's log write and the
+    // checkpoint commit: the log runs exactly one batch ahead of the
+    // commits. Normal Spark recovery replays that batch and the sink
+    // skips the already-logged id — the guard must allow it, not wedge
+    // the checkpoint in a permanent IllegalStateException.
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+    assert(commits.nonEmpty && commits.last.delete())
+    new java.io.File(s"$ckpt/commits/.${commits.last.getName}.crc").delete()
+    IngestPipeline.runFileIngest(spark, src, events.schema, payloadSchema, dest, ckpt)
+    assert(lakeCount(dest) == 40, "crash-window recovery must not duplicate the batch")
+    assert(spark.read.parquet(dest).select("event_id").distinct().count() == 40)
+
+    // a FRESH checkpoint never started the logged batch — the sink would
+    // swallow its first real batches as 'already committed': refuse
+    val e = intercept[IllegalStateException] {
+      IngestPipeline.runFileIngest(spark, src, events.schema, payloadSchema,
+        dest, s"$work/ckptFresh")
+    }
+    assert(e.getMessage.contains("crash window"), e.getMessage)
+  }
+
+  test("mixed multi-batch: batch N's guard sees batch N-1's un-logged appends") {
+    // two keeperBatch calls on a LOG-BEARING lake with NO log rebuild in
+    // between (inside a drain the reconcile only runs at the end): batch
+    // N+1 redelivers batch N's keys, which exist only as un-logged
+    // appends — the anti-join and bloom must still exclude them
+    val work = Files.createTempDirectory("keepermixedmb").toString
+    val src = s"$work/src"; val dest = s"$work/lake"; val ckpt = s"$work/ckpt"
+    slice(0, 40).write.parquet(src)
+    IngestPipeline.runFileIngest(spark, src, events.schema, payloadSchema, dest, ckpt)
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    keeper(slice(40, 60), dest, ckpt, 100)
+    keeper(slice(40, 60).unionAll(slice(60, 70)), dest, ckpt, 101)
+    // the stale log still lists only the deferred batch — read the lake
+    // by explicit file list, exactly like the guard does
+    val files = graft.sources.LakeWriter
+      .listDataFiles(fs, new org.apache.hadoop.fs.Path(dest))
+      .map(_.getPath.toString)
+    val lake = spark.read.parquet(files: _*)
+    assert(lake.count() == 70, "batch 101 must drop batch 100's redelivered keys")
+    assert(lake.select("event_id").distinct().count() == 70)
   }
 
   test("deferred drain over keeper files: rebuilds with checkpoint commits, refuses fresh") {
