@@ -130,10 +130,24 @@ object Robust {
     *    pass counts just those (broadcast semi-join). MG guarantees
     *    every key with true count > N/(capacity+1) survives, so the
     *    answer IS the exact top-k whenever the k-th count clears that
-    *    line — at 100 TB pick capacity ≈ 10-100× topK.
+    *    line — at 100 TB pick capacity ≈ 10-100× topK. The caller owns
+    *    the precondition (audit it with q_heavy_hitters_guarantee's
+    *    shape); on a frequency-flattened corpus the survivors past the
+    *    detection line are arbitrary.
+    *  - Auto additionally AUDITS the guarantee when it lands on the
+    *    sketch path, from quantities the path already computes: the
+    *    k-th highest candidate count c_k (exact, from the confirm pass)
+    *    against the detection line N/(capacity+1). c_k above the line
+    *    proves every non-candidate's true count < c_k, so the candidate
+    *    top-k IS the exact top-k; c_k at/below it means a true hitter
+    *    may be missing, and Auto escalates to the exact vocabulary
+    *    count instead of returning arbitrary survivors. The audit costs
+    *    one tiny top-k collect; the escalation costs the one shuffle
+    *    Exact would have paid anyway — so Auto is always-correct at
+    *    sketch cost whenever the corpus is skewed enough to deserve it.
     * Same output schema in all modes (the Robust contract); the gated
     * q_heavy_hitters / q_heavy_hitters_sketch queries are the two
-    * shapes' oracle-gated twins. */
+    * shapes' oracle-gated twins, q_heavy_hitters_guarantee the audit's. */
   def heavyHitters(df: DataFrame, key: String, topK: Int = 20,
       mode: Mode = Mode.Sketch, capacity: Int = 256): DataFrame = {
     require(capacity > topK,
@@ -144,13 +158,31 @@ object Robust {
     // group the Sketch path structurally cannot see — breaking the
     // same-answer contract on exactly the dirty data this runs on
     val rows = df.filter(col(key).isNotNull)
-    val counts =
-      if (useExact(rows, mode)) rows.groupBy(col(key)).agg(count(lit(1)).as("n"))
-      else {
-        val cands = rows.agg(Sketches.misraGries(capacity)(col(key)).as("_mg"))
-          .select(explode(map_keys(col("_mg"))).as(key))
-        rows.join(broadcast(cands), key).groupBy(col(key)).agg(count(lit(1)).as("n"))
-      }
+    def exactCounts = rows.groupBy(col(key)).agg(count(lit(1)).as("n"))
+    def sketchCounts = {
+      val cands = rows.agg(Sketches.misraGries(capacity)(col(key)).as("_mg"))
+        .select(explode(map_keys(col("_mg"))).as(key))
+      rows.join(broadcast(cands), key).groupBy(col(key)).agg(count(lit(1)).as("n"))
+    }
+    val counts = mode match {
+      case Mode.Exact  => exactCounts
+      case Mode.Sketch => sketchCounts
+      case Mode.Auto(max) =>
+        val n = rows.count() // the Auto threshold probe — reused as MG's N
+        if (n <= max) exactCounts
+        else {
+          // checkpointed: the audit's top-k collect and the final result
+          // both consume the candidate counts, and the MG pass + confirm
+          // join are exactly what must not run twice
+          val sc = Checkpoints.lazyLocal(sketchCounts)
+          val kth = sc.orderBy(col("n").desc, col(key).asc).limit(topK)
+            .agg(count(lit(1)).as("k"), min(col("n")).as("ck"))
+            .collect()(0)
+          val holds = kth.getLong(0) >= topK.toLong &&
+            kth.getLong(1) > n / (capacity + 1L)
+          if (holds) sc else exactCounts
+        }
+    }
     val order = Seq(col("n").desc, col(key).asc)
     // distributed sort+limit first (TakeOrderedAndProject), the rank
     // window over only the k survivors — never a global one-partition sort

@@ -84,6 +84,42 @@ class RobustSpec extends SparkSpec {
     assert(sketch == exact)
   }
 
+  test("Auto heavy hitters escalate to exact when the MG guarantee is void") {
+    import spark.implicits._
+    // frequency-FLATTENED corpus (the sf1 shard-lake regime from
+    // COVERAGE.md): 300 keys × 6 with the true top-3 only one count
+    // ahead — far below the detection line N/(capacity+1), so the MG
+    // survivors past the line are arbitrary and the raw sketch answer is
+    // untrustworthy. Auto must audit the k-th candidate count against
+    // the line and escalate to the exact vocabulary count.
+    val flat = (1 to 300).flatMap(i => Seq.fill(6)(f"k$i%03d"))
+    val tops = Seq.fill(7)("aaa") ++ Seq.fill(7)("aab") ++ Seq.fill(7)("aac")
+    val df = (flat ++ tops).toDF("k").repartition(8)
+    val expected = Seq((1, "aaa", 7L), (2, "aab", 7L), (3, "aac", 7L))
+    val exact = Robust.heavyHitters(df, "k", topK = 3, Robust.Mode.Exact,
+      capacity = 16).as[(Int, String, Long)].collect().toSeq
+    assert(exact == expected)
+    val auto = Robust.heavyHitters(df, "k", topK = 3,
+      Robust.Mode.Auto(maxExactRows = 0), capacity = 16)
+      .as[(Int, String, Long)].collect().toSeq
+    assert(auto == expected, "Auto must escalate to exact when the guarantee is void")
+  }
+
+  test("Auto heavy hitters: a skewed corpus passes the audit on the sketch path") {
+    import spark.implicits._
+    // heavily skewed: the 3rd count (200) clears N/(capacity+1) = 61, so
+    // the audit proves the candidate top-3 exact and Auto never pays the
+    // vocabulary shuffle — the answer must still BE the exact top-3
+    val df = (Seq.fill(500)("hot") ++ Seq.fill(300)("warm") ++
+      Seq.fill(200)("cool") ++ (1 to 50).map(i => f"tail$i%02d"))
+      .toDF("k").repartition(8)
+    val expected = Seq((1, "hot", 500L), (2, "warm", 300L), (3, "cool", 200L))
+    val auto = Robust.heavyHitters(df, "k", topK = 3,
+      Robust.Mode.Auto(maxExactRows = 0), capacity = 16)
+      .as[(Int, String, Long)].collect().toSeq
+    assert(auto == expected)
+  }
+
   test("Auto picks exact under the threshold and sketch above it") {
     // Threshold far above sf0.001 row count -> exact; 0 -> sketch. The two
     // sides are distinguishable through the fence values on this data only
