@@ -10,9 +10,19 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // SPARK_GRAFT_SHUFFLE: partition-count robustness replays only; the
+    // driver harness leaves it unset (= cpus)
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
+      // cached plans must not pin the configured shuffle-partition count:
+      // by default AQE is NOT allowed to re-partition a persist()'d
+      // plan's output, so at cluster-scale settings (thousands of
+      // partitions) every consumer of a cached frame pays
+      // thousands-of-tasks stages over kilobyte partitions — measured
+      // 5.4x on q_retrieval_eval at partitions=2048 (COVERAGE.md r14)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.compression.codec", "zstd")
       .config("spark.ui.enabled", "false")

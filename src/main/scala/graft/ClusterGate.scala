@@ -69,6 +69,8 @@ object ClusterGate {
       // the classpath probe throws "Cannot find any build directories."
       // (executorEnv reaches the launcher's childEnv before System.getenv)
       .config("spark.executorEnv.SPARK_SCALA_VERSION", "2.13")
+      // let AQE re-partition cached plans (see Bench.scala's rationale)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.compression.codec", "zstd")

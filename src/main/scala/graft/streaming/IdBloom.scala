@@ -137,6 +137,28 @@ object IdBloom {
                batchId: Long, bf: BloomFilter): Unit =
     atomicWrite(fs, new Path(genDir(lakeDir, shard, width), batchId.toString), bloomBytes(bf))
 
+  /** Merge `fresh` into `prev` when their geometries agree; on a TORN
+    * GEN/SIZING PAIR fall back to `rebuildAll`. The torn pair: a
+    * capacity rebuild writes the new generation, then crashes before the
+    * sizing write — the newest generation now has a geometry the ledger
+    * no longer describes. In [[NearDupStream]] the crash REPLAY's
+    * survivor set is empty, so its `newCount` stays at the ledger's
+    * stale count and the rebuild trigger does NOT re-fire — every later
+    * small batch then lands in the merge branch, where a ledger-sized
+    * `mergeInPlace` against the torn generation would throw
+    * IncompatibleMergeException FOREVER: a permanently wedged stream,
+    * not a transient failure. Rebuilding from the authoritative id frame
+    * is always safe (the absence-is-safe rule applied to geometry
+    * drift); wedging never is. (The inline keeper self-heals this window
+    * — its replay recomputes the exact landed count, re-firing the
+    * rebuild — so its use of this helper is defense in depth.) */
+  def mergeOrRebuild(fresh: BloomFilter, prev: Option[BloomFilter])
+                    (rebuildAll: => BloomFilter): BloomFilter = prev match {
+    case Some(p) if fresh.isCompatible(p) => fresh.mergeInPlace(p); fresh
+    case Some(_)                          => rebuildAll
+    case None                             => fresh
+  }
+
   /** Shard indices with an existing generation directory (sharded layout
     * only) — the implicit capacity multiplier for the resize trigger. */
   def presentShards(fs: FileSystem, lakeDir: String): Seq[Long] = {

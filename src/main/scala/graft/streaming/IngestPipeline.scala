@@ -161,6 +161,14 @@ object IngestPipeline {
     q
   }
 
+  /** Test seam: invoked between [[keeperBatch]]'s protocol steps with
+    * (dest, step) where step ∈ started / appended / gen-written /
+    * sizing-written / pruned. Crash-point specs install a hook that
+    * throws at a chosen (dest, step) to reconstruct every real crash
+    * window; the dest key isolates concurrently-running suites. No-op
+    * in production (never reassigned outside tests). */
+  @volatile private[graft] var keeperStepHook: (String, String) => Unit = (_, _) => ()
+
   /** Keeper bloom growth clamp — see the rebuild comment in
     * [[keeperBatch]]: a bloom literal is hex-rendered in full into every
     * explain string, so unbounded 4× growth would OOM the driver on plan
@@ -327,6 +335,7 @@ object IngestPipeline {
       try out.hsync() catch { case _: UnsupportedOperationException => () }
       out.close()
     }
+    keeperStepHook(dest, "started")
 
     val decoded = decodeAndDatePartition(batch, payloadSchema)
     // persisted: the guard probes it (hits split), the checkpoint
@@ -391,6 +400,7 @@ object IngestPipeline {
       if (nNovel > 0)
         novel.write.mode("append").option("compression", compression)
           .partitionBy("date_path").parquet(dest)
+      keeperStepHook(dest, "appended")
       // guard update AFTER the append, BEFORE the done marker: a crash
       // in between replays the batch through the exact anti-join (no-op
       // appends) and rewrites the generation — same protocol as
@@ -410,8 +420,10 @@ object IngestPipeline {
             math.max(keeperMaxBloomItems, sizing.items))
           val bf = lakeIds().stat.bloomFilter("_kh", items, sizing.fpp)
           IdBloom.writeGen(fs, dest, 0L, 0L, batchId, bf)
+          keeperStepHook(dest, "gen-written")
           IdBloom.writeSizing(fs, dest, IdBloom.Sizing(items, sizing.fpp, cnt, 0L))
         }
+        keeperStepHook(dest, "sizing-written")
       } else {
         // On a CRASH REPLAY the anti-join can be a no-op (the crashed
         // attempt landed everything before the generation write) — so
@@ -447,6 +459,7 @@ object IngestPipeline {
             math.max(keeperMaxBloomItems, sizing.items))
           val bf = ids.stat.bloomFilter("_kh", targetItems, sizing.fpp)
           IdBloom.writeGen(fs, dest, 0L, 0L, batchId, bf)
+          keeperStepHook(dest, "gen-written")
           IdBloom.writeSizing(fs, dest,
             IdBloom.Sizing(targetItems, sizing.fpp, exact, 0L))
         } else {
@@ -454,11 +467,18 @@ object IngestPipeline {
           if (!guardRows.isEmpty) {
             val b = guardRows.select(kh.as("_kh"))
               .stat.bloomFilter("_kh", sizing.items, sizing.fpp)
-            prevBloom.foreach(b.mergeInPlace) // same sizing or fail loudly
-            IdBloom.writeGen(fs, dest, 0L, 0L, batchId, b)
+            // torn gen/sizing pair → rebuild from the lake (IdBloom
+            // .mergeOrRebuild's scaladoc has the crash window; the
+            // keeper's replay re-fires its rebuild so this is defense
+            // in depth here, load-bearing in NearDupStream)
+            val merged = IdBloom.mergeOrRebuild(b, prevBloom)(
+              lakeIds().stat.bloomFilter("_kh", sizing.items, sizing.fpp))
+            IdBloom.writeGen(fs, dest, 0L, 0L, batchId, merged)
           }
+          keeperStepHook(dest, "gen-written")
           IdBloom.writeSizing(fs, dest, sizing.copy(count = newCount))
         }
+        keeperStepHook(dest, "sizing-written")
       }
       // generation pruning, inline (the keeper has no maintain() pass):
       // only the newest generation (the probe) and its predecessor (the
@@ -472,6 +492,7 @@ object IngestPipeline {
           .filter(p => p.getName.nonEmpty && p.getName.forall(_.isDigit))
           .sortBy(-_.getName.toLong).drop(2)
           .foreach(fs.delete(_, false))
+      keeperStepHook(dest, "pruned")
       fs.create(done, true).close()
       true
     } finally {

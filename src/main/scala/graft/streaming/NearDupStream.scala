@@ -371,13 +371,18 @@ object NearDupStream {
           // merge the survivors into each touched shard's generation
           // chain — only shards with new admissions get a new file
           IdBloom.touchedShards(survivors, "doc_id", sizing).foreach { sh =>
-            val in =
+            def shardIds(df: DataFrame): DataFrame =
               if (sizing.sharded)
-                survivors.filter(shiftright(col("doc_id"), sizing.shardBits) === lit(sh))
-              else survivors
-            val b = in.stat.bloomFilter("doc_id", sizing.items, sizing.fpp)
-            IdBloom.latestGen(fs, lakeDir, sh, sizing.width).foreach(b.mergeInPlace)
-            IdBloom.writeGen(fs, lakeDir, sh, sizing.width, batchId, b)
+                df.filter(shiftright(col("doc_id"), sizing.shardBits) === lit(sh))
+              else df
+            val b = shardIds(survivors).stat.bloomFilter("doc_id", sizing.items, sizing.fpp)
+            // torn gen/sizing pair → rebuild this shard from the docs
+            // relation (IdBloom.mergeOrRebuild's scaladoc has the window)
+            val merged = IdBloom.mergeOrRebuild(b,
+              IdBloom.latestGen(fs, lakeDir, sh, sizing.width))(
+              shardIds(spark.read.parquet(docsPath).select(col("doc_id")))
+                .stat.bloomFilter("doc_id", sizing.items, sizing.fpp))
+            IdBloom.writeGen(fs, lakeDir, sh, sizing.width, batchId, merged)
           }
         } else if (blooms.isEmpty && !sizing.sharded) {
           // fresh unsharded lake whose first batch was all-duplicate:

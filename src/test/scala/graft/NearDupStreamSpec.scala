@@ -243,6 +243,49 @@ class NearDupStreamSpec extends SparkSpec {
     assert(sizing(2).toLong == 4L, s"count after batch 1: ${sizing.mkString(" ")}")
   }
 
+  test("torn gen/sizing pair (crash inside a capacity rebuild) heals instead of wedging") {
+    import spark.implicits._
+    // unique, shingle-rich texts — every doc clears the near-dup gate
+    def doc(i: Long) = (i, s"document number $i discusses entirely unique topic $i " +
+      s"with vocabulary token$i alpha$i beta$i gamma$i delta$i epsilon$i zeta$i eta$i")
+    val lake = Files.createTempDirectory("neardupTorn").toString
+    def admitted: Set[Long] =
+      spark.read.parquet(s"$lake/docs").select("doc_id").as[Long].collect().toSet
+    // batch 0 at tiny capacity (16): 6 admissions → merge branch, gen(16)
+    NearDupStream.processBatch((1L to 6L).map(doc).toDF("doc_id", "text"),
+      lake, batchId = 0, bloomItems = 16L, bloomFpp = 0.01)
+    val sizingAfter0 = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$lake/_idbloom/_sizing"))
+    // batch 1: count 9 crosses items/2 → REBUILD writes gen(64), then
+    // sizing. Reconstruct the crash BETWEEN those writes: done marker
+    // gone, sizing rolled back — the newest generation's geometry (64)
+    // no longer matches the ledger (16).
+    NearDupStream.processBatch((7L to 9L).map(doc).toDF("doc_id", "text"),
+      lake, batchId = 1, bloomItems = 16L, bloomFpp = 0.01)
+    assert(new java.io.File(s"$lake/_batches/1.done").delete())
+    new java.io.File(s"$lake/_idbloom/._sizing.crc").delete()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$lake/_idbloom/_sizing"), sizingAfter0)
+    // replay of batch 1: zero survivors → the rebuild trigger does NOT
+    // re-fire (newCount stays at the stale ledger count) — the protocol
+    // completes but the torn generation stays newest
+    NearDupStream.processBatch((7L to 9L).map(doc).toDF("doc_id", "text"),
+      lake, batchId = 1, bloomItems = 16L, bloomFpp = 0.01)
+    assert(admitted == (1L to 9L).toSet)
+    // batch 2: one survivor lands in the MERGE branch — a ledger-sized
+    // mergeInPlace against the torn gen(64) used to throw
+    // IncompatibleMergeException on every attempt (a permanently wedged
+    // stream); IdBloom.mergeOrRebuild heals it from the docs relation
+    NearDupStream.processBatch(Seq(doc(10L)).toDF("doc_id", "text"),
+      lake, batchId = 2, bloomItems = 16L, bloomFpp = 0.01)
+    assert(admitted == (1L to 10L).toSet)
+    // and the healed guard still drops redeliveries exactly
+    NearDupStream.processBatch((1L to 10L).map(doc).toDF("doc_id", "text"),
+      lake, batchId = 3, bloomItems = 16L, bloomFpp = 0.01)
+    assert(admitted == (1L to 10L).toSet)
+    assert(spark.read.parquet(s"$lake/docs").count() == 10)
+  }
+
   test("AvailableNow wrapper drains a file source through the same admission") {
     val work = Files.createTempDirectory("neardupstream").toString
     val src = s"$work/src"; val lake = s"$work/lake"; val ckpt = s"$work/ckpt"
