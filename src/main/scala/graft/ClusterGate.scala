@@ -170,6 +170,33 @@ object ClusterGate {
         .select("doc_id").as[Long].collect().toSet
       require(ids == Set(10L, 12L), s"near-dup admission diverged: $ids")
     }
+    item("neardup_sharded_bloom") {
+      import spark.implicits._
+      // force the RANGE-SHARDED guard layout (tiny per-shard capacity):
+      // the admission rebuild writes per-shard generation chains, and
+      // the redelivery batch probes shard-routed bloom literals — each a
+      // distinct plan literal shipped to the executors. Unique texts so
+      // every doc clears the LSH gate; ids spread across a wide range so
+      // the split produces several shards.
+      def doc(i: Long) = (i * 1000000L,
+        s"standalone document $i covering an entirely distinct area " +
+          s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i eta$i theta$i")
+      val lake = s"$work/ndsh/lake"
+      graft.streaming.NearDupStream.processBatch(
+        (1L to 40L).map(doc).toDF("doc_id", "text"), lake, batchId = 0,
+        bloomItems = 16L, shardMaxItems = 32L)
+      val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      val sizing = graft.streaming.IdBloom.readSizing(fs, lake)
+      require(sizing.exists(_.sharded), s"expected a sharded guard, got $sizing")
+      // redeliver everything + 5 new docs: sharded probes must drop the
+      // 40, admit the 5
+      graft.streaming.NearDupStream.processBatch(
+        (1L to 45L).map(doc).toDF("doc_id", "text"), lake, batchId = 1,
+        bloomItems = 16L, shardMaxItems = 32L)
+      val n = spark.read.parquet(s"$lake/docs").count()
+      val ndst = spark.read.parquet(s"$lake/docs").select("doc_id").distinct().count()
+      require(n == 45 && ndst == 45, s"sharded admission diverged: n=$n distinct=$ndst")
+    }
 
     // ---- report
     val pad = results.map(_._1.length).max

@@ -754,7 +754,18 @@ object TextQueries {
     // corpus shuffles beyond the presentation sort; at 100 TB this is
     // the scan-bound pass every training run executes after fit. No
     // DuckDB oracle (the table is data-dependent driver state from an
-    // iterative argmax) — rows-only gate; BpeSpec proves
+    // iterative argmax). A recursive-CTE replay was evaluated and
+    // rejected (round 14): a SINGLE-round fit (pair counts on the raw
+    // corpus → ranked disjoint-prefix selection → one composed rewrite)
+    // IS plain-SQL-expressible, and the observed 5-merge tables at
+    // sf0.01/sf0.1/sf1 happen to be single-round — but the fit's
+    // CONTRACT is multi-round (the batch selection keeps only the
+    // strict-gap disjoint prefix and re-counts the REWRITTEN corpus for
+    // the remainder), and a recursive CTE cannot express the per-round
+    // global pair count: SQL forbids aggregation over the recursive
+    // working table (DuckDB included). An oracle correct only for
+    // corpora where one batch happens to suffice would silently diverge
+    // the first time a tie lands on the cut — rows-only gate; BpeSpec proves
     // encode(docs, fit.merges) ≡ fit's final corpus bit-for-bit, and
     // the compression accounting carries its own conservation law:
     // n_absorbed (embedded spaces across encoded symbols, counted from
