@@ -198,6 +198,43 @@ object ClusterGate {
       require(n == 45 && ndst == 45, s"sharded admission diverged: n=$n distinct=$ndst")
     }
 
+    // 4. EXECUTOR LOSS: on a 1000-executor cluster executors die hourly;
+    // the engine's plans must survive (a) tasks lost mid-flight — retry
+    // on survivors — and (b) shuffle map outputs lost with the executor
+    // — FetchFailed → map-stage resubmission (no external shuffle
+    // service here, the harder regime). Both phases assert exact
+    // results, not just completion.
+    item("executor_loss_recovery") {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val sc = spark.sparkContext
+      // materialize a shuffle BEFORE the kill so its map outputs live in
+      // the doomed executor's local dirs
+      val shuffled = sc.parallelize(1L to 100000L, 32)
+        .map(i => (i % 1000, i)).reduceByKey(_ + _)
+      shuffled.count()
+      // phase (a): two task waves of 800 ms; the kill lands inside the
+      // second wave, so ~16 running tasks die with the executor
+      val slow = Future {
+        sc.parallelize(1L to 64L, 64).map { i => Thread.sleep(800); i }.sum()
+      }
+      Thread.sleep(1500)
+      val pids = scala.sys.process.Process("pgrep -f CoarseGrainedExecutorBackend")
+        .lazyLines_!.map(_.trim).filter(_.nonEmpty).toList
+      require(pids.nonEmpty, "no executor JVMs found to kill")
+      scala.sys.process.Process(s"kill -9 ${pids.head}").!
+      require(Await.result(slow, 4.minutes) == 64L * 65 / 2,
+        "task retry after executor loss produced a wrong sum")
+      // phase (b): consume the pre-kill shuffle — the dead executor's map
+      // outputs are gone, so this must FetchFailed → recompute, exactly
+      require(shuffled.map(_._2).sum() == 100000L * 100001 / 2,
+        "shuffle refetch after executor loss produced a wrong sum")
+      // and a full SQL query still lands on whatever executors remain /
+      // the master relaunched
+      queries("q_tfidf")(spark, sfDir).write.format("noop").mode("overwrite").save()
+    }
+
     // ---- report
     val pad = results.map(_._1.length).max
     println(s"\n| item | sec | status |\n|---|---|---|")
