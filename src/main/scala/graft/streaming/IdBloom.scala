@@ -137,6 +137,12 @@ object IdBloom {
                batchId: Long, bf: BloomFilter): Unit =
     atomicWrite(fs, new Path(genDir(lakeDir, shard, width), batchId.toString), bloomBytes(bf))
 
+  /** Test seam for [[rebuild]]: fired after the generation writes and
+    * BEFORE the sizing write — the torn gen/sizing window
+    * [[mergeOrRebuild]] heals. Crash-point specs install a throwing
+    * hook keyed by lakeDir; no-op in production. */
+  @volatile private[graft] var rebuildStepHook: (String, String) => Unit = (_, _) => ()
+
   /** Merge `fresh` into `prev` when their geometries agree; on a TORN
     * GEN/SIZING PAIR fall back to `rebuildAll`. The torn pair: a
     * capacity rebuild writes the new generation, then crashes before the
@@ -233,6 +239,7 @@ object IdBloom {
       val bf = ids.stat.bloomFilter(idCol, targetItems, cur.fpp)
       val s = Sizing(targetItems, cur.fpp, newCount, 0L)
       writeGen(fs, lakeDir, 0L, 0L, batchId, bf)
+      rebuildStepHook(lakeDir, "rebuild-gens-written")
       writeSizing(fs, lakeDir, s)
       s
     } else {
@@ -259,6 +266,7 @@ object IdBloom {
             .stat.bloomFilter(idCol, perShard, cur.fpp)
           writeGen(fs, lakeDir, sh, width, batchId, bf)
         }
+        rebuildStepHook(lakeDir, "rebuild-gens-written")
         writeSizing(fs, lakeDir, sNew)
         // retire layouts this rebuild replaced: shard dirs from an older
         // width (their indices are not in `shards`) would inflate

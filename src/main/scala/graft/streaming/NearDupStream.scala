@@ -165,6 +165,14 @@ object NearDupStream {
       .select(col("left_id"), col("right_id"))
   }
 
+  /** Test seam, the [[IngestPipeline.keeperStepHook]] twin for this
+    * protocol: invoked between [[processBatch]]'s steps with (lakeDir,
+    * step), step ∈ started / bands-appended / shingles-appended /
+    * docs-appended / guard-written / sizing-written. Crash-point specs
+    * install a throwing hook; the lakeDir key isolates concurrent
+    * suites. No-op in production. */
+  @volatile private[graft] var nearDupStepHook: (String, String) => Unit = (_, _) => ()
+
   /** One micro-batch of near-dup admission against `lakeDir` (exposed for
     * deterministic spec replay; `run` wires it into foreachBatch with the
     * checkpoint's batchId). Idempotent per batchId — see the marker-ledger
@@ -215,6 +223,7 @@ object NearDupStream {
       try out.hsync() catch { case _: UnsupportedOperationException => () }
       out.close()
     }
+    nearDupStepHook(lakeDir, "started")
 
     val docsPath = s"$lakeDir/docs"
     val bandsPath = s"$lakeDir/bands"
@@ -335,8 +344,11 @@ object NearDupStream {
       val survSh = withShingles(survivors).persist()
       persisted += survSh
       appendNew(bandRows(survSh), bandsPath)
+      nearDupStepHook(lakeDir, "bands-appended")
       appendNew(survSh, shPath)
+      nearDupStepHook(lakeDir, "shingles-appended")
       appendNew(survivors, docsPath)
+      nearDupStepHook(lakeDir, "docs-appended")
       // bloom update AFTER the docs append, BEFORE the done marker: a
       // crash in between replays the batch (guarded path, no-op appends)
       // and rewrites the bloom; distributed build + merge, no collect.
@@ -390,8 +402,10 @@ object NearDupStream {
           IdBloom.writeGen(fs, lakeDir, 0L, 0L, batchId,
             BloomFilter.create(sizing.items, sizing.fpp))
         }
+        nearDupStepHook(lakeDir, "guard-written")
         IdBloom.writeSizing(fs, lakeDir, sizing.copy(count = newCount))
       }
+      nearDupStepHook(lakeDir, "sizing-written")
       fs.create(done, true).close()
     } finally {
       persisted.foreach(_.unpersist()) // only this batch's blocks — not the session cache

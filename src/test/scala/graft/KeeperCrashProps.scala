@@ -38,7 +38,8 @@ object KeeperCrashProps extends Properties("graft.keepercrash") {
     p.withMinSuccessfulTests(
       sys.env.getOrElse("SPARK_GRAFT_CRASH_CASES", "100").toInt)
 
-  private lazy val spark = SparkSpec.session
+  private lazy val spark = { val s = SparkSpec.session
+    s.sparkContext.setLogLevel("WARN"); s }
   private lazy val fs = org.apache.hadoop.fs.FileSystem
     .get(spark.sparkContext.hadoopConfiguration)
 
@@ -81,8 +82,11 @@ object KeeperCrashProps extends Properties("graft.keepercrash") {
   private val crashesGen: Gen[List[String]] =
     Gen.choose(0, 2).flatMap(n => Gen.listOfN(n, stepGen))
 
+  // forAllNoShrink: a shrink pass re-executes the (expensive, Spark-job
+  // heavy) property hundreds of times; the original schedules ARE the
+  // diagnosis
   property("two overlapping batches converge under any crash schedule") =
-    Prop.forAll(crashesGen, crashesGen, crashesGen) { (c0, c1, cr) =>
+    Prop.forAllNoShrink(crashesGen, crashesGen, crashesGen) { (c0, c1, cr) =>
       val work = Files.createTempDirectory("keepercrashprop").toString
       val dest = s"$work/lake"; val ckpt = s"$work/ckpt"
       try {
