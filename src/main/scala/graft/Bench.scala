@@ -13,20 +13,7 @@ object Bench {
     // SPARK_GRAFT_SHUFFLE: partition-count robustness replays only; the
     // driver harness leaves it unset (= cpus)
     val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", shuffle)
-      // cached plans must not pin the configured shuffle-partition count:
-      // by default AQE is NOT allowed to re-partition a persist()'d
-      // plan's output, so at cluster-scale settings (thousands of
-      // partitions) every consumer of a cached frame pays
-      // thousands-of-tasks stages over kilobyte partitions — measured
-      // 5.4x on q_retrieval_eval at partitions=2048 (COVERAGE.md r14)
-      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.parquet.compression.codec", "zstd")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = Sessions.builder(s"local[$cpus]", shuffle).getOrCreate()
     // INFO exposes executor spill events (Spillable/UnsafeExternalSorter
     // log spills at INFO) — the memory-pressure scale gate greps for them
     spark.sparkContext.setLogLevel(sys.env.getOrElse("SPARK_GRAFT_LOGLEVEL", "WARN"))

@@ -57,8 +57,7 @@ object ClusterGate {
     require(jar.exists(),
       s"app jar missing — run `sbt package` first (executors are separate " +
         s"JVMs and need the graft classes via spark.jars): $jar")
-    val spark = SparkSession.builder()
-      .master(master)
+    val spark = Sessions.builder(master, "32")
       .appName("graft-cluster-gate")
       // worker capacity is 8192 MB: leave headroom for the executor's
       // non-heap overhead so the worker accepts the allocation
@@ -69,12 +68,6 @@ object ClusterGate {
       // the classpath probe throws "Cannot find any build directories."
       // (executorEnv reaches the launcher's childEnv before System.getenv)
       .config("spark.executorEnv.SPARK_SCALA_VERSION", "2.13")
-      // let AQE re-partition cached plans (see Bench.scala's rationale)
-      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.parquet.compression.codec", "zstd")
-      .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel(sys.env.getOrElse("SPARK_GRAFT_LOGLEVEL", "WARN"))
 
@@ -89,16 +82,26 @@ object ClusterGate {
       }
     }
 
-    // 0. PROOF OF MULTI-JVM: the work must land on exactly two executor
-    // JVMs, neither of which is the driver. (pid@host from the runtime
-    // MX bean is unique per JVM.)
+    // 0. PROOF OF MULTI-JVM: the work must land on exactly `workers`
+    // executor JVMs (from the master string), none of which is the
+    // driver. (pid@host from the runtime MX bean is unique per JVM.)
+    // The probe WAITS for full registration first: standalone schedules
+    // as soon as ONE executor is up (minRegisteredResourcesRatio=0), so
+    // an eager trivial job can finish on executor 1 before executor 2
+    // registers and flake a healthy build.
+    val expectedExecs = "local-cluster\\[(\\d+)".r.findFirstMatchIn(master)
+      .map(_.group(1).toInt).getOrElse(1)
     val driverJvm = java.lang.management.ManagementFactory.getRuntimeMXBean.getName
     item("executor_jvms") {
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      // getExecutorMemoryStatus includes the driver's own entry
+      while (spark.sparkContext.getExecutorMemoryStatus.size < expectedExecs + 1
+        && System.nanoTime() < deadline) Thread.sleep(200)
       val jvms = spark.sparkContext.parallelize(1 to 256, 32)
         .map(_ => java.lang.management.ManagementFactory.getRuntimeMXBean.getName)
         .distinct().collect().toSet
-      require(jvms.size == 2 && !jvms.contains(driverJvm),
-        s"expected 2 executor JVMs distinct from driver $driverJvm, got $jvms")
+      require(jvms.size == expectedExecs && !jvms.contains(driverJvm),
+        s"expected $expectedExecs executor JVMs distinct from driver $driverJvm, got $jvms")
     }
 
     // 1. Executor-side classloading of a custom codegen expression via
@@ -143,7 +146,7 @@ object ClusterGate {
       events.filter(col("event_id") < 1500).write.parquet(src)
       IngestPipeline_runKeeper(spark, src, events.schema, s"$work/keeper/lake",
         s"$work/keeper/ckpt")
-      val n1 = clusterLakeCount(spark, s"$work/keeper/lake")
+      val n1 = spark.read.parquet(s"$work/keeper/lake").count()
       require(n1 == 1500, s"first drain landed $n1 rows, expected 1500")
       // redeliver 1000 old keys + 500 new: the id-bloom guard (a
       // multi-MB plan literal on the probe filter) must drop the dups
@@ -220,9 +223,15 @@ object ClusterGate {
         sc.parallelize(1L to 64L, 64).map { i => Thread.sleep(800); i }.sum()
       }
       Thread.sleep(1500)
-      val pids = scala.sys.process.Process("pgrep -f CoarseGrainedExecutorBackend")
+      // filter by THIS app's id: a bare CoarseGrainedExecutorBackend
+      // match could kill another Spark app's executor (or a stale
+      // orphan) and leave this gate's executors alive — the loss test
+      // would then pass without exercising any recovery at all
+      val appId = sc.applicationId
+      val pids = scala.sys.process.Process(
+        Seq("pgrep", "-f", s"CoarseGrainedExecutorBackend.*--app-id $appId"))
         .lazyLines_!.map(_.trim).filter(_.nonEmpty).toList
-      require(pids.nonEmpty, "no executor JVMs found to kill")
+      require(pids.nonEmpty, s"no executor JVMs of app $appId found to kill")
       scala.sys.process.Process(s"kill -9 ${pids.head}").!
       require(Await.result(slow, 4.minutes) == 64L * 65 / 2,
         "task retry after executor loss produced a wrong sum")
@@ -248,6 +257,9 @@ object ClusterGate {
     }.mkString("{", ",", "}")
     println(s"""{"gate":"local-cluster","master":"$master","sf":"$sfDir","n_items":${results.size},"n_failed":$nFail,"items":$itemsJson}""")
     spark.stop()
+    // the streaming items' lakes/checkpoints are run-scoped scratch —
+    // repeated gate runs must not accumulate parquet under /tmp
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(work))
     if (nFail > 0) sys.exit(1)
   }
 
@@ -258,10 +270,4 @@ object ClusterGate {
     graft.streaming.IngestPipeline.runFileIngestKeeper(
       spark, src, schema, payloadSchema, dest, ckpt)
   }
-
-  /** Read a keeper lake by explicit file list (its sink-log-free layout
-    * needs no bypass, but the helper keeps the count independent of any
-    * stale `_spark_metadata` a future variant might carry). */
-  private def clusterLakeCount(spark: SparkSession, dest: String): Long =
-    spark.read.parquet(dest).count()
 }

@@ -78,6 +78,28 @@ object IngestPipeline {
     val destPath = new org.apache.hadoop.fs.Path(dest)
     val dataFiles = graft.sources.LakeWriter.listDataFiles(fs, destPath)
     val ckptLatest = latestCommittedBatch(fs, checkpoint)
+    val ckptStarted = latestStartedBatch(fs, checkpoint)
+    // ONE WRITER PER LAKE, deferred-mode edition (the keeper's `_writer`
+    // stamp, enforced here too): the crash-window relaxation below
+    // admits a log exactly one batch ahead of the commits — but a
+    // FOREIGN non-fresh checkpoint whose own in-flight batch id happens
+    // to coincide with the log's latest would slip through it and have
+    // its replayed batch silently swallowed by the sink. The stamp
+    // (this checkpoint's persistent query id) makes lake ownership
+    // explicit across BOTH drain modes; legacy unstamped lakes are
+    // adopted (stamped after this drain completes).
+    val writerFile = new org.apache.hadoop.fs.Path(s"$dest/_batches/_writer")
+    val queryId = checkpointQueryId(fs, checkpoint)
+    queryId.foreach { id =>
+      if (fs.exists(writerFile)) {
+        val existing = IdBloom.readSmall(fs, writerFile).trim
+        if (existing != id) throw new IllegalStateException(
+          s"lake $dest belongs to stream '$existing' but checkpoint $checkpoint " +
+            s"is stream '$id' — a foreign checkpoint's batch ids collide with " +
+            "this lake's sink log and marker ledger; resume with the owning " +
+            "checkpoint or start a fresh dest")
+      }
+    }
     if (dataFiles.nonEmpty) {
       import org.apache.spark.sql.execution.streaming.sinks.FileStreamSinkLog
       val metaDir = new org.apache.hadoop.fs.Path(destPath, "_spark_metadata")
@@ -105,7 +127,7 @@ object IngestPipeline {
       // swallow as "already committed" — refuse those, not the window.
       logLatest.foreach { ll =>
         val committed = ckptLatest.getOrElse(-1L)
-        val started = latestStartedBatch(fs, checkpoint).getOrElse(-1L)
+        val started = ckptStarted.getOrElse(-1L)
         if (ll > committed + 1 || ll > started) throw new IllegalStateException(
           s"$dest carries a sink log at batch $ll but checkpoint $checkpoint has " +
             s"only committed ${ckptLatest.fold("no batches")(k => s"batch $k")} and " +
@@ -122,6 +144,30 @@ object IngestPipeline {
         .getOrElse(Set.empty[String])
       val unlogged = dataFiles.filterNot(st => logged.contains(st.getPath.toUri.getPath))
       if (unlogged.nonEmpty) {
+        // IN-FLIGHT-BATCH AMBIGUITY: when this checkpoint STARTED a batch
+        // it never committed AND the log does not contain that batch,
+        // some unlogged files may be the crashed batch's own sink output
+        // (FileStreamSink tasks write data files before the job writes
+        // the log entry) — indistinguishable by name from keeper appends.
+        // Rebuilding would LOG those orphans, and recovery's replay of
+        // the batch would then write the same rows again: duplicates in
+        // an exactly-once pipeline. Refuse; the inline keeper drain is
+        // the safe recovery (its marker-ledger replay adopts landed rows
+        // exactly-once and reconciles the log at end of drain).
+        // When the log DOES contain the in-flight batch (the crash-window
+        // case below), its files are all logged, so unlogged files are
+        // keeper/foreign work and the rebuild is unambiguous.
+        val started = ckptStarted.getOrElse(-1L)
+        val committed = ckptLatest.getOrElse(-1L)
+        if (started > committed && logLatest.getOrElse(-1L) <= committed)
+          throw new IllegalStateException(
+            s"$dest holds ${unlogged.size} un-logged data files while checkpoint " +
+              s"$checkpoint has an in-flight batch $started (committed " +
+              s"${if (committed < 0) "none" else committed.toString}) whose sink " +
+              "output may be among them — logging a crashed batch's orphan files " +
+              "would duplicate its rows on replay. Drain once with the inline " +
+              "keeper (runFileIngestKeeper), which replays the in-flight batch " +
+              "exactly-once and reconciles the sink log, then resume deferred mode.")
         // anchor at max(commits, log latest): logLatest ≤ ckptLatest + 1
         // (guarded above), and when the log runs one batch AHEAD (the
         // sink's crash window) anchoring below it would drop that batch's
@@ -158,6 +204,13 @@ object IngestPipeline {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    // claim/adopt the lake for this checkpoint's stream (the query id
+    // exists once the stream has started) — the keeper writes the same
+    // stamp per batch, so mixed-mode drains on one checkpoint agree
+    if (!fs.exists(writerFile)) checkpointQueryId(fs, checkpoint).foreach { id =>
+      IdBloom.atomicWrite(fs, writerFile,
+        id.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
     q
   }
 
@@ -422,8 +475,10 @@ object IngestPipeline {
           IdBloom.writeGen(fs, dest, 0L, 0L, batchId, bf)
           keeperStepHook(dest, "gen-written")
           IdBloom.writeSizing(fs, dest, IdBloom.Sizing(items, sizing.fpp, cnt, 0L))
+          // hooks fire only when the step actually WROTE something, so a
+          // scheduled kill always reconstructs the crash window it names
+          keeperStepHook(dest, "sizing-written")
         }
-        keeperStepHook(dest, "sizing-written")
       } else {
         // On a CRASH REPLAY the anti-join can be a no-op (the crashed
         // attempt landed everything before the generation write) — so
@@ -462,6 +517,7 @@ object IngestPipeline {
           keeperStepHook(dest, "gen-written")
           IdBloom.writeSizing(fs, dest,
             IdBloom.Sizing(targetItems, sizing.fpp, exact, 0L))
+          keeperStepHook(dest, "sizing-written")
         } else {
           val guardRows = if (crashReplay) keep else novel
           if (!guardRows.isEmpty) {
@@ -474,11 +530,11 @@ object IngestPipeline {
             val merged = IdBloom.mergeOrRebuild(b, prevBloom)(
               lakeIds().stat.bloomFilter("_kh", sizing.items, sizing.fpp))
             IdBloom.writeGen(fs, dest, 0L, 0L, batchId, merged)
+            keeperStepHook(dest, "gen-written")
           }
-          keeperStepHook(dest, "gen-written")
           IdBloom.writeSizing(fs, dest, sizing.copy(count = newCount))
+          keeperStepHook(dest, "sizing-written")
         }
-        keeperStepHook(dest, "sizing-written")
       }
       // generation pruning, inline (the keeper has no maintain() pass):
       // only the newest generation (the probe) and its predecessor (the

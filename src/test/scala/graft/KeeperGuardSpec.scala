@@ -213,6 +213,57 @@ class KeeperGuardSpec extends SparkSpec {
     assert(e.getMessage.contains("crash window"), e.getMessage)
   }
 
+  test("deferred mode refuses a foreign checkpoint via the shared writer stamp") {
+    // the crash-window relaxation admits a log one batch ahead of the
+    // commits — which a FOREIGN non-fresh checkpoint could satisfy by
+    // coincidence and have its replayed batch swallowed by the sink.
+    // The `_writer` stamp (shared with the keeper) closes the class:
+    // lake ownership is explicit, not inferred from batch-id arithmetic.
+    val work = Files.createTempDirectory("deferredwriter").toString
+    slice(0, 30).write.parquet(s"$work/srcA")
+    IngestPipeline.runFileIngest(spark, s"$work/srcA", events.schema, payloadSchema,
+      s"$work/lakeA", s"$work/ckptA")
+    assert(new java.io.File(s"$work/lakeA/_batches/_writer").exists(),
+      "a completed deferred drain must stamp the lake")
+    // a second, UNRELATED checkpoint (non-fresh: it owns lakeB)
+    slice(30, 40).write.parquet(s"$work/srcB")
+    IngestPipeline.runFileIngest(spark, s"$work/srcB", events.schema, payloadSchema,
+      s"$work/lakeB", s"$work/ckptB")
+    val e = intercept[IllegalStateException] {
+      IngestPipeline.runFileIngest(spark, s"$work/srcB", events.schema, payloadSchema,
+        s"$work/lakeA", s"$work/ckptB")
+    }
+    assert(e.getMessage.contains("belongs to stream"), e.getMessage)
+  }
+
+  test("deferred resume refuses the in-flight-batch + un-logged-files ambiguity") {
+    // an in-flight batch (offsets written, never committed) may have
+    // left its own sink data files UNLOGGED (tasks commit files before
+    // the job writes the log entry) — indistinguishable from keeper
+    // appends, and logging them would duplicate the batch's rows on
+    // replay. The resume must refuse and route recovery through the
+    // keeper drain.
+    val work = Files.createTempDirectory("deferredinflight").toString
+    val src = s"$work/src"; val dest = s"$work/lake"; val ckpt = s"$work/ckpt"
+    slice(0, 40).write.parquet(src)
+    IngestPipeline.runFileIngest(spark, src, events.schema, payloadSchema, dest, ckpt)
+    // reconstruct the crash state: batch 1 started (offsets entry) but
+    // neither logged nor committed, with one un-logged data file in the
+    // lake (its partial sink output / a keeper append — unknowable)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$ckpt/offsets/0"),
+      java.nio.file.Paths.get(s"$ckpt/offsets/1"))
+    val part = new java.io.File(dest).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("date_path=")).head
+    val logged = part.listFiles().filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(logged.toPath,
+      java.nio.file.Paths.get(s"${part.getPath}/part-orphan-copy.zstd.parquet"))
+    val e = intercept[IllegalStateException] {
+      IngestPipeline.runFileIngest(spark, src, events.schema, payloadSchema, dest, ckpt)
+    }
+    assert(e.getMessage.contains("in-flight"), e.getMessage)
+  }
+
   test("mixed multi-batch: batch N's guard sees batch N-1's un-logged appends") {
     // two keeperBatch calls on a LOG-BEARING lake with NO log rebuild in
     // between (inside a drain the reconcile only runs at the end): batch
