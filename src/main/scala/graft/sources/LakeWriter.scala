@@ -239,6 +239,20 @@ object LakeWriter {
     * foreachBatch appends landing next to a log a previous deferred
     * drain created. Both call this after mutating the files.
     *
+    * KNOWN LIMITATION (documented, judged acceptable): the rebuild
+    * adopts EVERY data file under `dest` as committed output. Files a
+    * FileStreamSink task attempt wrote before its executor crashed
+    * (ManifestFileCommitProtocol writes to final paths; abortTask's
+    * cleanup is best-effort and never runs on a kill -9) are
+    * indistinguishable by name from keeper appends or foreign-writer
+    * data, so a rebuild after such a crash can adopt a retried task's
+    * first attempt alongside its successful one. The resume guard in
+    * IngestPipeline.runFileIngest refuses the one window where this is
+    * LIKELY (an in-flight batch with un-logged files); executor-crash
+    * litter from an already-committed batch remains adoptable. A
+    * deployment that cannot tolerate it should run one writer mode per
+    * lake (pure deferred lakes never need this rebuild).
+    *
     * `latestBatchId` must be ≥ the checkpoint's last committed batch if
     * a FileStreamSink drain may later resume against this lake (the sink
     * skips batch ids already in the log — a TOO-LOW id would make it
