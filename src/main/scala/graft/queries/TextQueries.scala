@@ -395,6 +395,37 @@ object TextQueries {
         .orderBy(col("rk"))
     },
 
+    // ---- GUARANTEE-AUDITED AUTO heavy hitters ([[graft.functions
+    // .Robust.heavyHitters]], Mode.Auto forced onto its sketch path):
+    // the round-14 front door that makes the MG sketch SAFE to default
+    // to — after the sketch's candidate-confirm pass it checks the k-th
+    // candidate count against the N/(capacity+1) detection line (both
+    // already computed) and ESCALATES to the exact vocabulary count
+    // when the precondition is void, instead of returning arbitrary
+    // survivors. The answer is therefore ALWAYS the exact top-20, which
+    // is exactly why this query is hash-gateable where the raw sketch
+    // twin's exactness is conditional: on this corpus the audit passes
+    // and the result ships from the sketch path (one MG aggregation +
+    // one candidate-bounded confirm, per-token rows never shuffle); on
+    // a frequency-flattened corpus (the sf1 shard lake, RobustSpec's
+    // flat case) the same call pays the one vocabulary shuffle Exact
+    // would have paid anyway. Scale shape: count + MG partials + a
+    // 20-row driver collect for the audit — O(vocabulary) state only on
+    // the escalation path.
+    entry("q_heavy_hitters_auto",
+      """WITH t AS (SELECT unnest(string_split(text,' ')) term FROM documents),
+        | c AS (SELECT term, COUNT(*) n FROM t GROUP BY 1),
+        | r AS (SELECT term, n, ROW_NUMBER() OVER (ORDER BY n DESC, term) rk FROM c)
+        |SELECT rk, term, n FROM r WHERE rk <= 20 ORDER BY rk""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir, "documents")
+        .select(explode(tokens("text")).as("term"))
+      // maxExactRows = 0 forces the sketch+audit path at every scale the
+      // gate runs — the oracle checks the audit, not the lucky case
+      graft.functions.Robust.heavyHitters(t, "term", topK = 20,
+          graft.functions.Robust.Mode.Auto(maxExactRows = 0), capacity = 256)
+        .orderBy(col("rk"))
+    },
+
     // ---- Sketch-guarantee audit: the Misra–Gries contract above is
     // conditional — the sketch's top-20 is exactly the true top-20 only
     // while the 20th count clears the detection line N/(k+1). This query
