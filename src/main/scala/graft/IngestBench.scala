@@ -1,0 +1,238 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ingest.GraftConfig
+
+/** End-to-end collector throughput in messages/second — the direct
+  * measurement of the reference's ONLY published absolute performance
+  * number. The reference README illustrates 8,200–25,000 msg/s per topic
+  * for its drain (`README.md:367-371`, recorded in BASELINE.md) and frames
+  * every other claim as a relative multiplier (one-shot vs incremental
+  * mode, zstd size reduction, msgpack parse gain). This harness runs OUR
+  * full collector path — `CollectorMain.run`: source scan → sampled schema
+  * inference → codegen'd `from_json` decode → flatten → date-partitioned
+  * zstd parquet sink under an exactly-once checkpoint — over a synthetic
+  * market-data-shaped topic and reports msg/s for each drain mode the
+  * reference distinguishes, plus the measurable relative claims:
+  *
+  *  - `oneshot`   — the reference's one-time-export posture
+  *    (`SKIP_DEDUPLICATION=true` = deferred dedup, which short-circuits on
+  *    a clean drain after one count+distinct audit; `SKIP_EXISTING_CHECK`
+  *    on). BASELINE row: "100–2500× vs original", 8.2–25k msg/s absolute.
+  *  - `keeper`    — inline dedup mode (`SKIP_DEDUPLICATION=false`) over a
+  *    source carrying 1% byte-identical redeliveries: the id-bloom keeper
+  *    path (`IngestPipeline.runFileIngestKeeper`). BASELINE row:
+  *    "incremental-mode 50–100× vs original" is this posture's family.
+  *  - `incremental` — resume: +25% new messages appended to an
+  *    already-drained source, same checkpoint; AvailableNow processes only
+  *    the new files, and msg/s is computed over the NEW messages (the
+  *    honest resume rate — a lake-proportional resume would show here).
+  *  - `compression` — landed-lake bytes at none/snappy/zstd(3)/zstd(6):
+  *    the reference claims zstd 20–30% smaller (level 3) and 40–50%
+  *    (level 6 "high-compression mode") — we measure the actual ratios on
+  *    the decoded market-data shape.
+  *  - `decode`     — msgpack→JSON decode rate, native codegen
+  *    `msgpack_to_json` expression vs the UDF: the reference claims
+  *    10–20% parse gain from per-topic format detection; our analog knob
+  *    is expression-vs-UDF, measured.
+  *
+  * Every timed run is followed by an UNTIMED verification (landed counts,
+  * zero duplicate keys) that throws on mismatch — a fast-but-wrong drain
+  * cannot produce a number.
+  *
+  * Usage: `runMain graft.IngestBench <workDir> [nMsgs=2000000] [phases]`
+  * where phases is a comma list of oneshot,keeper,incremental,compression,
+  * decode (default all). Prints ONE JSON line.
+  */
+object IngestBench {
+
+  private def timed[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = f
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** Synthetic topic: `n` messages shaped like the reference's market-data
+    * records — 5-column envelope schema plus a 6-field JSON payload
+    * (symbol/bid/ask/sizes/seq), ids offset by `firstId` so incremental
+    * appends are disjoint. 32 files ≈ the topic's partition count. */
+  private def genSource(spark: SparkSession, n: Long, firstId: Long,
+                        dir: String, mode: String = "overwrite"): Unit =
+    shapeRows(spark.range(n).toDF(), firstId)
+      .repartition(32)
+      .write.mode(mode).parquet(dir)
+
+  /** The message formula over an `id` column — deterministic, so any id
+    * subset regenerates byte-identical rows (the redelivery simulation
+    * below regenerates its duplicates instead of re-reading a source dir
+    * that later phases may have appended to). */
+  private def shapeRows(ids: DataFrame, firstId: Long): DataFrame = {
+    val types = array(lit("view"), lit("click"), lit("purchase"), lit("error"))
+    ids.select(
+        (col("id") + firstId).as("event_id"),
+        timestamp_millis(lit(1704067200000L) +
+          pmod((col("id") + firstId) * lit(104729L), lit(3L * 86400000L))).as("ts"),
+        pmod((col("id") + firstId) * lit(2654435761L), lit(100000L)).as("user_id"),
+        element_at(types, (pmod(col("id"), lit(4L)) + 1).cast("int")).as("event_type"),
+        round(pmod((col("id") + firstId) * lit(7919L), lit(1000000L)) / lit(100.0), 2).as("value"),
+        to_json(struct(
+          concat(lit("SYM"), pmod(col("id"), lit(500L))).as("symbol"),
+          (pmod(col("id") * lit(31L), lit(100000L)) / lit(100.0)).as("bid_price"),
+          (pmod(col("id") * lit(31L), lit(100000L)) / lit(100.0) + lit(0.05)).as("ask_price"),
+          pmod(col("id") * lit(17L), lit(1000L)).as("bid_size"),
+          pmod(col("id") * lit(13L), lit(1000L)).as("ask_size"),
+          pmod(col("id") + firstId, lit(86400L)).as("seq"))).as("props"))
+  }
+
+  private def dirBytes(spark: SparkSession, dir: String): Long = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.getContentSummary(new Path(dir)).getLength
+  }
+
+  /** Run the selected phases; returns (metricName -> value) pairs already
+    * flattened for the JSON line. Throws on any correctness mismatch. */
+  def run(spark: SparkSession, work: String, n: Long,
+          phases: Set[String]): Seq[(String, Any)] = {
+    graft.plans.GraftExtensions.register(spark)
+    val out = scala.collection.mutable.ArrayBuffer[(String, Any)]()
+    val srcBase = s"$work/src_base"
+    lazy val baseReady = { genSource(spark, n, 0L, srcBase); true }
+
+    if (phases("oneshot") || phases("incremental")) {
+      require(baseReady)
+      val cfg = GraftConfig(outputDir = s"$work/out_oneshot",
+        skipExistingCheck = true, skipDeduplication = true, skipValidation = true)
+      val (_, sec) = timed(CollectorMain.run(spark, cfg, "file", srcBase))
+      val landed = spark.read.parquet(s"${cfg.outputDir}/lake")
+      val cnt = landed.count()
+      require(cnt == n, s"oneshot landed $cnt of $n")
+      out += ("oneshot_sec" -> sec)
+      out += ("oneshot_msgs_per_sec" -> (n / sec).round)
+    }
+
+    if (phases("incremental")) {
+      // +25% new messages into the SAME source dir; the checkpoint makes
+      // AvailableNow process only the new files. The reference's
+      // incremental posture mines the lake ledger first
+      // (SKIP_EXISTING_CHECK=false) — mirrored here, so the timed window
+      // includes that lake scan, as the reference's does.
+      val newN = n / 4
+      genSource(spark, newN, n, srcBase, mode = "append")
+      val cfg = GraftConfig(outputDir = s"$work/out_oneshot",
+        skipExistingCheck = false, skipDeduplication = true, skipValidation = true)
+      val (_, sec) = timed(CollectorMain.run(spark, cfg, "file", srcBase))
+      val cnt = spark.read.parquet(s"${cfg.outputDir}/lake").count()
+      require(cnt == n + newN, s"incremental landed $cnt of ${n + newN}")
+      out += ("incremental_new_msgs" -> newN)
+      out += ("incremental_sec" -> sec)
+      out += ("incremental_msgs_per_sec" -> (newN / sec).round)
+    }
+
+    if (phases("keeper")) {
+      // 1% byte-identical redeliveries (broker redelivery, the reference's
+      // actual duplicate source) appended as extra source files; the dup
+      // rows are REGENERATED from the deterministic formula (every 100th
+      // id), not read back from a directory another phase may have
+      // appended to
+      val srcDup = s"$work/src_dup"
+      genSource(spark, n, 0L, srcDup)
+      shapeRows(spark.range(n / 100).select((col("id") * 100).as("id")), 0L)
+        .repartition(4)
+        .write.mode("append").parquet(srcDup)
+      val total = n + n / 100
+      val cfg = GraftConfig(outputDir = s"$work/out_keeper",
+        skipExistingCheck = true, skipDeduplication = false, skipValidation = true)
+      val (_, sec) = timed(CollectorMain.run(spark, cfg, "file", srcDup))
+      val landed = spark.read.parquet(s"${cfg.outputDir}/lake")
+      val cnt = landed.count()
+      val dups = cnt - landed.select(col("event_id")).distinct().count()
+      require(cnt == n && dups == 0L, s"keeper landed $cnt of $n (dups=$dups)")
+      out += ("keeper_src_msgs" -> total)
+      out += ("keeper_sec" -> sec)
+      out += ("keeper_msgs_per_sec" -> (total / sec).round)
+    }
+
+    if (phases("compression")) {
+      // the landed (decoded, flattened) shape is what the codec claims are
+      // about; level 6 rides the parquet-mr knob the session exposes
+      val lakeDir =
+        if (phases("oneshot")) s"$work/out_oneshot/lake"
+        else { require(baseReady); srcBase }
+      val lake = spark.read.parquet(lakeDir)
+      val hc = spark.sparkContext.hadoopConfiguration
+      def rewrite(codec: String, level: Option[Int], tag: String): Long = {
+        level.foreach(l => hc.setInt("parquet.compression.codec.zstd.level", l))
+        try {
+          val d = s"$work/comp_$tag"
+          lake.write.mode("overwrite").option("compression", codec).parquet(d)
+          dirBytes(spark, d)
+        } finally hc.setInt("parquet.compression.codec.zstd.level", 3)
+      }
+      val bNone = rewrite("none", None, "none")
+      val bSnappy = rewrite("snappy", None, "snappy")
+      val bZstd3 = rewrite("zstd", Some(3), "zstd3")
+      val bZstd6 = rewrite("zstd", Some(6), "zstd6")
+      out += ("bytes_none" -> bNone)
+      out += ("bytes_snappy" -> bSnappy)
+      out += ("bytes_zstd3" -> bZstd3)
+      out += ("bytes_zstd6" -> bZstd6)
+      out += ("zstd3_vs_snappy_pct_smaller" ->
+        math.round(100.0 * (bSnappy - bZstd3) / bSnappy))
+      out += ("zstd6_vs_snappy_pct_smaller" ->
+        math.round(100.0 * (bSnappy - bZstd6) / bSnappy))
+    }
+
+    if (phases("decode")) {
+      require(baseReady)
+      // stage binary msgpack payloads (untimed), then time both decode
+      // paths through the noop sink so the decode actually executes
+      val mpDir = s"$work/src_msgpack"
+      spark.read.parquet(srcBase)
+        .select(col("event_id"),
+          graft.functions.Msgpack.jsonToMsgpackUdf(col("props")).as("payload"))
+        .write.mode("overwrite").parquet(mpDir)
+      val mp = spark.read.parquet(mpDir)
+      def drain(df: DataFrame): Unit =
+        df.write.format("noop").mode("overwrite").save()
+      // one warm pass so first-use codegen/JIT lands on neither variant
+      drain(mp.limit(10000).select(expr("msgpack_to_json(payload)")))
+      drain(mp.limit(10000).select(graft.functions.Msgpack.msgpackToJson(col("payload"))))
+      val (_, sNative) = timed(drain(mp.select(expr("msgpack_to_json(payload)").as("j"))))
+      val (_, sUdf) = timed(drain(
+        mp.select(graft.functions.Msgpack.msgpackToJson(col("payload")).as("j"))))
+      out += ("decode_native_msgs_per_sec" -> (n / sNative).round)
+      out += ("decode_udf_msgs_per_sec" -> (n / sUdf).round)
+    }
+    out.toSeq
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty,
+      "usage: IngestBench <workDir> [nMsgs=2000000] [phases=oneshot,keeper,incremental,compression,decode]")
+    val work = args(0)
+    val n = if (args.length > 1) args(1).toLong else 2000000L
+    val all = Set("oneshot", "keeper", "incremental", "compression", "decode")
+    val phases =
+      if (args.length > 2) args(2).split(",").map(_.trim).toSet
+      else all
+    require(phases.subsetOf(all), s"unknown phases: ${phases.diff(all)}")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Sessions.builder(s"local[$cpus]", cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val fields = run(spark, work, n, phases)
+    def js(v: Any): String = v match {
+      case s: String => "\"" + s + "\""
+      case d: Double => f"$d%.3f"
+      case x => x.toString
+    }
+    val body = (Seq[(String, Any)]("metric" -> "ingest_throughput",
+      "n_msgs" -> n, "cpus" -> cpus.toInt,
+      "ref_claim_msgs_per_sec" -> "8200-25000") ++ fields)
+      .map { case (k, v) => "\"" + k + "\":" + js(v) }.mkString("{", ",", "}")
+    println(body)
+    spark.stop()
+  }
+}

@@ -654,6 +654,42 @@ object RelationalQueries {
         count(when($"l_shipdate".isNull, 1)).as("null_shipdate"))
     },
 
+    // ---- k-anonymity / l-diversity audit — the privacy gate a curation
+    // pipeline runs before releasing event-level data. Equivalence
+    // classes are the quasi-identifier tuple (event_type, day,
+    // unit-value band); a class with fewer than k=5 rows re-identifies
+    // its members, and a class whose rows all share one user (l<2) leaks
+    // the sensitive attribute even at k≥5. Shape at 100 TB: one
+    // partial-aggregated shuffle keyed on the QI tuple (the exact
+    // distinct-user count rides the same shuffle via expand), then a
+    // single-row global summary — class cardinality is data-bounded, so
+    // the second agg is trivially small. No window, no join.
+    entry("q_k_anonymity",
+      """WITH classes AS (
+        |  SELECT event_type, strftime(ts,'%Y-%m-%d') AS d,
+        |    CAST(floor(value) AS BIGINT) AS vband,
+        |    COUNT(*) AS cnt, COUNT(DISTINCT user_id) AS n_users
+        |  FROM events GROUP BY 1, 2, 3)
+        |SELECT COUNT(*) AS n_classes,
+        |  CAST(SUM(CASE WHEN cnt < 5 THEN 1 ELSE 0 END) AS BIGINT) AS violating_classes,
+        |  CAST(SUM(CASE WHEN cnt < 5 THEN cnt ELSE 0 END) AS BIGINT) AS rows_at_risk,
+        |  MIN(cnt) AS min_class_size,
+        |  CAST(SUM(CASE WHEN n_users < 2 THEN 1 ELSE 0 END) AS BIGINT) AS low_diversity_classes
+        |FROM classes""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val classes = Tables(s, dir, "events")
+        .groupBy($"event_type",
+          date_format($"ts", "yyyy-MM-dd").as("d"),
+          floor($"value").cast("long").as("vband"))
+        .agg(count(lit(1)).as("cnt"), countDistinct($"user_id").as("n_users"))
+      classes.agg(
+        count(lit(1)).as("n_classes"),
+        sum(when($"cnt" < 5, 1L).otherwise(0L)).as("violating_classes"),
+        sum(when($"cnt" < 5, $"cnt").otherwise(0L)).as("rows_at_risk"),
+        min($"cnt").as("min_class_size"),
+        sum(when($"n_users" < 2, 1L).otherwise(0L)).as("low_diversity_classes"))
+    },
+
     // ---- Stratified sampling: exactly min(5, |stratum|) documents per
     // (lang, source) stratum, ranked by md5(doc_id) — deterministic,
     // rand()-free, and re-runnable (the same rows survive on every
