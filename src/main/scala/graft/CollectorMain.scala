@@ -142,6 +142,28 @@ object CollectorMain {
     }
 
     srcMode match {
+      case "file" if spark.read.parquet(srcDir).schema.fields
+          .exists(f => f.name == "value" &&
+            f.dataType == org.apache.spark.sql.types.BinaryType) =>
+        // KAFKA-ENVELOPE source: binary payloads under the 5-column
+        // metadata envelope (the shape IngestPipeline.kafkaSource emits —
+        // this file twin exercises the broker downstream byte-for-byte).
+        // Per-topic codec detection runs ONCE over a deterministic
+        // offset-strided sample (every 101st offset; offset 0 always
+        // matches, so every live (topic,partition) contributes), then the
+        // payload JSON schema is inferred from the SAME decoded sample —
+        // the reference's one-shot per-topic detection (:172-220) at
+        // Spark scale: two bounded jobs before the drain, zero per-row
+        // python-style try/except during it.
+        val batch = spark.read.parquet(srcDir)
+        val sample = batch.where(pmod(col("kafka_offset"), lit(101L)) === 0)
+        val formats = IngestPipeline.detectTopicFormats(sample)
+        println(s"[collector] detected topic formats: $formats")
+        val payloadSchema = JsonDecode.inferSchema(spark,
+          IngestPipeline.envelopeJsonText(sample, formats), "_json")
+        IngestPipeline.runFileIngest(spark, srcDir, batch.schema, payloadSchema,
+          dest, checkpoint, compression = cfg.parquetCompression,
+          decode = Some(IngestPipeline.decodeEnvelope(_, formats, payloadSchema)))
       case "file" =>
         val batch = spark.read.parquet(srcDir)
         val payloadSchema = JsonDecode.inferSchema(spark, batch, "props")

@@ -185,6 +185,33 @@ object IngestBench {
         math.round(100.0 * (bSnappy - bZstd6) / bSnappy))
     }
 
+    if (phases("envelope")) {
+      // the reference's ACTUAL hot path end-to-end: binary msgpack
+      // payloads under the Kafka metadata envelope — per-topic codec
+      // detection + native msgpack_to_json decode + flatten +
+      // date-partitioned sink, all inside the timed drain
+      val srcEnv = s"$work/src_envelope"
+      shapeRows(spark.range(n).toDF(), 0L)
+        .select(lit("ticks").as("kafka_topic"),
+          pmod(col("event_id"), lit(8L)).as("kafka_partition"),
+          col("event_id").as("kafka_offset"),
+          col("ts").as("kafka_timestamp"),
+          col("event_id").cast("string").as("kafka_key"),
+          graft.functions.Msgpack.jsonToMsgpackUdf(col("props")).as("value"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(srcEnv)
+      val cfg = GraftConfig(outputDir = s"$work/out_envelope",
+        skipExistingCheck = true, skipDeduplication = true, skipValidation = true)
+      val (_, sec) = timed(CollectorMain.run(spark, cfg, "file", srcEnv))
+      val landed = spark.read.parquet(s"${cfg.outputDir}/lake")
+      val cnt = landed.count()
+      val decodedOk = landed.where(col("raw_value").isNull).count()
+      require(cnt == n && decodedOk == n,
+        s"envelope landed $cnt of $n (decoded $decodedOk)")
+      out += ("envelope_sec" -> sec)
+      out += ("envelope_msgs_per_sec" -> (n / sec).round)
+    }
+
     if (phases("decode")) {
       require(baseReady)
       // stage binary msgpack payloads (untimed), then time both decode
@@ -214,7 +241,7 @@ object IngestBench {
       "usage: IngestBench <workDir> [nMsgs=2000000] [phases=oneshot,keeper,incremental,compression,decode]")
     val work = args(0)
     val n = if (args.length > 1) args(1).toLong else 2000000L
-    val all = Set("oneshot", "keeper", "incremental", "compression", "decode")
+    val all = Set("oneshot", "keeper", "incremental", "compression", "decode", "envelope")
     val phases =
       if (args.length > 2) args(2).split(",").map(_.trim).toSet
       else all

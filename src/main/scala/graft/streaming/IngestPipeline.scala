@@ -62,7 +62,8 @@ object IngestPipeline {
   def runFileIngest(spark: SparkSession, srcDir: String, schema: StructType,
                     payloadSchema: StructType, dest: String, checkpoint: String,
                     compression: String = "zstd",
-                    dedupKeys: Seq[String] = Nil): StreamingQuery = {
+                    dedupKeys: Seq[String] = Nil,
+                    decode: Option[DataFrame => DataFrame] = None): StreamingQuery = {
     // MIXED-MODE GUARD: a FileStreamSink resolves reads through its
     // `_spark_metadata` log, so data files the log does not list (the
     // inline keeper's plain appends, or any foreign writer's) are
@@ -194,7 +195,7 @@ object IngestPipeline {
     if (fs.exists(bloomDir)) fs.delete(bloomDir, true)
     val raw = spark.readStream.schema(schema).parquet(srcDir)
     val stream = if (dedupKeys.isEmpty) raw else raw.dropDuplicates(dedupKeys)
-    val decoded = decodeAndDatePartition(stream, payloadSchema)
+    val decoded = decode.getOrElse(decodeAndDatePartition(_: DataFrame, payloadSchema))(stream)
     val q = decoded.writeStream
       .format("parquet")
       .option("path", dest)
@@ -263,6 +264,70 @@ object IngestPipeline {
       .withColumn("data", from_json(col("props"), payloadSchema))
       .select(col("*"), col("data.*")).drop("data", "props")
       .withColumn("date_path", date_format(col("ts"), "yyyy-MM-dd"))
+
+  /** Per-topic payload→JSON-text expression: each topic's binary `value`
+    * decodes through its DETECTED codec — `msgpack_to_json` (native
+    * codegen expression) for msgpack topics, a utf-8 cast for JSON
+    * topics; topics absent from the map default to JSON. The map is a
+    * plan literal (topic count is small), so the branch folds into the
+    * scan's codegen stage — no join, no UDF. */
+  private def payloadJsonText(formats: Map[String, String]): org.apache.spark.sql.Column = {
+    val fmt = coalesce(
+      element_at(typedLit(formats), col("kafka_topic")), lit("json"))
+    when(fmt === "msgpack",
+        graft.plans.GraftExtensions.msgpackToJsonColumn(col("value")))
+      .otherwise(col("value").cast("string"))
+  }
+
+  /** Detect each topic's payload codec over a (bounded) sample — the
+    * reference's once-per-topic detection (collector `:172-220`) as ONE
+    * distributed aggregation: groupBy(topic) with the
+    * [[graft.functions.Msgpack.FormatDetectAggregator]] UDAF, map-side
+    * combined, two longs of shuffle payload per (task, topic). The
+    * collected map is O(topics). */
+  def detectTopicFormats(sample: DataFrame): Map[String, String] =
+    sample.groupBy(col("kafka_topic"))
+      .agg(graft.functions.Msgpack.detectFormatAgg(col("value")).as("fmt"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+
+  /** The envelope frame's decoded payload text as a one-column `_json`
+    * frame — the schema-inference input ([[graft.ingest.JsonDecode
+    * .inferSchema]] runs `spark.read.json` over it). */
+  def envelopeJsonText(df: DataFrame, formats: Map[String, String]): DataFrame =
+    df.select(payloadJsonText(formats).as("_json"))
+
+  /** Kafka-envelope decode — the downstream [[kafkaSource]]'s projection
+    * actually feeds (collector `:324-411`): binary `value` under the
+    * 5-column metadata envelope, decoded per the topic's detected codec,
+    * flattened, and date-partitioned off the BROKER timestamp
+    * (`:863-867` — the envelope has no payload `ts` contract).
+    * Undecodable payloads degrade to `raw_value` with a NULL payload
+    * struct (`:240-241, 256, 400-402`): msgpack garbage returns NULL from
+    * the native decoder (raw bytes surface utf-8-cast), JSON garbage
+    * lands in the corrupt-record field — either way the row SURVIVES
+    * with its metadata, it is never dropped. */
+  def decodeEnvelope(stream: DataFrame, formats: Map[String, String],
+                     payloadSchema: StructType): DataFrame = {
+    val corrupt = "_graft_corrupt"
+    require(!payloadSchema.fieldNames.contains(corrupt),
+      s"payload schema collides with the internal corrupt-record field $corrupt")
+    val parseSchema = StructType(
+      payloadSchema.fields.filterNot(_.name == "_corrupt_record"))
+      .add(corrupt, org.apache.spark.sql.types.StringType)
+    stream
+      .withColumn("_json", payloadJsonText(formats))
+      .withColumn("data", from_json(col("_json"), parseSchema,
+        Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> corrupt)))
+      .withColumn("raw_value",
+        when(col("_json").isNull && col("value").isNotNull, col("value").cast("string"))
+          .otherwise(col(s"data.$corrupt")))
+      .withColumn("data",
+        when(col("raw_value").isNotNull, lit(null))
+          .otherwise(col("data").dropFields(corrupt)))
+      .select(col("kafka_topic"), col("kafka_partition"), col("kafka_offset"),
+        col("kafka_timestamp"), col("kafka_key"), col("raw_value"), col("data.*"))
+      .withColumn("date_path", date_format(col("kafka_timestamp"), "yyyy-MM-dd"))
+  }
 
   /** File-drain ingest with the DEFERRED KEEPER AUTHORITY applied
     * inline: each micro-batch is reduced to its min-`tsCol` row per key

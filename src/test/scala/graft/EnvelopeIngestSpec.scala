@@ -1,0 +1,94 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.Msgpack
+import graft.ingest.GraftConfig
+import graft.streaming.IngestPipeline
+
+/** The Kafka-envelope ingest path: binary payloads under the 5-column
+  * metadata envelope (the shape `kafkaSource` emits), per-topic codec
+  * detection, mixed msgpack/JSON topics in ONE drain, degrade-to-raw_value
+  * for undecodable payloads, and date partitioning off the broker
+  * timestamp — the reference collector's actual hot path
+  * (`redpanda_to_parquet_collector.py:172-220, 223-256, 324-411`). */
+class EnvelopeIngestSpec extends SparkSpec {
+
+  private val envSchema = StructType(Seq(
+    StructField("kafka_topic", StringType),
+    StructField("kafka_partition", LongType),
+    StructField("kafka_offset", LongType),
+    StructField("kafka_timestamp", TimestampType),
+    StructField("kafka_key", StringType),
+    StructField("value", BinaryType)))
+
+  /** Two topics: `ticks` carries msgpack, `logs` carries JSON — plus one
+    * garbage payload on each to exercise the degrade path. */
+  private def writeEnvelopeSource(dir: String, n: Int): Unit = {
+    // epoch-anchored (2024-03-01T00:00:00Z): Timestamp.valueOf would parse
+    // in the JVM default zone and shift the date_path boundaries
+    def ts(i: Int) = new java.sql.Timestamp(
+      1709251200000L + i.toLong * 3600 * 1000) // hourly → exactly 2 dates over 48
+    val rows = (0 until n).flatMap { i =>
+      val payload = s"""{"px": ${i * 1.5}, "qty": $i}"""
+      Seq(
+        Row("ticks", (i % 2).toLong, i.toLong, ts(i), s"k$i",
+          Msgpack.encodeFlatJson(payload)),
+        Row("logs", 0L, i.toLong, ts(i), null,
+          payload.getBytes("UTF-8")))
+    } ++ Seq(
+      // undecodable on both topics (offsets beyond the clean range)
+      Row("ticks", 0L, (n + 1).toLong, ts(0), "bad",
+        Array[Byte](0xc1.toByte, 0, 0)), // 0xc1: the never-used msgpack byte
+      Row("logs", 0L, (n + 1).toLong, ts(0), "bad",
+        "not json at all".getBytes("UTF-8")))
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 4), envSchema)
+      .write.mode("overwrite").parquet(dir)
+  }
+
+  test("mixed msgpack/JSON topics detect, decode, degrade, and partition in one drain") {
+    val work = Files.createTempDirectory("envelope").toString
+    val src = s"$work/src"
+    writeEnvelopeSource(src, 48)
+
+    val cfg = GraftConfig(outputDir = s"$work/out",
+      skipExistingCheck = false, skipValidation = false)
+    CollectorMain.run(spark, cfg, "file", src)
+
+    val lake = spark.read.parquet(s"$work/out/lake")
+    // every source row survives (degrade, never drop)
+    assert(lake.count() == 48L * 2 + 2)
+    // payload fields hoisted; envelope metadata retained; props gone
+    for (c <- Seq("px", "qty", "kafka_topic", "kafka_offset", "raw_value", "date_path"))
+      assert(lake.columns.contains(c), s"missing $c")
+    // both topics decoded the same payload values
+    val byTopic = lake.where(col("raw_value").isNull)
+      .groupBy(col("kafka_topic"))
+      .agg(count(lit(1)).as("n"), sum(col("qty")).as("s"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(byTopic("ticks") == ((48L, (0 until 48).map(_.toLong).sum)))
+    assert(byTopic("logs") == byTopic("ticks"))
+    // the two garbage payloads degraded with metadata intact
+    val bad = lake.where(col("raw_value").isNotNull)
+      .select(col("kafka_topic"), col("px")).collect()
+    assert(bad.length == 2 && bad.forall(_.isNullAt(1)))
+    // date partitioning off the broker timestamp: 48 hourly rows = 2 days
+    assert(lake.select(col("date_path")).distinct().count() == 2)
+    // exactly-once resume: a second drain with the same checkpoint no-ops
+    CollectorMain.run(spark, cfg, "file", src)
+    assert(spark.read.parquet(s"$work/out/lake").count() == 48L * 2 + 2)
+  }
+
+  test("detectTopicFormats classifies per topic at the reference threshold") {
+    val work = Files.createTempDirectory("envelope2").toString
+    writeEnvelopeSource(s"$work/src", 20)
+    val formats = IngestPipeline.detectTopicFormats(
+      spark.read.parquet(s"$work/src"))
+    assert(formats == Map("ticks" -> "msgpack", "logs" -> "json"))
+  }
+}
