@@ -158,6 +158,39 @@ object ClusterGate {
         lake.select("event_id").distinct().count() == 2000,
         "redelivered keys re-admitted under local-cluster")
     }
+    item("envelope_drain") {
+      // the msgpack envelope path cross-JVM: per-topic detection (typed
+      // UDAF partials merge across executors), the native msgpack_to_json
+      // inside the streaming decode, and the FileStreamSink commit
+      // protocol all run on remote executor JVMs
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{BinaryType, TimestampType}
+      val envSchema = StructType(Seq(
+        StructField("kafka_topic", StringType),
+        StructField("kafka_partition", LongType),
+        StructField("kafka_offset", LongType),
+        StructField("kafka_timestamp", TimestampType),
+        StructField("kafka_key", StringType),
+        StructField("value", BinaryType)))
+      val rows = (0 until 400).flatMap { i =>
+        val payload = s"""{"px": ${i * 1.5}, "qty": $i}"""
+        val t = new java.sql.Timestamp(1709251200000L + i.toLong * 3600 * 1000)
+        Seq(
+          Row("ticks", (i % 2).toLong, i.toLong, t, s"k$i",
+            graft.functions.Msgpack.encodeFlatJson(payload)),
+          Row("logs", 0L, i.toLong, t, null, payload.getBytes("UTF-8")))
+      }
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 8), envSchema)
+        .write.parquet(s"$work/env/src")
+      CollectorMain.run(spark,
+        graft.ingest.GraftConfig(outputDir = s"$work/env/out"),
+        "file", s"$work/env/src")
+      val lake = spark.read.parquet(s"$work/env/out/lake")
+      require(lake.count() == 800 &&
+        lake.where(col("raw_value").isNull).count() == 800 &&
+        lake.columns.contains("px"),
+        "envelope drain diverged under local-cluster")
+    }
     item("neardup_batch") {
       import spark.implicits._
       val base = "the quick brown fox jumps over the lazy dog near the quiet river bank today"
