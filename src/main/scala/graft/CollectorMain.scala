@@ -74,7 +74,9 @@ object CollectorMain {
     *    batch ids 0..latest (empty deltas + the full listing at the
     *    latest id) through Spark's own `FileStreamSinkLog`, so readers
     *    and subsequent drains both see the whole lake. */
-  private def dedupLakeInPlace(spark: SparkSession, dest: String, compression: String): Unit = {
+  private def dedupLakeInPlace(spark: SparkSession, dest: String, compression: String,
+                               keys: Seq[String] = Seq("event_id"),
+                               tsCol: String = "ts"): Unit = {
     import org.apache.hadoop.fs.Path
     import org.apache.spark.sql.execution.streaming.sinks.FileStreamSinkLog
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
@@ -84,7 +86,7 @@ object CollectorMain {
     val cur = spark.read.parquet(dest)
     // skip the rewrite when the lake is already clean: the common resume
     // path then never touches the files or the sink metadata log
-    if (cur.count() == cur.select(col("event_id")).distinct().count()) return
+    if (cur.count() == cur.select(keys.map(col): _*).distinct().count()) return
     // capture the sink log's latest batch id BEFORE the swap moves it
     val metaDir = new Path(destPath, "_spark_metadata")
     val latestBatch: Option[Long] =
@@ -92,7 +94,7 @@ object CollectorMain {
         new FileStreamSinkLog(FileStreamSinkLog.VERSION, spark, metaDir.toString, None)
           .getLatestBatchId()
       else None
-    graft.ingest.Dedup.dedupKeepFirst(cur, Seq(col("event_id")), col("ts"))
+    graft.ingest.Dedup.dedupKeepFirst(cur, keys.map(col), col(tsCol))
       .write.mode("overwrite").option("compression", compression)
       .partitionBy("date_path").parquet(tmp.toString)
     if (!fs.rename(destPath, old))
@@ -161,9 +163,26 @@ object CollectorMain {
         println(s"[collector] detected topic formats: $formats")
         val payloadSchema = JsonDecode.inferSchema(spark,
           IngestPipeline.envelopeJsonText(sample, formats), "_json")
-        IngestPipeline.runFileIngest(spark, srcDir, batch.schema, payloadSchema,
-          dest, checkpoint, compression = cfg.parquetCompression,
-          decode = Some(IngestPipeline.decodeEnvelope(_, formats, payloadSchema)))
+        // the reference's dedup key for broker streams is the message
+        // identity itself — offsets scoped per topic AND partition
+        // (`:468-530`, `:741-748`; a bare (partition, offset) pair
+        // collides across topics); same WHEN-not-IF contract as the
+        // events path below: false = inline keeper during the drain,
+        // true = one deferred merge pass
+        val envKeys = Seq("kafka_topic", "kafka_partition", "kafka_offset")
+        if (!cfg.skipDeduplication)
+          IngestPipeline.runFileIngestKeeper(spark, srcDir, batch.schema,
+            payloadSchema, dest, checkpoint,
+            compression = cfg.parquetCompression,
+            keys = envKeys, tsCol = "kafka_timestamp",
+            decode = Some(IngestPipeline.decodeEnvelope(_, formats, payloadSchema)))
+        else {
+          IngestPipeline.runFileIngest(spark, srcDir, batch.schema, payloadSchema,
+            dest, checkpoint, compression = cfg.parquetCompression,
+            decode = Some(IngestPipeline.decodeEnvelope(_, formats, payloadSchema)))
+          dedupLakeInPlace(spark, dest, cfg.parquetCompression,
+            envKeys, "kafka_timestamp")
+        }
       case "file" =>
         val batch = spark.read.parquet(srcDir)
         val payloadSchema = JsonDecode.inferSchema(spark, batch, "props")
@@ -220,11 +239,18 @@ object CollectorMain {
       val nSrc = src.count()
       // dedup runs in BOTH modes (inline or deferred), so the lake must
       // hold exactly the source's DISTINCT events and zero duplicate keys
-      val hasKey = landed.columns.contains("event_id")
+      // — keyed on event_id for payload-keyed sources, on the message
+      // identity (partition, offset) for Kafka-envelope sources
+      val keyCols: Seq[String] =
+        if (landed.columns.contains("event_id")) Seq("event_id")
+        else if (landed.columns.contains("kafka_offset"))
+          Seq("kafka_topic", "kafka_partition", "kafka_offset")
+        else Nil
+      val hasKey = keyCols.nonEmpty
       val expected =
-        if (hasKey) src.select(col("event_id")).distinct().count() else nSrc
+        if (hasKey) src.select(keyCols.map(col): _*).distinct().count() else nSrc
       val dup =
-        if (hasKey) nLanded - landed.select(col("event_id")).distinct().count()
+        if (hasKey) nLanded - landed.select(keyCols.map(col): _*).distinct().count()
         else 0L
       val status = if (nLanded == expected && dup == 0L) "OK" else "MISMATCH"
       println(s"[collector] validation: landed=$nLanded expected=$expected " +

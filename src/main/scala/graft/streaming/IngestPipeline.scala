@@ -381,7 +381,8 @@ object IngestPipeline {
                           keys: Seq[String] = Seq("event_id"),
                           tsCol: String = "ts",
                           bloomItems: Long = 1L << 22,
-                          bloomFpp: Double = 0.001): StreamingQuery = {
+                          bloomFpp: Double = 0.001,
+                          decode: Option[DataFrame => DataFrame] = None): StreamingQuery = {
     import org.apache.hadoop.fs.Path
     import org.apache.spark.sql.execution.streaming.sinks.FileStreamSinkLog
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
@@ -392,7 +393,7 @@ object IngestPipeline {
     val q = raw.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processed |= keeperBatch(spark, batch, batchId, payloadSchema, dest,
-          checkpoint, compression, keys, tsCol, bloomItems, bloomFpp)
+          checkpoint, compression, keys, tsCol, bloomItems, bloomFpp, decode)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
@@ -427,7 +428,8 @@ object IngestPipeline {
   private[graft] def keeperBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
                           payloadSchema: StructType, dest: String, checkpoint: String,
                           compression: String, keys: Seq[String], tsCol: String,
-                          bloomItems: Long, bloomFpp: Double): Boolean = {
+                          bloomItems: Long, bloomFpp: Double,
+                          decode: Option[DataFrame => DataFrame] = None): Boolean = {
     import org.apache.hadoop.fs.Path
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     // one writer per lake: batchIds are only unique per checkpoint, so a
@@ -455,7 +457,7 @@ object IngestPipeline {
     }
     keeperStepHook(dest, "started")
 
-    val decoded = decodeAndDatePartition(batch, payloadSchema)
+    val decoded = decode.getOrElse(decodeAndDatePartition(_: DataFrame, payloadSchema))(batch)
     // persisted: the guard probes it (hits split), the checkpoint
     // materializes it, and a crash replay builds its bloom from it —
     // without the persist each job re-runs the decode + dedup window

@@ -84,6 +84,32 @@ class EnvelopeIngestSpec extends SparkSpec {
     assert(spark.read.parquet(s"$work/out/lake").count() == 48L * 2 + 2)
   }
 
+  test("envelope redeliveries dedup on (partition, offset) in both modes") {
+    // broker redelivery: the SAME (topic, partition, offset) messages
+    // appear twice in the source — the reference's dedup key is the
+    // message identity (:468-530, :741-748), not a payload field
+    def writeWithRedelivery(dir: String): Unit = {
+      writeEnvelopeSource(dir, 30)
+      val dup = spark.read.parquet(dir)
+        .where(col("kafka_topic") === "ticks" && pmod(col("kafka_offset"), lit(3L)) === 0)
+      dup.write.mode("append").parquet(dir)
+    }
+    for ((skipDedup, tag) <- Seq((false, "keeper"), (true, "deferred"))) {
+      val work = Files.createTempDirectory(s"envdedup_$tag").toString
+      writeWithRedelivery(s"$work/src")
+      val nDistinct = spark.read.parquet(s"$work/src")
+        .select(col("kafka_topic"), col("kafka_partition"), col("kafka_offset"))
+        .distinct().count()
+      val cfg = GraftConfig(outputDir = s"$work/out",
+        skipDeduplication = skipDedup, skipValidation = false)
+      CollectorMain.run(spark, cfg, "file", s"$work/src")
+      val lake = spark.read.parquet(s"$work/out/lake")
+      assert(lake.count() == nDistinct, tag)
+      assert(lake.select(col("kafka_topic"), col("kafka_partition"), col("kafka_offset"))
+        .distinct().count() == nDistinct, tag)
+    }
+  }
+
   test("detectTopicFormats classifies per topic at the reference threshold") {
     val work = Files.createTempDirectory("envelope2").toString
     writeEnvelopeSource(s"$work/src", 20)
