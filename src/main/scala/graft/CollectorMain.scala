@@ -108,6 +108,11 @@ object CollectorMain {
           (if (rolledBack) "original lake restored"
            else s"MANUAL ACTION REQUIRED: the lake is intact at $old"))
     }
+    // the swap replaced the whole directory: carry the schema-lineage
+    // registry over from the pre-swap lake (the rewrite changes FILES,
+    // never the payload schema history)
+    val oldSchema = new Path(old, "_schema")
+    if (fs.exists(oldSchema)) fs.rename(oldSchema, new Path(destPath, "_schema"))
     // rebuild the sink metadata log over the rewritten files (see
     // scaladoc; shared with the inline keeper's reconciliation)
     latestBatch.foreach(id =>
@@ -117,6 +122,28 @@ object CollectorMain {
       throw new IllegalStateException(
         s"post-swap check failed: $dest missing; backup retained at $old")
     fs.delete(old, true)
+  }
+
+  /** The landed lake's payload-bearing schema, for the never-narrowing
+    * union: the schema-lineage registry when this lake has one (O(versions)
+    * tiny file reads, newest version's types win), else a `mergeSchema`
+    * footer pass for legacy lakes (the standard distributed footer merge,
+    * once per drain), else None for a fresh dest. */
+  private def landedSchema(spark: SparkSession,
+                           dest: String): Option[org.apache.spark.sql.types.StructType] = {
+    val lineage = graft.sources.LakeWriter.schemaLineage(spark, dest)
+    if (lineage.nonEmpty)
+      lineage.map(_._3).foldLeft(
+          Option.empty[org.apache.spark.sql.types.StructType]) { (acc, s) =>
+        Some(graft.ingest.JsonDecode.unionPayloadSchema(s, acc, Set.empty))
+      }
+    else {
+      val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(new org.apache.hadoop.fs.Path(dest)))
+        scala.util.Try(
+          spark.read.option("mergeSchema", "true").parquet(dest).schema).toOption
+      else None
+    }
   }
 
   /** The whole drain as a function of (session, config, source) — the
@@ -143,7 +170,7 @@ object CollectorMain {
       } else println("[collector] no existing lake")
     }
 
-    srcMode match {
+    val usedPayloadSchema: org.apache.spark.sql.types.StructType = srcMode match {
       case "file" if spark.read.parquet(srcDir).schema.fields
           .exists(f => f.name == "value" &&
             f.dataType == org.apache.spark.sql.types.BinaryType) =>
@@ -161,8 +188,14 @@ object CollectorMain {
         val sample = batch.where(pmod(col("kafka_offset"), lit(101L)) === 0)
         val formats = IngestPipeline.detectTopicFormats(sample)
         println(s"[collector] detected topic formats: $formats")
-        val payloadSchema = JsonDecode.inferSchema(spark,
-          IngestPipeline.envelopeJsonText(sample, formats), "_json")
+        // never-narrowing across incremental drains: widen this run's
+        // inferred schema with every payload field the lake already
+        // landed (the envelope/derived columns are not payload)
+        val payloadSchema = JsonDecode.unionPayloadSchema(
+          JsonDecode.inferSchema(spark,
+            IngestPipeline.envelopeJsonText(sample, formats), "_json"),
+          landedSchema(spark, dest),
+          batch.columns.toSet ++ Seq("date_path", "raw_value"))
         // the reference's dedup key for broker streams is the message
         // identity itself — offsets scoped per topic AND partition
         // (`:468-530`, `:741-748`; a bare (partition, offset) pair
@@ -183,9 +216,15 @@ object CollectorMain {
           dedupLakeInPlace(spark, dest, cfg.parquetCompression,
             envKeys, "kafka_timestamp")
         }
+        payloadSchema
       case "file" =>
         val batch = spark.read.parquet(srcDir)
-        val payloadSchema = JsonDecode.inferSchema(spark, batch, "props")
+        // spread-sampled (a head-only sample misses fields that first
+        // appear in later-appended files) and never-narrowing vs the lake
+        val payloadSchema = JsonDecode.unionPayloadSchema(
+          JsonDecode.inferSchemaSpread(spark, batch, "props"),
+          landedSchema(spark, dest),
+          batch.columns.toSet ++ Seq("date_path", "raw_value"))
         val hasEventId = batch.columns.contains("event_id")
         // SKIP_DEDUPLICATION is WHEN dedup happens, not IF (the
         // reference's `:87` semantics): false = inline during the drain,
@@ -220,6 +259,7 @@ object CollectorMain {
           if (hasEventId && cfg.skipDeduplication)
             dedupLakeInPlace(spark, dest, cfg.parquetCompression)
         }
+        payloadSchema
       case "kafka" =>
         // the source swap is IngestPipeline.kafkaSource(cfg.bootstrapServers,
         // GRAFT_TOPICS) with value.cast("string") as the payload column;
@@ -228,6 +268,18 @@ object CollectorMain {
         throw new IllegalStateException(
           "kafka mode needs a live broker — this environment runs file mode")
     }
+
+    // schema lineage: record this drain's payload schema (idempotent per
+    // hash — the reference's md5 version-on-change, `:414-432, :435-465`);
+    // lineage > 1 tells readers the lake spans schema versions and a
+    // mergeSchema read reconciles them
+    val schemaV = graft.sources.LakeWriter.recordSchemaVersion(
+      spark, dest, usedPayloadSchema)
+    val lineage = graft.sources.LakeWriter.schemaLineage(spark, dest)
+    println(s"[collector] payload schema v$schemaV " +
+      s"(${graft.sources.LakeWriter.schemaHash(usedPayloadSchema)}); " +
+      s"lineage: ${lineage.map(e => s"v${e._1}_${e._2}").mkString(", ")}" +
+      (if (lineage.size > 1) " — read the lake with mergeSchema=true" else ""))
 
     if (!cfg.skipValidation) {
       // the reference's post-run count validation (`q_count_validation`

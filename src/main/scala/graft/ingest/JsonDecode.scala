@@ -26,6 +26,46 @@ object JsonDecode {
     spark.read.json(sample).schema
   }
 
+  /** [[inferSchema]] with a SPREAD sample: a plain `limit(n)` reads only
+    * the first files Spark lists, so on an incrementally-appended source
+    * a payload field that first appears in LATER files would be invisible
+    * to inference — and `from_json` silently ignores unknown fields, so
+    * the field would never land anywhere (not even raw_value). The
+    * content-hash stride (~1/101 of rows, deterministic, file-position-
+    * independent) sees every file's content with uniform probability; the
+    * plain head rides along as the small-source fallback (a tiny source
+    * may have no stride hits at all). Cost: the stride is a single
+    * column-pruned scan that the `limit` terminates early once the sample
+    * fills — and schema inference is once per drain, the reference pays
+    * per-batch re-inference (`:1225`). */
+  def inferSchemaSpread(spark: SparkSession, df: DataFrame, column: String,
+                        sampleSize: Int = 1000): StructType = {
+    val strided = df.select(col(column).cast(StringType)).na.drop
+      .where(pmod(xxhash64(col(column)), lit(101L)) === 0).limit(sampleSize)
+    val head = df.select(col(column).cast(StringType)).na.drop
+      .limit(math.max(64, sampleSize / 4))
+    val sample = strided.unionByName(head).as[String](Encoders.STRING)
+    spark.read.json(sample).schema
+  }
+
+  /** Never-narrowing payload schema for an incremental drain: this run's
+    * inferred schema widened with every payload field the lake has
+    * already landed (`nonPayload` = the metadata/derived columns the
+    * decode itself adds). Without the union, a re-drain whose sample
+    * happens to miss an old field would decode new files WITHOUT it —
+    * readers then see the column exist-or-not depending on which footer
+    * wins schema resolution. Type conflicts resolve to THIS run's
+    * inferred type (new data wins, matching the reference's
+    * version-on-change posture — the old files keep their own footers
+    * and `mergeSchema`/`readAllVersions` reads reconcile). */
+  def unionPayloadSchema(inferred: StructType, landed: Option[StructType],
+                         nonPayload: Set[String]): StructType = {
+    val have = inferred.fieldNames.toSet
+    val extra = landed.map(_.fields.filterNot(f => nonPayload(f.name) || have(f.name)))
+      .getOrElse(Array.empty[org.apache.spark.sql.types.StructField])
+    StructType(inferred.fields ++ extra)
+  }
+
   /** Decode `column` (JSON string) into a struct column named `as`,
     * with raw_value fallback for rows that fail to parse.
     *

@@ -55,6 +55,55 @@ object LakeWriter {
       .map("%02x".format(_)).mkString.take(8)
   }
 
+  /** Append-only payload-schema lineage under `<dest>/_schema`: one
+    * `v<N>_<hash>.json` (the schema's JSON rendering) per DISTINCT
+    * schema observed at drain time — the reference's md5 versioning
+    * (`:414-432`, `:435-465`) in registry form for the STREAMING sink,
+    * which appends into one directory and cannot fork `_vN` sibling
+    * files the way [[writeVersioned]] does for batch tables. Returns the
+    * version number assigned to this hash (existing or newly minted);
+    * idempotent per hash, so crash-replayed drains never double-mint. */
+  def recordSchemaVersion(spark: SparkSession, dest: String,
+                          schema: StructType): Int = {
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val dir = new Path(s"$dest/_schema")
+    val hash = schemaHash(schema)
+    val existing: Seq[String] =
+      if (fs.exists(dir)) fs.listStatus(dir).toSeq.map(_.getPath.getName)
+        .filter(_.matches("v\\d+_[0-9a-f]+\\.json")).sorted
+      else Seq.empty
+    existing.find(_.endsWith(s"_$hash.json")) match {
+      case Some(name) => name.drop(1).takeWhile(_.isDigit).toInt
+      case None =>
+        val v = existing.map(_.drop(1).takeWhile(_.isDigit).toInt)
+          .foldLeft(0)(math.max) + 1
+        val out = fs.create(new Path(dir, s"v${v}_$hash.json"), true)
+        out.write(schema.json.getBytes("UTF-8"))
+        out.close()
+        v
+    }
+  }
+
+  /** The recorded payload-schema lineage, oldest first: (version, hash,
+    * schema) per entry — what a reader consults to decide whether a
+    * `mergeSchema` read is needed (lineage size > 1). */
+  def schemaLineage(spark: SparkSession, dest: String): Seq[(Int, String, StructType)] = {
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val dir = new Path(s"$dest/_schema")
+    if (!fs.exists(dir)) return Seq.empty
+    fs.listStatus(dir).toSeq.map(_.getPath)
+      .filter(_.getName.matches("v\\d+_[0-9a-f]+\\.json"))
+      .map { p =>
+        val v = p.getName.drop(1).takeWhile(_.isDigit).toInt
+        val hash = p.getName.dropWhile(_ != '_').drop(1).stripSuffix(".json")
+        val in = fs.open(p)
+        val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+        in.readFully(bytes); in.close()
+        (v, hash, org.apache.spark.sql.types.DataType.fromJson(
+          new String(bytes, "UTF-8")).asInstanceOf[StructType])
+      }.sortBy(_._1)
+  }
+
   /** Derive the `date_path` PARTITION key from a timestamp col. Dash
     * format, deliberately: a slash in a partition VALUE gets
     * percent-escaped by Spark's path builder, so the reference's nested
