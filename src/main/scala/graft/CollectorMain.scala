@@ -170,22 +170,53 @@ object CollectorMain {
       } else println("[collector] no existing lake")
     }
 
+    // one source read for guard + branches (the footer/listing work is
+    // not free on large sources); envelope routing needs the full
+    // 5-column envelope SHAPE, not just any binary `value` column — a
+    // generic source with a raw-bytes column must keep draining through
+    // the props path it always used
+    val srcBatch: Option[org.apache.spark.sql.DataFrame] =
+      if (srcMode == "file") Some(spark.read.parquet(srcDir)) else None
+    def isEnvelope(df: org.apache.spark.sql.DataFrame): Boolean = {
+      val cols = df.schema.fields.map(f => f.name -> f.dataType).toMap
+      cols.get("value").contains(org.apache.spark.sql.types.BinaryType) &&
+        Seq("kafka_topic", "kafka_partition", "kafka_offset", "kafka_timestamp")
+          .forall(cols.contains)
+    }
     val usedPayloadSchema: org.apache.spark.sql.types.StructType = srcMode match {
-      case "file" if spark.read.parquet(srcDir).schema.fields
-          .exists(f => f.name == "value" &&
-            f.dataType == org.apache.spark.sql.types.BinaryType) =>
+      case "file" if isEnvelope(srcBatch.get) =>
         // KAFKA-ENVELOPE source: binary payloads under the 5-column
         // metadata envelope (the shape IngestPipeline.kafkaSource emits —
         // this file twin exercises the broker downstream byte-for-byte).
         // Per-topic codec detection runs ONCE over a deterministic
-        // offset-strided sample (every 101st offset; offset 0 always
-        // matches, so every live (topic,partition) contributes), then the
-        // payload JSON schema is inferred from the SAME decoded sample —
-        // the reference's one-shot per-topic detection (:172-220) at
-        // Spark scale: two bounded jobs before the drain, zero per-row
-        // python-style try/except during it.
-        val batch = spark.read.parquet(srcDir)
+        // bounded sample, then the payload JSON schema is inferred from
+        // the SAME decoded sample — the reference's one-shot per-topic
+        // detection (:172-220) at Spark scale: bounded jobs before the
+        // drain, zero per-row python-style try/except during it.
+        //
+        // Sample coverage is GUARANTEED per (topic, partition): the
+        // offset stride alone (every 101st) misses topics whose live
+        // offset range contains no multiple of 101 — e.g. a
+        // retention-trimmed topic holding offsets 10050-10099 — which
+        // would mis-classify msgpack topics as JSON (full degrade to
+        // raw_value) and, on an empty global sample, crash the decode.
+        // So the stride unions with each (topic, partition)'s HEAD — the
+        // 64 rows at its min offset: one column-pruned map-side-combined
+        // aggregation plus a broadcast range join against it, both
+        // bounded by the topic-partition count, never the data. 64 rows
+        // per partition (not 1): a single-row sample also under-types the
+        // payload — msgpack renders the integral double 0.0 as "0", so a
+        // lone head row would infer a fractional field as long and every
+        // fractional row after it would degrade to raw_value.
+        val batch = srcBatch.get
+        val minOff = batch.groupBy(col("kafka_topic"), col("kafka_partition"))
+          .agg(min(col("kafka_offset")).as("_min_off"))
+        val heads = batch
+          .join(broadcast(minOff), Seq("kafka_topic", "kafka_partition"))
+          .where(col("kafka_offset") < col("_min_off") + 64)
+          .drop("_min_off")
         val sample = batch.where(pmod(col("kafka_offset"), lit(101L)) === 0)
+          .unionByName(heads)
         val formats = IngestPipeline.detectTopicFormats(sample)
         println(s"[collector] detected topic formats: $formats")
         // never-narrowing across incremental drains: widen this run's
@@ -218,7 +249,7 @@ object CollectorMain {
         }
         payloadSchema
       case "file" =>
-        val batch = spark.read.parquet(srcDir)
+        val batch = srcBatch.get
         // spread-sampled (a head-only sample misses fields that first
         // appear in later-appended files) and never-narrowing vs the lake
         val payloadSchema = JsonDecode.unionPayloadSchema(
@@ -291,12 +322,15 @@ object CollectorMain {
       val nSrc = src.count()
       // dedup runs in BOTH modes (inline or deferred), so the lake must
       // hold exactly the source's DISTINCT events and zero duplicate keys
-      // — keyed on event_id for payload-keyed sources, on the message
-      // identity (partition, offset) for Kafka-envelope sources
+      // — keyed on the message identity for Kafka-envelope SOURCES
+      // (checked first: an envelope payload may itself carry an event_id
+      // field, which lands hoisted in the lake but does not exist as a
+      // source column), on event_id for payload-keyed sources
       val keyCols: Seq[String] =
-        if (landed.columns.contains("event_id")) Seq("event_id")
-        else if (landed.columns.contains("kafka_offset"))
+        if (srcBatch.exists(isEnvelope))
           Seq("kafka_topic", "kafka_partition", "kafka_offset")
+        else if (landed.columns.contains("event_id") &&
+            src.columns.contains("event_id")) Seq("event_id")
         else Nil
       val hasKey = keyCols.nonEmpty
       val expected =

@@ -222,6 +222,10 @@ object IngestBench {
           graft.functions.Msgpack.jsonToMsgpackUdf(col("props")).as("payload"))
         .write.mode("overwrite").parquet(mpDir)
       val mp = spark.read.parquet(mpDir)
+      // the actual staged row count, NOT n: when the incremental phase
+      // ran first it appended +25% into srcBase, and dividing by n would
+      // understate the decode rate by that factor
+      val mpRows = mp.count()
       def drain(df: DataFrame): Unit =
         df.write.format("noop").mode("overwrite").save()
       // one warm pass so first-use codegen/JIT lands on neither variant
@@ -230,8 +234,8 @@ object IngestBench {
       val (_, sNative) = timed(drain(mp.select(expr("msgpack_to_json(payload)").as("j"))))
       val (_, sUdf) = timed(drain(
         mp.select(graft.functions.Msgpack.msgpackToJson(col("payload")).as("j"))))
-      out += ("decode_native_msgs_per_sec" -> (n / sNative).round)
-      out += ("decode_udf_msgs_per_sec" -> (n / sUdf).round)
+      out += ("decode_native_msgs_per_sec" -> (mpRows / sNative).round)
+      out += ("decode_udf_msgs_per_sec" -> (mpRows / sUdf).round)
     }
     out.toSeq
   }
@@ -252,7 +256,9 @@ object IngestBench {
     val fields = run(spark, work, n, phases)
     def js(v: Any): String = v match {
       case s: String => "\"" + s + "\""
-      case d: Double => f"$d%.3f"
+      // Locale.ROOT: the f interpolator renders comma decimals on e.g.
+      // de_DE, corrupting the one JSON line this harness exists to print
+      case d: Double => String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
       case x => x.toString
     }
     val body = (Seq[(String, Any)]("metric" -> "ingest_throughput",

@@ -18,12 +18,17 @@ import org.apache.spark.sql.types.{StructType, StringType}
   */
 object JsonDecode {
 
-  /** Infer the payload schema from a bounded sample of non-null values. */
+  /** Infer the payload schema from a bounded sample of non-null values.
+    * `spark.read.json` adds a `_corrupt_record` artifact field when the
+    * sample contains malformed rows — stripped here, or it would leak
+    * into decoded lakes and the schema-lineage registry as a phantom
+    * payload field. */
   def inferSchema(spark: SparkSession, df: DataFrame, column: String,
                   sampleSize: Int = 1000): StructType = {
     val sample = df.select(col(column).cast(StringType)).na.drop
       .limit(sampleSize).as[String](Encoders.STRING)
-    spark.read.json(sample).schema
+    StructType(spark.read.json(sample).schema
+      .fields.filterNot(_.name == "_corrupt_record"))
   }
 
   /** [[inferSchema]] with a SPREAD sample: a plain `limit(n)` reads only
@@ -45,7 +50,8 @@ object JsonDecode {
     val head = df.select(col(column).cast(StringType)).na.drop
       .limit(math.max(64, sampleSize / 4))
     val sample = strided.unionByName(head).as[String](Encoders.STRING)
-    spark.read.json(sample).schema
+    StructType(spark.read.json(sample).schema
+      .fields.filterNot(_.name == "_corrupt_record"))
   }
 
   /** Never-narrowing payload schema for an incremental drain: this run's

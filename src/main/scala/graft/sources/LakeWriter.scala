@@ -77,9 +77,11 @@ object LakeWriter {
       case None =>
         val v = existing.map(_.drop(1).takeWhile(_.isDigit).toInt)
           .foldLeft(0)(math.max) + 1
-        val out = fs.create(new Path(dir, s"v${v}_$hash.json"), true)
-        out.write(schema.json.getBytes("UTF-8"))
-        out.close()
+        // atomic (tmp + rename): a crash mid-write must not leave a
+        // truncated lineage file that poisons every later drain's
+        // DataType.fromJson
+        graft.streaming.IdBloom.atomicWrite(fs,
+          new Path(dir, s"v${v}_$hash.json"), schema.json.getBytes("UTF-8"))
         v
     }
   }

@@ -110,6 +110,65 @@ class EnvelopeIngestSpec extends SparkSpec {
     }
   }
 
+  test("a retention-trimmed topic with no stride-aligned offsets still detects and drains") {
+    // offsets 10050-10089: no multiple of 101 in range — the stride alone
+    // samples NOTHING; the per-(topic,partition) min-offset union must
+    // cover it or msgpack rows degrade wholesale (and an empty global
+    // sample crashes the decode)
+    val work = Files.createTempDirectory("trimmed").toString
+    val rows = (0 until 40).map { i =>
+      val payload = s"""{"px": ${i * 1.5}, "qty": $i}"""
+      Row("ticks", 0L, (10050 + i).toLong,
+        new java.sql.Timestamp(1709251200000L + i.toLong * 1000), s"k$i",
+        Msgpack.encodeFlatJson(payload))
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), envSchema)
+      .write.parquet(s"$work/src")
+    val cfg = GraftConfig(outputDir = s"$work/out", skipValidation = false)
+    CollectorMain.run(spark, cfg, "file", s"$work/src")
+    val lake = spark.read.parquet(s"$work/out/lake")
+    assert(lake.count() == 40)
+    // decoded as msgpack (detection saw the min-offset row), not degraded
+    assert(lake.where(col("raw_value").isNull).count() == 40)
+    assert(lake.agg(sum(col("qty"))).head.getLong(0) == (0 until 40).sum.toLong)
+  }
+
+  test("an envelope payload carrying an event_id field validates on the message identity") {
+    val work = Files.createTempDirectory("payloadeid").toString
+    val rows = (0 until 30).map { i =>
+      Row("ticks", 0L, i.toLong,
+        new java.sql.Timestamp(1709251200000L + i.toLong * 1000), s"k$i",
+        s"""{"event_id": ${i + 9000}, "qty": $i}""".getBytes("UTF-8"))
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), envSchema)
+      .write.parquet(s"$work/src")
+    // skipValidation=false is the point: the landed lake hoists a payload
+    // event_id column that does NOT exist in the raw envelope source —
+    // validation must key on (topic, partition, offset), not crash
+    // selecting event_id from the source
+    val cfg = GraftConfig(outputDir = s"$work/out", skipValidation = false)
+    CollectorMain.run(spark, cfg, "file", s"$work/src")
+    val lake = spark.read.parquet(s"$work/out/lake")
+    assert(lake.count() == 30 && lake.columns.contains("event_id"))
+  }
+
+  test("a non-envelope source with a binary column keeps draining through the props path") {
+    val work = Files.createTempDirectory("binprops").toString
+    spark.range(50).select(
+        col("id").as("event_id"),
+        timestamp_millis(lit(1709251200000L) + col("id")).as("ts"),
+        col("id").as("user_id"), lit("view").as("event_type"),
+        lit(1.0).as("value_num"),
+        col("id").cast("string").cast("binary").as("value"), // raw-bytes attachment
+        concat(lit("{\"k\": "), col("id"), lit("}")).as("props"))
+      .write.parquet(s"$work/src")
+    val cfg = GraftConfig(outputDir = s"$work/out", skipValidation = false)
+    CollectorMain.run(spark, cfg, "file", s"$work/src")
+    val lake = spark.read.parquet(s"$work/out/lake")
+    // decoded through the props path: k hoisted, no envelope columns
+    assert(lake.count() == 50 && lake.columns.contains("k"))
+  }
+
   test("detectTopicFormats classifies per topic at the reference threshold") {
     val work = Files.createTempDirectory("envelope2").toString
     writeEnvelopeSource(s"$work/src", 20)
