@@ -209,14 +209,20 @@ object CollectorMain {
         // lone head row would infer a fractional field as long and every
         // fractional row after it would degrade to raw_value.
         val batch = srcBatch.get
-        val minOff = batch.groupBy(col("kafka_topic"), col("kafka_partition"))
-          .agg(min(col("kafka_offset")).as("_min_off"))
-        val heads = batch
-          .join(broadcast(minOff), Seq("kafka_topic", "kafka_partition"))
-          .where(col("kafka_offset") < col("_min_off") + 64)
-          .drop("_min_off")
+        val bounds = batch.groupBy(col("kafka_topic"), col("kafka_partition"))
+          .agg(min(col("kafka_offset")).as("_min_off"),
+            max(col("kafka_offset")).as("_max_off"))
+        // heads AND tails (64 each): heads guarantee detection/typing for
+        // trimmed topics; tails see the NEWEST rows, where an evolved
+        // payload's new field first appears — a small incremental append
+        // can sit entirely between stride multiples
+        val edges = batch
+          .join(broadcast(bounds), Seq("kafka_topic", "kafka_partition"))
+          .where(col("kafka_offset") < col("_min_off") + 64 ||
+            col("kafka_offset") > col("_max_off") - 64)
+          .drop("_min_off", "_max_off")
         val sample = batch.where(pmod(col("kafka_offset"), lit(101L)) === 0)
-          .unionByName(heads)
+          .unionByName(edges)
         val formats = IngestPipeline.detectTopicFormats(sample)
         println(s"[collector] detected topic formats: $formats")
         // never-narrowing across incremental drains: widen this run's

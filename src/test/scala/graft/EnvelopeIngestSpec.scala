@@ -169,6 +169,29 @@ class EnvelopeIngestSpec extends SparkSpec {
     assert(lake.count() == 50 && lake.columns.contains("k"))
   }
 
+  test("a new payload field in a small high-offset append is seen by inference") {
+    // incremental drain: 40 new rows at offsets 300-339 carry `extra`,
+    // sitting after offset 303 with no stride multiple until 404 — the
+    // per-partition TAIL must put them in the inference sample or the
+    // field lands nowhere
+    val work = Files.createTempDirectory("tailsample").toString
+    val src = s"$work/src"
+    writeEnvelopeSource(src, 140) // offsets 0-139 + 2 bad rows at 141
+    val cfg = GraftConfig(outputDir = s"$work/out", skipValidation = true)
+    CollectorMain.run(spark, cfg, "file", src)
+    val v2 = (300 until 340).map { i =>
+      Row("ticks", 0L, i.toLong,
+        new java.sql.Timestamp(1709251200000L + i.toLong * 1000), s"k$i",
+        Msgpack.encodeFlatJson(s"""{"px": ${i * 1.5}, "qty": $i, "extra": $i}"""))
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(v2, 1), envSchema)
+      .write.mode("append").parquet(src)
+    CollectorMain.run(spark, cfg, "file", src)
+    val lake = spark.read.option("mergeSchema", "true").parquet(s"$work/out/lake")
+    assert(lake.columns.contains("extra"), lake.columns.mkString(","))
+    assert(lake.where(col("extra").isNotNull).count() == 40)
+  }
+
   test("detectTopicFormats classifies per topic at the reference threshold") {
     val work = Files.createTempDirectory("envelope2").toString
     writeEnvelopeSource(s"$work/src", 20)
