@@ -212,6 +212,36 @@ object IngestBench {
       out += ("envelope_msgs_per_sec" -> (n / sec).round)
     }
 
+    if (phases("envelope_keeper")) {
+      // the full reference posture on its own wire format: binary msgpack
+      // envelope + 1% byte-identical redeliveries, dropped INLINE by the
+      // id-bloom keeper on the message identity (topic, partition, offset)
+      val srcEnvK = s"$work/src_envelope_keeper"
+      def envRows(ids: DataFrame) = shapeRows(ids, 0L)
+        .select(lit("ticks").as("kafka_topic"),
+          pmod(col("event_id"), lit(8L)).as("kafka_partition"),
+          col("event_id").as("kafka_offset"),
+          col("ts").as("kafka_timestamp"),
+          col("event_id").cast("string").as("kafka_key"),
+          graft.functions.Msgpack.jsonToMsgpackUdf(col("props")).as("value"))
+      envRows(spark.range(n).toDF()).repartition(32)
+        .write.mode("overwrite").parquet(srcEnvK)
+      envRows(spark.range(n / 100).select((col("id") * 100).as("id")))
+        .repartition(4).write.mode("append").parquet(srcEnvK)
+      val cfg = GraftConfig(outputDir = s"$work/out_envelope_keeper",
+        skipExistingCheck = true, skipDeduplication = false, skipValidation = true)
+      val (_, sec) = timed(CollectorMain.run(spark, cfg, "file", srcEnvK))
+      val landed = spark.read.parquet(s"${cfg.outputDir}/lake")
+      val cnt = landed.count()
+      val distinctIds = landed.select(col("kafka_topic"),
+        col("kafka_partition"), col("kafka_offset")).distinct().count()
+      require(cnt == n && distinctIds == n,
+        s"envelope_keeper landed $cnt of $n (distinct $distinctIds)")
+      out += ("envelope_keeper_src_msgs" -> (n + n / 100))
+      out += ("envelope_keeper_sec" -> sec)
+      out += ("envelope_keeper_msgs_per_sec" -> ((n + n / 100) / sec).round)
+    }
+
     if (phases("decode")) {
       require(baseReady)
       // stage binary msgpack payloads (untimed), then time both decode
@@ -245,7 +275,8 @@ object IngestBench {
       "usage: IngestBench <workDir> [nMsgs=2000000] [phases=oneshot,keeper,incremental,compression,decode]")
     val work = args(0)
     val n = if (args.length > 1) args(1).toLong else 2000000L
-    val all = Set("oneshot", "keeper", "incremental", "compression", "decode", "envelope")
+    val all = Set("oneshot", "keeper", "incremental", "compression", "decode",
+      "envelope", "envelope_keeper")
     val phases =
       if (args.length > 2) args(2).split(",").map(_.trim).toSet
       else all

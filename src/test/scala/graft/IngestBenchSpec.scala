@@ -12,11 +12,12 @@ class IngestBenchSpec extends SparkSpec {
     val work = Files.createTempDirectory("ingestbench").toString
     val fields = IngestBench.run(spark, work, 20000L,
       Set("oneshot", "keeper", "incremental", "compression", "decode",
-        "envelope")).toMap
+        "envelope", "envelope_keeper")).toMap
 
     for (k <- Seq("oneshot_msgs_per_sec", "keeper_msgs_per_sec",
         "incremental_msgs_per_sec", "decode_native_msgs_per_sec",
-        "decode_udf_msgs_per_sec", "envelope_msgs_per_sec"))
+        "decode_udf_msgs_per_sec", "envelope_msgs_per_sec",
+        "envelope_keeper_msgs_per_sec"))
       assert(fields(k).asInstanceOf[Long] > 0L, k)
 
     // the codec ordering the reference's size claims rest on
