@@ -54,6 +54,35 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(lineage.last._3.fieldNames.contains("extra"))
   }
 
+  test("evolution holds under the inline keeper too (skipDeduplication=false)") {
+    val work = Files.createTempDirectory("evolvekeeper").toString
+    val src = s"$work/src"
+    spark.range(2000).select(
+        col("id").as("event_id"),
+        timestamp_millis(lit(1704067200000L) + col("id")).as("ts"),
+        col("id").as("user_id"), lit("view").as("event_type"),
+        lit(1.0).as("value"),
+        concat(lit("{\"k\": "), col("id"), lit("}")).as("props"))
+      .coalesce(2).write.parquet(src)
+    val cfg = GraftConfig(outputDir = s"$work/out",
+      skipDeduplication = false, skipValidation = false)
+    CollectorMain.run(spark, cfg, "file", src)
+
+    spark.range(2000, 2400).select(
+        col("id").as("event_id"),
+        timestamp_millis(lit(1704067200000L) + col("id")).as("ts"),
+        col("id").as("user_id"), lit("view").as("event_type"),
+        lit(1.0).as("value"),
+        concat(lit("{\"k\": "), col("id"), lit(", \"extra\": \"x\"}")).as("props"))
+      .coalesce(1).write.mode("append").parquet(src)
+    CollectorMain.run(spark, cfg, "file", src)
+
+    val lake = spark.read.option("mergeSchema", "true").parquet(s"$work/out/lake")
+    assert(lake.count() == 2400)
+    assert(lake.where(col("extra").isNotNull).count() == 400)
+    assert(graft.sources.LakeWriter.schemaLineage(spark, s"$work/out/lake").size == 2)
+  }
+
   test("a landed field missing from the new sample keeps decoding (never-narrowing)") {
     val work = Files.createTempDirectory("narrow").toString
     val src = s"$work/src"
