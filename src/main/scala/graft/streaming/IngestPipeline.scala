@@ -305,7 +305,13 @@ object IngestPipeline {
     * struct (`:240-241, 256, 400-402`): msgpack garbage returns NULL from
     * the native decoder (raw bytes surface utf-8-cast), JSON garbage
     * lands in the corrupt-record field — either way the row SURVIVES
-    * with its metadata, it is never dropped. */
+    * with its metadata, it is never dropped.
+    *
+    * NOTE this mirrors [[graft.ingest.JsonDecode.decode]]'s PERMISSIVE/
+    * corrupt-record protocol rather than calling it: decode infers its
+    * own schema (illegal on a stream) and has no msgpack-null branch.
+    * A change to the degrade contract must land in BOTH places —
+    * EnvelopeIngestSpec and JsonDecode's specs each pin their side. */
   def decodeEnvelope(stream: DataFrame, formats: Map[String, String],
                      payloadSchema: StructType): DataFrame = {
     val corrupt = "_graft_corrupt"
