@@ -108,11 +108,6 @@ object CollectorMain {
           (if (rolledBack) "original lake restored"
            else s"MANUAL ACTION REQUIRED: the lake is intact at $old"))
     }
-    // the swap replaced the whole directory: carry the schema-lineage
-    // registry over from the pre-swap lake (the rewrite changes FILES,
-    // never the payload schema history)
-    val oldSchema = new Path(old, "_schema")
-    if (fs.exists(oldSchema)) fs.rename(oldSchema, new Path(destPath, "_schema"))
     // rebuild the sink metadata log over the rewritten files (see
     // scaladoc; shared with the inline keeper's reconciliation)
     latestBatch.foreach(id =>
@@ -121,6 +116,20 @@ object CollectorMain {
     if (!fs.exists(destPath))
       throw new IllegalStateException(
         s"post-swap check failed: $dest missing; backup retained at $old")
+    // the swap replaced the whole directory: carry the schema-lineage
+    // registry over from the pre-swap lake (the rewrite changes FILES,
+    // never the payload schema history). FileSystem.rename reports
+    // failure by RETURNING FALSE — checked like every other rename in
+    // this swap, and ordered AFTER the sink-log rebuild so a failed
+    // move aborts with the lake fully readable: deleting `old` on a
+    // failed move would destroy the only copy of the lineage registry
+    // and silently demote readers to the mergeSchema fallback
+    val oldSchema = new Path(old, "_schema")
+    if (fs.exists(oldSchema) && !fs.rename(oldSchema, new Path(destPath, "_schema")))
+      throw new IllegalStateException(
+        s"dedup swap: moving the schema-lineage registry $oldSchema -> " +
+          s"$destPath/_schema returned false; backup retained at $old " +
+          "(the swapped lake is intact and readable)")
     fs.delete(old, true)
   }
 
@@ -179,9 +188,13 @@ object CollectorMain {
       if (srcMode == "file") Some(spark.read.parquet(srcDir)) else None
     def isEnvelope(df: org.apache.spark.sql.DataFrame): Boolean = {
       val cols = df.schema.fields.map(f => f.name -> f.dataType).toMap
+      // ALL FIVE envelope columns, kafka_key included: decodeEnvelope
+      // selects kafka_key unconditionally, so a near-envelope source
+      // carrying only the four metadata columns must fall through to the
+      // props path it always used instead of crashing the drain
       cols.get("value").contains(org.apache.spark.sql.types.BinaryType) &&
-        Seq("kafka_topic", "kafka_partition", "kafka_offset", "kafka_timestamp")
-          .forall(cols.contains)
+        Seq("kafka_topic", "kafka_partition", "kafka_offset", "kafka_timestamp",
+          "kafka_key").forall(cols.contains)
     }
     val usedPayloadSchema: org.apache.spark.sql.types.StructType = srcMode match {
       case "file" if isEnvelope(srcBatch.get) =>
@@ -221,16 +234,26 @@ object CollectorMain {
           .where(col("kafka_offset") < col("_min_off") + 64 ||
             col("kafka_offset") > col("_max_off") - 64)
           .drop("_min_off", "_max_off")
-        val sample = batch.where(pmod(col("kafka_offset"), lit(101L)) === 0)
-          .unionByName(edges)
+        val strided = batch.where(pmod(col("kafka_offset"), lit(101L)) === 0)
+        val sample = strided.unionByName(edges)
         val formats = IngestPipeline.detectTopicFormats(sample)
         println(s"[collector] detected topic formats: $formats")
         // never-narrowing across incremental drains: widen this run's
         // inferred schema with every payload field the lake already
-        // landed (the envelope/derived columns are not payload)
+        // landed (the envelope/derived columns are not payload).
+        // Inference bounds the STRIDE side BEFORE the union (the
+        // inferSchemaSpread shape): a post-union limit fills from the
+        // union's first partitions — the stride — so on sources with
+        // ≥1000 stride hits the per-(topic, partition) head/tail rows
+        // would be starved out and a field first appearing in a recent
+        // high-offset append silently dropped forever. The edge side is
+        // already bounded by the topic-partition count. Codec detection
+        // above deliberately keeps the UNBOUNDED sample (one distributed
+        // aggregation; more evidence never hurts it).
         val payloadSchema = JsonDecode.unionPayloadSchema(
-          JsonDecode.inferSchema(spark,
-            IngestPipeline.envelopeJsonText(sample, formats), "_json"),
+          JsonDecode.inferSchemaOver(spark,
+            IngestPipeline.envelopeJsonText(
+              strided.limit(1000).unionByName(edges), formats), "_json"),
           landedSchema(spark, dest),
           batch.columns.toSet ++ Seq("date_path", "raw_value"))
         // the reference's dedup key for broker streams is the message

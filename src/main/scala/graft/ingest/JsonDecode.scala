@@ -1,6 +1,6 @@
 package graft.ingest
 
-import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{StructType, StringType}
 
@@ -24,9 +24,23 @@ object JsonDecode {
     * into decoded lakes and the schema-lineage registry as a phantom
     * payload field. */
   def inferSchema(spark: SparkSession, df: DataFrame, column: String,
-                  sampleSize: Int = 1000): StructType = {
+                  sampleSize: Int = 1000): StructType =
+    inferSchemaOver(spark,
+      df.select(col(column)).na.drop.limit(sampleSize), column)
+
+  /** [[inferSchema]] over an ALREADY-BOUNDED sample frame — no internal
+    * limit. For callers that compose their own sample from a bounded
+    * stride plus guaranteed per-(topic, partition) edge rows: a post-union
+    * `limit` fills from the union's FIRST partitions (the stride), so on
+    * a source with more stride hits than the limit the edge rows would be
+    * starved out of inference entirely and a payload field that first
+    * appears in a recent high-offset append would be silently dropped by
+    * `from_json` — permanently, since the limit always fills from the
+    * oldest files. Bound each sample component BEFORE the union instead
+    * (the [[inferSchemaSpread]] shape). */
+  def inferSchemaOver(spark: SparkSession, df: DataFrame, column: String): StructType = {
     val sample = df.select(col(column).cast(StringType)).na.drop
-      .limit(sampleSize).as[String](Encoders.STRING)
+      .as[String](Encoders.STRING)
     StructType(spark.read.json(sample).schema
       .fields.filterNot(_.name == "_corrupt_record"))
   }
@@ -85,21 +99,55 @@ object JsonDecode {
     * parsing failed; we hoist it to `raw_value`, null out the struct,
     * and drop the marker field from the decoded shape. */
   def decode(spark: SparkSession, df: DataFrame, column: String,
-             as: String = "data", sampleSize: Int = 1000): DataFrame = {
+             as: String = "data", sampleSize: Int = 1000): DataFrame =
+    parseWithDegrade(df, col(column).cast(StringType), as,
+      inferSchema(spark, df, column, sampleSize))
+
+  /** The PERMISSIVE/corrupt-record degrade protocol itself — the ONE body
+    * behind [[decode]] (JSON-string sources) and
+    * `IngestPipeline.decodeEnvelope` (per-codec Kafka envelopes), so the
+    * degrade contract cannot drift between them: parse `textCol` into a
+    * struct column `as` under `payloadSchema`, hoist parse failures into
+    * `raw_value`, and null the struct on those rows — a row is NEVER
+    * dropped (collector `:240-241, 256, 400-402`).
+    *
+    * `nullTextRaw` supplies `raw_value` when `textCol` itself is NULL —
+    * the msgpack-garbage branch, where the native decoder returns NULL
+    * and the raw bytes surface utf-8-cast. None (the plain-JSON case)
+    * leaves those rows with a NULL raw_value AND a null struct, matching
+    * `from_json`'s null-in/null-out.
+    *
+    * An EMPTY payload schema (nothing in the inference sample parsed as
+    * JSON — e.g. the first drain of a topic whose payloads are all
+    * binary garbage) cannot go through `from_json`: Spark refuses to
+    * drop ALL fields of a struct, so the nonempty path would crash the
+    * drain instead of degrading. Every row then lands with
+    * `raw_value` = its payload text and a NULL (empty) struct. */
+  def parseWithDegrade(df: DataFrame, textCol: Column, as: String,
+                       payloadSchema: StructType,
+                       nullTextRaw: Option[Column] = None): DataFrame = {
     val corrupt = "_graft_corrupt"
-    // spark.read.json itself adds a "_corrupt_record" field when the
-    // INFERENCE sample contains malformed rows — strip it, or the decoded
-    // struct would carry a duplicate of our marker as a payload field
-    val schema = StructType(inferSchema(spark, df, column, sampleSize)
-      .fields.filterNot(_.name == "_corrupt_record"))
-    require(!schema.fieldNames.contains(corrupt),
+    // spark.read.json adds a "_corrupt_record" field when the INFERENCE
+    // sample contains malformed rows — strip it, or the decoded struct
+    // would carry a duplicate of our marker as a payload field
+    val fields = payloadSchema.fields.filterNot(_.name == "_corrupt_record")
+    require(!fields.exists(_.name == corrupt),
       s"payload schema collides with the internal corrupt-record field $corrupt")
-    val parseSchema = schema.add(corrupt, StringType)
-    df.withColumn(as, from_json(col(column).cast(StringType), parseSchema,
-        Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> corrupt)))
-      .withColumn("raw_value", col(s"$as.$corrupt"))
-      .withColumn(as,
-        when(col("raw_value").isNotNull, lit(null)).otherwise(col(as).dropFields(corrupt)))
+    def withNullText(parsed: Column): Column = nullTextRaw match {
+      case Some(fb) => when(textCol.isNull, fb).otherwise(parsed)
+      case None     => parsed
+    }
+    if (fields.isEmpty)
+      df.withColumn("raw_value", withNullText(textCol))
+        .withColumn(as, lit(null).cast(StructType(Nil)))
+    else {
+      val parseSchema = StructType(fields).add(corrupt, StringType)
+      df.withColumn(as, from_json(textCol, parseSchema,
+          Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> corrupt)))
+        .withColumn("raw_value", withNullText(col(s"$as.$corrupt")))
+        .withColumn(as,
+          when(col("raw_value").isNotNull, lit(null)).otherwise(col(as).dropFields(corrupt)))
+    }
   }
 
   /** decode + flatten in one step: the collector's per-record pipeline

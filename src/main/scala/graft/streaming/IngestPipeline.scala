@@ -224,11 +224,14 @@ object IngestPipeline {
   @volatile private[graft] var keeperStepHook: (String, String) => Unit = (_, _) => ()
 
   /** Keeper bloom growth clamp — see the rebuild comment in
-    * [[keeperBatch]]: a bloom literal is hex-rendered in full into every
-    * explain string, so unbounded 4× growth would OOM the driver on plan
-    * rendering long before probe cost mattered. 2^24 items ≈ 30 MB at
-    * the default fpp; past saturation the guard degrades into exact
-    * confirms, never incorrectness. */
+    * [[keeperBatch]]. Set in the plan-literal era (a literal bloom
+    * hex-rendered in full into every explain string would OOM the
+    * driver on plan rendering); the probe now ships as a broadcast
+    * variable, but 2^24 items ≈ 30 MB stays the clamp: each capacity
+    * doubling pays a full column-pruned lake scan and each generation a
+    * per-executor torrent push, and past saturation the guard degrades
+    * into exact confirms, never incorrectness — lakes beyond ~16M keys
+    * should drain through runFileIngest's state-store dedup. */
   private val keeperMaxBloomItems: Long = 1L << 24
 
   /** Last batch id with a commit marker under the checkpoint (the
@@ -305,33 +308,27 @@ object IngestPipeline {
     * struct (`:240-241, 256, 400-402`): msgpack garbage returns NULL from
     * the native decoder (raw bytes surface utf-8-cast), JSON garbage
     * lands in the corrupt-record field — either way the row SURVIVES
-    * with its metadata, it is never dropped.
-    *
-    * NOTE this mirrors [[graft.ingest.JsonDecode.decode]]'s PERMISSIVE/
-    * corrupt-record protocol rather than calling it: decode infers its
-    * own schema (illegal on a stream) and has no msgpack-null branch.
-    * A change to the degrade contract must land in BOTH places —
-    * EnvelopeIngestSpec and JsonDecode's specs each pin their side. */
+    * with its metadata, it is never dropped. The degrade branch itself is
+    * [[graft.ingest.JsonDecode.parseWithDegrade]] — the SAME body
+    * [[graft.ingest.JsonDecode.decode]] runs on, so the contract cannot
+    * drift between the props and envelope paths; the msgpack-null case
+    * rides in through its `nullTextRaw` hook. An EMPTY inferred payload
+    * schema (first drain of a topic where nothing decodes as JSON)
+    * degrades every row to raw_value instead of crashing the drain —
+    * the shared body skips `from_json` entirely and this select skips
+    * the (nonexistent) payload columns. */
   def decodeEnvelope(stream: DataFrame, formats: Map[String, String],
                      payloadSchema: StructType): DataFrame = {
-    val corrupt = "_graft_corrupt"
-    require(!payloadSchema.fieldNames.contains(corrupt),
-      s"payload schema collides with the internal corrupt-record field $corrupt")
-    val parseSchema = StructType(
-      payloadSchema.fields.filterNot(_.name == "_corrupt_record"))
-      .add(corrupt, org.apache.spark.sql.types.StringType)
-    stream
-      .withColumn("_json", payloadJsonText(formats))
-      .withColumn("data", from_json(col("_json"), parseSchema,
-        Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> corrupt)))
-      .withColumn("raw_value",
-        when(col("_json").isNull && col("value").isNotNull, col("value").cast("string"))
-          .otherwise(col(s"data.$corrupt")))
-      .withColumn("data",
-        when(col("raw_value").isNotNull, lit(null))
-          .otherwise(col("data").dropFields(corrupt)))
-      .select(col("kafka_topic"), col("kafka_partition"), col("kafka_offset"),
-        col("kafka_timestamp"), col("kafka_key"), col("raw_value"), col("data.*"))
+    val payloadFields =
+      payloadSchema.fields.filterNot(_.name == "_corrupt_record")
+    val parsed = graft.ingest.JsonDecode.parseWithDegrade(
+      stream.withColumn("_json", payloadJsonText(formats)),
+      col("_json"), "data", payloadSchema,
+      nullTextRaw = Some(when(col("value").isNotNull, col("value").cast("string"))))
+    val metaAndRaw = Seq(col("kafka_topic"), col("kafka_partition"),
+      col("kafka_offset"), col("kafka_timestamp"), col("kafka_key"), col("raw_value"))
+    parsed
+      .select(metaAndRaw ++ (if (payloadFields.isEmpty) Nil else Seq(col("data.*"))): _*)
       .withColumn("date_path", date_format(col("kafka_timestamp"), "yyyy-MM-dd"))
   }
 

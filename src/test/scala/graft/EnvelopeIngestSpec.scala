@@ -192,6 +192,81 @@ class EnvelopeIngestSpec extends SparkSpec {
     assert(lake.where(col("extra").isNotNull).count() == 40)
   }
 
+  test("edge rows reach inference even with more stride hits than the sample bound") {
+    // every base offset is a multiple of 101 → 1100 stride hits, above
+    // inference's 1000-row bound; the 40 newest rows sit at offsets with
+    // NO stride multiple and alone carry `extra`. A post-union limit
+    // would fill entirely from the stride and starve the tail edge out
+    // of the sample — `extra` then never lands anywhere (not even
+    // raw_value). The fix bounds the stride BEFORE unioning the edges.
+    val work = Files.createTempDirectory("stridestarve").toString
+    val base = (0 until 1100).map { i =>
+      Row("logs", 0L, i.toLong * 101,
+        new java.sql.Timestamp(1709251200000L + i.toLong * 1000), s"k$i",
+        s"""{"px": ${i * 1.5}, "qty": $i}""".getBytes("UTF-8"))
+    }
+    val tail = (0 until 40).map { i =>
+      // 1099*101 = 110999; the next stride multiple is 111100, so none
+      // of 111000-111039 is stride-aligned
+      Row("logs", 0L, (111000 + i).toLong,
+        new java.sql.Timestamp(1709251200000L + i.toLong * 1000), s"t$i",
+        s"""{"px": 0.5, "qty": $i, "extra": $i}""".getBytes("UTF-8"))
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(base ++ tail, 4), envSchema)
+      .write.parquet(s"$work/src")
+    val cfg = GraftConfig(outputDir = s"$work/out", skipValidation = true)
+    CollectorMain.run(spark, cfg, "file", s"$work/src")
+    val lake = spark.read.parquet(s"$work/out/lake")
+    assert(lake.columns.contains("extra"), lake.columns.mkString(","))
+    assert(lake.where(col("extra").isNotNull).count() == 40)
+    // and the tail rows decoded as payload, not degraded
+    assert(lake.where(col("raw_value").isNotNull).count() == 0)
+  }
+
+  test("a near-envelope source without kafka_key falls through to the props path") {
+    // four kafka_* metadata columns + binary value but NO kafka_key: not
+    // the envelope shape decodeEnvelope selects (it reads kafka_key
+    // unconditionally) — the source must keep draining through the props
+    // path instead of crashing with AnalysisException
+    val work = Files.createTempDirectory("nearenv").toString
+    spark.range(50).select(
+        col("id").as("event_id"),
+        timestamp_millis(lit(1709251200000L) + col("id")).as("ts"),
+        lit("ticks").as("kafka_topic"), lit(0L).as("kafka_partition"),
+        col("id").as("kafka_offset"),
+        timestamp_millis(lit(1709251200000L)).as("kafka_timestamp"),
+        col("id").cast("string").cast("binary").as("value"),
+        concat(lit("{\"k\": "), col("id"), lit("}")).as("props"))
+      .write.parquet(s"$work/src")
+    val cfg = GraftConfig(outputDir = s"$work/out", skipValidation = false)
+    CollectorMain.run(spark, cfg, "file", s"$work/src")
+    val lake = spark.read.parquet(s"$work/out/lake")
+    assert(lake.count() == 50 && lake.columns.contains("k"))
+  }
+
+  test("an all-garbage topic drains with every row degraded, not a crash") {
+    // NOTHING in the sample decodes as JSON → the inferred payload schema
+    // is EMPTY; from_json cannot run over a struct it would have to strip
+    // bare, so the drain must skip it and land every row as raw_value
+    // with its metadata — the documented degrade-to-raw_value,
+    // row-never-dropped contract
+    val work = Files.createTempDirectory("emptyschema").toString
+    val rows = (0 until 30).map { i =>
+      Row("junk", 0L, i.toLong,
+        new java.sql.Timestamp(1709251200000L + i.toLong * 1000), s"k$i",
+        s"garbage payload $i".getBytes("UTF-8"))
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), envSchema)
+      .write.parquet(s"$work/src")
+    val cfg = GraftConfig(outputDir = s"$work/out", skipValidation = false)
+    CollectorMain.run(spark, cfg, "file", s"$work/src")
+    val lake = spark.read.parquet(s"$work/out/lake")
+    assert(lake.count() == 30)
+    assert(lake.where(col("raw_value").isNotNull).count() == 30)
+    for (c <- Seq("kafka_topic", "kafka_offset", "raw_value", "date_path"))
+      assert(lake.columns.contains(c), s"missing $c")
+  }
+
   test("detectTopicFormats classifies per topic at the reference threshold") {
     val work = Files.createTempDirectory("envelope2").toString
     writeEnvelopeSource(s"$work/src", 20)
