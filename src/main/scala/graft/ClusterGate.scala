@@ -149,7 +149,9 @@ object ClusterGate {
       val n1 = spark.read.parquet(s"$work/keeper/lake").count()
       require(n1 == 1500, s"first drain landed $n1 rows, expected 1500")
       // redeliver 1000 old keys + 500 new: the id-bloom guard (a
-      // multi-MB plan literal on the probe filter) must drop the dups
+      // broadcast-variable probe on the filter — the multi-MB bloom
+      // must cross the process boundary via torrent broadcast, not the
+      // task binary) must drop the dups
       events.filter(col("event_id") >= 500).write.mode("append").parquet(src)
       IngestPipeline_runKeeper(spark, src, events.schema, s"$work/keeper/lake",
         s"$work/keeper/ckpt")

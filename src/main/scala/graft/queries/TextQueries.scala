@@ -2326,7 +2326,16 @@ object TextQueries {
     // DuckDB oracle BY DESIGN: the DEFLATE byte stream is unspecified
     // across zlib builds, so the driver runs the rows-only gate and
     // QueryInvariantSpec pins the semantics (bounds, repetition
-    // ordering, raw_bytes == octet_length, determinism). Scale shape:
+    // ordering, raw_bytes == octet_length, determinism), with
+    // CompressionGoldenSpec adding a byte-exact committed-fixture gate.
+    // A golden-JOIN hash oracle (DuckDB reading compress_golden.tsv and
+    // joining doc_id) was evaluated in r16 and is UNSOUND: the driver
+    // replays the same oracle SQL at sf0.01/sf0.1/sf1, and doc_id→text
+    // is NOT stable across scale factors (verified: sf0.001 doc 0 =
+    // "the fast key order…" vs sf0.01 doc 0 = "key agg row scan…"), so
+    // a fixture keyed by sf0.001 ids mismatches at every other scale,
+    // and keying by text has an empty intersection outside sf0.001 —
+    // the join would gate nothing or fail spuriously. Scale shape:
     // one narrow mapPartitions (imperative byte work — the policy
     // exception), one row out per doc, no shuffle before the
     // presentation sort.

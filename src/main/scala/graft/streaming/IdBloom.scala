@@ -195,13 +195,23 @@ object IdBloom {
 
   /** Might-contain column over the loaded per-shard blooms. A row whose
     * shard carries no generation is definitely-new (false) — every
-    * admitted id is in its shard's latest generation by construction. */
+    * admitted id is in its shard's latest generation by construction.
+    *
+    * Each filter ships as a BROADCAST VARIABLE consumed by the codegen
+    * probe expression ([[graft.plans.BroadcastBloomMightContain]]), NOT
+    * as a plan literal: a literal re-serializes the whole filter into
+    * every stage's task binary (7.2–21.7 MiB per probe stage measured
+    * cross-JVM at 2^22 items; ~30 MB at the keeper's 2^24 clamp) and
+    * hex-renders it in full into every explain string — the broadcast
+    * handle is bytes in both places and the payload moves once per
+    * executor. Same probe hash as before (`mightContainLong`, the
+    * `df.stat.bloomFilter` family). */
   def probe(blooms: Map[Long, BloomFilter], idCol: Column, sizing: Sizing): Column = {
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.classic.{GraftExpressionBridge => Bridge}
-    import org.apache.spark.sql.types.BinaryType
-    def mc(bf: BloomFilter): Column = coalesce(Bridge.column(BloomFilterMightContain(
-      Literal(bloomBytes(bf), BinaryType), Bridge.expression(idCol))), lit(false))
+    val sc = org.apache.spark.sql.SparkSession.active.sparkContext
+    def mc(bf: BloomFilter): Column = coalesce(Bridge.column(
+      graft.plans.BroadcastBloomMightContain(
+        Bridge.expression(idCol), sc.broadcast(bf))), lit(false))
     if (!sizing.sharded) blooms.get(0L).map(mc).getOrElse(lit(false))
     else {
       val shardCol = shiftright(idCol, sizing.shardBits)

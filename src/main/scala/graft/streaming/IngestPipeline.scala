@@ -260,13 +260,26 @@ object IngestPipeline {
 
   /** Shared decode/flatten + date partition column (dash format: a
     * slashed partition VALUE percent-escapes in the directory name —
-    * see LakeWriter.withDatePath's rationale). */
+    * see LakeWriter.withDatePath's rationale).
+    *
+    * Decode runs through [[graft.ingest.JsonDecode.parseWithDegrade]] —
+    * the SAME corrupt-record body as [[decodeEnvelope]] and
+    * `JsonDecode.decode` — so a malformed props row lands with its raw
+    * text in `raw_value` and a null payload struct (collector
+    * `:240-241`): a bare PERMISSIVE `from_json` returns a NON-null
+    * struct of nulls for garbage and the subsequent `drop("props")`
+    * would destroy the only copy of the payload text silently. An
+    * empty payload schema likewise degrades every row instead of
+    * crashing. */
   private def decodeAndDatePartition(stream: DataFrame,
-                                     payloadSchema: StructType): DataFrame =
-    stream
-      .withColumn("data", from_json(col("props"), payloadSchema))
-      .select(col("*"), col("data.*")).drop("data", "props")
+                                     payloadSchema: StructType): DataFrame = {
+    val fields = payloadSchema.fields.filterNot(_.name == "_corrupt_record")
+    val parsed = graft.ingest.JsonDecode.parseWithDegrade(
+      stream, col("props").cast("string"), "data", payloadSchema)
+    (if (fields.isEmpty) parsed else parsed.select(col("*"), col("data.*")))
+      .drop("data", "props")
       .withColumn("date_path", date_format(col("ts"), "yyyy-MM-dd"))
+  }
 
   /** Per-topic payload→JSON-text expression: each topic's binary `value`
     * decodes through its DETECTED codec — `msgpack_to_json` (native

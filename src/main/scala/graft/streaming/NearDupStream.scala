@@ -39,7 +39,9 @@ import graft.functions.TextFunctions._
   * one column-pruned id scan per capacity DOUBLING (amortized O(log n)
   * over the lake's lifetime) instead of fpp silently saturating and
   * every batch degrading back into the exact confirm read. Past a few
-  * hundred MB of bloom the plan-literal probe itself gets heavy — so
+  * hundred MB of bloom even the broadcast-probe transport (one torrent
+  * push per executor per generation) plus the per-doubling full rebuild
+  * scan get heavy — so
   * once a monolith rebuild would exceed `shardMaxItems` the rebuild
   * SPLITS the guard into power-of-two id-RANGE shards instead
   * ([[IdBloom.rebuild]]): each shard keeps its own generation chain
@@ -177,17 +179,16 @@ object NearDupStream {
     * deterministic spec replay; `run` wires it into foreachBatch with the
     * checkpoint's batchId). Idempotent per batchId — see the marker-ledger
     * and first-write-wins contracts in the object scaladoc. */
-  /* shardMaxItems default, derived empirically: a bloom literal is
-   * hex-rendered IN FULL into every AQE explain string the driver
-   * builds, so the practical monolith ceiling is set by plan-string
-   * rendering, not probe cost — a 2^22-item/0.001 bloom is ~7.5 MB
-   * (15 MB hex) and already measurably heavy at several occurrences
-   * per plan; an earlier 2^28 default would have let the monolith
-   * reach ~480 MB and OOM the driver on explain long before the
-   * split activated (observed as a spec-suite driver OOM at one
-   * extra InMemoryRelation nesting of the 2^22 literal). 2^24 caps
-   * the rebuilt monolith at ~30 MB and the per-shard blooms at the
-   * proven 2^22 regime. */
+  /* shardMaxItems default, derived empirically in the plan-literal era
+   * (a 2^22-item/0.001 bloom is ~7.5 MB serialized; the pre-broadcast
+   * probe hex-rendered it into every explain string and shipped it in
+   * every probe stage's task binary, and 2^28 monoliths OOM'd the
+   * driver on explain). The probe now ships as a broadcast variable
+   * ([[graft.plans.BroadcastBloomMightContain]]) so plan strings and
+   * task binaries carry only a handle — but 2^24 stays the right split
+   * point: past ~30 MB per filter the per-doubling full-lake rebuild
+   * scan and the per-generation torrent push dominate, while range
+   * shards keep both proportional to the batch's touched key range. */
   def processBatch(batch: DataFrame, lakeDir: String, batchId: Long,
                    threshold: Double = 0.5,
                    bloomItems: Long = 1L << 22, bloomFpp: Double = 0.001,

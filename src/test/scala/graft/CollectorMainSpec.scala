@@ -31,6 +31,36 @@ class CollectorMainSpec extends SparkSpec {
     assert(spark.read.parquet(s"$work/out/lake").count() == nSrc)
   }
 
+  test("malformed props degrade to raw_value in BOTH drain modes, never silently lost") {
+    // the reference's decode contract (:240-241): an undecodable payload
+    // keeps its raw text. A bare PERMISSIVE from_json returns a NON-null
+    // struct of nulls for garbage, so without the corrupt-record
+    // protocol the drop("props") would destroy the only copy silently —
+    // this pins the props path on the same shared degrade body the
+    // envelope path uses
+    import org.apache.spark.sql.functions._
+    for ((skipDedup, tag) <- Seq((false, "keeper"), (true, "deferred"))) {
+      val work = Files.createTempDirectory(s"propsdegrade_$tag").toString
+      val src = s"$work/src"
+      spark.range(40).select(
+          col("id").as("event_id"),
+          timestamp_millis(lit(1709251200000L) + col("id") * 1000).as("ts"),
+          when(col("id") < 35, concat(lit("{\"k\": "), col("id"), lit("}")))
+            .otherwise(concat(lit("not json at all #"), col("id"))).as("props"))
+        .write.parquet(src)
+      val cfg = GraftConfig(outputDir = s"$work/out",
+        skipDeduplication = skipDedup, skipValidation = false)
+      CollectorMain.run(spark, cfg, "file", src)
+      val lake = spark.read.parquet(s"$work/out/lake")
+      assert(lake.count() == 40, tag)
+      // clean rows decoded, garbage rows keep their raw text
+      assert(lake.where(col("k").isNotNull).count() == 35, tag)
+      val raws = lake.where(col("raw_value").isNotNull)
+        .select(col("raw_value")).collect().map(_.getString(0)).toSet
+      assert(raws.size == 5 && raws.forall(_.startsWith("not json at all")), tag)
+    }
+  }
+
   test("validation fails loudly when the lake disagrees with the source") {
     val work = Files.createTempDirectory("collector2").toString
     val src = s"$work/src"
