@@ -144,7 +144,13 @@ object JsonDecode {
       val parseSchema = StructType(fields).add(corrupt, StringType)
       df.withColumn(as, from_json(textCol, parseSchema,
           Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> corrupt)))
-        .withColumn("raw_value", withNullText(col(s"$as.$corrupt")))
+        // two failure surfaces: parse errors land in the corrupt field
+        // (the struct is NON-null — FailureSafeParser maps the error),
+        // but EMPTY/BLANK text returns a NULL struct with NO corrupt
+        // record at all — without the second branch a blank payload
+        // would silently lose its text instead of degrading
+        .withColumn("raw_value", withNullText(
+          coalesce(col(s"$as.$corrupt"), when(col(as).isNull, textCol))))
         .withColumn(as,
           when(col("raw_value").isNotNull, lit(null)).otherwise(col(as).dropFields(corrupt)))
     }

@@ -98,6 +98,54 @@ class HardeningSpec extends SparkSpec {
     assert(!flat.columns.exists(_.contains("corrupt")), flat.columns.mkString(","))
   }
 
+  test("parseWithDegrade: rows are never dropped; raw_value xor decoded, every schema") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    // the one shared degrade body behind decode / decodeEnvelope /
+    // decodeAndDatePartition — pin its row-preservation contract across
+    // every input kind: clean, type-mismatched, unknown-field, garbage,
+    // empty string, null
+    val rows = (0 until 200).map { i =>
+      val kind = i % 6
+      val text = kind match {
+        case 0 => s"""{"k": $i, "s": "v$i"}"""          // clean
+        case 1 => s"""{"k": "notanumber$i"}"""          // type mismatch -> corrupt
+        case 2 => s"""{"k": $i, "unknown_f": $i}"""      // unknown field -> ignored, clean
+        case 3 => s"garbage $i"                           // unparseable
+        case 4 => ""                                      // empty string -> corrupt
+        case _ => null                                    // null in -> null out
+      }
+      (i.toLong, kind, text)
+    }
+    val df = rows.toDF("id", "kind", "props")
+    val schema = StructType(Seq(StructField("k", LongType), StructField("s", StringType)))
+    val out = graft.ingest.JsonDecode
+      .parseWithDegrade(df, col("props").cast("string"), "data", schema)
+      .select($"id", $"kind", $"props", $"raw_value", $"data.k")
+      .collect()
+    assert(out.length == 200, "a row was dropped")
+    out.foreach { r =>
+      val (kind, props) = (r.getInt(1), Option(r.getString(2)))
+      val raw = Option(r.getString(3))
+      val k = if (r.isNullAt(4)) None else Some(r.getLong(4))
+      kind match {
+        case 0 | 2 => assert(raw.isEmpty && k.isDefined, s"clean row degraded: $r")
+        case 1 | 3 | 4 => assert(raw == props && k.isEmpty,
+          s"undecodable row must keep raw text and no struct: $r")
+        case _ => assert(raw.isEmpty && k.isEmpty, s"null payload row: $r")
+      }
+    }
+    // EMPTY payload schema: every non-null text degrades, nothing crashes
+    val empty = graft.ingest.JsonDecode
+      .parseWithDegrade(df, col("props").cast("string"), "data", StructType(Nil))
+      .select($"kind", $"props", $"raw_value").collect()
+    assert(empty.length == 200)
+    empty.foreach { r =>
+      assert(Option(r.getString(2)) == Option(r.getString(1)),
+        s"empty schema must degrade every row to its own text: $r")
+    }
+  }
+
   test("content hash distinguishes which column holds the value") {
     val df = Seq((Option("x"), Option.empty[String]), (Option.empty[String], Option("x")))
       .toDF("a", "b")
