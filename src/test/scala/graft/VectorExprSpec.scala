@@ -99,6 +99,42 @@ class VectorExprSpec extends SparkSpec {
     assert(r === 32L)
   }
 
+  test("BroadcastBloomMightContain: codegen and interpreted agree with the filter itself") {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    // ground truth: the driver-side filter object
+    val bf = org.apache.spark.util.sketch.BloomFilter.create(1000, 0.01)
+    val inSet = (0L until 500L).map(_ * 7)
+    inSet.foreach(bf.putLong)
+    val bc = spark.sparkContext.broadcast(bf)
+    val probeCol = org.apache.spark.sql.classic.GraftExpressionBridge.column(
+      graft.plans.BroadcastBloomMightContain(
+        org.apache.spark.sql.classic.GraftExpressionBridge.expression(col("id")), bc))
+    val df = spark.range(0, 5000).select(col("id"))
+    // codegen path (filter inside whole-stage codegen)
+    val got = df.select(col("id"), coalesce(probeCol, lit(false)).as("mc"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    (0L until 5000L).foreach { i =>
+      assert(got(i) == bf.mightContainLong(i), s"codegen diverged at $i")
+    }
+    // no false negatives on the inserted set
+    inSet.foreach(i => assert(got(i), s"false negative at $i"))
+    // interpreted eval agrees (codegen-fallback coverage), null -> null
+    val e = graft.plans.BroadcastBloomMightContain(
+      org.apache.spark.sql.catalyst.expressions.Literal(21L), bc)
+    assert(e.eval(null) == bf.mightContainLong(21L))
+    val eNull = graft.plans.BroadcastBloomMightContain(
+      org.apache.spark.sql.catalyst.expressions.Literal(null,
+        org.apache.spark.sql.types.LongType), bc)
+    assert(eNull.eval(null) == null)
+    // the serialized plan must carry the HANDLE, not the filter: a
+    // 1000-item filter is ~1.3 KB, so a hex-rendered literal would blow
+    // the plan string past this bound the way the old Literal did
+    val planStr = df.filter(coalesce(probeCol, lit(false)))
+      .queryExecution.executedPlan.toString
+    assert(planStr.length < 20000, s"plan string unexpectedly large: ${planStr.length}")
+    assert(planStr.contains("graft_bloom_might_contain"), planStr.take(500))
+  }
+
   test("SQL-surface edge cases: length mismatch errors, empty minhash is NULL") {
     graft.plans.GraftExtensions.register(spark)
     val e = intercept[Exception] {
