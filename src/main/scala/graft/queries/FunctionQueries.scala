@@ -19,7 +19,9 @@ import graft.functions.Exact
   */
 object FunctionQueries {
 
-  private def dsum(x: String) = s"CAST(SUM(CAST($x AS DECIMAL(18,3))) AS DOUBLE)"
+  // VARCHAR round-trip: DuckDB's direct DECIMAL->DOUBLE cast is not
+  // correctly rounded past 2^53 raw units — see RelationalQueries.dsum.
+  private def dsum(x: String) = s"CAST(CAST(SUM(CAST($x AS DECIMAL(18,3))) AS VARCHAR(64)) AS DOUBLE)"
 
   val entries: Seq[Entry] = Seq(
 
@@ -89,11 +91,11 @@ object FunctionQueries {
     // is a conditional partial aggregate (map-side combined).
     entry("q_pivot",
       s"""SELECT user_id,
-         |  CAST(SUM(CASE WHEN event_type='click' THEN CAST(value AS DECIMAL(18,3)) END) AS DOUBLE) AS click,
-         |  CAST(SUM(CASE WHEN event_type='error' THEN CAST(value AS DECIMAL(18,3)) END) AS DOUBLE) AS error,
-         |  CAST(SUM(CASE WHEN event_type='purchase' THEN CAST(value AS DECIMAL(18,3)) END) AS DOUBLE) AS purchase,
-         |  CAST(SUM(CASE WHEN event_type='signup' THEN CAST(value AS DECIMAL(18,3)) END) AS DOUBLE) AS signup,
-         |  CAST(SUM(CASE WHEN event_type='view' THEN CAST(value AS DECIMAL(18,3)) END) AS DOUBLE) AS view
+         |  CAST(CAST(SUM(CASE WHEN event_type='click' THEN CAST(value AS DECIMAL(18,3)) END) AS VARCHAR(64)) AS DOUBLE) AS click,
+         |  CAST(CAST(SUM(CASE WHEN event_type='error' THEN CAST(value AS DECIMAL(18,3)) END) AS VARCHAR(64)) AS DOUBLE) AS error,
+         |  CAST(CAST(SUM(CASE WHEN event_type='purchase' THEN CAST(value AS DECIMAL(18,3)) END) AS VARCHAR(64)) AS DOUBLE) AS purchase,
+         |  CAST(CAST(SUM(CASE WHEN event_type='signup' THEN CAST(value AS DECIMAL(18,3)) END) AS VARCHAR(64)) AS DOUBLE) AS signup,
+         |  CAST(CAST(SUM(CASE WHEN event_type='view' THEN CAST(value AS DECIMAL(18,3)) END) AS VARCHAR(64)) AS DOUBLE) AS view
          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
       import s.implicits._
       Tables(s, dir, "events")

@@ -45,7 +45,7 @@ object IngestQueries {
     entry("q_ingest_e2e",
       """SELECT strftime(ts,'%Y/%m/%d') AS date_path, event_type,
         |  COUNT(*) AS n_events,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS sum_value,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,3))) AS VARCHAR(64)) AS DOUBLE) AS sum_value,
         |  MAX(CAST(json_extract_string(props,'$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY 1, 2 ORDER BY date_path, event_type""".stripMargin)(
       (s, dir) => flagship(s, dir)),
@@ -180,7 +180,7 @@ object IngestQueries {
     // so the merge shuffles the SUMMARY, never the history.
     entry("q_incr_agg_maintain",
       """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS sum_value,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,3))) AS VARCHAR(64)) AS DOUBLE) AS sum_value,
         |  MAX(event_id) AS max_event
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
       import graft.functions.Exact
@@ -225,7 +225,7 @@ object IngestQueries {
     // aggregation collapses each partition to O(#windows × #types) rows.
     entry("q_window_tumbling",
       """SELECT strftime(date_trunc('hour', ts),'%Y-%m-%d %H') AS hour_ts, event_type,
-        |  COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS sum_value
+        |  COUNT(*) AS n, CAST(CAST(SUM(CAST(value AS DECIMAL(18,3))) AS VARCHAR(64)) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour_ts, event_type""".stripMargin) { (s, dir) =>
       events(s, dir)
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -263,7 +263,7 @@ object IngestQueries {
       """WITH w AS (SELECT e.*, to_timestamp(CAST(floor(epoch(ts)/1800) AS BIGINT)*1800 - g*1800) ws
         |           FROM events e CROSS JOIN generate_series(0,1) s(g))
         |SELECT strftime(ws, '%Y-%m-%d %H:%M') AS win_start, event_type,
-        |  COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS sum_value
+        |  COUNT(*) AS n, CAST(CAST(SUM(CAST(value AS DECIMAL(18,3))) AS VARCHAR(64)) AS DOUBLE) AS sum_value
         |FROM w GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin) { (s, dir) =>
       events(s, dir)
         .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))

@@ -21,7 +21,19 @@ import graft.functions.{Exact, Ranking}
 object RelationalQueries {
 
   // Shared oracle fragments (DuckDB SQL, ANSI).
-  private def dsum(x: String) = s"CAST(SUM(CAST($x AS DECIMAL(18,3))) AS DOUBLE)"
+  //
+  // Decimal sums reach DOUBLE through a VARCHAR round-trip: DuckDB's
+  // direct DECIMAL->DOUBLE cast converts the int128 payload to double
+  // FIRST and divides by the scale factor SECOND — two roundings, which
+  // is off by one ulp from the correctly-rounded conversion once the
+  // raw decimal UNITS exceed 2^53 (first seen at the sf10 gate: scale-6
+  // revenue sums ~4.4e17 units; Spark's BigDecimal.doubleValue and
+  // Python's float(Decimal) both give the correctly-rounded .53 where
+  // DuckDB's cast gave .52997). VARCHAR->DOUBLE is a single
+  // correctly-rounded strtod, so the oracle agrees with Spark at EVERY
+  // scale. Values are bit-identical to the old cast wherever that cast
+  // was already exact (everything at sf0.01-sf1).
+  private def dsum(x: String) = s"CAST(CAST(SUM(CAST($x AS DECIMAL(18,3))) AS VARCHAR(64)) AS DOUBLE)"
   /** Oracle twin of [[graft.functions.Exact.davg]]: divides by COUNT(col)
     * (SQL AVG semantics, nulls excluded) so Spark and DuckDB cannot drift
     * on nullable input. */
@@ -89,7 +101,7 @@ object RelationalQueries {
       s"""SELECT l_returnflag, l_linestatus,
          |  ${dsum("l_quantity")} AS sum_qty,
          |  ${dsum("l_extendedprice")} AS sum_base_price,
-         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,3)) * (CAST(1 AS DECIMAL(18,3)) - CAST(l_discount AS DECIMAL(18,3)))) AS DOUBLE) AS sum_disc_price,
+         |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,3)) * (CAST(1 AS DECIMAL(18,3)) - CAST(l_discount AS DECIMAL(18,3)))) AS VARCHAR(64)) AS DOUBLE) AS sum_disc_price,
          |  ${davg("l_quantity")} AS avg_qty,
          |  ${davg("l_discount")} AS avg_disc,
          |  COUNT(*) AS count_order
@@ -161,7 +173,7 @@ object RelationalQueries {
     // re-plan the middle join if one side collapses after filtering.
     entry("q_join_multi",
       """SELECT n_name,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,3)) * (CAST(1 AS DECIMAL(18,3)) - CAST(l_discount AS DECIMAL(18,3)))) AS DOUBLE) AS revenue
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,3)) * (CAST(1 AS DECIMAL(18,3)) - CAST(l_discount AS DECIMAL(18,3)))) AS VARCHAR(64)) AS DOUBLE) AS revenue
         |FROM customer
         |JOIN orders   ON c_custkey = o_custkey
         |JOIN lineitem ON l_orderkey = o_orderkey
@@ -316,7 +328,7 @@ object RelationalQueries {
     // provably identical because an order's bucket is unique and every
     // qualifying pair shares it.
     entry("q_range_join",
-      """SELECT e.event_id, COUNT(*) n, CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,3))) AS DOUBLE) sum_price
+      """SELECT e.event_id, COUNT(*) n, CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,3))) AS VARCHAR(64)) AS DOUBLE) sum_price
         |FROM events e JOIN orders o ON o.o_totalprice BETWEEN e.value*1000 AND e.value*1000+50000
         |WHERE e.event_id < 100 GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
       import s.implicits._
@@ -637,7 +649,7 @@ object RelationalQueries {
       s"""SELECT COUNT(*) AS n_rows,
          |  MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
          |  ${davg("l_quantity")} AS avg_qty,
-         |  sqrt((CAST(SUM(CAST(l_quantity AS DECIMAL(18,3)) * CAST(l_quantity AS DECIMAL(18,3))) AS DOUBLE)
+         |  sqrt((CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,3)) * CAST(l_quantity AS DECIMAL(18,3))) AS VARCHAR(64)) AS DOUBLE)
          |        - ${dsum("l_quantity")} * ${dsum("l_quantity")} / COUNT(l_quantity)) / (COUNT(l_quantity) - 1)) AS std_qty,
          |  MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price,
          |  ${davg("l_extendedprice")} AS avg_price,
@@ -913,7 +925,7 @@ object RelationalQueries {
     // normalized here, same convention as q_datetime_funcs.
     entry("q_seasonality",
       """SELECT CAST(dayofweek(ts) AS BIGINT) dow, CAST(hour(ts) AS BIGINT) hod,
-        |  COUNT(*) n, CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DOUBLE) sum_value
+        |  COUNT(*) n, CAST(CAST(SUM(CAST(value AS DECIMAL(18,3))) AS VARCHAR(64)) AS DOUBLE) sum_value
         |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin) { (s, dir) =>
       import s.implicits._
       Tables(s, dir, "events")
@@ -936,7 +948,7 @@ object RelationalQueries {
       """WITH u AS (SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,3))) rev, COUNT(*) n_orders
         |           FROM orders GROUP BY 1),
         | d AS (SELECT o_custkey, rev, n_orders, NTILE(10) OVER (ORDER BY rev DESC, o_custkey) decile FROM u)
-        |SELECT decile, COUNT(*) n_customers, CAST(SUM(rev) AS DOUBLE) total_rev,
+        |SELECT decile, COUNT(*) n_customers, CAST(CAST(SUM(rev) AS VARCHAR(64)) AS DOUBLE) total_rev,
         |  CAST(SUM(n_orders) AS BIGINT) total_orders,
         |  CAST(MIN(rev) AS DOUBLE) min_rev, CAST(MAX(rev) AS DOUBLE) max_rev
         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
@@ -1578,8 +1590,8 @@ object RelationalQueries {
     // zero-shuffle generator over the already-aggregated wide table.
     entry("q_unpivot",
       """WITH w AS (SELECT l_returnflag,
-        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,3))) AS DOUBLE) sum_qty,
-        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,3))) AS DOUBLE) sum_price,
+        |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,3))) AS VARCHAR(64)) AS DOUBLE) sum_qty,
+        |    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,3))) AS VARCHAR(64)) AS DOUBLE) sum_price,
         |    CAST(COUNT(*) AS DOUBLE) n_rows
         |  FROM lineitem GROUP BY 1)
         |SELECT l_returnflag, metric, val FROM w
@@ -1704,7 +1716,7 @@ object RelationalQueries {
     // it is the shape that keeps a 100 TB rollup from stalling on one
     // reducer.
     entry("q_agg_salted",
-      """SELECT event_type, COUNT(*) n, CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DOUBLE) sum_value
+      """SELECT event_type, COUNT(*) n, CAST(CAST(SUM(CAST(value AS DECIMAL(18,3))) AS VARCHAR(64)) AS DOUBLE) sum_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
       import s.implicits._
       Tables(s, dir, "events")
@@ -1735,7 +1747,7 @@ object RelationalQueries {
         | f AS (SELECT l_returnflag flag, quantile_cont(pm, 0.1) lo, quantile_cont(pm, 0.9) hi FROM v GROUP BY 1)
         |SELECT v.l_returnflag, COUNT(*) n_rows,
         |  COUNT(CASE WHEN v.pm >= f.lo AND v.pm <= f.hi THEN 1 END) n_kept,
-        |  CAST(SUM(CASE WHEN v.pm >= f.lo AND v.pm <= f.hi THEN v.pm END) AS DOUBLE)
+        |  CAST(CAST(SUM(CASE WHEN v.pm >= f.lo AND v.pm <= f.hi THEN v.pm END) AS VARCHAR(64)) AS DOUBLE)
         |    / COUNT(CASE WHEN v.pm >= f.lo AND v.pm <= f.hi THEN 1 END) / 1000 trimmed_mean,
         |  f.lo / 1000 lo_fence, f.hi / 1000 hi_fence
         |FROM v JOIN f ON v.l_returnflag = f.flag
