@@ -1127,6 +1127,88 @@ object DedupQueries {
           (count(when(col("n") > 1, 1)).cast("double") / count(lit(1)))
             .as("dup_chunk_rate"))
         .orderBy(col("source"))
+    },
+
+    // ---- SemDeDup (Abbas et al. 2023, arXiv:2303.09540): SEMANTIC
+    // dedup as cluster-then-prune — assign every vector to its nearest
+    // centroid (the exact rational argmin of q_kmeans_step /
+    // [[graft.functions.KMeans.assign]], label-initialized centroids),
+    // then mark a vector a semantic duplicate iff some LOWER-id vector
+    // in the SAME cluster sits above the cosine threshold; the keeper
+    // is the smallest such id (deterministic keep-first, the
+    // q_dedup_keep convention). τ = 0.35 is corpus-tuned the way the
+    // paper tunes ε per corpus (the synthetic embeddings are
+    // near-orthogonal: max pairwise cosine ≈ 0.51). Exactness: the
+    // assignment is the cross-multiplied decimal(38,0)/HUGEINT
+    // comparator, the cosine is the repo-wide quantized-int64 dot +
+    // one engine-identical sqrt/division, so both engines see
+    // bit-identical doubles at the threshold. Scale shape — the whole
+    // point of SemDeDup vs all-pairs (q_dedup_embedding is the O(n²)
+    // baseline): the quadratic term is CLUSTER-local, and cluster SIZE
+    // is capped. The paper keeps it capped by growing k ∝ corpus (50k
+    // clusters on 1.3e9 embeddings ≈ 25k/cluster); with k pinned to the
+    // 10 label centroids here, the cap is realized as a deterministic
+    // secondary shard (vec_id DIV 2000) on the pair key — the same
+    // bounded-membership guarantee, exactly replicable by the oracle.
+    // Pairs therefore scale ~10·n, not n² (measured: 12k at sf0.01
+    // where one shard covers the corpus, so the shard is a no-op there).
+    // Centroids broadcast (k×(dim+1) ints); assignment is one narrow
+    // corpus pass; the only wide ops are the (cluster, shard)-keyed
+    // equi-join — never a cross join — and the final vec_id-keyed
+    // count/min aggregate.
+    entry("q_semdedup",
+      """WITH e AS (SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE)*1048576.0) AS BIGINT) for x in embedding] q FROM embeddings),
+        | lab AS (SELECT vec_id, label FROM embeddings),
+        | c0 AS (SELECT label cl, i, SUM(q[i]) si, COUNT(*) cn
+        |        FROM e JOIN lab USING (vec_id) CROSS JOIN generate_series(1,64) g(i) GROUP BY 1,2),
+        | dt AS (SELECT e.vec_id, c0.cl, c0.cn, SUM((c0.cn*e.q[c0.i] - c0.si)*(c0.cn*e.q[c0.i] - c0.si)) d2
+        |        FROM e CROSS JOIN c0 GROUP BY 1,2,3),
+        | a1 AS (SELECT a.vec_id, a.cl FROM dt a
+        |        WHERE NOT EXISTS (SELECT 1 FROM dt b WHERE b.vec_id = a.vec_id AND b.cl <> a.cl
+        |          AND (CAST(b.d2 AS HUGEINT)*a.cn*a.cn < CAST(a.d2 AS HUGEINT)*b.cn*b.cn
+        |            OR (CAST(b.d2 AS HUGEINT)*a.cn*a.cn = CAST(a.d2 AS HUGEINT)*b.cn*b.cn AND b.cl < a.cl)))),
+        | a2 AS (SELECT vec_id, cl, vec_id // 2000 sh FROM a1),
+        | terms AS (SELECT vec_id, x*x t FROM (SELECT vec_id, unnest(q) x FROM e)),
+        | n AS (SELECT vec_id, sqrt(CAST(SUM(t) AS DOUBLE)) nrm FROM terms GROUP BY 1),
+        | p0 AS (SELECT x.vec_id kid, y.vec_id vid, ea.q aq, eb.q bq
+        |        FROM a2 x JOIN a2 y ON x.cl = y.cl AND x.sh = y.sh AND x.vec_id < y.vec_id
+        |        JOIN e ea ON ea.vec_id = x.vec_id JOIN e eb ON eb.vec_id = y.vec_id),
+        | pt AS (SELECT kid, vid, aq[i]*bq[i] t FROM p0 CROSS JOIN generate_series(1,64) g(i)),
+        | p AS (SELECT kid, vid, CAST(SUM(t) AS DOUBLE) dot FROM pt GROUP BY 1,2),
+        | sim AS (SELECT p.kid, p.vid FROM p JOIN n na ON na.vec_id = p.kid JOIN n nb ON nb.vec_id = p.vid
+        |         WHERE dot/NULLIF(na.nrm*nb.nrm, 0) >= 0.35),
+        | m AS (SELECT vid, MIN(kid) keeper_id, COUNT(*) n_near FROM sim GROUP BY 1)
+        |SELECT a1.vec_id, a1.cl AS cluster, m.keeper_id,
+        |  COALESCE(m.n_near, 0) AS n_near, m.vid IS NOT NULL AS is_dup
+        |FROM a1 LEFT JOIN m ON m.vid = a1.vec_id
+        |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      import graft.functions.KMeans
+      // persist: centroid sums, the assignment pass and both pair sides
+      // all read the quantized frame (the q_kmeans_step convention)
+      val emb = Tables(s, dir, "embeddings")
+        .transform(Tables.spread(_, col("vec_id")))
+        .select(col("vec_id"), col("label"), quantize("embedding").as("q"))
+        .persist()
+      val asg = KMeans.assign(emb, KMeans.labelSums(emb))
+        .select(col("vec_id").as("a_vec_id"), col("cl"))
+      val side = emb.join(asg, col("vec_id") === col("a_vec_id"))
+        .select(col("vec_id"), col("cl"), expr("vec_id DIV 2000").as("sh"),
+          col("q"), qnorm("q").as("nrm"))
+      val a = side.select(col("vec_id").as("kid"), col("cl").as("acl"),
+        col("sh").as("ash"), col("q").as("aq"), col("nrm").as("anrm"))
+      val b = side.select(col("vec_id").as("vid"), col("cl").as("bcl"),
+        col("sh").as("bsh"), col("q").as("bq"), col("nrm").as("bnrm"))
+      val m = a.join(b, col("acl") === col("bcl") && col("ash") === col("bsh")
+          && col("kid") < col("vid"))
+        .withColumn("cosine", cosineFrom(qdot("aq", "bq"), col("anrm"), col("bnrm")))
+        .filter(col("cosine") >= 0.35)
+        .groupBy(col("vid"))
+        .agg(min(col("kid")).as("keeper_id"), count(lit(1)).as("n_near"))
+      side.join(m, col("vec_id") === col("vid"), "left")
+        .select(col("vec_id"), col("cl").as("cluster"), col("keeper_id"),
+          coalesce(col("n_near"), lit(0L)).as("n_near"),
+          col("keeper_id").isNotNull.as("is_dup"))
+        .orderBy(col("vec_id"))
     }
   )
 }
