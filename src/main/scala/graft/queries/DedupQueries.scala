@@ -1183,17 +1183,22 @@ object DedupQueries {
         |FROM a1 LEFT JOIN m ON m.vid = a1.vec_id
         |ORDER BY vec_id""".stripMargin) { (s, dir) =>
       import graft.functions.KMeans
-      // persist: centroid sums, the assignment pass and both pair sides
-      // all read the quantized frame (the q_kmeans_step convention)
+      // persist: centroid sums and the assignment pass both read the
+      // quantized frame (the q_kmeans_step convention)
       val emb = Tables(s, dir, "embeddings")
         .transform(Tables.spread(_, col("vec_id")))
         .select(col("vec_id"), col("label"), quantize("embedding").as("q"))
         .persist()
       val asg = KMeans.assign(emb, KMeans.labelSums(emb))
         .select(col("vec_id").as("a_vec_id"), col("cl"))
-      val side = emb.join(asg, col("vec_id") === col("a_vec_id"))
-        .select(col("vec_id"), col("cl"), expr("vec_id DIV 2000").as("sh"),
-          col("q"), qnorm("q").as("nrm"))
+      // checkpoint the assigned frame: both pair sides AND the final
+      // left join read it, and it embeds the per-row exact argmin — the
+      // most expensive narrow stage here; without the checkpoint the
+      // assignment transform runs three times (registry-released)
+      val side = graft.functions.Checkpoints.lazyLocal(
+        emb.join(asg, col("vec_id") === col("a_vec_id"))
+          .select(col("vec_id"), col("cl"), expr("vec_id DIV 2000").as("sh"),
+            col("q"), qnorm("q").as("nrm")))
       val a = side.select(col("vec_id").as("kid"), col("cl").as("acl"),
         col("sh").as("ash"), col("q").as("aq"), col("nrm").as("anrm"))
       val b = side.select(col("vec_id").as("vid"), col("cl").as("bcl"),
