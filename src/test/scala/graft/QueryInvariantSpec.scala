@@ -1002,6 +1002,52 @@ class QueryInvariantSpec extends SparkSpec {
     assert(out.toSeq == again.toSeq)
   }
 
+  test("semdedup: keep-first marking replays exactly from the assignment") {
+    val out = SparkEntry.queries("q_semdedup")(spark, sf001)
+      .select($"vec_id", $"cluster".cast("long"), $"keeper_id", $"n_near", $"is_dup")
+      .as[(Long, Long, Option[Long], Long, Boolean)].collect()
+    val n = Tables(spark, sf001, "embeddings").count()
+    assert(out.length == n && out.map(_._1).distinct.length == n,
+      "exactly one verdict row per vector")
+    // flag algebra: is_dup ⟺ keeper present ⟺ n_near ≥ 1; keeper precedes
+    out.foreach { case (id, _, keeper, near, dup) =>
+      assert(dup == keeper.isDefined && dup == (near >= 1),
+        s"vec $id: inconsistent (keeper=$keeper, n_near=$near, is_dup=$dup)")
+      keeper.foreach(k => assert(k < id, s"vec $id: keeper $k not earlier"))
+    }
+    // independent replay of the marking from (cluster, shard, q): a vector
+    // is a dup iff a LOWER-id vector in its (cluster, shard) clears the
+    // 0.35 cosine, keeper is the min such id, n_near the count — the same
+    // quantized arithmetic, recomputed in plain Scala over the collected
+    // corpus (50 vectors at sf0.001)
+    val q = Tables(spark, sf001, "embeddings")
+      .select($"vec_id", expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT))"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val cluster = out.map(r => r._1 -> r._2).toMap
+    def cos(a: Seq[Long], b: Seq[Long]): Double = {
+      val dot = a.lazyZip(b).map(_ * _).sum
+      dot.toDouble / (math.sqrt(a.map(x => x * x).sum.toDouble) *
+        math.sqrt(b.map(x => x * x).sum.toDouble))
+    }
+    out.foreach { case (id, cl, keeper, near, _) =>
+      val hits = out.map(_._1).filter(o =>
+        o < id && cluster(o) == cl && o / 2000 == id / 2000 &&
+          cos(q(o), q(id)) >= 0.35).sorted
+      assert(hits.headOption == keeper && hits.length == near,
+        s"vec $id: replay found $hits, query said (keeper=$keeper, n=$near)")
+    }
+    // the marking is cluster-LOCAL by design (the SemDeDup contract): at
+    // least one cross-cluster pair above threshold must exist untouched
+    // at this sf, or the locality claim is vacuous here
+    val cross = out.flatMap { case (id, cl, _, _, _) =>
+      out.collect { case (o, ocl, _, _, _)
+        if o < id && ocl != cl && cos(q(o), q(id)) >= 0.35 => (o, id) }
+    }
+    assert(cross.nonEmpty, "no cross-cluster near pair at sf0.001 — " +
+      "locality assertion is vacuous, lower the probe threshold")
+  }
+
   /** Exact rational d/(den) comparable via cross-multiplication. */
   private case class ExactFrac(num: BigInt, den: BigInt)
   private object ExactFrac {
