@@ -47,7 +47,9 @@ object ClusterGate {
     * prefix-scan packing. */
   private val customRisk = Seq(
     "q_zorder", "q_msgpack_roundtrip", "q_incremental_bloom", "q_pq_ann",
-    "q_join_broadcast", "q_range_join", "q_seq_packing")
+    "q_join_broadcast", "q_range_join", "q_seq_packing",
+    // r16: broadcast centroid row + localCheckpoint blocks on executors
+    "q_semdedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
