@@ -1557,6 +1557,51 @@ object RelationalQueries {
         .orderBy($"user_id", $"interval_seq")
     },
 
+    // ---- CDC apply / last-writer-wins upsert: materialize the current
+    // snapshot of a keyed table from an ordered changelog — the lakehouse
+    // MERGE-INTO pattern (reference scope: its lake only ever appends;
+    // this is the mutation-log counterpart a warehouse needs). The events
+    // stream is read as a per-user change feed ordered by (ts, event_id)
+    // — event_id is globally unique, so the order is total — where
+    // 'error' rows are tombstones: a key whose LAST change is a tombstone
+    // is absent from the snapshot. Implemented as ONE key-shuffled
+    // aggregation with a max_by(payload, struct(ts, event_id)) last-row
+    // reduction — partial aggregation collapses each map partition to one
+    // candidate per key BEFORE the shuffle, so a 100-TB changelog with a
+    // bounded key space moves only |keys|·width per map task, where the
+    // oracle's ROW_NUMBER formulation (same semantics) would shuffle and
+    // sort EVERY change row. Tombstone filtering happens AFTER the
+    // reduction (the last row decides), never as a pre-filter — a delete
+    // followed by a re-insert must survive.
+    entry("q_cdc_upsert",
+      """WITH r AS (SELECT user_id, event_type, value, ts,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+        |  FROM events),
+        | a AS (SELECT user_id, COUNT(*) n_versions,
+        |    COALESCE(SUM(CASE WHEN event_type = 'error' THEN 1 END), 0) n_deletes
+        |  FROM events GROUP BY 1)
+        |SELECT r.user_id, CAST(a.n_versions AS BIGINT) AS n_versions,
+        |  CAST(a.n_deletes AS BIGINT) AS n_deletes,
+        |  r.event_type AS last_type, r.value AS last_value,
+        |  epoch_us(r.ts) AS last_ts_us
+        |FROM r JOIN a USING (user_id)
+        |WHERE rn = 1 AND r.event_type <> 'error'
+        |ORDER BY user_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir, "events")
+        .groupBy($"user_id")
+        .agg(
+          count(lit(1)).as("n_versions"),
+          coalesce(sum(when($"event_type" === "error", 1L)), lit(0L)).as("n_deletes"),
+          max_by(struct($"event_type", $"value", $"ts"),
+            struct($"ts", $"event_id")).as("last"))
+        .filter($"last.event_type" =!= "error")
+        .select($"user_id", $"n_versions", $"n_deletes",
+          $"last.event_type".as("last_type"), $"last.value".as("last_value"),
+          unix_micros($"last.ts").as("last_ts_us"))
+        .orderBy($"user_id")
+    },
+
     // ---- Range-frame rolling aggregate: per-user trailing-1 h event
     // count and exact value sum AT EVERY event — the time-decayed feature
     // shape (rate limits, burst detection, rolling engagement). A RANGE

@@ -272,6 +272,48 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // ---- Token-distribution ENTROPY per document — the classic
+    // low-diversity filter (template/boilerplate docs concentrate mass on
+    // few token types; near-random noise spreads it): H measured in the
+    // repo's integer-log2 convention (floor-log2 via bit length, the
+    // q_unigram_surprisal trick) so every intermediate is EXACT int64
+    // arithmetic and the final doubles come from single divisions of
+    // identical integers — bit-reproducible across engines where a true
+    // -Σ p·log2 p would drift on float summation order.
+    //   ent_bits = n·⌊log2 n⌋ − Σ_type c·⌊log2 c⌋   (0 ≤ entropy ≤ ⌊log2 n⌋)
+    // plus the type-token ratio, the other standard diversity signal.
+    // Scale shape: per-doc explode is narrow, the (doc, type) count is
+    // ONE map-side-combined shuffle keyed on (doc_id, tok), the per-doc
+    // rollup reuses the same key prefix, and output is one row per doc.
+    entry("q_token_entropy",
+      """WITH t AS (SELECT doc_id, unnest(string_split(text,' ')) tok FROM documents),
+        | c AS (SELECT doc_id, tok, COUNT(*) n FROM t GROUP BY 1, 2),
+        | d AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) n_tokens,
+        |    CAST(COUNT(*) AS BIGINT) n_types,
+        |    CAST(SUM(n * (length(bin(n)) - 1)) AS BIGINT) cbits FROM c GROUP BY 1)
+        |SELECT doc_id, n_tokens, n_types,
+        |  CAST(n_tokens * (length(bin(n_tokens)) - 1) - cbits AS BIGINT) AS ent_bits,
+        |  CAST(n_tokens * (length(bin(n_tokens)) - 1) - cbits AS DOUBLE) / n_tokens AS entropy,
+        |  CAST(n_types AS DOUBLE) / n_tokens AS ttr,
+        |  (CAST(n_tokens * (length(bin(n_tokens)) - 1) - cbits AS DOUBLE) / n_tokens) < 4.0 AS flagged
+        |FROM d ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val d = Tables(s, dir, "documents")
+        .transform(Tables.spread(_, col("doc_id")))
+        .select(col("doc_id"), explode(tokens("text")).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("n"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("n")).as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          sum(col("n") * expr("CAST(length(bin(n)) - 1 AS BIGINT)")).as("cbits"))
+      d.select(col("doc_id"), col("n_tokens"), col("n_types"),
+          (col("n_tokens") * expr("CAST(length(bin(n_tokens)) - 1 AS BIGINT)")
+            - col("cbits")).as("ent_bits"))
+        .withColumn("entropy", col("ent_bits").cast("double") / col("n_tokens"))
+        .withColumn("ttr", col("n_types").cast("double") / col("n_tokens"))
+        .withColumn("flagged", col("entropy") < 4.0)
+        .orderBy(col("doc_id"))
+    },
+
     // ---- Corpus mixing: per-source epoch multipliers (upsample chosen
     // sources N×) — the "data recipe" op every pretraining corpus build
     // runs. The weights are a tiny dim table broadcast to every executor
