@@ -389,6 +389,38 @@ object RelationalQueries {
         .orderBy($"event_id")
     },
 
+    // ---- Set ops under BAG semantics — the multiset complement of
+    // q_except/q_intersect's DISTINCT forms (§2.6 completion): EXCEPT ALL
+    // keeps max(m₁−m₂, 0) copies per value, INTERSECT ALL min(m₁, m₂).
+    // user_id (not the unique event_id) is the projected column so
+    // multiplicities are real — on a unique key the ALL forms degenerate
+    // to the DISTINCT ones and the gate would prove nothing. Spark's
+    // native exceptAll/intersectAll plan as per-side count aggregates +
+    // a replicating generate — ONE shuffle per side on the value, never
+    // a row-by-row anti join, so multiplicity math happens on the
+    // REDUCED (value, count) frame: the 100-TB shape.
+    entry("q_except_all",
+      """SELECT user_id FROM events WHERE value > 150
+        |EXCEPT ALL SELECT user_id FROM events WHERE event_type = 'error' AND value > 185
+        |ORDER BY user_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val ev = Tables(s, dir, "events")
+      ev.filter($"value" > 150).select($"user_id")
+        .exceptAll(ev.filter($"event_type" === "error" && $"value" > 185).select($"user_id"))
+        .orderBy($"user_id")
+    },
+
+    entry("q_intersect_all",
+      """SELECT user_id FROM events WHERE value > 150
+        |INTERSECT ALL SELECT user_id FROM events WHERE event_type = 'error'
+        |ORDER BY user_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val ev = Tables(s, dir, "events")
+      ev.filter($"value" > 150).select($"user_id")
+        .intersectAll(ev.filter($"event_type" === "error").select($"user_id"))
+        .orderBy($"user_id")
+    },
+
     // ---- Window: ranking within a partitioned window. One shuffle on
     // o_custkey; row_number needs no full materialization per group.
     entry("q_window_rank",
