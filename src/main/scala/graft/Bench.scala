@@ -155,10 +155,14 @@ object Bench {
     // of which reproduced under min-of-2 (judge-arbitrated). Any
     // would-be flag therefore forces another pass — per-query minima
     // absorb the one-sided scheduling noise exactly where the flag
-    // threshold reads them.
+    // threshold reads them. A SPARK_GRAFT_ONLY subset keeps its
+    // documented single-pass default even when the profiled query is
+    // slower than the committed artifact (that being slow is usually WHY
+    // it is being profiled) — the flag-retry guard is for the full-suite
+    // artifact the driver ships, not the debug loop.
     while (runsDone < maxRuns &&
       (best.values.flatten.sum > quietSec || best.values.exists(_.isEmpty) ||
-        flaggedIn(best).nonEmpty)) {
+        (only.isEmpty && flaggedIn(best).nonEmpty))) {
       val next = onePass()
       best = best.map { case (k, v) => k -> minOpt(v, next(k)) }
       runsDone += 1

@@ -247,13 +247,19 @@ object CollectorMain {
         // ≥1000 stride hits the per-(topic, partition) head/tail rows
         // would be starved out and a field first appearing in a recent
         // high-offset append silently dropped forever. The edge side is
-        // already bounded by the topic-partition count. Codec detection
+        // already bounded by the topic-partition count. The limit applies
+        // to DECODED non-null payload texts, not raw envelope rows: a
+        // topic whose stride is mostly undecodable binary would otherwise
+        // spend the whole budget on rows inference's na.drop discards,
+        // shrinking the effective sample to the edges. Codec detection
         // above deliberately keeps the UNBOUNDED sample (one distributed
         // aggregation; more evidence never hurts it).
+        val strideTexts = IngestPipeline.envelopeJsonText(strided, formats)
+          .na.drop.limit(1000)
+        val edgeTexts = IngestPipeline.envelopeJsonText(edges, formats)
         val payloadSchema = JsonDecode.unionPayloadSchema(
           JsonDecode.inferSchemaOver(spark,
-            IngestPipeline.envelopeJsonText(
-              strided.limit(1000).unionByName(edges), formats), "_json"),
+            strideTexts.unionByName(edgeTexts), "_json"),
           landedSchema(spark, dest),
           batch.columns.toSet ++ Seq("date_path", "raw_value"))
         // the reference's dedup key for broker streams is the message

@@ -905,10 +905,10 @@ object SimilarityQueries {
         | pv AS (SELECT label, CAST(list_sum([x*x for x in q]) AS BIGINT) sq FROM e),
         | a AS (SELECT label, COUNT(*) n, SUM(CAST(sq AS HUGEINT)) sumsq FROM pv GROUP BY 1 HAVING COUNT(*) >= 2)
         |SELECT a.label, CAST(n AS BIGINT) AS n_vecs,
-        |  CAST(ss.dots - a.sumsq AS DOUBLE) / (n * (n - 1)) / 1099511627776.0 AS mean_pair_dot,
-        |  CAST(a.sumsq AS DOUBLE) / n / 1099511627776.0 AS mean_self_dot,
-        |  CAST(ss.dots - a.sumsq AS DOUBLE) / (n * (n - 1)) / 1099511627776.0
-        |    / NULLIF(CAST(a.sumsq AS DOUBLE) / n / 1099511627776.0, 0) AS cohesion
+        |  CAST(CAST(ss.dots - a.sumsq AS VARCHAR) AS DOUBLE) / (n * (n - 1)) / 1099511627776.0 AS mean_pair_dot,
+        |  CAST(CAST(a.sumsq AS VARCHAR) AS DOUBLE) / n / 1099511627776.0 AS mean_self_dot,
+        |  CAST(CAST(ss.dots - a.sumsq AS VARCHAR) AS DOUBLE) / (n * (n - 1)) / 1099511627776.0
+        |    / NULLIF(CAST(CAST(a.sumsq AS VARCHAR) AS DOUBLE) / n / 1099511627776.0, 0) AS cohesion
         |FROM a JOIN ss ON a.label = ss.label ORDER BY a.label""".stripMargin) { (s, dir) =>
       val e = Tables(s, dir, "embeddings")
         .select(col("label"), quantize("embedding").as("q"))

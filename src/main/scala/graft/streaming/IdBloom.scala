@@ -119,18 +119,87 @@ object IdBloom {
   /** Latest READABLE generation for one shard (highest batchId file), or
     * None on a fresh shard. Torn newest generations are skipped — see the
     * object scaladoc for why that is sound. */
-  def latestGen(fs: FileSystem, lakeDir: String, shard: Long, width: Long): Option[BloomFilter] = {
+  def latestGen(fs: FileSystem, lakeDir: String, shard: Long, width: Long): Option[BloomFilter] =
+    latestGenWithStamp(fs, lakeDir, shard, width).map(_._2)
+
+  /** Identity of one on-disk generation file — the broadcast cache's
+    * freshness key. (path, length, mtime) changes whenever [[writeGen]]
+    * lands a new generation (atomicWrite renames a fresh tmp file into
+    * place, so even an identical payload gets a new mtime). */
+  private case class GenStamp(path: String, len: Long, mtime: Long)
+
+  private def genCandidates(fs: FileSystem, lakeDir: String, shard: Long,
+                            width: Long): Seq[org.apache.hadoop.fs.FileStatus] = {
     val dir = genDir(lakeDir, shard, width)
-    if (!fs.exists(dir)) return None
-    val gens = fs.listStatus(dir).filter(_.isFile).map(_.getPath)
-      .filter(p => p.getName.nonEmpty && p.getName.forall(c => c.isDigit || c == '-'))
-      .sortBy(-_.getName.toLong)
-    gens.iterator.map { p =>
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).filter(_.isFile)
+      .filter { st =>
+        val n = st.getPath.getName
+        n.nonEmpty && n.forall(c => c.isDigit || c == '-')
+      }
+      .sortBy(-_.getPath.getName.toLong).toSeq
+  }
+
+  private def stampOf(st: org.apache.hadoop.fs.FileStatus): GenStamp =
+    GenStamp(st.getPath.toString, st.getLen, st.getModificationTime)
+
+  private def latestGenWithStamp(fs: FileSystem, lakeDir: String, shard: Long,
+                                 width: Long): Option[(GenStamp, BloomFilter)] =
+    genCandidates(fs, lakeDir, shard, width).iterator.map { st =>
       try {
-        val in = fs.open(p)
-        try Some(BloomFilter.readFrom(in)) finally in.close()
+        val in = fs.open(st.getPath)
+        try Some(stampOf(st) -> BloomFilter.readFrom(in)) finally in.close()
       } catch { case scala.util.control.NonFatal(_) => None } // torn — fall back
-    }.collectFirst { case Some(bf) => bf }
+    }.collectFirst { case Some(r) => r }
+
+  /** Driver-side cache of generation BROADCASTS, keyed by (lake, shard)
+    * and fingerprinted by the generation file's [[GenStamp]]: a
+    * micro-batch probing an UNCHANGED guard generation reuses the
+    * broadcast already sitting in every executor's block manager instead
+    * of re-reading and re-pushing up to ~30 MB (the 2^24 keeper clamp)
+    * per batch — without the cache each [[probe]] call minted a fresh
+    * `sc.broadcast`, so long-running streams re-fetched the identical
+    * filter every batch and stale copies lingered until the
+    * ContextCleaner noticed (round-16 review finding). A changed
+    * generation broadcasts the new filter and `unpersist(false)`es the
+    * stale handle — executor copies drop eagerly; the driver value stays
+    * re-broadcastable in case a straggling prior stage re-runs (destroy()
+    * would fail such a stage instead). */
+  private case class CachedBc(stamp: GenStamp, owner: org.apache.spark.SparkContext,
+                              bc: org.apache.spark.broadcast.Broadcast[BloomFilter])
+  private val bcCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Long), CachedBc]
+
+  /** Cached-broadcast twin of [[latestGen]]. The fast path compares the
+    * NEWEST candidate file's stamp against the cache without reading it;
+    * only a stamp change (or a torn newest forcing the fallback walk)
+    * pays the read. The returned handle's `.value` is safe to use
+    * driver-side as a read-only view (nothing in this object mutates a
+    * prev generation — [[mergeOrRebuild]] merges INTO the fresh side). */
+  def genBroadcast(fs: FileSystem, lakeDir: String, shard: Long,
+                   width: Long): Option[org.apache.spark.broadcast.Broadcast[BloomFilter]] = {
+    val sc = org.apache.spark.sql.SparkSession.active.sparkContext
+    val key = (lakeDir, shard)
+    // an entry minted under a since-stopped SparkContext is dead (its
+    // broadcast blocks died with the context) — treat as a miss; crash
+    // harnesses restart sessions against the same lake dir
+    val cached = bcCache.get(key).filter(c => c.owner.eq(sc) && !c.owner.isStopped)
+    val newest = genCandidates(fs, lakeDir, shard, width).headOption.map(stampOf)
+    (cached, newest) match {
+      case (Some(c), Some(head)) if c.stamp == head => Some(c.bc)
+      case (_, None) => None // fresh shard: no generation, nothing to probe
+      case _ =>
+        latestGenWithStamp(fs, lakeDir, shard, width).map { case (st, bf) =>
+          cached match {
+            case Some(c) if c.stamp == st => c.bc // torn newest; fallback unchanged
+            case _ =>
+              val bc = sc.broadcast(bf)
+              bcCache.put(key, CachedBc(st, sc, bc))
+              cached.foreach(c => c.bc.unpersist(false))
+              bc
+          }
+        }
+    }
   }
 
   def writeGen(fs: FileSystem, lakeDir: String, shard: Long, width: Long,
@@ -188,10 +257,12 @@ object IdBloom {
       .select(shiftright(col(idCol), sizing.shardBits).as("s"))
       .distinct().collect().map(_.getLong(0)).toSeq
 
-  /** Load the latest generation for each touched shard. */
+  /** Load the latest generation for each touched shard, as cached
+    * broadcast handles ([[genBroadcast]] — unchanged generations reuse
+    * the executor-resident copy). */
   def loadTouched(fs: FileSystem, lakeDir: String, shards: Seq[Long],
-                  sizing: Sizing): Map[Long, BloomFilter] =
-    shards.flatMap(s => latestGen(fs, lakeDir, s, sizing.width).map(s -> _)).toMap
+                  sizing: Sizing): Map[Long, org.apache.spark.broadcast.Broadcast[BloomFilter]] =
+    shards.flatMap(s => genBroadcast(fs, lakeDir, s, sizing.width).map(s -> _)).toMap
 
   /** Might-contain column over the loaded per-shard blooms. A row whose
     * shard carries no generation is definitely-new (false) — every
@@ -204,14 +275,17 @@ object IdBloom {
     * cross-JVM at 2^22 items; ~30 MB at the keeper's 2^24 clamp) and
     * hex-renders it in full into every explain string — the broadcast
     * handle is bytes in both places and the payload moves once per
-    * executor. Same probe hash as before (`mightContainLong`, the
-    * `df.stat.bloomFilter` family). */
-  def probe(blooms: Map[Long, BloomFilter], idCol: Column, sizing: Sizing): Column = {
+    * executor. Callers pass the handles from [[genBroadcast]]/
+    * [[loadTouched]], so an unchanged generation is broadcast ONCE per
+    * rebuild, not once per batch. Same probe hash as before
+    * (`mightContainLong`, the `df.stat.bloomFilter` family). */
+  def probe(blooms: Map[Long, org.apache.spark.broadcast.Broadcast[BloomFilter]],
+            idCol: Column, sizing: Sizing): Column = {
     import org.apache.spark.sql.classic.{GraftExpressionBridge => Bridge}
-    val sc = org.apache.spark.sql.SparkSession.active.sparkContext
-    def mc(bf: BloomFilter): Column = coalesce(Bridge.column(
-      graft.plans.BroadcastBloomMightContain(
-        Bridge.expression(idCol), sc.broadcast(bf))), lit(false))
+    def mc(bc: org.apache.spark.broadcast.Broadcast[BloomFilter]): Column =
+      coalesce(Bridge.column(
+        graft.plans.BroadcastBloomMightContain(
+          Bridge.expression(idCol), bc)), lit(false))
     if (!sizing.sharded) blooms.get(0L).map(mc).getOrElse(lit(false))
     else {
       val shardCol = shiftright(idCol, sizing.shardBits)

@@ -506,15 +506,20 @@ object IngestPipeline {
     val kh = xxhash64(keys.map(col): _*)
     val sizing = IdBloom.readSizing(fs, dest)
       .getOrElse(IdBloom.Sizing(bloomItems, bloomFpp, 0L, 0L))
-    val prevBloom = IdBloom.latestGen(fs, dest, 0L, 0L)
+    // cached broadcast handle: an unchanged guard generation is already
+    // resident in every executor's block manager from the previous batch;
+    // `.value` doubles as the read-only driver view for the sizing/merge
+    // logic below (mergeOrRebuild merges INTO the fresh side, never prev)
+    val prevBloomBc = IdBloom.genBroadcast(fs, dest, 0L, 0L)
+    val prevBloom = prevBloomBc.map(_.value)
     val novel0 =
       if (crashReplay)
         // partial appends possible — every landed key must be excluded
         // exactly, so the replay pays the full column-pruned anti-join
         landedKeys.map(lk => keep.join(lk, keys, "left_anti")).getOrElse(keep)
-      else prevBloom match {
-        case Some(bf) =>
-          val mc = IdBloom.probe(Map(0L -> bf), kh, sizing.copy(width = 0L))
+      else prevBloomBc match {
+        case Some(bc) =>
+          val mc = IdBloom.probe(Map(0L -> bc), kh, sizing.copy(width = 0L))
           val hits = keep.filter(mc)
           if (hits.isEmpty) keep // all-new batch: zero lake reads
           else landedKeys match {

@@ -313,4 +313,31 @@ class KeeperGuardSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("sink log"), e.getMessage)
   }
+
+  test("genBroadcast cache: unchanged generation reuses the handle; a new generation replaces it") {
+    import org.apache.hadoop.fs.FileSystem
+    import org.apache.spark.util.sketch.BloomFilter
+    import graft.streaming.IdBloom
+    val dir = Files.createTempDirectory("idbloom-bc").toString
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    assert(IdBloom.genBroadcast(fs, dir, 0L, 0L).isEmpty, "fresh shard must yield no handle")
+    val bf1 = BloomFilter.create(1000, 0.01); bf1.putLong(1L)
+    IdBloom.writeGen(fs, dir, 0L, 0L, 1L, bf1)
+    val b1 = IdBloom.genBroadcast(fs, dir, 0L, 0L).get
+    // unchanged generation: the SAME broadcast comes back (no re-read,
+    // no re-push — the round-16 per-batch-rebroadcast fix)
+    assert(IdBloom.genBroadcast(fs, dir, 0L, 0L).get eq b1)
+    assert(b1.value.mightContainLong(1L) && !b1.value.mightContainLong(2L))
+    // a new generation invalidates the entry and mints a fresh handle
+    val bf2 = BloomFilter.create(1000, 0.01); bf2.putLong(2L)
+    IdBloom.writeGen(fs, dir, 0L, 0L, 2L, bf2)
+    val b2 = IdBloom.genBroadcast(fs, dir, 0L, 0L).get
+    assert(!(b2 eq b1) && b2.value.mightContainLong(2L) && !b2.value.mightContainLong(1L))
+    // the probe column consumes the cached handle end-to-end
+    import spark.implicits._
+    val hits = Seq(1L, 2L, 3L).toDF("id")
+      .filter(IdBloom.probe(Map(0L -> b2), col("id"), IdBloom.Sizing(1000, 0.01, 1, 0)))
+      .as[Long].collect().toSet
+    assert(hits.contains(2L) && !hits.contains(1L), s"probe off the cached handle broke: $hits")
+  }
 }
