@@ -1862,6 +1862,95 @@ object RelationalQueries {
           ($"trimmed_mean" / 1000).as("trimmed_mean"),
           ($"lo_fence" / 1000).as("lo_fence"), ($"hi_fence" / 1000).as("hi_fence"))
         .orderBy($"l_returnflag")
+    },
+
+    // ---- Per-group linear trend (least-squares slope/intercept/R²) of
+    // the daily event count over the day index — the "is this stream
+    // growing or decaying" fit a volume monitor runs per event type.
+    // Exactness is the q_spearman treatment: x (epoch day) and y (daily
+    // count) are int64, the five regression moments accumulate in
+    // decimal(38,0)/HUGEINT (k·Σxy ~ k·x·y·k blows past int64 around
+    // 10^10 daily rows; per-row products stay in int64 — day² < 2^63
+    // through year ~10⁵), and slope/intercept/R² are the SAME double
+    // expressions over cross-term differences in both engines (IEEE ops
+    // on identical inputs — no accumulation-order exposure because the
+    // sums are exact integers). k ≥ 2 filter: a one-day group has zero
+    // x-variance, and with k ≥ 2 distinct days Sxx > 0 always; the R²
+    // denominator alone can still go void (all daily counts equal) and
+    // is CASE-guarded identically. Scale shape: the (type × day) count
+    // is one map-side-combined shuffle bounded by |types|·|days| (time-
+    // bounded, not volume-bounded); the moments pass aggregates THAT —
+    // per-group state is five decimals, rows out are one per type.
+    entry("q_regr_trend",
+      """WITH d AS (SELECT event_type, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day FROM events),
+        | c AS (SELECT event_type, day, COUNT(*) n FROM d GROUP BY 1,2),
+        | m AS (SELECT event_type, COUNT(*) k,
+        |    SUM(CAST(day AS HUGEINT)) sx, SUM(CAST(n AS HUGEINT)) sy,
+        |    SUM(CAST(day AS HUGEINT)*n) sxy, SUM(CAST(day AS HUGEINT)*day) sxx,
+        |    SUM(CAST(n AS HUGEINT)*n) syy
+        |   FROM c GROUP BY 1 HAVING COUNT(*) >= 2)
+        |SELECT event_type, k AS n_days,
+        |  CAST(k*sxy - sx*sy AS DOUBLE) / CAST(k*sxx - sx*sx AS DOUBLE) AS slope,
+        |  (CAST(sy AS DOUBLE) - CAST(k*sxy - sx*sy AS DOUBLE) / CAST(k*sxx - sx*sx AS DOUBLE)
+        |     * CAST(sx AS DOUBLE)) / k AS intercept,
+        |  CASE WHEN k*syy - sy*sy = 0 THEN NULL
+        |       ELSE CAST(k*sxy - sx*sy AS DOUBLE) * CAST(k*sxy - sx*sy AS DOUBLE)
+        |         / (CAST(k*sxx - sx*sx AS DOUBLE) * CAST(k*syy - sy*sy AS DOUBLE)) END AS r2
+        |FROM m ORDER BY event_type""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val c = Tables(s, dir, "events")
+        .select($"event_type", expr("unix_micros(ts) DIV 86400000000").as("day"))
+        .groupBy($"event_type", $"day").agg(count(lit(1)).as("n"))
+      val m = c.groupBy($"event_type")
+        .agg(count(lit(1)).as("k"),
+          sum($"day".cast(Exact.Moment)).as("sx"), sum($"n".cast(Exact.Moment)).as("sy"),
+          sum(($"day" * $"n").cast(Exact.Moment)).as("sxy"),
+          sum(($"day" * $"day").cast(Exact.Moment)).as("sxx"),
+          sum(($"n" * $"n").cast(Exact.Moment)).as("syy"))
+        .filter($"k" >= 2)
+      val sNum = ($"k" * $"sxy" - $"sx" * $"sy").cast("double")
+      val sDen = ($"k" * $"sxx" - $"sx" * $"sx").cast("double")
+      m.select($"event_type", $"k".as("n_days"),
+          (sNum / sDen).as("slope"),
+          (($"sy".cast("double") - sNum / sDen * $"sx".cast("double")) / $"k").as("intercept"),
+          when($"k" * $"syy" - $"sy" * $"sy" === 0, lit(null).cast("double"))
+            .otherwise(sNum * sNum /
+              (sDen * ($"k" * $"syy" - $"sy" * $"sy").cast("double"))).as("r2"))
+        .orderBy($"event_type")
+    },
+
+    // ---- Gaps-and-islands: per-user CONSECUTIVE-day activity streaks
+    // (length ≥ 3) via the classic day − row_number() grouping key — the
+    // sessionization-by-calendar shape behind retention/streak features,
+    // and the canonical SQL idiom the windowed family (q_session_window,
+    // q_gap_fill) doesn't cover: it detects runs in a sparse integer
+    // sequence rather than bucketing by wall-clock gap. All-integer
+    // (days, row numbers, counts — row_number widened to long before the
+    // subtraction, or the key wraps int32 past ~2³¹ active days). Scale
+    // shape: the DISTINCT (user, day) projection is one map-side-
+    // combined shuffle that collapses event volume to user-days
+    // (time-bounded per user); the window and the island aggregate both
+    // run user-partitioned on that collapsed frame — per-user state is
+    // one row number, never the event history.
+    entry("q_islands",
+      """WITH d AS (SELECT DISTINCT user_id, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day FROM events),
+        | r AS (SELECT user_id, day,
+        |    day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) grp FROM d)
+        |SELECT user_id, MIN(day) streak_start, MAX(day) streak_end, COUNT(*) streak_len
+        |FROM r GROUP BY user_id, grp HAVING COUNT(*) >= 3
+        |ORDER BY user_id, streak_start""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val byUser = Window.partitionBy($"user_id").orderBy($"day")
+      Tables(s, dir, "events")
+        .select($"user_id", expr("unix_micros(ts) DIV 86400000000").as("day"))
+        .distinct()
+        .withColumn("grp", $"day" - row_number().over(byUser).cast("long"))
+        .groupBy($"user_id", $"grp")
+        .agg(min($"day").as("streak_start"), max($"day").as("streak_end"),
+          count(lit(1)).as("streak_len"))
+        .filter($"streak_len" >= 3)
+        .select($"user_id", $"streak_start", $"streak_end", $"streak_len")
+        .orderBy($"user_id", $"streak_start")
     }
   )
 }

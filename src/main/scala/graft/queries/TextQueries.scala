@@ -2426,6 +2426,52 @@ object TextQueries {
           (count(when(col("fid") === col("doc_id"), 1)).cast("double") / count(lit(1)))
             .as("novelty"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- Two-proportion z-test per source vs the rest of the corpus:
+    // does source S pass the length-quality gate (n_chars ≥ 300) at a
+    // rate significantly different from everything else? The A/B gate a
+    // curation pipeline runs when a new crawl slice lands — |z| > 1.96
+    // flags the slice for review before it enters the mixture (the
+    // significance companion to q_source_kl's distributional distance).
+    // Exactness: all inputs to the z formula are exact int64 counts
+    // (per-source n/pass and the corpus totals), and the pooled-variance
+    // expression is written as the SAME double tree in both engines —
+    // IEEE ops on identical exact inputs, no accumulation-order
+    // exposure. Scale shape: one map-side-combined count aggregate to 20
+    // source rows, one single-row total frame joined back by broadcast
+    // cross — nothing downstream of the scan exceeds |sources| rows.
+    entry("q_abtest_z",
+      """WITH f AS (SELECT source, COUNT(*) n,
+        |    COUNT(CASE WHEN n_chars >= 300 THEN 1 END) pass FROM documents GROUP BY 1),
+        | t AS (SELECT CAST(SUM(n) AS BIGINT) tn, CAST(SUM(pass) AS BIGINT) tpass FROM f)
+        |SELECT source, n, pass,
+        |  CAST(pass AS DOUBLE) / n AS p_src,
+        |  CAST(tpass - pass AS DOUBLE) / (tn - n) AS p_rest,
+        |  (CAST(pass AS DOUBLE) / n - CAST(tpass - pass AS DOUBLE) / (tn - n)) /
+        |    sqrt((CAST(tpass AS DOUBLE) / tn) * (1 - CAST(tpass AS DOUBLE) / tn)
+        |      * (1.0 / n + 1.0 / (tn - n))) AS z,
+        |  ABS((CAST(pass AS DOUBLE) / n - CAST(tpass - pass AS DOUBLE) / (tn - n)) /
+        |    sqrt((CAST(tpass AS DOUBLE) / tn) * (1 - CAST(tpass AS DOUBLE) / tn)
+        |      * (1.0 / n + 1.0 / (tn - n)))) > 1.96 AS flagged
+        |FROM f, t ORDER BY source""".stripMargin) { (s, dir) =>
+      val f = Tables(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          count(when(col("n_chars") >= 300, 1)).as("pass"))
+      val t = f.agg(sum(col("n")).cast("long").as("tn"),
+        sum(col("pass")).cast("long").as("tpass"))
+      val pSrc = col("pass").cast("double") / col("n")
+      val pRest = (col("tpass") - col("pass")).cast("double") / (col("tn") - col("n"))
+      val pPool = col("tpass").cast("double") / col("tn")
+      val z = (pSrc - pRest) /
+        sqrt(pPool * (lit(1) - pPool) *
+          (lit(1.0) / col("n") + lit(1.0) / (col("tn") - col("n"))))
+      f.crossJoin(broadcast(t))
+        .select(col("source"), col("n"), col("pass"),
+          pSrc.as("p_src"), pRest.as("p_rest"), z.as("z"),
+          (abs(z) > 1.96).as("flagged"))
+        .orderBy(col("source"))
     }
   )
 }

@@ -1100,6 +1100,88 @@ class QueryInvariantSpec extends SparkSpec {
     assert(1L * fl2(1L) == 0L)
   }
 
+  test("regr trend: moments match a plain-Scala least-squares replay") {
+    val out = SparkEntry.queries("q_regr_trend")(spark, sf001)
+      .select($"event_type", $"n_days", $"slope", $"intercept", $"r2")
+      .as[(String, Long, Double, Double, Option[Double])].collect()
+    val days = Tables(spark, sf001, "events")
+      .select($"event_type", expr("unix_micros(ts) DIV 86400000000"))
+      .as[(String, Long)].collect()
+    val expected = days.groupBy(_._1).filter(_._2.map(_._2).distinct.length >= 2)
+      .map { case (t, rows) =>
+      val counts = rows.groupBy(_._2).map { case (d, r) => (d, r.length.toLong) }
+      val k = counts.size.toLong
+      val sx = counts.keys.map(BigInt(_)).sum
+      val sy = counts.values.map(BigInt(_)).sum
+      val sxy = counts.map { case (d, n) => BigInt(d) * n }.sum
+      val sxx = counts.keys.map(d => BigInt(d) * d).sum
+      val syy = counts.values.map(n => BigInt(n) * n).sum
+      val num = (k * sxy - sx * sy).toDouble
+      val den = (k * sxx - sx * sx).toDouble
+      val d2 = k * syy - sy * sy
+      t -> (k, num / den,
+        (sy.toDouble - num / den * sx.toDouble) / k,
+        if (d2 == 0) None else Some(num * num / (den * d2.toDouble)))
+    }
+    assert(out.length == expected.size)
+    out.foreach { case (t, k, sl, ic, r2) =>
+      val (ek, esl, eic, er2) = expected(t)
+      assert(k == ek && sl == esl && ic == eic && r2 == er2, s"$t regression drift")
+    }
+    // the fit must be non-degenerate somewhere: R² strictly inside (0,1)
+    assert(out.exists(r => r._5.exists(v => v > 0 && v < 1)),
+      "all fits degenerate at sf0.001 — moments arm vacuous")
+  }
+
+  test("islands: every streak is a maximal consecutive day run") {
+    val out = SparkEntry.queries("q_islands")(spark, sf001)
+      .select($"user_id", $"streak_start", $"streak_end", $"streak_len")
+      .as[(Long, Long, Long, Long)].collect()
+    val active = Tables(spark, sf001, "events")
+      .select($"user_id", expr("unix_micros(ts) DIV 86400000000"))
+      .as[(Long, Long)].collect().groupBy(_._1)
+      .map { case (u, r) => u -> r.map(_._2).toSet }
+    out.foreach { case (u, lo, hi, len) =>
+      assert(hi - lo + 1 == len && len >= 3, s"user $u span/len drift")
+      (lo to hi).foreach(d => assert(active(u)(d), s"user $u day $d inactive inside streak"))
+      // maximality: the days flanking the island are NOT active
+      assert(!active(u)(lo - 1) && !active(u)(hi + 1), s"user $u streak not maximal")
+    }
+    // replay the full island inventory: no qualifying run may be missing
+    val expected = active.iterator.flatMap { case (u, ds) =>
+      ds.toSeq.sorted.foldLeft(List.empty[(Long, Long)]) {
+        case ((s, e) :: t, d) if d == e + 1 => (s, d) :: t
+        case (acc, d) => (d, d) :: acc
+      }.collect { case (s, e) if e - s + 1 >= 3 => (u, s, e, e - s + 1) }
+    }.toSet
+    assert(out.toSet == expected, "island inventory differs from replay")
+  }
+
+  test("abtest z: counts and pooled z match an exact replay, both signs present") {
+    val out = SparkEntry.queries("q_abtest_z")(spark, sf001)
+      .select($"source", $"n", $"pass", $"z", $"flagged")
+      .as[(String, Long, Long, Double, Boolean)].collect()
+    val docs = Tables(spark, sf001, "documents")
+      .select($"source", $"n_chars").as[(String, Long)].collect()
+    val bySrc = docs.groupBy(_._1)
+    val tn = docs.length.toLong
+    val tpass = docs.count(_._2 >= 300).toLong
+    assert(out.length == bySrc.size)
+    out.foreach { case (src, n, pass, z, f) =>
+      val rows = bySrc(src)
+      assert(n == rows.length && pass == rows.count(_._2 >= 300), s"$src counts drift")
+      val pS = pass.toDouble / n
+      val pR = (tpass - pass).toDouble / (tn - n)
+      val pP = tpass.toDouble / tn
+      val ez = (pS - pR) / math.sqrt(pP * (1 - pP) * (1.0 / n + 1.0 / (tn - n)))
+      assert(z == ez, s"$src z drift: $z vs $ez")
+      assert(f == (math.abs(z) > 1.96), s"$src flag drift")
+    }
+    // the test is two-sided — a healthy corpus shows both directions
+    assert(out.exists(_._4 > 0) && out.exists(_._4 < 0),
+      "all sources drift one way at sf0.001 — two-sided arm vacuous")
+  }
+
   /** Exact rational d/(den) comparable via cross-multiplication. */
   private case class ExactFrac(num: BigInt, den: BigInt)
   private object ExactFrac {
