@@ -1437,6 +1437,53 @@ object RelationalQueries {
         .orderBy($"rn")
     },
 
+    // ---- Bounded-frontier BFS: minimum hop distance from a seed set
+    // (every 100th node) over the co-purchase graph, 3 synchronous
+    // min-plus rounds — the reachability/traversal semantics the
+    // sum-aggregation graph family (q_pagerank's weighted sums,
+    // q_label_prop's votes) doesn't cover: each round is
+    // hop(v) = min(hop(v), min over in-neighbors u of hop(u)+1), the
+    // tropical-semiring step behind shortest-path, blast-radius and
+    // k-hop-neighborhood queries. All-integer, deterministic (MIN is
+    // order-free). Scale shape per round: ONE node-keyed equi-join of
+    // the current distance frame against the static edge list + a
+    // map-side-combined MIN aggregate — the frontier frame never
+    // exceeds |reachable nodes| rows, and the unrolled depth bounds the
+    // iteration exactly like the oracle's CTE chain. The edge list is
+    // checkpointed once outside the loop (the q_pagerank treatment);
+    // production N-round runs re-checkpoint the distance frame every
+    // few rounds to flatten lineage.
+    entry("q_bfs_hops",
+      s"""WITH $copurchaseCte,
+        | e AS (SELECT pa u, pb v FROM pairs UNION ALL SELECT pb u, pa v FROM pairs),
+        | seeds AS (SELECT DISTINCT u FROM e WHERE u % 100 = 0),
+        | r1 AS (SELECT u, CAST(0 AS BIGINT) hop FROM seeds
+        |        UNION ALL SELECT e.v, 1 FROM e JOIN seeds ON e.u = seeds.u),
+        | m1 AS (SELECT u, MIN(hop) hop FROM r1 GROUP BY 1),
+        | r2 AS (SELECT u, hop FROM m1
+        |        UNION ALL SELECT e.v, m1.hop + 1 FROM e JOIN m1 ON e.u = m1.u),
+        | m2 AS (SELECT u, MIN(hop) hop FROM r2 GROUP BY 1),
+        | r3 AS (SELECT u, hop FROM m2
+        |        UNION ALL SELECT e.v, m2.hop + 1 FROM e JOIN m2 ON e.u = m2.u),
+        | m3 AS (SELECT u, MIN(hop) hop FROM r3 GROUP BY 1)
+        |SELECT u AS node, hop FROM m3 ORDER BY node""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val pairs = copurchaseEdges(copurchaseItems(s, dir)).select($"pa", $"pb")
+      val e = graft.functions.Checkpoints.lazyLocal(
+        pairs.select($"pa".as("u"), $"pb".as("v"))
+          .unionAll(pairs.select($"pb".as("u"), $"pa".as("v"))))
+      val seeds = e.select($"u").filter($"u" % 100 === 0).distinct()
+        .select($"u", lit(0L).as("hop"))
+      def step(m: org.apache.spark.sql.DataFrame) =
+        m.unionAll(
+            e.join(m.toDF("mu", "mhop"), $"u" === $"mu")
+              .select($"v".as("u"), ($"mhop" + 1).as("hop")))
+          .groupBy($"u").agg(min($"hop").as("hop"))
+      step(step(step(seeds)))
+        .select($"u".as("node"), $"hop")
+        .orderBy($"node")
+    },
+
     // ---- Semi-supervised label propagation on the co-purchase graph
     // (2 synchronous rounds, seeds clamped): sparse ground-truth labels
     // (here: every 10th node, labeled node mod 3) spread to unlabeled

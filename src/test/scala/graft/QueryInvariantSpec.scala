@@ -1182,6 +1182,39 @@ class QueryInvariantSpec extends SparkSpec {
       "all sources drift one way at sf0.001 — two-sided arm vacuous")
   }
 
+  test("bfs hops: matches a plain-Scala bounded BFS over the replayed edge set") {
+    val out = SparkEntry.queries("q_bfs_hops")(spark, sf001)
+      .select($"node", $"hop").as[(Long, Long)].collect().toMap
+    // rebuild the support-filtered co-purchase edges independently
+    val items = Tables(spark, sf001, "lineitem")
+      .select($"l_orderkey", $"l_partkey").distinct()
+      .as[(Long, Long)].collect()
+    val adj = items.groupBy(_._1).iterator.flatMap { case (_, rows) =>
+      val ps = rows.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    // NB: .iterator before .collect — collect on a Map with tuple results
+    // would rebuild a Map keyed on `a` and silently drop all but one
+    // edge per source node
+    }.toSeq.groupBy(identity).iterator
+      .collect { case ((a, b), g) if g.size >= 2 => (a, b) }
+      .toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (u, vs) => u -> vs.map(_._2).toSet }
+    val seeds = adj.keySet.filter(_ % 100 == 0)
+    assert(seeds.nonEmpty, "no seed node at sf0.001 — traversal vacuous")
+    var dist = seeds.map(_ -> 0L).toMap
+    for (_ <- 1 to 3) {
+      val next = dist.toSeq.flatMap { case (u, h) =>
+        adj.getOrElse(u, Set.empty).map(_ -> (h + 1))
+      }
+      dist = (dist.toSeq ++ next).groupBy(_._1)
+        .map { case (u, hs) => u -> hs.map(_._2).min }
+    }
+    assert(out == dist, "hop inventory differs from replay")
+    // the bound must bite: some node at hop 3, and hop counts decrease
+    assert(out.values.toSet.contains(3L) || out.values.max < 3L)
+    assert(out.exists(_._2 > 0), "no node beyond the seed set — frontier arm vacuous")
+  }
+
   /** Exact rational d/(den) comparable via cross-multiplication. */
   private case class ExactFrac(num: BigInt, den: BigInt)
   private object ExactFrac {
