@@ -2472,6 +2472,102 @@ object TextQueries {
           pSrc.as("p_src"), pRest.as("p_rest"), z.as("z"),
           (abs(z) > 1.96).as("flagged"))
         .orderBy(col("source"))
+    },
+
+    // ---- Exact ROC AUC (Mann–Whitney rank-sum) per language: how well
+    // does a scalar quality score (n_chars) separate documents that
+    // mention a target keyword? The classifier-evaluation primitive a
+    // curation pipeline runs on every learned quality filter (the
+    // measurement side of q_quality_classifier / q_judge_agreement).
+    // AUC = U / (n_pos·n_neg) with midrank tie handling, computed WITHOUT
+    // ranking rows: group to distinct (lang, score) first, then a prefix
+    // window over the per-language distinct scores. Every positive in a
+    // tie group of size n starting after `cum` rows has average rank
+    // cum + (n+1)/2, so 2·ΣR⁺ = Σ npos·(2·cum + n + 1) — kept in exact
+    // int64 2×-units ("u2" = 2U) until ONE final double division, so both
+    // engines agree bit-exactly (the q_spearman treatment; sqrt-free).
+    // Scale shape: the first aggregate collapses the corpus to distinct
+    // (lang, score) pairs — bounded by the score's VALUE DOMAIN, not the
+    // corpus (map-side partial combine does the heavy lifting); the
+    // window and final aggregate run on that tiny frame, re-using its
+    // lang hash partitioning. At 100 TB this is scan + one shuffle of
+    // |langs|·|distinct scores| rows.
+    entry("q_auc",
+      """WITH d AS (SELECT lang, n_chars score,
+        |    CASE WHEN position('spark' IN text) > 0 THEN 1 ELSE 0 END pos
+        |    FROM documents),
+        | g AS (SELECT lang, score, CAST(COUNT(*) AS BIGINT) n,
+        |        CAST(SUM(pos) AS BIGINT) npos FROM d GROUP BY 1, 2),
+        | w AS (SELECT lang, n, npos,
+        |    CAST(COALESCE(SUM(n) OVER (PARTITION BY lang ORDER BY score
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) cum
+        |    FROM g),
+        | a AS (SELECT lang, CAST(SUM(npos) AS BIGINT) n_pos,
+        |        CAST(SUM(n - npos) AS BIGINT) n_neg,
+        |        CAST(SUM(npos * (2 * cum + n + 1)) AS BIGINT) u2 FROM w GROUP BY 1)
+        |SELECT lang, n_pos, n_neg,
+        |  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+        |    CAST(u2 - n_pos * (n_pos + 1) AS DOUBLE) / (2.0 * n_pos * n_neg)
+        |  END AS auc
+        |FROM a ORDER BY lang""".stripMargin) { (s, dir) =>
+      val d = Tables(s, dir, "documents").select(
+        col("lang"), col("n_chars").as("score"),
+        when(instr(col("text"), "spark") > 0, 1L).otherwise(0L).as("pos"))
+      val g = d.groupBy(col("lang"), col("score"))
+        .agg(count(lit(1)).as("n"), sum(col("pos")).as("npos"))
+      // score is unique within each (lang) partition of g, so the ROWS
+      // frame is deterministic; cum = rows strictly below this tie group
+      val cumW = Window.partitionBy(col("lang")).orderBy(col("score"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val w = g.select(col("lang"), col("n"), col("npos"),
+        coalesce(sum(col("n")).over(cumW), lit(0L)).as("cum"))
+      val a = w.groupBy(col("lang")).agg(
+        sum(col("npos")).as("n_pos"),
+        sum(col("n") - col("npos")).as("n_neg"),
+        sum(col("npos") * (lit(2L) * col("cum") + col("n") + lit(1L))).as("u2"))
+      a.select(col("lang"), col("n_pos"), col("n_neg"),
+          when(col("n_pos") > 0 && col("n_neg") > 0,
+            (col("u2") - col("n_pos") * (col("n_pos") + 1)).cast("double") /
+              (lit(2.0) * col("n_pos") * col("n_neg"))).as("auc"))
+        .orderBy(col("lang"))
+    },
+
+    // ---- Calibration / reliability table of a [0,1] quality prediction
+    // (clamped length over 600) against the same keyword label: per
+    // decile bin, mean predicted probability vs empirical positive rate
+    // and their gap — the reliability diagram + per-bin ECE contributions
+    // behind "is this filter's confidence trustworthy?". All three
+    // aggregates are exact int64 sums (count, positives, Σ clamped); the
+    // doubles exist only in the final per-bin expressions, written as the
+    // SAME tree in both engines (the q_abtest_z treatment). The bin key
+    // uses integer DIV, not float floor, so binning can never straddle a
+    // rounding edge. Scale shape: ONE map-side-combined aggregate to ≤ 10
+    // rows; nothing downstream of the scan exceeds the bin count.
+    entry("q_calibration",
+      """WITH d AS (SELECT least(n_chars, 600) clamped,
+        |    CASE WHEN position('spark' IN text) > 0 THEN 1 ELSE 0 END pos
+        |    FROM documents),
+        | b AS (SELECT least(clamped * 10 // 600, 9) bin,
+        |        CAST(COUNT(*) AS BIGINT) n, CAST(SUM(pos) AS BIGINT) n_pos,
+        |        CAST(SUM(clamped) AS BIGINT) sum_pred FROM d GROUP BY 1)
+        |SELECT bin, n, n_pos,
+        |  CAST(sum_pred AS DOUBLE) / (600.0 * n) AS mean_pred,
+        |  CAST(n_pos AS DOUBLE) / n AS frac_pos,
+        |  ABS(CAST(sum_pred AS DOUBLE) / (600.0 * n) - CAST(n_pos AS DOUBLE) / n)
+        |    AS gap
+        |FROM b ORDER BY bin""".stripMargin) { (s, dir) =>
+      val d = Tables(s, dir, "documents").select(
+        least(col("n_chars"), lit(600L)).as("clamped"),
+        when(instr(col("text"), "spark") > 0, 1L).otherwise(0L).as("pos"))
+      val b = d.groupBy(least(expr("clamped * 10 DIV 600"), lit(9L)).as("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"),
+          sum(col("clamped")).as("sum_pred"))
+      val meanPred = col("sum_pred").cast("double") / (lit(600.0) * col("n"))
+      val fracPos = col("n_pos").cast("double") / col("n")
+      b.select(col("bin"), col("n"), col("n_pos"),
+          meanPred.as("mean_pred"), fracPos.as("frac_pos"),
+          abs(meanPred - fracPos).as("gap"))
+        .orderBy(col("bin"))
     }
   )
 }

@@ -1215,6 +1215,69 @@ class QueryInvariantSpec extends SparkSpec {
     assert(out.exists(_._2 > 0), "no node beyond the seed set — frontier arm vacuous")
   }
 
+  test("auc: matches a rank-the-rows replay with midrank ties, and is order-consistent") {
+    val out = SparkEntry.queries("q_auc")(spark, sf001)
+      .select($"lang", $"n_pos", $"n_neg", $"auc")
+      .as[(String, Long, Long, Option[Double])].collect()
+    val docs = Tables(spark, sf001, "documents")
+      .select($"lang", $"n_chars", instr($"text", "spark") > 0)
+      .as[(String, Long, Boolean)].collect()
+    val expected = docs.groupBy(_._1).map { case (lang, rows) =>
+      // independent path: literally assign midranks to sorted rows
+      val sorted = rows.map(r => (r._2, r._3)).sortBy(_._1)
+      // NB: .toSeq before flatMap — a Map result keyed on the Boolean
+      // would silently collapse to one rank per label
+      val ranks = sorted.zipWithIndex.groupBy(_._1._1).toSeq.flatMap { case (_, grp) =>
+        val mid = grp.map(_._2 + 1).sum.toDouble / grp.size // average rank
+        grp.map { case ((_, pos), _) => (pos, mid) }
+      }
+      val nPos = sorted.count(_._2)
+      val nNeg = sorted.length - nPos
+      val rPos = ranks.collect { case (true, r) => r }.sum
+      val auc =
+        if (nPos == 0 || nNeg == 0) None
+        else Some((rPos - nPos.toLong * (nPos + 1) / 2.0) / (nPos.toDouble * nNeg))
+      lang -> (nPos.toLong, nNeg.toLong, auc)
+    }
+    assert(out.length == expected.size)
+    out.foreach { case (lang, np, nn, auc) =>
+      val (enp, enn, eauc) = expected(lang)
+      assert(np == enp && nn == enn, s"$lang count drift")
+      (auc, eauc) match {
+        case (Some(a), Some(e)) => assert(math.abs(a - e) < 1e-12, s"$lang auc $a vs $e")
+        case (a, e)             => assert(a == e, s"$lang degenerate-arm drift")
+      }
+    }
+    // the metric must be informative somewhere: some AUC strictly inside (0,1)
+    assert(out.exists(_._4.exists(a => a > 0 && a < 1)), "all AUCs degenerate at sf0.001")
+  }
+
+  test("calibration: bins partition the corpus and per-bin stats replay exactly") {
+    val out = SparkEntry.queries("q_calibration")(spark, sf001)
+      .select($"bin", $"n", $"n_pos", $"mean_pred", $"frac_pos", $"gap")
+      .as[(Long, Long, Long, Double, Double, Double)].collect()
+    val docs = Tables(spark, sf001, "documents")
+      .select($"n_chars", instr($"text", "spark") > 0)
+      .as[(Long, Boolean)].collect()
+    assert(out.map(_._2).sum == docs.length, "bins must partition the corpus")
+    assert(out.map(_._1).distinct.length == out.length, "duplicate bin rows")
+    assert(out.forall(r => r._1 >= 0 && r._1 <= 9), "bin outside the decile range")
+    val byBin = docs.groupBy { case (nc, _) => math.min(math.min(nc, 600L) * 10 / 600, 9L) }
+    out.foreach { case (bin, n, nPos, meanPred, fracPos, gap) =>
+      val rows = byBin(bin)
+      assert(n == rows.length && nPos == rows.count(_._2), s"bin $bin count drift")
+      val clampedSum = rows.map(r => math.min(r._1, 600L)).sum
+      assert(meanPred == clampedSum.toDouble / (600.0 * n), s"bin $bin mean_pred drift")
+      assert(fracPos == nPos.toDouble / n, s"bin $bin frac_pos drift")
+      assert(gap == math.abs(meanPred - fracPos), s"bin $bin gap drift")
+      // binning consistency: every member's prediction falls in the bin's span
+      rows.foreach { case (nc, _) =>
+        val p = math.min(nc, 600L).toDouble / 600.0
+        assert(p >= bin / 10.0 && (p <= (bin + 1) / 10.0 || bin == 9), s"bin $bin leak")
+      }
+    }
+  }
+
   /** Exact rational d/(den) comparable via cross-multiplication. */
   private case class ExactFrac(num: BigInt, den: BigInt)
   private object ExactFrac {
