@@ -1450,9 +1450,10 @@ object RelationalQueries {
     // map-side-combined MIN aggregate — the frontier frame never
     // exceeds |reachable nodes| rows, and the unrolled depth bounds the
     // iteration exactly like the oracle's CTE chain. The edge list is
-    // checkpointed once outside the loop (the q_pagerank treatment);
-    // production N-round runs re-checkpoint the distance frame every
-    // few rounds to flatten lineage.
+    // checkpointed once outside the loop (the q_pagerank treatment),
+    // and so is EVERY round's distance frame: the frame feeds both arms
+    // of the next round (carry-over union + relax join), so leaving it
+    // as a plan doubles the subtree per round.
     entry("q_bfs_hops",
       s"""WITH $copurchaseCte,
         | e AS (SELECT pa u, pb v FROM pairs UNION ALL SELECT pb u, pa v FROM pairs),
@@ -1474,11 +1475,20 @@ object RelationalQueries {
           .unionAll(pairs.select($"pb".as("u"), $"pa".as("v"))))
       val seeds = e.select($"u").filter($"u" % 100 === 0).distinct()
         .select($"u", lit(0L).as("hop"))
+      // `m` appears TWICE per round (carry-over union + relax join), so an
+      // unchecked r-round chain recomputes round i's frame 2^(r−i) times —
+      // checkpoint each round's distance frame to keep the plan linear in
+      // rounds. At sf0.1 the two shapes time the same (AQE broadcasts the
+      // small frontier, so recompute is cheap); at scale the frontier is
+      // graph-sized and recompute means re-running every prior round's
+      // shuffles. The registry releases after the harness materializes
+      // the query.
       def step(m: org.apache.spark.sql.DataFrame) =
-        m.unionAll(
-            e.join(m.toDF("mu", "mhop"), $"u" === $"mu")
-              .select($"v".as("u"), ($"mhop" + 1).as("hop")))
-          .groupBy($"u").agg(min($"hop").as("hop"))
+        graft.functions.Checkpoints.lazyLocal(
+          m.unionAll(
+              e.join(m.toDF("mu", "mhop"), $"u" === $"mu")
+                .select($"v".as("u"), ($"mhop" + 1).as("hop")))
+            .groupBy($"u").agg(min($"hop").as("hop")))
       step(step(step(seeds)))
         .select($"u".as("node"), $"hop")
         .orderBy($"node")
