@@ -87,8 +87,8 @@ object RelationalQueries {
     * interpolates [[CopurchaseMinSupport]] so the edge definition cannot
     * drift between Spark and SQL. */
   private val copurchaseCte: String =
-    s"""items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-      | pairs AS (SELECT a.l_partkey pa, b.l_partkey pb, COUNT(*) s
+    s"""items AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      | pairs AS MATERIALIZED (SELECT a.l_partkey pa, b.l_partkey pb, COUNT(*) s
       |           FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
       |           GROUP BY 1,2 HAVING COUNT(*) >= $CopurchaseMinSupport)""".stripMargin
 
@@ -1388,7 +1388,7 @@ object RelationalQueries {
     // at 3 unrolled iterations the composed plan is the better trade.
     entry("q_pagerank",
       s"""WITH $copurchaseCte,
-        | e AS (SELECT pa u, pb v FROM pairs UNION ALL SELECT pb u, pa v FROM pairs),
+        | e AS MATERIALIZED (SELECT pa u, pb v FROM pairs UNION ALL SELECT pb u, pa v FROM pairs),
         | deg AS (SELECT u, COUNT(*) d FROM e GROUP BY 1),
         | nn AS (SELECT COUNT(*) n FROM deg),
         | base AS (SELECT ((1000000000000 // n) * 15) // 100 b, 1000000000000 // n r0 FROM nn),
@@ -1456,14 +1456,14 @@ object RelationalQueries {
     // as a plan doubles the subtree per round.
     entry("q_bfs_hops",
       s"""WITH $copurchaseCte,
-        | e AS (SELECT pa u, pb v FROM pairs UNION ALL SELECT pb u, pa v FROM pairs),
+        | e AS MATERIALIZED (SELECT pa u, pb v FROM pairs UNION ALL SELECT pb u, pa v FROM pairs),
         | seeds AS (SELECT DISTINCT u FROM e WHERE u % 100 = 0),
         | r1 AS (SELECT u, CAST(0 AS BIGINT) hop FROM seeds
         |        UNION ALL SELECT e.v, 1 FROM e JOIN seeds ON e.u = seeds.u),
-        | m1 AS (SELECT u, MIN(hop) hop FROM r1 GROUP BY 1),
+        | m1 AS MATERIALIZED (SELECT u, MIN(hop) hop FROM r1 GROUP BY 1),
         | r2 AS (SELECT u, hop FROM m1
         |        UNION ALL SELECT e.v, m1.hop + 1 FROM e JOIN m1 ON e.u = m1.u),
-        | m2 AS (SELECT u, MIN(hop) hop FROM r2 GROUP BY 1),
+        | m2 AS MATERIALIZED (SELECT u, MIN(hop) hop FROM r2 GROUP BY 1),
         | r3 AS (SELECT u, hop FROM m2
         |        UNION ALL SELECT e.v, m2.hop + 1 FROM e JOIN m2 ON e.u = m2.u),
         | m3 AS (SELECT u, MIN(hop) hop FROM r3 GROUP BY 1)
@@ -1509,7 +1509,7 @@ object RelationalQueries {
     // Checkpoints registry (the q_pagerank note).
     entry("q_label_prop",
       s"""WITH $copurchaseCte,
-        | e AS (SELECT pa u, pb v, s w FROM pairs UNION ALL SELECT pb u, pa v, s w FROM pairs),
+        | e AS MATERIALIZED (SELECT pa u, pb v, s w FROM pairs UNION ALL SELECT pb u, pa v, s w FROM pairs),
         | nodes AS (SELECT DISTINCT u FROM e),
         | seeds AS (SELECT u, u % 3 lbl FROM nodes WHERE u % 10 = 0),
         | v1 AS (SELECT e.v node, l.lbl, CAST(SUM(e.w) AS BIGINT) w
@@ -1568,7 +1568,7 @@ object RelationalQueries {
     // node set; share is one double division of exact ints.
     entry("q_degree_stats",
       s"""WITH $copurchaseCte,
-        | e AS (SELECT pa u FROM pairs UNION ALL SELECT pb FROM pairs),
+        | e AS MATERIALIZED (SELECT pa u FROM pairs UNION ALL SELECT pb FROM pairs),
         | deg AS (SELECT u, COUNT(*) d FROM e GROUP BY 1),
         | h AS (SELECT d, COUNT(*) n_nodes FROM deg GROUP BY 1),
         | nn AS (SELECT CAST(SUM(n_nodes) AS BIGINT) n FROM h)
