@@ -10,6 +10,15 @@ outdir = sys.argv[1] if len(sys.argv) > 1 else '/tmp/verify_out'
 sfdir = sys.argv[2] if len(sys.argv) > 2 else '/root/testdata/sf0.01'
 
 con = duckdb.connect()
+# Large-lake replays (sf1/sf10) can shard this script across parallel
+# instances: CHECK_ONLY limits the query list (mirrors SPARK_GRAFT_ONLY
+# on the Spark side), CHECK_THREADS/CHECK_MEM split the box between
+# instances so concurrent shards don't OOM or serialize on one query's
+# spill. Defaults (unset) are the driver's single-instance behavior.
+if os.environ.get('CHECK_THREADS'):
+    con.execute(f"SET threads={int(os.environ['CHECK_THREADS'])}")
+if os.environ.get('CHECK_MEM'):
+    con.execute(f"SET memory_limit='{os.environ['CHECK_MEM']}'")
 for t in ['region','nation','customer','supplier','part','orders','lineitem','events','documents','embeddings']:
     # driver testdata ships single files; ScaleGen lakes are directories
     p = f'{sfdir}/{t}.parquet'
@@ -18,6 +27,10 @@ for t in ['region','nation','customer','supplier','part','orders','lineitem','ev
 
 oracle = json.load(open(f'{outdir}/oracle_sql.json'))
 names = sorted(d for d in os.listdir(outdir) if os.path.isdir(f'{outdir}/{d}'))
+check_only = os.environ.get('CHECK_ONLY')
+if check_only:
+    only = {n.strip() for n in check_only.split(',') if n.strip()}
+    names = [n for n in names if n in only]
 nfail = 0
 for name in names:
     files = glob.glob(f'{outdir}/{name}/*.parquet')
@@ -66,7 +79,7 @@ for name in names:
         print('  spark:', bad[0][1]); print('  duck: ', bad[0][2]); nfail += 1; continue
     print(f'OK   {name} ({len(srows)} rows)')
 missing = set(oracle) - set(names)
-if missing:
+if missing and not check_only:
     print('MISSING outputs for:', sorted(missing)); nfail += 1
 print(f'--- {len(names)-nfail}/{len(names)} pass')
 sys.exit(1 if nfail else 0)
