@@ -215,11 +215,14 @@ object MultimodalQueries {
         | t AS (SELECT doc_id, n, cells, list_sum(cells) total FROM c),
         | f AS (SELECT doc_id, array_to_string([CASE WHEN cells[i+1] * n > total * (((i+1)*n)//64 - (i*n)//64)
         |          THEN '1' ELSE '0' END for i in generate_series(0, 63)], '') fp FROM t),
-        | p AS (SELECT a.doc_id a_id, b.doc_id b_id,
-        |         len(list_filter(generate_series(1, 64), i -> substr(a.fp, i, 1) != substr(b.fp, i, 1))) hamming
-        |       FROM f a JOIN f b ON a.doc_id < b.doc_id
-        |         AND (substr(a.fp, 1, 16) = substr(b.fp, 1, 16) OR substr(a.fp, 17, 16) = substr(b.fp, 17, 16)
-        |           OR substr(a.fp, 33, 16) = substr(b.fp, 33, 16) OR substr(a.fp, 49, 16) = substr(b.fp, 49, 16)))
+        | fm AS MATERIALIZED (SELECT doc_id, fp FROM f),
+        | bands AS MATERIALIZED (SELECT doc_id, i band, substr(fp, (i-1)*16 + 1, 16) bk
+        |          FROM fm, generate_series(1, 4) t(i)),
+        | cand AS (SELECT DISTINCT a.doc_id a_id, b.doc_id b_id
+        |          FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id),
+        | p AS (SELECT a_id, b_id,
+        |         len(list_filter(generate_series(1, 64), i -> substr(fa.fp, i, 1) != substr(fb.fp, i, 1))) hamming
+        |       FROM cand JOIN fm fa ON cand.a_id = fa.doc_id JOIN fm fb ON cand.b_id = fb.doc_id)
         |SELECT a_id, b_id, CAST(hamming AS INT) hamming FROM p WHERE hamming <= 12
         |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
       import graft.multimodal.Multimodal
