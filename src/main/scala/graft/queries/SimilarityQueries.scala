@@ -586,15 +586,14 @@ object SimilarityQueries {
     // contract), so the 0.30 comparison and the (cosine DESC, eval_id)
     // argmax order agree exactly.
     entry("q_semantic_decontaminate",
-      """WITH e AS (SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE)*1048576.0) AS BIGINT) for x in embedding] q FROM embeddings),
+      """WITH e AS MATERIALIZED (SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE)*1048576.0) AS BIGINT) for x in embedding] q FROM embeddings),
         | terms AS (SELECT vec_id, x*x t FROM (SELECT vec_id, unnest(q) x FROM e)),
-        | n AS (SELECT vec_id, sqrt(CAST(SUM(t) AS DOUBLE)) nrm FROM terms GROUP BY 1),
+        | n AS MATERIALIZED (SELECT vec_id, sqrt(CAST(SUM(t) AS DOUBLE)) nrm FROM terms GROUP BY 1),
         | ev AS (SELECT e.vec_id eid, q eq, nrm enrm FROM e JOIN n ON e.vec_id = n.vec_id WHERE e.vec_id % 20 = 0),
         | tr AS (SELECT e.vec_id tid, q tq, nrm tnrm FROM e JOIN n ON e.vec_id = n.vec_id WHERE e.vec_id % 20 <> 0),
-        | pt AS (SELECT tid, eid, tnrm, enrm, tq[i]*eq[i] t
-        |        FROM tr CROSS JOIN ev CROSS JOIN generate_series(1,64) g(i)),
-        | p AS (SELECT tid, eid, CAST(SUM(t) AS DOUBLE)/(ANY_VALUE(tnrm)*ANY_VALUE(enrm)) cosine
-        |       FROM pt GROUP BY 1,2),
+        | p AS (SELECT tid, eid,
+        |         CAST(list_sum([tq[i]*eq[i] for i in generate_series(1,64)]) AS DOUBLE)/(tnrm*enrm) cosine
+        |       FROM tr CROSS JOIN ev),
         | hits AS (SELECT * FROM p WHERE cosine >= 0.30),
         | r AS (SELECT tid, eid, cosine,
         |         ROW_NUMBER() OVER (PARTITION BY tid ORDER BY cosine DESC, eid) rn,
