@@ -4,6 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.Exact
 import graft.functions.TextFunctions._
 
 /** Text-analysis operators over the `documents` table: token counting,
@@ -2484,8 +2485,13 @@ object TextQueries {
     // window over the per-language distinct scores. Every positive in a
     // tie group of size n starting after `cum` rows has average rank
     // cum + (n+1)/2, so 2·ΣR⁺ = Σ npos·(2·cum + n + 1) — kept in exact
-    // int64 2×-units ("u2" = 2U) until ONE final double division, so both
-    // engines agree bit-exactly (the q_spearman treatment; sqrt-free).
+    // integer 2×-units ("u2" = 2U) until ONE final double division, so
+    // both engines agree bit-exactly (the q_spearman treatment;
+    // sqrt-free). u2 ≈ 2N² per language, so the per-row term and its SUM
+    // accumulate in decimal(38,0) (HUGEINT in the oracle): int64 would
+    // wrap silently in Spark's non-ANSI sum past ~2.1e9 rows/lang — well
+    // inside the 100 TB regime — while 38 digits are good to ~10^18.5
+    // rows. Per-tie-group inputs (n, npos, cum) stay int64.
     // Scale shape: the first aggregate collapses the corpus to distinct
     // (lang, score) pairs — bounded by the score's VALUE DOMAIN, not the
     // corpus (map-side partial combine does the heavy lifting); the
@@ -2504,10 +2510,11 @@ object TextQueries {
         |    FROM g),
         | a AS (SELECT lang, CAST(SUM(npos) AS BIGINT) n_pos,
         |        CAST(SUM(n - npos) AS BIGINT) n_neg,
-        |        CAST(SUM(npos * (2 * cum + n + 1)) AS BIGINT) u2 FROM w GROUP BY 1)
+        |        SUM(CAST(npos AS HUGEINT) * (2 * cum + n + 1)) u2 FROM w GROUP BY 1)
         |SELECT lang, n_pos, n_neg,
         |  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
-        |    CAST(u2 - n_pos * (n_pos + 1) AS DOUBLE) / (2.0 * n_pos * n_neg)
+        |    CAST(u2 - CAST(n_pos AS HUGEINT) * (n_pos + 1) AS DOUBLE)
+        |      / (2.0 * n_pos * n_neg)
         |  END AS auc
         |FROM a ORDER BY lang""".stripMargin) { (s, dir) =>
       val d = Tables(s, dir, "documents").select(
@@ -2521,13 +2528,17 @@ object TextQueries {
         .rowsBetween(Window.unboundedPreceding, -1)
       val w = g.select(col("lang"), col("n"), col("npos"),
         coalesce(sum(col("n")).over(cumW), lit(0L)).as("cum"))
+      // widen BEFORE the multiply: npos·(2·cum+n+1) itself nears int64 at
+      // ~3e9 rows/lang, and the non-ANSI int64 SUM would wrap silently
       val a = w.groupBy(col("lang")).agg(
         sum(col("npos")).as("n_pos"),
         sum(col("n") - col("npos")).as("n_neg"),
-        sum(col("npos") * (lit(2L) * col("cum") + col("n") + lit(1L))).as("u2"))
+        sum(col("npos").cast(Exact.Moment) *
+          (lit(2L) * col("cum") + col("n") + lit(1L))).as("u2"))
       a.select(col("lang"), col("n_pos"), col("n_neg"),
           when(col("n_pos") > 0 && col("n_neg") > 0,
-            (col("u2") - col("n_pos") * (col("n_pos") + 1)).cast("double") /
+            (col("u2") - col("n_pos").cast(Exact.Moment) * (col("n_pos") + 1))
+              .cast("double") /
               (lit(2.0) * col("n_pos") * col("n_neg"))).as("auc"))
         .orderBy(col("lang"))
     },
