@@ -28,8 +28,13 @@ for t in ['region','nation','customer','supplier','part','orders','lineitem','ev
 oracle = json.load(open(f'{outdir}/oracle_sql.json'))
 names = sorted(d for d in os.listdir(outdir) if os.path.isdir(f'{outdir}/{d}'))
 check_only = os.environ.get('CHECK_ONLY')
+absent = set()
 if check_only:
     only = {n.strip() for n in check_only.split(',') if n.strip()}
+    # A requested query with no output dir must FAIL, not vanish: a fully
+    # sharded replay (every instance under CHECK_ONLY) would otherwise
+    # never notice a query whose Spark run wrote nothing.
+    absent = only - set(names)
     names = [n for n in names if n in only]
 nfail = 0
 for name in names:
@@ -78,8 +83,8 @@ for name in names:
         print(f'FAIL {name}: {len(bad)}/{len(srows)} rows differ, first at {bad[0][0]}:')
         print('  spark:', bad[0][1]); print('  duck: ', bad[0][2]); nfail += 1; continue
     print(f'OK   {name} ({len(srows)} rows)')
-missing = set(oracle) - set(names)
-if missing and not check_only:
-    print('MISSING outputs for:', sorted(missing)); nfail += 1
-print(f'--- {len(names)-nfail}/{len(names)} pass')
+missing = absent if check_only else (set(oracle) - set(names))
+if missing:
+    print('MISSING outputs for:', sorted(missing)); nfail += len(missing)
+print(f'--- {len(names)+len(missing)-nfail}/{len(names)+len(missing)} pass')
 sys.exit(1 if nfail else 0)
