@@ -133,13 +133,32 @@ object Bench {
     // the pattern are therefore optionally backslash-prefixed, or the
     // parse silently matches nothing and the self-report goes vacuous
     // (which is exactly what happened to the r12 comparison).
-    val prev: Map[String, Double] = prevFile.map { p =>
-      try {
-        val txt = scala.io.Source.fromFile(p).mkString
-        """\\?"(q1_agg|q_[a-z0-9_]+)\\?":([0-9][0-9.eE-]*)""".r
-          .findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
-      } catch { case scala.util.control.NonFatal(_) => Map.empty[String, Double] }
-    }.getOrElse(Map.empty)
+    val benchRe = """\\?"(q1_agg|q_[a-z0-9_]+)\\?":([0-9][0-9.eE-]*)""".r
+    def parseBench(txt: String): Map[String, Double] =
+      benchRe.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
+    // Preferred previous map: the last COMMITTED bench_full.json (this
+    // program writes its complete line there each run; the driver's
+    // BENCH_r{N}.json keeps only the stdout TAIL, ~59 of 215 timings in
+    // r16, leaving most of the surface without drift tracking). Reading
+    // the HEAD copy — not the working file — means a mid-round re-run
+    // never self-compares against its own just-written output. An
+    // explicit SPARK_GRAFT_PREV still wins; tail artifacts remain the
+    // fallback when no full map was ever committed.
+    val prevFromFull: Option[(String, Map[String, Double])] =
+      if (sys.env.contains("SPARK_GRAFT_PREV")) None
+      else try {
+        import scala.sys.process._
+        val txt = Seq("git", "show", "HEAD:bench_full.json").!!(ProcessLogger(_ => ()))
+        val m = parseBench(txt)
+        if (m.nonEmpty) Some(("HEAD:bench_full.json", m)) else None
+      } catch { case scala.util.control.NonFatal(_) => None }
+    val prevSrc: Option[String] = prevFromFull.map(_._1).orElse(prevFile)
+    val prev: Map[String, Double] = prevFromFull.map(_._2).getOrElse {
+      prevFile.map { p =>
+        try parseBench(scala.io.Source.fromFile(p).mkString)
+        catch { case scala.util.control.NonFatal(_) => Map.empty[String, Double] }
+      }.getOrElse(Map.empty)
+    }
     def flaggedIn(b: Map[String, Option[Double]]): Seq[(String, Double, Double)] =
       entries.flatMap { case (k, _) =>
         for {
@@ -199,7 +218,17 @@ object Bench {
     // capture then still carries total/count/failures (BENCH_r04-r10 all
     // lost their totals to the leading-"total" layout).
     val nFailed = entries.count { case (k, _) => best(k).isEmpty }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","runs":$runsDone,"regressions":$regJson,"prev":${prevFile.map("\"" + _ + "\"").getOrElse("null")},"total_sec":$total,"n_queries":${entries.size},"n_failed":$nFailed}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","runs":$runsDone,"regressions":$regJson,"prev":${prevSrc.map("\"" + _ + "\"").getOrElse("null")},"total_sec":$total,"n_queries":${entries.size},"n_failed":$nFailed}"""
+    println(line)
+    // Persist the COMPLETE line (all per-query minima) for the next
+    // round's full-surface comparison; full-suite runs only — a
+    // SPARK_GRAFT_ONLY debug subset must not shadow the committed map.
+    if (only.isEmpty) {
+      try java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] bench_full.json write failed: ${e.getMessage}") }
+    }
     spark.stop()
   }
 }
