@@ -166,9 +166,46 @@ object IdBloom {
     * re-broadcastable in case a straggling prior stage re-runs (destroy()
     * would fail such a stage instead). */
   private case class CachedBc(stamp: GenStamp, owner: org.apache.spark.SparkContext,
-                              bc: org.apache.spark.broadcast.Broadcast[BloomFilter])
+                              bc: org.apache.spark.broadcast.Broadcast[BloomFilter],
+                              lastUse: java.util.concurrent.atomic.AtomicLong)
   private val bcCache =
     scala.collection.concurrent.TrieMap.empty[(String, Long), CachedBc]
+  // Eviction state (round-16 review: the cache never dropped driver-side
+  // filters — ~30 MB each at the 2^24 clamp — so a keeper resharding
+  // 1→2→4 or a service-lifetime driver serving many lakes accumulated
+  // heap forever). Two rules:
+  //   1. WIDTH CHANGE: shard numbers are id-range prefixes (id >>
+  //      log2(width)), so a reshard renumbers every shard — all of the
+  //      lake's cached entries are keys that will never be probed again.
+  //      Tracked per lake; a mismatch drops the whole lake's entries.
+  //   2. LRU CAP: entries beyond [[bcCacheCap]] drop least-recently-used
+  //      first, bounding a many-lake driver regardless of rule 1.
+  // Eviction `unpersist(false)`es (executor copies drop; the driver value
+  // stays re-broadcastable for any straggling prior stage) and releases
+  // the cache's strong reference, so the ContextCleaner can reclaim the
+  // driver-side filter once no stage references survive.
+  private val lakeWidth = scala.collection.concurrent.TrieMap.empty[String, Long]
+  private val useTick = new java.util.concurrent.atomic.AtomicLong(0L)
+  @volatile private[graft] var bcCacheCap: Int = 64
+  private[graft] def cachedKeys: Set[(String, Long)] = bcCache.keySet.toSet
+  private[graft] def clearBcCache(): Unit = {
+    bcCache.keys.foreach(evict); lakeWidth.clear()
+  }
+  private def evict(key: (String, Long)): Unit =
+    bcCache.remove(key).foreach { c =>
+      try if (!c.owner.isStopped) c.bc.unpersist(false)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+  private def trimLru(): Unit =
+    if (bcCache.size > bcCacheCap)
+      bcCache.toSeq.sortBy(_._2.lastUse.get())
+        .dropRight(bcCacheCap).foreach { case (k, _) => evict(k) }
+  private def noteUse(lakeDir: String, width: Long): Unit = {
+    val prev = lakeWidth.put(lakeDir, width)
+    if (prev.exists(_ != width))
+      bcCache.keys.filter(_._1 == lakeDir).foreach(evict)
+    trimLru()
+  }
 
   /** Cached-broadcast twin of [[latestGen]]. The fast path compares the
     * NEWEST candidate file's stamp against the cache without reading it;
@@ -179,11 +216,13 @@ object IdBloom {
   def genBroadcast(fs: FileSystem, lakeDir: String, shard: Long,
                    width: Long): Option[org.apache.spark.broadcast.Broadcast[BloomFilter]] = {
     val sc = org.apache.spark.sql.SparkSession.active.sparkContext
+    noteUse(lakeDir, width)
     val key = (lakeDir, shard)
     // an entry minted under a since-stopped SparkContext is dead (its
     // broadcast blocks died with the context) — treat as a miss; crash
     // harnesses restart sessions against the same lake dir
     val cached = bcCache.get(key).filter(c => c.owner.eq(sc) && !c.owner.isStopped)
+    cached.foreach(_.lastUse.set(useTick.incrementAndGet()))
     val newest = genCandidates(fs, lakeDir, shard, width).headOption.map(stampOf)
     (cached, newest) match {
       case (Some(c), Some(head)) if c.stamp == head => Some(c.bc)
@@ -194,8 +233,11 @@ object IdBloom {
             case Some(c) if c.stamp == st => c.bc // torn newest; fallback unchanged
             case _ =>
               val bc = sc.broadcast(bf)
-              bcCache.put(key, CachedBc(st, sc, bc))
+              bcCache.put(key,
+                CachedBc(st, sc, bc,
+                  new java.util.concurrent.atomic.AtomicLong(useTick.incrementAndGet())))
               cached.foreach(c => c.bc.unpersist(false))
+              trimLru() // noteUse ran before the put; enforce the cap now
               bc
           }
         }

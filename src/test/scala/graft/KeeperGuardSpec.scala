@@ -340,4 +340,51 @@ class KeeperGuardSpec extends SparkSpec {
       .as[Long].collect().toSet
     assert(hits.contains(2L) && !hits.contains(1L), s"probe off the cached handle broke: $hits")
   }
+
+  test("genBroadcast cache eviction: resharding drops stale shard keys; the LRU cap bounds many-lake drivers") {
+    import org.apache.hadoop.fs.FileSystem
+    import org.apache.spark.util.sketch.BloomFilter
+    import graft.streaming.IdBloom
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    def bf(x: Long) = { val b = BloomFilter.create(1000, 0.01); b.putLong(x); b }
+    val oldCap = IdBloom.bcCacheCap
+    try {
+      IdBloom.clearBcCache()
+      // width 0 (unsharded monolith) → one cached entry
+      val dir = Files.createTempDirectory("idbloom-evict").toString
+      IdBloom.writeGen(fs, dir, 0L, 0L, 1L, bf(1))
+      assert(IdBloom.genBroadcast(fs, dir, 0L, 0L).isDefined)
+      assert(IdBloom.cachedKeys.filter(_._1 == dir) == Set((dir, 0L)))
+      // reshard to width 2: shard numbers renumber (id >> log2(width)), so
+      // the monolith entry is a key that can never be probed again — the
+      // first access under the new width must drop it
+      IdBloom.writeGen(fs, dir, 5L, 2L, 1L, bf(10))
+      IdBloom.writeGen(fs, dir, 7L, 2L, 1L, bf(14))
+      assert(IdBloom.genBroadcast(fs, dir, 5L, 2L).isDefined)
+      assert(IdBloom.genBroadcast(fs, dir, 7L, 2L).isDefined)
+      assert(IdBloom.cachedKeys.filter(_._1 == dir) == Set((dir, 5L), (dir, 7L)),
+        "width-0 entry must be evicted; width-2 live shards retained")
+      // reshard again to width 4: both width-2 keys are stale
+      IdBloom.writeGen(fs, dir, 2L, 4L, 1L, bf(9))
+      assert(IdBloom.genBroadcast(fs, dir, 2L, 4L).isDefined)
+      assert(IdBloom.cachedKeys.filter(_._1 == dir) == Set((dir, 2L)),
+        "only the current-width live shard may remain after reshard 2 -> 4")
+      // LRU cap: with cap 2, a third LAKE evicts the least-recently-used
+      // entry, not the freshest one
+      IdBloom.clearBcCache()
+      IdBloom.bcCacheCap = 2
+      val lakes = (1 to 3).map(_ => Files.createTempDirectory("idbloom-lru").toString)
+      lakes.foreach { d =>
+        IdBloom.writeGen(fs, d, 0L, 0L, 1L, bf(1))
+        assert(IdBloom.genBroadcast(fs, d, 0L, 0L).isDefined)
+      }
+      val keys = IdBloom.cachedKeys
+      assert(keys.size <= 2 && !keys.contains((lakes(0), 0L)) &&
+        keys.contains((lakes(2), 0L)), s"LRU cap broke: $keys")
+      // an evicted entry is a plain cache miss — the next probe re-reads
+      // and re-broadcasts the generation, values intact
+      val back = IdBloom.genBroadcast(fs, lakes(0), 0L, 0L)
+      assert(back.isDefined && back.get.value.mightContainLong(1L))
+    } finally { IdBloom.bcCacheCap = oldCap; IdBloom.clearBcCache() }
+  }
 }
