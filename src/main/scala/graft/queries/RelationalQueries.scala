@@ -1325,6 +1325,41 @@ object RelationalQueries {
         .limit(25)
     },
 
+    // ---- Materialized co-purchase edge table, bucketed: the PRODUCTION
+    // answer to the graph family re-deriving the same basket explode per
+    // query (q_pagerank / q_label_prop / q_triangle_count / q_bfs_hops /
+    // q_degree_audit each pay it once — per-query independence is the
+    // harness contract, so nothing may be shared ACROSS queries). Here
+    // the edge set is built ONCE, written through
+    // [[graft.sources.LakeWriter.writeBucketed]] (hash-clustered +
+    // sorted by pa, zstd), and the analysis reads the TABLE: the
+    // downstream per-source-node aggregate then runs WITHOUT ANY
+    // EXCHANGE (bucketing pre-partitions on the grouping key — the plan
+    // shows scan → HashAggregate with no shuffle; BucketJoinSpec proves
+    // the same for joins). At 100 TB this is the amortization move: one
+    // edge-build shuffle at write time buys every later traversal /
+    // degree pass its partitioning for free — raise the bucket count
+    // with the cluster, keep it a power of two so downstream engines can
+    // coalesce. The oracle rebuilds the same aggregate straight from
+    // lineitem, proving the write→read round trip loses nothing.
+    entry("q_edge_table",
+      s"""WITH $copurchaseCte
+        |SELECT pa AS part, CAST(COUNT(*) AS BIGINT) AS out_degree,
+        |  CAST(SUM(s) AS BIGINT) AS support_mass
+        |FROM pairs GROUP BY 1
+        |ORDER BY out_degree DESC, support_mass DESC, part LIMIT 20""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val path = java.nio.file.Files.createTempDirectory("copurchase_edges").toString
+      graft.sources.LakeWriter.writeBucketed(
+        copurchaseEdges(copurchaseItems(s, dir)), "co_purchase_edges", "pa",
+        numBuckets = 16, path = path)
+      s.table("co_purchase_edges")
+        .groupBy($"pa".as("part"))
+        .agg(count(lit(1)).as("out_degree"), sum($"su").as("support_mass"))
+        .orderBy($"out_degree".desc, $"support_mass".desc, $"part")
+        .limit(20)
+    },
+
     // ---- Triangle counting on the co-purchase graph: the clustering-
     // coefficient / community-density primitive, DEGREE-ORIENTED: each
     // undirected edge points low-degree → high-degree (ties by id), so a
