@@ -61,6 +61,21 @@ object ScaleGen {
     def out(df: DataFrame, name: String, parts: Int): Unit =
       df.repartition(parts).write.mode("overwrite")
         .option("compression", "zstd").parquet(s"$dest/$name.parquet")
+    // Explosion-safe writer: the k-fold row blow-up happens in the
+    // crossJoin, so the repartition must land on the SMALL source side —
+    // repartitioning AFTER the join shuffles the whole scaled table
+    // through one exchange, and because the source is a single small
+    // file the exploded map side is ONE task (measured at k=1000: a
+    // 44 GB shuffle spill for a ~9 GB zstd target, single-threaded,
+    // near disk exhaustion). Repartition the source first and the
+    // explosion stays narrow: `parts` parallel tasks, each exploding
+    // its slice straight into its own output file, zero post-explosion
+    // shuffle. The same rule a 100 TB generator must follow: never
+    // exchange a frame you can exchange before it grows k-fold.
+    def outExploded(source: DataFrame, parts: Int, name: String)
+                   (build: DataFrame => DataFrame): Unit =
+      build(source.repartition(parts)).write.mode("overwrite")
+        .option("compression", "zstd").parquet(s"$dest/$name.parquet")
 
     // small dims verbatim — FK targets for the unshifted keys (customer
     // is NOT here: it shares the user/customer id space with
@@ -81,11 +96,11 @@ object ScaleGen {
       if (densify) $"text"
       else when($"rep" === 0, $"text").otherwise(expr(
         "array_join(transform(split(text, ' '), t -> concat(t, 'x', CAST(rep AS STRING))), ' ')"))
-    out(docs.crossJoin(reps)
+    outExploded(docs, 8, "documents")(d => d.crossJoin(reps)
       .select(($"doc_id" + $"rep" * dMax).as("doc_id"),
         scaledText.as("text"),
         $"lang", $"source")
-      .withColumn("n_chars", length($"text").cast("long")), "documents", 8)
+      .withColumn("n_chars", length($"text").cast("long")))
 
     // embeddings: shard ids; SHARD mode jitters values per replica (keeps
     // vectors distinct so ANN neighborhoods are not k-fold degenerate);
@@ -96,10 +111,10 @@ object ScaleGen {
     val scaledEmb =
       if (densify) $"embedding"
       else expr("transform(embedding, x -> CAST(x + rep * CAST(0.0009765625 AS FLOAT) AS FLOAT))")
-    out(emb.crossJoin(reps)
+    outExploded(emb, 4, "embeddings")(e => e.crossJoin(reps)
       .select(($"vec_id" + $"rep" * vMax).as("vec_id"),
         scaledEmb.as("embedding"),
-        $"label"), "embeddings", 4)
+        $"label"))
 
     // the user/customer id space is SHARED across events.user_id,
     // orders.o_custkey and customer.c_custkey (the as-of/cohort joins
@@ -118,15 +133,15 @@ object ScaleGen {
     // events: shard event AND user id spaces (k disjoint user
     // populations), shift ts by rep minutes so time windows interleave
     val eMax = ev.agg(max($"event_id")).head.getLong(0) + 1
-    out(ev.crossJoin(reps)
+    outExploded(ev, 8, "events")(e => e.crossJoin(reps)
       .select(($"event_id" + $"rep" * eMax).as("event_id"),
         expr("timestampadd(MINUTE, CAST(rep AS INT), ts)").as("ts"),
         ($"user_id" + $"rep" * uMax).as("user_id"),
-        $"event_type", $"value", $"props"), "events", 8)
+        $"event_type", $"value", $"props"))
 
-    out(cust.crossJoin(reps)
+    outExploded(cust, 2, "customer")(c => c.crossJoin(reps)
       .select(($"c_custkey" + $"rep" * uMax).as("c_custkey"),
-        $"c_name", $"c_nationkey", $"c_acctbal", $"c_mktsegment"), "customer", 2)
+        $"c_name", $"c_nationkey", $"c_acctbal", $"c_mktsegment"))
 
     // orders + lineitem: one shared orderkey shift (FK preserved). SHARD
     // mode shifts partkeys too — the co-purchase graph scales as k
@@ -137,27 +152,26 @@ object ScaleGen {
     // DENSIFY mode keeps ONE partkey space (part verbatim, l_partkey
     // unshifted): per-part co-purchase support and degree grow k×.
     val oMax = ord.agg(max($"o_orderkey")).head.getLong(0) + 1
-    out(ord.crossJoin(reps)
+    outExploded(ord, 8, "orders")(o => o.crossJoin(reps)
       .select(($"o_orderkey" + $"rep" * oMax).as("o_orderkey"),
         ($"o_custkey" + $"rep" * uMax).as("o_custkey"),
         $"o_orderstatus", $"o_totalprice", $"o_orderdate",
-        $"o_orderpriority"), "orders", 8)
+        $"o_orderpriority"))
     val li = spark.read.parquet(s"$src/lineitem.parquet")
     val part = spark.read.parquet(s"$src/part.parquet")
     val pMax = math.max(
       li.agg(max($"l_partkey")).head.getLong(0),
       part.agg(max($"p_partkey")).head.getLong(0)) + 1
     if (densify) out(part, "part", 1)
-    else out(part.crossJoin(reps)
+    else outExploded(part, 1, "part")(p => p.crossJoin(reps)
       .select((($"p_partkey" + $"rep" * pMax).as("p_partkey") +:
-        part.columns.filter(_ != "p_partkey").map(col).toSeq): _*), "part", 1)
+        part.columns.filter(_ != "p_partkey").map(col).toSeq): _*))
     val liPartkey = if (densify) $"l_partkey" else $"l_partkey" + $"rep" * pMax
-    out(li.crossJoin(reps)
+    outExploded(li, 16, "lineitem")(l => l.crossJoin(reps)
       .select(($"l_orderkey" + $"rep" * oMax).as("l_orderkey"),
         liPartkey.as("l_partkey"),
         $"l_suppkey", $"l_linenumber", $"l_quantity", $"l_extendedprice",
-        $"l_discount", $"l_tax", $"l_returnflag", $"l_linestatus", $"l_shipdate"),
-      "lineitem", 16)
+        $"l_discount", $"l_tax", $"l_returnflag", $"l_linestatus", $"l_shipdate"))
 
     println(s"[scalegen] wrote ${k}x of $src to $dest" +
       (if (densify) " (densify regime)" else " (disjoint-shard regime)"))
