@@ -44,9 +44,20 @@ object Checkpoints {
     df
   }
 
-  /** Lazily localCheckpoint `df` and register it. */
+  /** Lazily localCheckpoint `df` and register it.
+    *
+    * Storage is MEMORY_AND_DISK_SER, not the deserialized default: the
+    * checkpointed frames here are row-count-proportional intermediates
+    * (tf aggregates, scored ANN pairs, graph round state), and
+    * deserialized UnsafeRow storage pays ~16-24 bytes of object header
+    * per row — at the sf100 gate the q_retrieval_eval tf frame
+    * (~5×10⁸ rows) OOM'd a 16 GiB executor on headers alone.
+    * Serialized blocks store one byte array per partition, unroll
+    * incrementally, and degrade to disk instead of dying; the re-read
+    * cost on UnsafeRows is a memcpy, not real deserialization. */
   def lazyLocal(df: DataFrame): DataFrame =
-    register(df.localCheckpoint(eager = false))
+    register(df.localCheckpoint(eager = false,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
 
   /** Immediately drop the checkpoint blocks under `df` (non-blocking).
     * Only call after every consumer of the frame has materialized.

@@ -61,15 +61,23 @@ object KMeans {
     * of this is the exact nearest cluster; `slice(…, 1, p)` is an exact
     * probe list. */
   def nearestSorted(cands: String = "cands", q: String = "q"): String = {
-    // the per-TERM square itself widens to decimal(38,0), not just the
-    // accumulator: |cn·x − s| ≈ cn·2^20 grows WITH cluster size, and its
-    // int64 square ANSI-overflows right around 200k-vector clusters —
-    // found empirically by the sf10 (100×) scaling harness, the exact
-    // class q_embed_outliers already widened against
+    // The per-TERM SQUARE widens to decimal(38,0) — |cn·x − s| ≈ cn·2^20
+    // grows with cluster size and its int64 square ANSI-overflows right
+    // around 200k-vector clusters (found empirically by the sf10 scaling
+    // harness). The DIFF itself stays int64: cn·x ≤ cn·2^20 < 2^63 up to
+    // ~8×10¹² vectors per cluster, far past any corpus this targets, and
+    // ANSI mode errors loudly rather than wrapping beyond it. Keeping the
+    // diff in longs matters at scale: the earlier form ran ~5 decimal ops
+    // per dimension (two cn·x decimal multiplies, a decimal subtract,
+    // multiply, add) and precision-38 decimals are BigDecimal-backed —
+    // at the sf100 gate (2M vectors × k × 64 dims × multiple passes) the
+    // allocation rate became the GC wall and the fit family went
+    // super-linear on wall-clock. One decimal multiply + one decimal add
+    // per dimension, same exact integer d2.
     val scored = s"transform($cands, c -> named_struct(" +
       s"'cl', c.cl, 'cn', c.cn, " +
       s"'d2', aggregate(zip_with($q, c.s, (x, y) -> " +
-      "(CAST(c.cn AS DECIMAL(38,0))*x - y) * (CAST(c.cn AS DECIMAL(38,0))*x - y)), " +
+      "CAST(c.cn*x - y AS DECIMAL(38,0)) * (c.cn*x - y)), " +
       "CAST(0 AS DECIMAL(38,0)), (acc, v) -> CAST(acc + v AS DECIMAL(38,0)))))"
     s"array_sort($scored, $exactCmp)"
   }

@@ -242,13 +242,25 @@ object MultimodalQueries {
         .persist()
       val a = f.toDF(f.columns.map(_ + "_a"): _*)
       val b = f.toDF(f.columns.map(_ + "_b"): _*)
-      val cand = (1 to 4).map(k =>
+      // Hamming filter BEFORE the distinct: the 16-bit band key space
+      // (65,536 values) saturates once the corpus passes ~10⁵ docs, so
+      // candidate multiplicity grows quadratically in bucket occupancy —
+      // the sf100 gate measured the old distinct-then-filter order
+      // shuffling the FULL candidate set (billions of rows, >50 GB of
+      // shuffle, out of disk at 5M docs). Filtering first is the same
+      // result (filter and distinct commute) but the distinct's exchange
+      // now carries only true near-dup pairs: the candidate explosion
+      // stays pipeline-internal (join output → map-side filter), never
+      // hitting a shuffle or disk. The residual cost is the per-candidate
+      // bit_count CPU — the honest price of 16-bit bands at this scale;
+      // production narrows it by hashing to >64 bits and banding wider.
+      (1 to 4).map(k =>
           a.join(b, col(s"b${k}_a") === col(s"b${k}_b") && col("doc_id_a") < col("doc_id_b")))
         .reduce(_ unionByName _)
         .select(col("doc_id_a").as("a_id"), col("doc_id_b").as("b_id"),
           expr("CAST(bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b) AS INT)").as("hamming"))
+        .filter(col("hamming") <= 12)
         .distinct()
-      cand.filter(col("hamming") <= 12)
         .orderBy(col("a_id"), col("b_id"))
     },
 

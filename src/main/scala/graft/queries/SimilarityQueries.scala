@@ -1047,12 +1047,15 @@ object SimilarityQueries {
       val cs = graft.functions.KMeans.labelSums(
         e.select(col("label"), col("q")))
       val d = e.join(broadcast(cs), col("label") === col("cl"))
-        // the per-term square itself widens (not just the accumulator):
-        // |cn·x − s| ≈ 3e9 at a 30k-vector label, whose int64 square
-        // would ANSI-overflow in Spark while the HUGEINT oracle sails on
+        // the per-term SQUARE widens (not just the accumulator): |cn·x −
+        // s| ≈ 3e9 at a 30k-vector label, whose int64 square would
+        // ANSI-overflow in Spark while the HUGEINT oracle sails on. The
+        // DIFF stays int64 (safe to ~8e12 vectors/label, ANSI-loud
+        // beyond) — one decimal multiply per dim, not five; see
+        // KMeans.nearestSorted for the GC-wall measurement behind this
         .withColumn("d2", expr(
           "aggregate(zip_with(q, s, (x, y) -> " +
-            "(CAST(cn AS DECIMAL(38,0))*x - y) * (CAST(cn AS DECIMAL(38,0))*x - y)), " +
+            "CAST(cn*x - y AS DECIMAL(38,0)) * (cn*x - y)), " +
             "CAST(0 AS DECIMAL(38,0)), (acc, v) -> CAST(acc + v AS DECIMAL(38,0)))"))
       val byLabel = Window.partitionBy(col("label"))
         .orderBy(col("d2").desc, col("vec_id").asc)

@@ -17,8 +17,10 @@ for q in "$@"; do
     SPARK_GRAFT_LOGLEVEL=INFO SPARK_DRIVER_MEM="${LADDER_MEM:-16g}" \
     tools/run_main.sh graft.Bench > "$log" 2>&1
   rc=$?
-  # the JSON line is the only stdout line starting with {"metric"
-  sec=$(grep -o "\"$q\":[0-9.]*" "$log" | tail -1 | cut -d: -f2)
+  # First match only: the per-query map precedes the "regressions" map,
+  # whose entries are arrays — and require a leading digit, or a trailing
+  # '*' quantifier happily matches zero characters at '"q":[...'.
+  sec=$(grep -o "\"$q\":[0-9][0-9.]*" "$log" | head -1 | cut -d: -f2)
   spills=$(grep -cEi "spill(ing|ed)" "$log" || true)
   if [ $rc -ne 0 ] || [ -z "${sec:-}" ] || grep -q "\"failed\":\[\"$q\"\]" "$log"; then
     echo -e "$q\tNA\t$spills\tFAIL(rc=$rc)" | tee -a "$out"
