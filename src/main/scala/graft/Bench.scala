@@ -136,6 +136,15 @@ object Bench {
     val benchRe = """\\?"(q1_agg|q_[a-z0-9_]+)\\?":([0-9][0-9.eE-]*)""".r
     def parseBench(txt: String): Map[String, Double] =
       benchRe.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
+    // The baseline is only comparable at the SAME scale and shuffle
+    // layout: a baseline recorded at a different SPARK_GRAFT_SF_DIR (or a
+    // run under a SPARK_GRAFT_SHUFFLE override) would flag phantom
+    // regressions on every query and force all maxRuns passes — expensive
+    // exactly at the big scales where a mis-matched comparison is likeliest.
+    val sfRe = """\\?"sf\\?":\s*\\?"([^"\\]+)\\?"""".r
+    val shuffleOverridden = sys.env.contains("SPARK_GRAFT_SHUFFLE")
+    def sameScale(txt: String): Boolean =
+      sfRe.findFirstMatchIn(txt).exists(_.group(1) == sfDir)
     // Preferred previous map: the last COMMITTED bench_full.json (this
     // program writes its complete line there each run; the driver's
     // BENCH_r{N}.json keeps only the stdout TAIL, ~59 of 215 timings in
@@ -145,18 +154,24 @@ object Bench {
     // explicit SPARK_GRAFT_PREV still wins; tail artifacts remain the
     // fallback when no full map was ever committed.
     val prevFromFull: Option[(String, Map[String, Double])] =
-      if (sys.env.contains("SPARK_GRAFT_PREV")) None
+      if (sys.env.contains("SPARK_GRAFT_PREV") || shuffleOverridden) None
       else try {
         import scala.sys.process._
         val txt = Seq("git", "show", "HEAD:bench_full.json").!!(ProcessLogger(_ => ()))
         val m = parseBench(txt)
-        if (m.nonEmpty) Some(("HEAD:bench_full.json", m)) else None
+        if (m.nonEmpty && sameScale(txt)) Some(("HEAD:bench_full.json", m)) else None
       } catch { case scala.util.control.NonFatal(_) => None }
-    val prevSrc: Option[String] = prevFromFull.map(_._1).orElse(prevFile)
+    val prevSrc: Option[String] = prevFromFull.map(_._1)
+      .orElse(if (shuffleOverridden) None else prevFile)
     val prev: Map[String, Double] = prevFromFull.map(_._2).getOrElse {
-      prevFile.map { p =>
-        try parseBench(scala.io.Source.fromFile(p).mkString)
-        catch { case scala.util.control.NonFatal(_) => Map.empty[String, Double] }
+      prevFile.filter(_ => !shuffleOverridden).map { p =>
+        try {
+          val txt = scala.io.Source.fromFile(p).mkString
+          // explicit SPARK_GRAFT_PREV = the caller knows what they are
+          // comparing against; auto-located artifacts must match scale
+          if (sys.env.contains("SPARK_GRAFT_PREV") || sameScale(txt)) parseBench(txt)
+          else Map.empty[String, Double]
+        } catch { case scala.util.control.NonFatal(_) => Map.empty[String, Double] }
       }.getOrElse(Map.empty)
     }
     def flaggedIn(b: Map[String, Option[Double]]): Seq[(String, Double, Double)] =
@@ -221,12 +236,18 @@ object Bench {
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","runs":$runsDone,"regressions":$regJson,"prev":${prevSrc.map("\"" + _ + "\"").getOrElse("null")},"total_sec":$total,"n_queries":${entries.size},"n_failed":$nFailed}"""
     println(line)
     // Persist the COMPLETE line (all per-query minima) for the next
-    // round's full-surface comparison; full-suite runs only — a
-    // SPARK_GRAFT_ONLY debug subset must not shadow the committed map.
-    if (only.isEmpty) {
-      try java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
-        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      catch { case scala.util.control.NonFatal(e) =>
+    // round's full-surface comparison; full-suite same-layout runs only —
+    // a SPARK_GRAFT_ONLY debug subset or a SPARK_GRAFT_SHUFFLE replay
+    // must not shadow the committed map. Written under target/ so a full
+    // bench run leaves `git status` clean (the committed repo-root copy
+    // is refreshed deliberately at closing-gate time, not by every run).
+    if (only.isEmpty && !shuffleOverridden) {
+      try {
+        val p = java.nio.file.Paths.get("target", "bench_full.json")
+        java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.write(p,
+          (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      } catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] bench_full.json write failed: ${e.getMessage}") }
     }
     spark.stop()

@@ -82,6 +82,17 @@ object KMeans {
     s"array_sort($scored, $exactCmp)"
   }
 
+  /** The top-`p` prefix of [[nearestSorted]] as ONE native codegen
+    * expression ([[graft.plans.NearestClusters]]) — identical exact
+    * integer argmin (same struct fields, same decimal(38,0) d2, same
+    * rational order and loud 10^38 headroom), computed as a primitive
+    * int64/128-bit loop instead of interpreted decimal lambdas. The
+    * r17 sf100 control proved the interpreted form was the fit
+    * family's heap-independent wall (q_kmeans_fit 1016 s, exp 1.64);
+    * VectorExprSpec pins native ≡ interpreted on real data. */
+  def nearestTop(p: Int, cands: Column = col("cands"), q: Column = col("q")): Column =
+    graft.plans.KMeansExpressions.nearestClusters(q, cands, p)
+
   /** The k cluster descriptors folded into ONE (cands: array<struct(cl,
     * s, cn)>) row, the unit the narrow argmin broadcasts. Bounded by k —
     * a model parameter, never corpus-proportional. */
@@ -119,7 +130,7 @@ object KMeans {
       // cluster existed; keep that contract (and keep ANSI element_at
       // off the empty array)
       .filter(size(col("cands")) > 0)
-      .withColumn("w", expr(s"element_at(${nearestSorted()}, 1)"))
+      .withColumn("w", element_at(nearestTop(1), 1))
       .select(col("vec_id"), col("w.cl").as("cl"),
         (col("w.d2").cast("double") /
           (col("w.cn") * col("w.cn")).cast("double")).as("d2n"))
@@ -192,10 +203,10 @@ object KMeans {
           .withColumn("pcands", candsLit(p))
       }
       val assigned = base
-        .withColumn("w", expr(s"element_at(${nearestSorted()}, 1)"))
+        .withColumn("w", element_at(nearestTop(1), 1))
         .withColumn("p_cl", prev match {
           case None    => col("label")
-          case Some(_) => expr(s"element_at(${nearestSorted("pcands")}, 1).cl")
+          case Some(_) => element_at(nearestTop(1, col("pcands")), 1).getField("cl")
         })
       val rows = assigned
         .select(col("w.cl").as("cl"), col("q"),
@@ -222,7 +233,7 @@ object KMeans {
     // k-row local relation.
     val out = e
       .withColumn("cands", candsLit(used))
-      .withColumn("w", expr(s"element_at(${nearestSorted()}, 1)"))
+      .withColumn("w", element_at(nearestTop(1), 1))
       .select(col("vec_id"), col("w.cl").as("cl"),
         (col("w.d2").cast("double") /
           (col("w.cn") * col("w.cn")).cast("double")).as("d2n"))

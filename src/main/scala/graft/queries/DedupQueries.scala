@@ -572,16 +572,27 @@ object DedupQueries {
         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) n_eval_hits, MIN(eid) first_eval
         |FROM h GROUP BY 1 ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val docs = Tables(s, dir, "documents")
-      val ev = graft.functions.Guards.boundedBroadcast(
-        docs.filter(col("doc_id") % 20 === 0 && col("doc_id") < 5000
-            && length(col("text")) >= 24)
-          .select(col("doc_id").as("eid"), substring(col("text"), 1, 24).as("snip")),
-        "q_decontaminate_exact eval snippets")
+      // r18 (guide §1.2, VERDICT task 2): the ×|eval| per-snippet instr
+      // scans (exp 1.27 at sf100) become ONE Aho–Corasick pass per doc.
+      // The eval suite is collected to the driver under the SAME loud
+      // bound boundedBroadcast enforced (it is a fixed benchmark, never
+      // corpus-proportional — the automaton over it is model-sized
+      // driver state, broadcast once); each matched (doc, eid) pair is
+      // exactly an `instr(text, snip) > 0` hit of the oracle's cross
+      // join, so count/min aggregate to identical rows.
+      val snips = docs.filter(col("doc_id") % 20 === 0 && col("doc_id") < 5000
+          && length(col("text")) >= 24)
+        .select(col("doc_id").as("eid"), substring(col("text"), 1, 24).as("snip"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      require(snips.length <= graft.functions.Guards.MaxBroadcastRows,
+        s"q_decontaminate_exact eval snippets has ${snips.length} rows, above the " +
+          s"bound ${graft.functions.Guards.MaxBroadcastRows}: corpus-proportional, " +
+          "not configuration-bounded")
+      val ac = s.sparkContext.broadcast(graft.functions.AhoCorasick(snips))
+      val hitIds = udf((text: String) => ac.value.matchedIds(text))
       docs.filter(col("doc_id") % 20 =!= 0)
-        .transform(Tables.spread(_, col("doc_id"))) // single-file input → spread the scan×snippet loop
-        .select(col("doc_id"), col("text"))
-        .crossJoin(ev)
-        .filter(instr(col("text"), col("snip")) > 0)
+        .transform(Tables.spread(_, col("doc_id"))) // single-file input → spread the scan
+        .select(col("doc_id"), explode(hitIds(col("text"))).as("eid"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_eval_hits"), min(col("eid")).as("first_eval"))
         .orderBy(col("doc_id"))

@@ -20,6 +20,29 @@ import graft.functions.{Exact, Ranking}
   */
 object RelationalQueries {
 
+  /** Deterministic per-session location for the bucketed co-purchase
+    * edge table: `Overwrite` then REUSES the directory across bench
+    * passes instead of abandoning a fresh `createTempDirectory` copy per
+    * builder invocation (up to three full zstd edge tables leaked per
+    * bench run — r17 advice), and one JVM shutdown hook removes every
+    * registered path so repeated sessions do not accumulate either. */
+  private val edgePaths =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
+  private val edgeHookArmed = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private def edgeTablePath(s: org.apache.spark.sql.SparkSession): String = {
+    val p = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_copurchase_edges_${s.sparkContext.applicationId}")
+    edgePaths.add(p)
+    if (edgeHookArmed.compareAndSet(false, true))
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        edgePaths.forEach(pp => rm(pp.toFile))
+      }))
+    p.toString
+  }
+
   // Shared oracle fragments (DuckDB SQL, ANSI).
   //
   // Decimal sums reach DOUBLE through a VARCHAR round-trip: DuckDB's
@@ -1349,7 +1372,7 @@ object RelationalQueries {
         |FROM pairs GROUP BY 1
         |ORDER BY out_degree DESC, support_mass DESC, part LIMIT 20""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val path = java.nio.file.Files.createTempDirectory("copurchase_edges").toString
+      val path = edgeTablePath(s)
       graft.sources.LakeWriter.writeBucketed(
         copurchaseEdges(copurchaseItems(s, dir)), "co_purchase_edges", "pa",
         numBuckets = 16, path = path)

@@ -157,7 +157,7 @@ object SimilarityQueries {
       // per-(vector × cell) blowup, no corpus shuffle at all; keep the
       // top-2 (cell = rank 1, probe set = ranks 1-2)
       val ranked = e.crossJoin(broadcast(graft.functions.KMeans.candidatesRow(cs)))
-        .withColumn("top2", expr(s"slice(${graft.functions.KMeans.nearestSorted()}, 1, 2)"))
+        .withColumn("top2", graft.functions.KMeans.nearestTop(2))
         .select(col("vec_id"), posexplode(col("top2")).as(Seq("p", "c")))
         .select(col("vec_id"), (col("p") + 1).as("r"), col("c.cl").as("cl"))
       val cell = ranked.filter(col("r") === 1).select(col("vec_id"), col("cl"))
@@ -215,7 +215,7 @@ object SimilarityQueries {
       // shape as q_knn_ivf — no per-(query × cell) rows, no shuffle)
       val probe = e.filter(col("vec_id") < 5)
         .crossJoin(broadcast(graft.functions.KMeans.candidatesRow(fit.clusters)))
-        .withColumn("top2", expr(s"slice(${graft.functions.KMeans.nearestSorted()}, 1, 2)"))
+        .withColumn("top2", graft.functions.KMeans.nearestTop(2))
         .select(col("vec_id").as("qid"),
           explode(expr("transform(top2, c -> c.cl)")).as("cl"))
       val cands = broadcast(probe).join(cell, "cl")
@@ -502,8 +502,9 @@ object SimilarityQueries {
           posexplode(expr("transform(sequence(0, 7), mm -> struct(mm AS m, slice(q, mm*8 + 1, 8) AS qs))"))
             .as(Seq("p", "ms")))
         .select(col("vec_id"), col("ms.m").as("m"), col("ms.qs").as("qs"))
-      val subD2 = expr("aggregate(zip_with(qs, carr, (x, y) -> (x - y)*(x - y)), " +
-        "CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+      // r18: one native loop (graft_qdist2) instead of the interpreted
+      // aggregate/zip_with lambda (CodegenFallback) — same exact int64 sum
+      val subD2 = graft.plans.VectorExpressions.qdist2(col("qs"), col("carr"))
       // encode: nearest codebook entry per (vector, subvector) — plain
       // int64 min over struct(d2, cl), deterministic tie on smaller label
       val code = sub.join(broadcast(cb), "m")
@@ -530,8 +531,7 @@ object SimilarityQueries {
       val ce = e.select(col("vec_id").as("c_vec"), col("q").as("bq"))
       short.join(broadcast(qe), col("qid") === col("q_vec"))
         .join(ce, col("cid") === col("c_vec"))
-        .withColumn("d2", expr("aggregate(zip_with(aq, bq, (x, y) -> (x - y)*(x - y)), " +
-          "CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+        .withColumn("d2", graft.plans.VectorExpressions.qdist2(col("aq"), col("bq")))
         .withColumn("rnk", row_number().over(
           Window.partitionBy(col("qid")).orderBy(col("d2"), col("cid"))))
         .filter(col("rnk") <= 10)
@@ -654,10 +654,11 @@ object SimilarityQueries {
         |FROM s GROUP BY 1, 2 ORDER BY label_true, label_pred""".stripMargin) { (s, dir) =>
       Tables(s, dir, "embeddings")
         .select((col("label") % 2).as("label_true"), quantize("embedding").as("q"))
-        .withColumn("logit", expr(
-          "aggregate(transform(sequence(1, 64), " +
-            "i -> element_at(q, i) * CAST(((i*37) % 13) - 6 AS BIGINT)), " +
-            "0L, (acc, x) -> acc + x)"))
+        // r18: the model weights are a driver-side literal vector, so the
+        // logit is ONE native integer dot (graft_qdot) instead of a
+        // 64-step interpreted aggregate lambda — same exact int64 sum
+        .withColumn("logit",
+          qdotLit("q", (1 to 64).map(i => (((i * 37) % 13) - 6).toLong)))
         .withColumn("label_pred", when(col("logit") > 0, 1).otherwise(0))
         .groupBy(col("label_true"), col("label_pred"))
         .agg(count(lit(1)).as("n"),
@@ -861,7 +862,7 @@ object SimilarityQueries {
       // IVF top-10: the exact q_knn_ivf plan
       val cs = labelSums(e)
       val ranked = e.crossJoin(broadcast(graft.functions.KMeans.candidatesRow(cs)))
-        .withColumn("top2", expr(s"slice(${graft.functions.KMeans.nearestSorted()}, 1, 2)"))
+        .withColumn("top2", graft.functions.KMeans.nearestTop(2))
         .select(col("vec_id"), posexplode(col("top2")).as(Seq("p", "c")))
         .select(col("vec_id"), (col("p") + 1).as("r"), col("c.cl").as("cl"))
       val cell = ranked.filter(col("r") === 1).select(col("vec_id"), col("cl"))
@@ -1047,16 +1048,13 @@ object SimilarityQueries {
       val cs = graft.functions.KMeans.labelSums(
         e.select(col("label"), col("q")))
       val d = e.join(broadcast(cs), col("label") === col("cl"))
-        // the per-term SQUARE widens (not just the accumulator): |cn·x −
-        // s| ≈ 3e9 at a 30k-vector label, whose int64 square would
-        // ANSI-overflow in Spark while the HUGEINT oracle sails on. The
-        // DIFF stays int64 (safe to ~8e12 vectors/label, ANSI-loud
-        // beyond) — one decimal multiply per dim, not five; see
-        // KMeans.nearestSorted for the GC-wall measurement behind this
-        .withColumn("d2", expr(
-          "aggregate(zip_with(q, s, (x, y) -> " +
-            "CAST(cn*x - y AS DECIMAL(38,0)) * (cn*x - y)), " +
-            "CAST(0 AS DECIMAL(38,0)), (acc, v) -> CAST(acc + v AS DECIMAL(38,0)))"))
+        // same exact integer lattice distance as KMeans, via the native
+        // codegen loop (graft.plans.LatticeD2): identical decimal(38,0)
+        // value and the identical loud 10^38 headroom, without the
+        // per-dim interpreted decimal multiply the r17 GC-wall
+        // measurement attributed the fit family's super-linearity to
+        .withColumn("d2", graft.plans.KMeansExpressions.latticeD2(
+          col("q"), col("s"), col("cn")))
       val byLabel = Window.partitionBy(col("label"))
         .orderBy(col("d2").desc, col("vec_id").asc)
       d.withColumn("rn", row_number().over(byLabel))

@@ -200,10 +200,15 @@ object IdBloom {
     if (bcCache.size > bcCacheCap)
       bcCache.toSeq.sortBy(_._2.lastUse.get())
         .dropRight(bcCacheCap).foreach { case (k, _) => evict(k) }
-  private def noteUse(lakeDir: String, width: Long): Unit = {
+  private def noteUse(lakeDir: String, width: Long, key: (String, Long)): Unit = {
     val prev = lakeWidth.put(lakeDir, width)
     if (prev.exists(_ != width))
       bcCache.keys.filter(_._1 == lakeDir).foreach(evict)
+    // bump the about-to-be-served key BEFORE the LRU pass: at exactly cap
+    // occupancy the pass could otherwise evict the key this very call is
+    // fetching (its lastUse was only refreshed after the get), turning a
+    // guaranteed hit into a re-read + re-broadcast (r17 advice)
+    bcCache.get(key).foreach(_.lastUse.set(useTick.incrementAndGet()))
     trimLru()
   }
 
@@ -216,8 +221,8 @@ object IdBloom {
   def genBroadcast(fs: FileSystem, lakeDir: String, shard: Long,
                    width: Long): Option[org.apache.spark.broadcast.Broadcast[BloomFilter]] = {
     val sc = org.apache.spark.sql.SparkSession.active.sparkContext
-    noteUse(lakeDir, width)
     val key = (lakeDir, shard)
+    noteUse(lakeDir, width, key)
     // an entry minted under a since-stopped SparkContext is dead (its
     // broadcast blocks died with the context) — treat as a miss; crash
     // harnesses restart sessions against the same lake dir

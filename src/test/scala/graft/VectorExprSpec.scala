@@ -26,6 +26,19 @@ class VectorExprSpec extends SparkSpec {
     assert(pairs.filter(qdot("aq", "bq") =!= unrolled).count() === 0)
   }
 
+  test("QuantizedDist2 equals the interpreted zip_with aggregate") {
+    val e = Tables(spark, sf001, "embeddings")
+      .select($"vec_id", quantize("embedding").as("q"))
+    val pairs = e.select($"vec_id".as("a_id"), $"q".as("aq"))
+      .crossJoin(e.select($"vec_id".as("b_id"), $"q".as("bq")))
+      .filter($"a_id" < $"b_id" && $"b_id" < 40)
+    val interp = expr("aggregate(zip_with(aq, bq, (x, y) -> (x - y)*(x - y)), " +
+      "CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+    assert(pairs.filter(
+      graft.plans.VectorExpressions.qdist2($"aq", $"bq") =!= interp).count() === 0)
+    assert(pairs.count() > 0)
+  }
+
   test("MinHashSlots equals the per-slot SQL formula") {
     val sh = docs.limit(50)
       .withColumn("toks", tokens("text"))
@@ -168,5 +181,41 @@ class VectorExprSpec extends SparkSpec {
     val e4 = intercept[Exception](
       spark.sql("SELECT graft_qdot(array(1L, NULL), array(1L, 2L))").collect())
     assert(rootMsg(e4).contains("null element"), rootMsg(e4))
+  }
+
+  // ---- r18: the native exact nearest-cluster argmin must be
+  // bit-identical to the interpreted array_sort fragment it replaced
+  // (same struct, same decimal(38,0) d2, same rational order + ties).
+  test("NearestClusters equals the interpreted exact-comparator fragment") {
+    val e = Tables(spark, sf001, "embeddings")
+      .select($"vec_id", $"label", quantize("embedding").as("q"))
+    val cs = graft.functions.KMeans.labelSums(e) // cl carries the int32 label type
+    val withCands = e.crossJoin(broadcast(graft.functions.KMeans.candidatesRow(cs)))
+    val interp2 = expr(s"slice(${graft.functions.KMeans.nearestSorted()}, 1, 2)")
+    assert(withCands.filter(
+      !(graft.functions.KMeans.nearestTop(2) <=> interp2)).count() === 0)
+    val interp1 = expr(s"slice(${graft.functions.KMeans.nearestSorted()}, 1, 1)")
+    assert(withCands.filter(
+      !(graft.functions.KMeans.nearestTop(1) <=> interp1)).count() === 0)
+    assert(withCands.count() > 0)
+    // bigint cl (the Lloyd loop's literal-descriptor shape) as well
+    val csL = cs.select($"cl".cast("long").as("cl"), $"s", $"cn")
+    val withCandsL = e.crossJoin(broadcast(graft.functions.KMeans.candidatesRow(csL)))
+    assert(withCandsL.filter(
+      !(graft.functions.KMeans.nearestTop(2) <=> interp2)).count() === 0)
+  }
+
+  test("LatticeD2 equals the interpreted decimal zip_with aggregate") {
+    val e = Tables(spark, sf001, "embeddings")
+      .select($"vec_id", $"label", quantize("embedding").as("q"))
+    val cs = graft.functions.KMeans.labelSums(e)
+    val d = e.join(broadcast(cs), $"label" === $"cl")
+    val interp = expr(
+      "aggregate(zip_with(q, s, (x, y) -> " +
+        "CAST(cn*x - y AS DECIMAL(38,0)) * (cn*x - y)), " +
+        "CAST(0 AS DECIMAL(38,0)), (acc, v) -> CAST(acc + v AS DECIMAL(38,0)))")
+    assert(d.filter(
+      !(graft.plans.KMeansExpressions.latticeD2($"q", $"s", $"cn") <=> interp)).count() === 0)
+    assert(d.count() > 0)
   }
 }
