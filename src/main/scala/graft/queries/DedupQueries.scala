@@ -1210,16 +1210,23 @@ object DedupQueries {
         emb.join(asg, col("vec_id") === col("a_vec_id"))
           .select(col("vec_id"), col("cl"), expr("vec_id DIV 2000").as("sh"),
             col("q"), qnorm("q").as("nrm")))
-      val a = side.select(col("vec_id").as("kid"), col("cl").as("acl"),
-        col("sh").as("ash"), col("q").as("aq"), col("nrm").as("anrm"))
-      val b = side.select(col("vec_id").as("vid"), col("cl").as("bcl"),
-        col("sh").as("bsh"), col("q").as("bq"), col("nrm").as("bnrm"))
-      val m = a.join(b, col("acl") === col("bcl") && col("ash") === col("bsh")
-          && col("kid") < col("vid"))
-        .withColumn("cosine", cosineFrom(qdot("aq", "bq"), col("anrm"), col("bnrm")))
-        .filter(col("cosine") >= 0.35)
-        .groupBy(col("vid"))
-        .agg(min(col("kid")).as("keeper_id"), count(lit(1)).as("n_near"))
+      // r18 (guide §8, VERDICT task 3 — the attributed fix): the former
+      // (cl, sh)-keyed SELF-JOIN emitted one ~1 KB row per pair (both
+      // 64-element vectors) only to take one int64 dot and drop it —
+      // ~200 GB of joined-row materialization at sf100, the measured
+      // exp-1.25 constant. Every pair decision is group-local and the
+      // shard caps groups at 2000 members, so each vector now moves ONCE
+      // into its (cl, sh) group and ONE native expression
+      // ([[graft.plans.SemDedupPairs]]) loops the pairs in primitive
+      // arrays, emitting only the per-vid (keeper, count) survivors —
+      // bit-identical cosine predicate, same keep-first semantics
+      // (SemDedupPairsSpec pins native == join shape on real data).
+      val m = side.groupBy(col("cl"), col("sh"))
+        .agg(collect_list(struct(col("vec_id"), col("q"), col("nrm"))).as("members"))
+        .select(explode(graft.plans.SemDedupExpressions.pairSummaries(
+          col("members"), 0.35)).as("r"))
+        .select(col("r.vid").as("vid"), col("r.keeper_id").as("keeper_id"),
+          col("r.n_near").as("n_near"))
       side.join(m, col("vec_id") === col("vid"), "left")
         .select(col("vec_id"), col("cl").as("cluster"), col("keeper_id"),
           coalesce(col("n_near"), lit(0L)).as("n_near"),
