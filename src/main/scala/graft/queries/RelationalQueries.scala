@@ -91,7 +91,11 @@ object RelationalQueries {
     * builds it WITHOUT a self-join: baskets collapse to sorted part
     * arrays (one shuffle on the order key) and pairs explode
     * basket-locally — quadratic only in basket size, never a
-    * corpus × corpus join. */
+    * corpus × corpus join.
+    *
+    * The input needs only (l_orderkey, l_partkey) columns and need NOT be
+    * distinct: `collect_set` dedups inside the one groupBy — see
+    * [[copurchaseEdgesRaw]]. */
   private def copurchaseEdges(items: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{col => c}
     items
@@ -104,6 +108,25 @@ object RelationalQueries {
       .groupBy(c("pa"), c("pb")).agg(count(lit(1)).as("su"))
       .filter(c("su") >= CopurchaseMinSupport)
   }
+
+  /** Edges straight off the lineitem scan — the shape for callers that
+    * need ONLY the edge set (the whole graph family except
+    * q_assoc_rules, whose per-part supports genuinely need the distinct
+    * items frame). r18 (guide §2.4 "remove shuffles outright"): routing
+    * through [[copurchaseItems]] paid a full (l_orderkey, l_partkey)
+    * distinct — an extra lineitem-sized Exchange + HashAggregate pair —
+    * immediately before a `collect_set` that dedups the same pairs
+    * inside the basket groupBy anyway. Feeding the raw projection is
+    * set-identical (collect_set over raw rows ≡ collect_set over
+    * distinct rows) and drops that Exchange from every edge-consuming
+    * query plan: 6 queries × one full-table shuffle per bench pass, and
+    * at 100 TB the difference between shuffling lineitem twice and
+    * once. */
+  private def copurchaseEdgesRaw(s: org.apache.spark.sql.SparkSession,
+                                 dir: String): org.apache.spark.sql.DataFrame =
+    copurchaseEdges(Tables(s, dir, "lineitem")
+      .select(org.apache.spark.sql.functions.col("l_orderkey"),
+        org.apache.spark.sql.functions.col("l_partkey")))
 
   /** The matching DuckDB CTE text (`items` + support-filtered `pairs`),
     * shared by both graph-query oracles; the HAVING threshold
@@ -1374,7 +1397,7 @@ object RelationalQueries {
       import s.implicits._
       val path = edgeTablePath(s)
       graft.sources.LakeWriter.writeBucketed(
-        copurchaseEdges(copurchaseItems(s, dir)), "co_purchase_edges", "pa",
+        copurchaseEdgesRaw(s, dir), "co_purchase_edges", "pa",
         numBuckets = 16, path = path)
       s.table("co_purchase_edges")
         .groupBy($"pa".as("part"))
@@ -1402,7 +1425,7 @@ object RelationalQueries {
         |         JOIN pairs e3 ON e3.pa = e1.pa AND e3.pb = e2.pb)
         |SELECT COUNT(*) AS n_triangles, COUNT(DISTINCT a) AS n_apex FROM tri""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val pairs = copurchaseEdges(copurchaseItems(s, dir)).select($"pa", $"pb")
+      val pairs = copurchaseEdgesRaw(s, dir).select($"pa", $"pb")
       val deg = pairs.select($"pa".as("node")).unionAll(pairs.select($"pb".as("node")))
         .groupBy($"node").agg(count(lit(1)).as("dg"))
       val da = deg.toDF("na", "dega")
@@ -1461,7 +1484,7 @@ object RelationalQueries {
         |SELECT CAST(rn AS BIGINT) rn, u AS node, r AS rank_fp
         |FROM top WHERE rn <= 20 ORDER BY rn""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val pairs = copurchaseEdges(copurchaseItems(s, dir)).select($"pa", $"pb")
+      val pairs = copurchaseEdgesRaw(s, dir).select($"pa", $"pb")
       val e = pairs.select($"pa".as("u"), $"pb".as("v"))
         .unionAll(pairs.select($"pb".as("u"), $"pa".as("v")))
       val deg = e.groupBy($"u").agg(count(lit(1)).as("d"))
@@ -1527,7 +1550,7 @@ object RelationalQueries {
         | m3 AS (SELECT u, MIN(hop) hop FROM r3 GROUP BY 1)
         |SELECT u AS node, hop FROM m3 ORDER BY node""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val pairs = copurchaseEdges(copurchaseItems(s, dir)).select($"pa", $"pb")
+      val pairs = copurchaseEdgesRaw(s, dir).select($"pa", $"pb")
       val e = graft.functions.Checkpoints.lazyLocal(
         pairs.select($"pa".as("u"), $"pb".as("v"))
           .unionAll(pairs.select($"pb".as("u"), $"pa".as("v"))))
@@ -1588,7 +1611,7 @@ object RelationalQueries {
         |FROM nodes n LEFT JOIN l2 ON l2.u = n.u LEFT JOIN seeds ON seeds.u = n.u
         |ORDER BY node""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val pairs = copurchaseEdges(copurchaseItems(s, dir))
+      val pairs = copurchaseEdgesRaw(s, dir)
       // four consumers (two vote rounds, the node set, the seed slice)
       // reference the symmetric edge list — checkpoint it once so the
       // basket explode never re-runs (the q_pagerank treatment)
@@ -1635,7 +1658,7 @@ object RelationalQueries {
         |  CAST(n_nodes AS DOUBLE) / nn.n AS share
         |FROM h CROSS JOIN nn ORDER BY degree""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val pairs = copurchaseEdges(copurchaseItems(s, dir))
+      val pairs = copurchaseEdgesRaw(s, dir)
       val deg = pairs.select($"pa".as("u")).unionAll(pairs.select($"pb".as("u")))
         .groupBy($"u").agg(count(lit(1)).as("d"))
       val h = deg.groupBy($"d").agg(count(lit(1)).as("n_nodes"))
