@@ -135,4 +135,77 @@ class RobustSpec extends SparkSpec {
       Robust.Mode.Sketch).orderBy("l_returnflag").collect().toSeq
     assert(auto0 == sketch, "Auto over threshold must BE the sketch path")
   }
+
+  // ---- r18: the exact path now computes interpolated percentiles from
+  // the per-group value DISTRIBUTION instead of the sort-buffering
+  // `percentile` reducer. The replacement must be BIT-identical on
+  // adversarial shapes: fractional rank positions (q not a power of 2),
+  // heavy duplicate runs (lowerKey == higherKey short-circuit), null
+  // values (excluded from fences, counted in rows), singleton and
+  // two-row groups (position == 0 / pure interpolation), and double
+  // values (toDoubleValue identity).
+  test("exact fences from counts are bit-identical to SQL percentile on adversarial data") {
+    import spark.implicits._
+    val qs = Seq(0.1 -> "q10", 0.25 -> "q25", 0.37 -> "q37", 0.5 -> "med",
+      0.9 -> "q90", 0.99 -> "q99")
+    // deterministic pseudo-random longs with heavy duplication + skewed
+    // group sizes (group 0: 1 row; group 1: 2 rows; group g: g*97 rows)
+    val rows = for {
+      g <- 0 to 12
+      i <- 0 until (if (g == 0) 1 else if (g == 1) 2 else g * 97)
+    } yield (g.toLong, ((i * 2654435761L + g * 40503L) % 37) * 13 - 120)
+    val df = rows.toDF("g", "v")
+    val got = Robust.percentiles(df, "g", "v", qs, Robust.Mode.Exact).orderBy("g")
+    val refAggs = qs.map { case (q, n) => expr(s"percentile(v, $q)").as(n) }
+    val ref = df.groupBy("g")
+      .agg(refAggs.head, refAggs.tail: _*)
+      .orderBy("g")
+    assert(got.collect().toSeq == ref.collect().toSeq)
+    // double values exercise toDoubleValue-identity + fractional keys
+    val dd = rows.toDF("g", "v0").select($"g", ($"v0" / 7.0).as("v"))
+    val gotD = Robust.percentiles(dd, "g", "v", qs, Robust.Mode.Exact).orderBy("g")
+    val refD = dd.groupBy("g")
+      .agg(refAggs.head, refAggs.tail: _*)
+      .orderBy("g")
+    assert(gotD.collect().toSeq == refD.collect().toSeq)
+  }
+
+  test("exact mad/trimmed from counts match the row-level reference incl. null values") {
+    import spark.implicits._
+    val rows = (for {
+      g <- 0 to 4
+      i <- 0 until (g * 53 + 1)
+    } yield (g.toLong, Some(((i * 7919L + g) % 23) * 4 - 40))) ++
+      Seq((2L, None), (2L, None), (4L, None)) // nulls: out of fences, in n_rows
+    val df = rows.toDF("g", "v")
+    // row-level reference = the pre-r18 exact shape, inlined
+    val med = df.groupBy($"g".as("_rg"))
+      .agg(expr("CAST(percentile(v, 0.5) AS DOUBLE)").as("_med"))
+    val dev = df.join(broadcast(med), $"g" === $"_rg")
+      .select($"g", abs($"v" - $"_med").as("_ad"))
+    val mad = dev.groupBy($"g".as("_rg"))
+      .agg(expr("CAST(percentile(_ad, 0.5) AS DOUBLE)").as("_mad"))
+    val refMad = dev.join(broadcast(mad), $"g" === $"_rg")
+      .groupBy($"g")
+      .agg(count(lit(1)).as("n_rows"),
+        count(when($"_ad" > lit(1.5) * $"_mad", 1)).as("n_outliers"),
+        max($"_mad").as("mad"))
+      .orderBy($"g").collect().toSeq
+    val gotMad = Robust.madOutliers(df, "g", "v", 1.5, Robust.Mode.Exact)
+      .orderBy($"g").collect().toSeq
+    assert(gotMad == refMad)
+    val fences = df.groupBy($"g".as("_rg"))
+      .agg(expr("CAST(percentile(v, 0.1) AS DOUBLE)").as("_lo"),
+        expr("CAST(percentile(v, 0.9) AS DOUBLE)").as("_hi"))
+    val kept = $"v" >= $"_lo" && $"v" <= $"_hi"
+    val refTrim = df.join(broadcast(fences), $"g" === $"_rg")
+      .groupBy($"g")
+      .agg(count(lit(1)).as("n_rows"), count(when(kept, 1)).as("n_kept"),
+        (sum(when(kept, $"v")).cast("double") / count(when(kept, 1))).as("trimmed_mean"),
+        max($"_lo").as("lo_fence"), max($"_hi").as("hi_fence"))
+      .orderBy($"g").collect().toSeq
+    val gotTrim = Robust.trimmedStats(df, "g", "v", 0.1, 0.9, Robust.Mode.Exact)
+      .orderBy($"g").collect().toSeq
+    assert(gotTrim == refTrim)
+  }
 }
