@@ -568,16 +568,14 @@ object TextQueries {
         |        FROM cp a JOIN cp b ON a.doc_id = b.doc_id AND a.term < b.term GROUP BY 1,2),
         | r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY n_docs DESC, ta, tb) rk FROM pr)
         |SELECT rk, ta, tb, n_docs FROM r WHERE rk <= 15 ORDER BY rk""".stripMargin) { (s, dir) =>
-      // checkpointed (r18): the document-frequency aggregate and the
-      // capped candidate join both consume the distinct (doc, term)
-      // frame — un-checkpointed the tokenize→explode→distinct lineage
-      // ran twice per query (q_pmi_pairs already checkpointed its
-      // identical frame for the same reason)
-      val t = graft.functions.Checkpoints.lazyLocal(
-        Tables(s, dir, "documents")
-          .transform(Tables.spread(_, col("doc_id"))) // single-file scan → spread the pair loop
-          .select(col("doc_id"), explode(tokens("text")).as("term"))
-          .distinct())
+      // NOT checkpointed (r18, measured): unlike q_pmi_pairs (THREE
+      // consumers incl. an eager count), this t has two readers whose
+      // shared distinct exchange is already reused; the sf10 ladder read
+      // 16.2 s un-checkpointed vs 20.9 s checkpointed (min-of-2).
+      val t = Tables(s, dir, "documents")
+        .transform(Tables.spread(_, col("doc_id"))) // single-file scan → spread the pair loop
+        .select(col("doc_id"), explode(tokens("text")).as("term"))
+        .distinct()
       val dfq = t.groupBy(col("term").as("df_term")).agg(count(lit(1)).as("df"))
         .filter(col("df") >= 3)
       val byDoc = org.apache.spark.sql.expressions.Window
@@ -721,11 +719,12 @@ object TextQueries {
         |  CAST(SUM(n * sur) AS DOUBLE) / SUM(n) mean_surprisal,
         |  CAST(COALESCE(SUM(CASE WHEN sur >= 10 THEN n END), 0) AS BIGINT) n_rare
         |FROM s GROUP BY 1 ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      // checkpointed (r18): the per-(doc, token) tf frame is read by both
-      // the vocab rollup and the scoring join — un-checkpointed the
-      // corpus was tokenized twice per query. Serialized checkpoint
-      // storage (the r17 q_retrieval_eval fix) makes holding the
-      // tf-shaped frame the cheaper side of that trade at every scale.
+      // checkpointed (r18, measured at two scales): the per-(doc, token)
+      // tf frame is read by both the vocab rollup and the scoring join.
+      // Unlike the bigram twin (whose bigger tf frame made the
+      // checkpoint a net loss — see q_bigram_surprisal), the unigram
+      // frame is small enough that storing beats the deduped recompute:
+      // sf0.1 A/B 1.50 → 1.22 s, sf10 ladder min-of-4 ~11.0 → ~9.0 s.
       val dt = graft.functions.Checkpoints.lazyLocal(
         Tables(s, dir, "documents")
           .transform(Tables.spread(_, col("doc_id")))
@@ -1018,24 +1017,23 @@ object TextQueries {
         |  CAST(SUM(n*sur) AS DOUBLE)/SUM(n) mean_surprisal,
         |  CAST(COALESCE(SUM(CASE WHEN sur >= 8 THEN n END),0) AS BIGINT) n_rare
         |FROM s GROUP BY 1 ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      // checkpointed (r18): the per-(doc, bigram) frame is the expensive
-      // pass (tokenize + pair explode over the corpus) and BOTH the
-      // frequency rollup and the scoring join read it — un-checkpointed
-      // it ran twice per query. Same storage discipline as the
-      // q_retrieval_eval tf frame (MEMORY_AND_DISK_SER inside lazyLocal).
-      val dt = graft.functions.Checkpoints.lazyLocal(
-        Tables(s, dir, "documents")
-          .transform(Tables.spread(_, col("doc_id")))
-          .select(col("doc_id"), tokens("text").as("toks"))
-          .select(col("doc_id"), explode(expr(
-            // size < 2 guard: sequence(1, 0) DESCENDS where "no bigrams" is meant
-            "CASE WHEN size(toks) < 2 THEN CAST(array() AS ARRAY<STRUCT<l: STRING, r: STRING>>) " +
-              "ELSE transform(sequence(1, size(toks) - 1), " +
-              "i -> struct(toks[i-1] AS l, toks[i] AS r)) END")).as("p"))
-          .groupBy(col("doc_id"), col("p.l").as("l"), col("p.r").as("r"))
-          .agg(count(lit(1)).as("n")))
-      // the DATA-REDUCED bigram frequency frame stays checkpointed too:
-      // its own left-marginal aggregate and the join back both re-read it
+      // NOT checkpointed (r18, measured): exchange reuse already shares
+      // dt's (doc, l, r) aggregate between its two readers; the sf10
+      // ladder read 37.0 s un-checkpointed vs 45.8 s checkpointed
+      // (min-of-2) — the tf-shaped materialization costs more than the
+      // deduped recompute at scale.
+      val dt = Tables(s, dir, "documents")
+        .transform(Tables.spread(_, col("doc_id")))
+        .select(col("doc_id"), tokens("text").as("toks"))
+        .select(col("doc_id"), explode(expr(
+          // size < 2 guard: sequence(1, 0) DESCENDS where "no bigrams" is meant
+          "CASE WHEN size(toks) < 2 THEN CAST(array() AS ARRAY<STRUCT<l: STRING, r: STRING>>) " +
+            "ELSE transform(sequence(1, size(toks) - 1), " +
+            "i -> struct(toks[i-1] AS l, toks[i] AS r)) END")).as("p"))
+        .groupBy(col("doc_id"), col("p.l").as("l"), col("p.r").as("r"))
+        .agg(count(lit(1)).as("n"))
+      // checkpoint the DATA-REDUCED bigram frequency frame: its own
+      // left-marginal aggregate and the join back both re-read it
       // (registry-managed — the harness drops it after materialization)
       val f = graft.functions.Checkpoints.lazyLocal(
         dt.groupBy(col("l"), col("r")).agg(sum(col("n")).as("cnt")))
@@ -1086,26 +1084,24 @@ object TextQueries {
         |  CAST(SUM(n*(sg - st)) AS DOUBLE)/SUM(n) mean_bits
         |FROM sc GROUP BY 1,2,3 ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val targets = Seq("src0", "src1", "src2", "src3")
-      // checkpointed (r18): the per-(doc, bigram) frame is the query's
-      // expensive pass (one md5 per token position over the whole
-      // corpus) and BOTH the vocab rollup and the scoring join read it —
-      // un-checkpointed, the md5+explode+aggregate pipeline ran twice
-      // per query (the q_chunk_dedup treatment; registry-released)
-      val dt = graft.functions.Checkpoints.lazyLocal(
-        Tables(s, dir, "documents")
-          .transform(Tables.spread(_, col("doc_id")))
-          .select(col("doc_id"), col("source"), tokens("text").as("toks"))
-          .select(col("doc_id"), col("source"), explode(expr(
-            // size < 2 guard: sequence(1, 0) DESCENDS where "no bigrams" is meant
-            "CASE WHEN size(toks) < 2 THEN CAST(array() AS ARRAY<BIGINT>) " +
-              "ELSE transform(sequence(1, size(toks) - 1), " +
-              s"i -> ${md5Prefix64Sql("concat(toks[i-1], ' ', toks[i])")}) END")).as("g"))
-          .groupBy(col("doc_id"), col("source"), col("g"))
-          .agg(count(lit(1)).as("n")))
+      // NOT checkpointed (r18, measured): dt's double consumption is
+      // already deduplicated by exchange reuse (its (doc, source, g)
+      // aggregate exchange is an identical subtree under both readers),
+      // so a checkpoint only adds a serialization barrier — sf10 ladder
+      // min-of-2 read 29.4 s un-checkpointed vs 38.6 s checkpointed.
+      val dt = Tables(s, dir, "documents")
+        .transform(Tables.spread(_, col("doc_id")))
+        .select(col("doc_id"), col("source"), tokens("text").as("toks"))
+        .select(col("doc_id"), col("source"), explode(expr(
+          // size < 2 guard: sequence(1, 0) DESCENDS where "no bigrams" is meant
+          "CASE WHEN size(toks) < 2 THEN CAST(array() AS ARRAY<BIGINT>) " +
+            "ELSE transform(sequence(1, size(toks) - 1), " +
+            s"i -> ${md5Prefix64Sql("concat(toks[i-1], ' ', toks[i])")}) END")).as("g"))
+        .groupBy(col("doc_id"), col("source"), col("g"))
+        .agg(count(lit(1)).as("n"))
       // ONE vocab-sized frame carries both distributions (general count
-      // + conditional target count) — still checkpointed: the totals
-      // row and the scoring join both re-read it, and layering on the
-      // checkpointed dt means the vocab aggregate too runs exactly once
+      // + conditional target count) — checkpointed: the totals row and
+      // the scoring join both re-read it (registry-managed)
       val vc = graft.functions.Checkpoints.lazyLocal(
         dt.groupBy(col("g")).agg(sum(col("n")).as("cg"),
           coalesce(sum(when(col("source").isInCollection(targets), col("n"))), lit(0L)).as("ct")))
@@ -1338,11 +1334,11 @@ object TextQueries {
         |  CAST(COALESCE(SUM(CASE WHEN cum <= 1000 THEN n_tok END), 0) AS DOUBLE)/1000 budget_util
         |FROM c GROUP BY 1 ORDER BY source""".stripMargin) { (s, dir) =>
       val budget = 1000L
-      // checkpointed (r18): the doc-level quality/size frame costs a
-      // tokenize + regex strip per document and is consumed by the
-      // bucket aggregate AND the join back — un-checkpointed that per-doc
-      // pass ran twice per query; the frame itself is narrow (5 columns,
-      // one row per doc)
+      // checkpointed (r18, measured): the doc-level quality/size frame
+      // costs a tokenize + regex strip per document and is consumed by
+      // the bucket aggregate AND the join back; the frame is narrow
+      // (5 columns, one row per doc), so storing it wins decisively —
+      // sf10 ladder 9.0 → 5.5 s (min-of-2)
       val d = graft.functions.Checkpoints.lazyLocal(
         Tables(s, dir, "documents")
           .transform(Tables.spread(_, col("doc_id")))
