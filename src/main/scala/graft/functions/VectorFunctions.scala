@@ -25,9 +25,14 @@ object VectorFunctions {
   /** 2^20 — quantization scale. */
   val Q: Long = 1L << 20
 
-  /** array<float> → array<bigint>, exact deterministic quantization. */
+  /** array<float> → array<bigint>, exact deterministic quantization —
+    * ONE native expression ([[graft.plans.QuantizeVector]]) since r18:
+    * the former `transform(…)` fragment is an interpreted higher-order
+    * lambda (~64 boxed evals per embedding row) sitting on the first
+    * pass of EVERY vector query; the native loop computes the identical
+    * `floor(x·2^20)` int64 (VectorExprSpec pins native ≡ transform). */
   def quantize(c: String): Column =
-    expr(s"transform($c, x -> CAST(floor(CAST(x AS DOUBLE) * $Q.0) AS BIGINT))")
+    graft.plans.VectorExpressions.quantize(col(c), Q.toDouble)
 
   /** Exact int64 dot product of two quantized vectors, as ONE native
     * Catalyst expression ([[graft.plans.QuantizedDot]]).

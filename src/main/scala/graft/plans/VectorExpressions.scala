@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.classic.{GraftExpressionBridge => ExpressionUtils}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the vector/dedup hot paths.
@@ -70,6 +70,33 @@ object VectorOps {
       s += d * d; i += 1
     }
     s
+  }
+
+  /** Exact deterministic quantization of one float/double vector:
+    * element i → `floor(x_i · scale)` as int64 — the identical
+    * arithmetic of the `transform(c, x -> CAST(floor(CAST(x AS DOUBLE) *
+    * scale) AS BIGINT))` fragment it replaces (r18: `transform` is an
+    * interpreted higher-order lambda, ~64 boxed evals per embedding row
+    * on EVERY vector query's first pass; this is one native loop in
+    * both codegen and interpreted contexts). Null elements stay null
+    * (CAST(NULL) semantics); a NaN or out-of-int64-range product throws
+    * exactly where the ANSI cast would. */
+  def quantize(v: ArrayData, scale: Double, fromDouble: Boolean): ArrayData = {
+    val n = v.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (!v.isNullAt(i)) {
+        val x = if (fromDouble) v.getDouble(i) else v.getFloat(i).toDouble
+        val d = Math.floor(x * scale)
+        if (d.isNaN || d < Long.MinValue.toDouble || d > Long.MaxValue.toDouble)
+          throw new ArithmeticException(
+            s"graft_quantize: $x * $scale out of bigint range (ANSI cast contract)")
+        out(i) = d.toLong
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
   }
 
   /** All `k` MinHash slots in one pass over the per-shingle base hashes.
@@ -154,6 +181,34 @@ object VectorOps {
     }
     z
   }
+}
+
+/** `graft_quantize(array<float|double>) -> array<bigint>` — see
+  * [[VectorOps.quantize]]. */
+case class QuantizeVector(child: Expression, scale: Double) extends UnaryExpression {
+  override def prettyName: String = "graft_quantize"
+  // transform's lambda output is nullable, so the fragment this replaces
+  // produced containsNull = true — keep the schema identical
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+
+  private lazy val fromDouble: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_quantize requires array<float> or array<double>, got $t")
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    VectorOps.quantize(v.asInstanceOf[ArrayData], scale, fromDouble)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.plans.VectorOps.quantize($v, $scale, $fromDouble);")
+
+  override protected def withNewChildInternal(newChild: Expression): QuantizeVector =
+    copy(child = newChild)
 }
 
 /** `graft_qdot(array<bigint>, array<bigint>) -> bigint` — see [[VectorOps.qdot]]. */
@@ -296,6 +351,9 @@ case class ZOrder2(left: Expression, right: Expression) extends BinaryExpression
 
 /** Column-level constructors (classic-session bridge). */
 object VectorExpressions {
+  def quantize(v: Column, scale: Double): Column =
+    ExpressionUtils.column(QuantizeVector(ExpressionUtils.expression(v), scale))
+
   def qdot(a: Column, b: Column): Column =
     ExpressionUtils.column(QuantizedDot(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 

@@ -205,6 +205,24 @@ class VectorExprSpec extends SparkSpec {
       !(graft.functions.KMeans.nearestTop(2) <=> interp2)).count() === 0)
   }
 
+  // ---- r18: native quantization must be bit-identical to the
+  // interpreted transform fragment it replaced, on real embeddings and
+  // on null/edge shapes.
+  test("QuantizeVector equals the interpreted transform fragment") {
+    val e = Tables(spark, sf001, "embeddings")
+    val interp = expr(
+      "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT))")
+    assert(e.filter(!(quantize("embedding") <=> interp)).count() === 0)
+    assert(e.count() > 0)
+    // null array → null; null elements stay null; doubles accepted
+    val edge = spark.sql(
+      "SELECT CAST(NULL AS ARRAY<FLOAT>) a UNION ALL SELECT array(CAST(0.5 AS FLOAT), NULL) " +
+        "UNION ALL SELECT array(CAST(-0.25 AS FLOAT), CAST(0.0 AS FLOAT))")
+    val gotEdge = edge.select(graft.plans.VectorExpressions.quantize(col("a"), 1048576.0).as("q"),
+      expr("transform(a, x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT))").as("i"))
+    assert(gotEdge.filter(!(col("q") <=> col("i"))).count() === 0)
+  }
+
   test("LatticeD2 equals the interpreted decimal zip_with aggregate") {
     val e = Tables(spark, sf001, "embeddings")
       .select($"vec_id", $"label", quantize("embedding").as("q"))
