@@ -40,14 +40,22 @@ object BpeVocab {
     def release(): Unit = Checkpoints.releaseNow(corpus)
   }
 
-  /** Adjacent-pair frame (l, r, n) of a (doc_id, toks) corpus. */
+  /** Adjacent-pair frame (l, r, n) of a (doc_id, toks) corpus.
+    *
+    * r19 (guide codegen/expressions): the pair arrays are built with
+    * `arrays_zip` over two `slice`s — ordinary codegen expressions —
+    * instead of a `transform(sequence(…))` lambda, which is an
+    * interpreted higher-order function (CodegenFallback, one boxed eval
+    * per token per round on the fit loop's corpus pass). Identical
+    * pairs: slice(toks, 1, size-1) zipped with slice(toks, 2, size-1)
+    * is exactly ((toks[i-1], toks[i]))_{i=1..size-1}; the size < 2
+    * branch still yields no rows (slice length 0 each — and the old
+    * explicit guard stays for the sequence-descends trap it documents). */
   def pairCounts(corpus: DataFrame): DataFrame =
     corpus.select(explode(expr(
-        // size < 2 guard: Spark's sequence(1, 0) DESCENDS ([1, 0]) where
-        // "no pairs" is meant — same clamp convention as TextFunctions
         "CASE WHEN size(toks) < 2 THEN CAST(array() AS ARRAY<STRUCT<l: STRING, r: STRING>>) " +
-          "ELSE transform(sequence(1, size(toks) - 1), " +
-          "i -> struct(toks[i-1] AS l, toks[i] AS r)) END")).as("p"))
+          "ELSE CAST(arrays_zip(slice(toks, 1, size(toks) - 1), " +
+          "slice(toks, 2, size(toks) - 1)) AS ARRAY<STRUCT<l: STRING, r: STRING>>) END")).as("p"))
       .groupBy(col("p.l").as("l"), col("p.r").as("r"))
       .agg(count(lit(1)).as("n"))
 
@@ -172,9 +180,13 @@ object BpeVocab {
         }
         selected.foreach { case (l, r, n) => merges += Merge(step, l, r, n); step += 1 }
         prev = Some(corpus)
-        corpus = selected.foldLeft(corpus) { case (c, (l, r, _)) =>
-            c.withColumn("toks", mergeExpr(l, r))
-          }.localCheckpoint(false)
+        // r19: the composed rewrite runs as ONE native scan per document
+        // ([[graft.plans.BpeOps.applyMerges]] — sequential application of
+        // the selected merges, exactly the chained mergeExpr semantics;
+        // BpeExprSpec pins native ≡ chained-interpreted on the corpus)
+        corpus = corpus.withColumn("toks", graft.plans.BpeExpressions.applyMerges(
+            col("toks"), selected.toSeq.map(t => (t._1, t._2))))
+          .localCheckpoint(false)
       }
     }
     // materialize the final corpus (it is lazy over `prev`), then drop
@@ -199,18 +211,21 @@ object BpeVocab {
     * equivalent to, so encode(docs, fit(docs).merges) reproduces
     * fit's final corpus bit-for-bit (BpeSpec pins it).
     *
-    * Plan-size bound: each merge is one projection, fine for the
-    * hundreds-of-merges range; a realistic 32k-entry table should chunk
-    * the fold (localCheckpoint every few hundred merges to cut the
-    * plan) or move the whole table into one per-partition trie encoder
-    * via mapPartitions — the per-row loop is genuinely imperative at
-    * that size.
+    * r19: the whole table applies as ONE native expression
+    * ([[graft.plans.BpeOps.applyMerges]] — one greedy scan per merge in
+    * step order inside a single per-row loop, the mapPartitions-trie
+    * shape the old plan-size note asked for without leaving Catalyst),
+    * replacing |merges| chained interpreted mergeExpr projections
+    * (higher-order lambdas are CodegenFallback — one boxed eval per
+    * token per merge). BpeExprSpec pins native ≡ the chained mergeExpr
+    * fold on the real corpus and on self-pair/overlap shapes; BpeSpec's
+    * encode ≡ fit.corpus pin still holds by construction.
     *
     * Precondition: space-free input tokens, as in [[fit]] (merged
     * symbols are `l + " " + r`; the absorbed-token accounting counts
     * embedded spaces). */
   def encode(docs: DataFrame, merges: Seq[Merge]): DataFrame =
-    merges.sortBy(_.step).foldLeft(docs) { (c, m) =>
-      c.withColumn("toks", mergeExpr(m.left, m.right))
-    }
+    if (merges.isEmpty) docs
+    else docs.withColumn("toks", graft.plans.BpeExpressions.applyMerges(
+      col("toks"), merges.sortBy(_.step).map(m => (m.left, m.right))))
 }

@@ -1,6 +1,8 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
 /** Single front door for the exact/sketch robust-statistics pairs.
@@ -81,60 +83,200 @@ object Robust {
       .agg(count(lit(1)).as("_c"))
 
   /** Exact interpolated percentiles from a value-distribution frame —
-    * the r18 replacement for the sort-buffering `percentile` aggregate
-    * (guide §1.2 "the distributed algorithm" / §5 "memory and spill").
+    * the r18 move that made Exact mode value-domain-bounded instead of
+    * row-bounded (guide §1.2 "the distributed algorithm" / §5 "memory
+    * and spill"): every one of these operators runs on a BOUNDED VALUE
+    * DOMAIN (integer price mils, integer quantities, exact 0.5-multiple
+    * deviations), where the distribution `(group, value) → count` is
+    * the cheaper object by orders of magnitude.
     *
-    * Why: `percentile`'s reducer materializes a whole group's values
-    * (an OpenHashMap of boxed keys, merged single-threaded per group) —
-    * the bounded-scale contract the Exact twins carried. But every one
-    * of these operators runs on a BOUNDED VALUE DOMAIN (integer price
-    * mils, integer quantities, exact 0.5-multiple deviations), where
-    * the distribution `(group, value) → count` is the cheaper object by
-    * orders of magnitude: one map-side-combined count shuffle, then the
-    * interpolation needs only the cumulative counts over the DISTINCT
-    * values. Exact mode thus stops being row-bounded and becomes
-    * value-domain-bounded — no reducer ever buffers a group again, and
-    * callers reuse the counts frame instead of re-scanning the corpus.
-    *
-    * Exactness (oracle-pinned): replicates Spark `Percentile`'s
-    * arithmetic bit-for-bit, verified against the bytecode of
-    * `PercentileBase.getPercentile` (Spark 4.1.2) and pinned by
-    * RobustSpec on adversarial data: position = (N−1)·q in double;
-    * lowerKey/higherKey = the values whose cumulative-count ranges
-    * cover 0-based ranks floor(position)/ceil(position); result =
-    * lowerKey when the ranks coincide OR the keys are value-equal, else
-    * `(higher − position)·lowerKey + (position − lower)·higherKey` in
-    * exactly that double evaluation order. */
+    * r19 (guide §1.2 — fewer passes): the r18 shape re-derived the
+    * interpolation with an Exchange + Sort + two WindowExec passes +
+    * HashAggregate over the counts frame. Spark's own `percentile`
+    * aggregate takes a FREQUENCY argument — `percentile(value, qs, _c)`
+    * over the counts frame runs the IDENTICAL `PercentileBase
+    * .getPercentile` interpolation (bit-identical by construction, not
+    * by replication) in ONE hash aggregate with map-side partials. Its
+    * buffer is an OpenHashMap keyed by DISTINCT VALUE with summed
+    * counts — the same value-domain bound as the window shape (a
+    * per-group window sort held the same distinct rows in one task),
+    * with the sort deferred to the final eval of one bounded buffer.
+    * Plan diff per fence call: Exchange+Sort+2×Window+HashAggregate →
+    * partial_percentile + Exchange + final percentile (see
+    * plans/r19/q_mad_outliers_*.txt). RobustSpec still pins the
+    * interpolation adversarially against row-level `percentile`. */
   private def fencesFromCounts(counts: DataFrame, value: String,
       qs: Seq[Double]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    // percentile ignores null values itself; the explicit filter keeps
+    // the null-count rows (present for row totals) off the shuffle
     val nn = counts.filter(col(value).isNotNull)
-    val wOrd = Window.partitionBy(col("_r_group")).orderBy(col(value))
-    val wAll = Window.partitionBy(col("_r_group"))
-    val c = nn
-      .withColumn("_cum", sum(col("_c")).over(wOrd))
-      .withColumn("_n", sum(col("_c")).over(wAll))
-    val aggs = qs.zipWithIndex.flatMap { case (q, i) =>
-      val pos = (col("_n") - 1).cast("double") * lit(q)
-      val lo = floor(pos) // 0-based rank of the lower key, as bigint
-      val hi = ceil(pos)
-      // the value covering 0-based rank r is the unique row with
-      // cum_before ≤ r < cum; max(when(…)) selects it per group
-      Seq(
-        max(when(col("_cum") - col("_c") <= lo && col("_cum") > lo, col(value))).as(s"_lk$i"),
-        max(when(col("_cum") - col("_c") <= hi && col("_cum") > hi, col(value))).as(s"_hk$i"),
-        max(pos).as(s"_pos$i"), max(lo).as(s"_lo$i"), max(hi).as(s"_hi$i"))
+    nn.groupBy(col("_r_group"))
+      .agg(percentile(col(value), array(qs.map(lit): _*), col("_c")).as("_qq"))
+      .select(col("_r_group") +:
+        qs.indices.map(i => col("_qq").getItem(i).as(s"_q$i")): _*)
+  }
+
+  // ---- r19: one-pass exact aggregates over the value distribution.
+  //
+  // The r18 exact paths were value-domain-bounded but still ran as a
+  // CHAIN: counts checkpoint → fence aggregate → broadcast → deviation
+  // shuffle → checkpoint → fence aggregate → broadcast → final fold —
+  // 5 sequential jobs, 2 checkpoints and 2 broadcasts per query, a fixed
+  // constant the driver's r18 bench flagged at sf0.1 (q_mad_outliers
+  // 2.73 → 3.57 s). But once the per-group distribution (value → count)
+  // is IN ONE BUFFER — which every fence computation already required —
+  // the entire operator (median, deviation distribution, MAD, fence
+  // counts / trim fold) is a driver-free O(k log k) computation over that
+  // buffer. So exact mad/trimmed are now ONE aggregation each (guide
+  // §1.2: the fewest passes the operation fundamentally needs): partial
+  // (value → count) maps combine map-side, merge by key, and `finish`
+  // interpolates + folds. The memory bound is UNCHANGED (distinct values
+  // per group, exactly what the window sort / percentile buffer held);
+  // the plan loses every Exchange but the one groupBy, every checkpoint
+  // and every broadcast (plans/r19/q_mad_outliers_{before,after}.txt).
+  //
+  // Exactness: `pctFromSorted` replicates Spark `Percentile`'s
+  // getPercentile arithmetic bit-for-bit — position = (N−1)·q in double,
+  // lower/higher = floor/ceil as longs, value-equality short-circuits,
+  // `(higher − pos)·lowerKey + (pos − lower)·higherKey` in that double
+  // order — and the deviation/trim folds replicate the column
+  // expressions they replace (long→double promotion in comparisons,
+  // ANSI-loud int64 sums). RobustSpec pins all of it against row-level
+  // `percentile` references on adversarial data (nulls, duplicate runs,
+  // singleton groups, fractional ranks); the DuckDB oracle gates the
+  // queries end to end.
+
+  /** Per-group distribution buffer: (value → count) plus the null-valued
+    * row count (nulls are outside every fence but inside n_rows, exactly
+    * like the join-based shapes these aggregates replace). */
+  final case class DistState(nullRows: Long, m: Map[Long, Long])
+
+  /** madOutliers result row; a group with no non-null values yields SQL
+    * NULL (the old inner-join-on-fences shape dropped such groups). */
+  final case class MadRes(n_rows: Long, n_outliers: Long, mad: Double)
+
+  /** trimmedStats result row; trimmed_mean is None when nothing is kept
+    * (the old sum(when(kept…)) returned NULL). */
+  final case class TrimRes(n_rows: Long, n_kept: Long,
+      trimmed_mean: Option[Double], lo_fence: Double, hi_fence: Double)
+
+  /** Interpolated percentile over a sorted distinct-key distribution —
+    * Spark `PercentileBase.getPercentile` (4.1.2) bit-for-bit. `keyD(i)`
+    * is the i-th smallest key as double; `cum(i)` its inclusive
+    * cumulative count. */
+  private def pctFromSorted(keyD: Int => Double, cum: Array[Long], q: Double): Double = {
+    val n = cum(cum.length - 1)
+    val pos = (n - 1) * q
+    val lower = math.floor(pos).toLong
+    val higher = math.ceil(pos).toLong
+    // the key covering 0-based rank r is the first index with cum > r
+    def idxAt(r: Long): Int = {
+      var lo = 0; var hi = cum.length - 1
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (cum(mid) > r) hi = mid else lo = mid + 1
+      }
+      lo
     }
-    c.groupBy(col("_r_group")).agg(aggs.head, aggs.tail: _*)
-      .select(col("_r_group") +: qs.indices.map { i =>
-        val lowD = col(s"_lk$i").cast("double")
-        val highD = col(s"_hk$i").cast("double")
-        when(col(s"_hi$i") === col(s"_lo$i"), lowD)
-          .when(col(s"_hk$i") === col(s"_lk$i"), lowD)
-          .otherwise((col(s"_hi$i").cast("double") - col(s"_pos$i")) * lowD
-            + (col(s"_pos$i") - col(s"_lo$i").cast("double")) * highD)
-          .as(s"_q$i")
-      }: _*)
+    val li = idxAt(lower)
+    if (higher == lower) return keyD(li)
+    val hi = idxAt(higher)
+    if (hi == li) return keyD(li) // distinct sorted keys: same index ⇔ equal key
+    (higher - pos) * keyD(li) + (pos - lower) * keyD(hi)
+  }
+
+  private def reduceState(s: DistState, x: (java.lang.Long, java.lang.Long)): DistState = {
+    val c = x._2.longValue
+    if (x._1 == null) s.copy(nullRows = s.nullRows + c)
+    else {
+      val v = x._1.longValue
+      s.copy(m = s.m.updated(v, s.m.getOrElse(v, 0L) + c))
+    }
+  }
+
+  private def mergeState(a: DistState, b: DistState): DistState =
+    DistState(a.nullRows + b.nullRows,
+      b.m.foldLeft(a.m) { case (acc, (v, c)) => acc.updated(v, acc.getOrElse(v, 0L) + c) })
+
+  /** Sorted keys + inclusive cumulative counts of a distribution map. */
+  private def sortedCum(m: Map[Long, Long]): (Array[Long], Array[Long]) = {
+    val keys = m.keysIterator.toArray
+    java.util.Arrays.sort(keys)
+    val cum = new Array[Long](keys.length)
+    var t = 0L
+    var i = 0
+    while (i < keys.length) { t += m(keys(i)); cum(i) = t; i += 1 }
+    (keys, cum)
+  }
+
+  private final case class MadFromCounts(fence: Double)
+      extends Aggregator[(java.lang.Long, java.lang.Long), DistState, Option[MadRes]] {
+    override def zero: DistState = DistState(0L, Map.empty)
+    override def reduce(s: DistState, x: (java.lang.Long, java.lang.Long)): DistState =
+      reduceState(s, x)
+    override def merge(a: DistState, b: DistState): DistState = mergeState(a, b)
+    override def finish(s: DistState): Option[MadRes] = {
+      if (s.m.isEmpty) return None
+      val (keys, cum) = sortedCum(s.m)
+      val med = pctFromSorted(i => keys(i).toDouble, cum, 0.5)
+      // deviation distribution: |v − med| in double (long − double
+      // promotion, like the abs(col − _med) column it replaces); abs
+      // never yields -0.0, so double keys merge exactly like groupBy
+      val dm = scala.collection.mutable.HashMap.empty[Double, Long]
+      var i = 0
+      while (i < keys.length) {
+        val d = math.abs(keys(i).toDouble - med)
+        dm.update(d, dm.getOrElse(d, 0L) + (cum(i) - (if (i == 0) 0L else cum(i - 1))))
+        i += 1
+      }
+      val dk = dm.keysIterator.toArray
+      java.util.Arrays.sort(dk)
+      val dcum = new Array[Long](dk.length)
+      var t = 0L
+      i = 0
+      while (i < dk.length) { t += dm(dk(i)); dcum(i) = t; i += 1 }
+      val mad = pctFromSorted(i => dk(i), dcum, 0.5)
+      var out = 0L
+      i = 0
+      while (i < dk.length) {
+        if (dk(i) > fence * mad) out += dcum(i) - (if (i == 0) 0L else dcum(i - 1))
+        i += 1
+      }
+      Some(MadRes(cum(cum.length - 1) + s.nullRows, out, mad))
+    }
+    override def bufferEncoder: Encoder[DistState] = ExpressionEncoder()
+    override def outputEncoder: Encoder[Option[MadRes]] = ExpressionEncoder()
+  }
+
+  private final case class TrimFromCounts(loQ: Double, hiQ: Double)
+      extends Aggregator[(java.lang.Long, java.lang.Long), DistState, Option[TrimRes]] {
+    override def zero: DistState = DistState(0L, Map.empty)
+    override def reduce(s: DistState, x: (java.lang.Long, java.lang.Long)): DistState =
+      reduceState(s, x)
+    override def merge(a: DistState, b: DistState): DistState = mergeState(a, b)
+    override def finish(s: DistState): Option[TrimRes] = {
+      if (s.m.isEmpty) return None
+      val (keys, cum) = sortedCum(s.m)
+      val lo = pctFromSorted(i => keys(i).toDouble, cum, loQ)
+      val hi = pctFromSorted(i => keys(i).toDouble, cum, hiQ)
+      var kept = 0L
+      var sumKept = 0L
+      var i = 0
+      while (i < keys.length) {
+        val kd = keys(i).toDouble // long ≥ double comparison promotes, as in SQL
+        if (kd >= lo && kd <= hi) {
+          val c = cum(i) - (if (i == 0) 0L else cum(i - 1))
+          kept += c
+          // ANSI-loud at the same magnitudes as sum(value · _c) in SQL
+          sumKept = Math.addExact(sumKept, Math.multiplyExact(keys(i), c))
+        }
+        i += 1
+      }
+      Some(TrimRes(cum(cum.length - 1) + s.nullRows, kept,
+        if (kept == 0) None else Some(sumKept.toDouble / kept), lo, hi))
+    }
+    override def bufferEncoder: Encoder[DistState] = ExpressionEncoder()
+    override def outputEncoder: Encoder[Option[TrimRes]] = ExpressionEncoder()
   }
 
   /** Median-absolute-deviation outlier counts per group over an integer
@@ -151,33 +293,24 @@ object Robust {
   def madOutliers(df: DataFrame, group: String, value: String,
       fence: Double = 1.5, mode: Mode = Mode.Sketch, k: Int = 256): DataFrame = {
     if (useExact(df, mode)) {
-      // r18 exact path: the WHOLE query runs on the value distribution —
-      // one corpus scan (the counts shuffle), where the former shape
-      // scanned the corpus three times (median pass, deviation pass,
-      // fence count) and buffered two sorts in `percentile` reducers.
-      // The deviation distribution folds counts instead of rows; every
-      // aggregate below is over distinct-value frames.
-      // the distribution frames are value-domain-bounded (distinct values
-      // per group), so checkpointing them is cheap — and each is read by
-      // TWO consumers below; un-checkpointed, every consumer re-ran the
-      // full-corpus counting shuffle (registry-released per query)
-      val counts = Checkpoints.lazyLocal(groupValueCounts(df, group, value))
-      val med = fencesFromCounts(counts, value, Seq(0.5))
-        .withColumnRenamed("_q0", "_med")
-      val devCounts = Checkpoints.lazyLocal(
-        counts.join(broadcast(med), "_r_group")
-          .select(col("_r_group"), abs(col(value) - col("_med")).as("_ad"), col("_c"))
-          .groupBy(col("_r_group"), col("_ad")).agg(sum(col("_c")).as("_c")))
-      val mad = fencesFromCounts(devCounts, "_ad", Seq(0.5))
-        .withColumnRenamed("_q0", "_mad")
-      devCounts.join(broadcast(mad), "_r_group")
+      // r19 exact path: ONE aggregation — the counts shuffle feeds
+      // MadFromCounts, whose finish computes median, deviation
+      // distribution, MAD and the fence fold over the in-buffer
+      // distribution (see the r19 block above; was a 5-job chain with
+      // 2 checkpoints + 2 broadcasts in r18, 3 corpus scans + 2
+      // percentile reducer sorts before that).
+      groupValueCounts(df, group, value)
         .groupBy(col("_r_group").as(group))
-        // coalesce keeps n_rows non-nullable (count(1) was), so the mode
-        // switch stays schema-invisible; a group always has >= 1 count row
-        .agg(coalesce(sum(col("_c")), lit(0L)).as("n_rows"),
-          coalesce(sum(when(col("_ad") > lit(fence) * col("_mad"), col("_c"))),
-            lit(0L)).as("n_outliers"),
-          max(col("_mad")).as("mad"))
+        .agg(udaf(MadFromCounts(fence)).apply(col(value), col("_c")).as("_r"))
+        // a group with no non-null values has no fences — the old
+        // inner-join-on-fences shape dropped it, so does this
+        .filter(col("_r").isNotNull)
+        // coalesce keeps n_rows/n_outliers non-nullable (count(1) was in
+        // sketch mode), so the mode switch stays schema-invisible
+        .select(col(group),
+          coalesce(col("_r.n_rows"), lit(0L)).as("n_rows"),
+          coalesce(col("_r.n_outliers"), lit(0L)).as("n_outliers"),
+          col("_r.mad").as("mad"))
     } else {
       val med = quantileFences(df, group, value, Seq(0.5), exact = false, k)
         .withColumnRenamed("_q0", "_med")
@@ -204,22 +337,20 @@ object Robust {
       mode: Mode = Mode.Sketch, k: Int = 256): DataFrame = {
     val kept = col(value) >= col("_lo") && col(value) <= col("_hi")
     if (useExact(df, mode)) {
-      // r18 exact path: fences AND the trimmed aggregate both run on the
-      // value distribution — one corpus scan instead of two, no
-      // `percentile` reducer buffering. Row sums fold counts: Σ_rows v ≡
+      // r19 exact path: ONE aggregation — fences AND the trimmed fold
+      // run inside TrimFromCounts.finish over the in-buffer distribution
+      // (see the r19 block above). Row sums still fold counts: Σ_rows v ≡
       // Σ_distinct v·c exactly (int64, ANSI-loud at the same total).
-      // checkpointed for the same two-consumer reason as madOutliers
-      val counts = Checkpoints.lazyLocal(groupValueCounts(df, group, value))
-      val f = fencesFromCounts(counts, value, Seq(loQ, hiQ))
-        .select(col("_r_group"), col("_q0").as("_lo"), col("_q1").as("_hi"))
-      counts.join(broadcast(f), "_r_group")
+      groupValueCounts(df, group, value)
         .groupBy(col("_r_group").as(group))
+        .agg(udaf(TrimFromCounts(loQ, hiQ)).apply(col(value), col("_c")).as("_r"))
+        .filter(col("_r").isNotNull) // all-null groups had no fences (see madOutliers)
         // coalesce: schema-invisible mode switch (see madOutliers)
-        .agg(coalesce(sum(col("_c")), lit(0L)).as("n_rows"),
-          coalesce(sum(when(kept, col("_c"))), lit(0L)).as("n_kept"),
-          (sum(when(kept, col(value) * col("_c"))).cast("double")
-            / sum(when(kept, col("_c")))).as("trimmed_mean"),
-          max(col("_lo")).as("lo_fence"), max(col("_hi")).as("hi_fence"))
+        .select(col(group),
+          coalesce(col("_r.n_rows"), lit(0L)).as("n_rows"),
+          coalesce(col("_r.n_kept"), lit(0L)).as("n_kept"),
+          col("_r.trimmed_mean").as("trimmed_mean"),
+          col("_r.lo_fence").as("lo_fence"), col("_r.hi_fence").as("hi_fence"))
     } else {
       val f = quantileFences(df, group, value, Seq(loQ, hiQ), exact = false, k)
         .select(col("_r_group"), col("_q0").as("_lo"), col("_q1").as("_hi"))

@@ -170,6 +170,179 @@ object VectorOps {
     UTF8String.fromBytes(out)
   }
 
+  /** Count of positions where two bigint arrays agree: indices
+    * i < min(len a, len b) with both elements non-null and equal —
+    * exactly `size(filter(zip_with(a, b, (x, y) -> x = y), v -> v))`
+    * (zip_with pads the shorter array with nulls, `null = x` is null,
+    * and filter keeps only true), in one native loop instead of ~3·k
+    * boxed lambda evals per candidate pair (higher-order functions are
+    * CodegenFallback — r19, the minhash agreement-count hot path). */
+  def agree(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i) && a.getLong(i) == b.getLong(i)) c += 1
+      i += 1
+    }
+    c
+  }
+
+  /** Exact int64 SQ8 residual square-sum Σ(127·q_i − code_i·s)² — the
+    * q_int8_quantize audit aggregate as one native loop instead of a
+    * per-row interpreted `aggregate(zip_with(q, code, …))` chain (r19).
+    * Same bounds discipline as [[qdot]]. */
+  def sse127(q: ArrayData, code: ArrayData, s: Long): Long = {
+    val n = q.numElements()
+    if (code.numElements() != n)
+      throw new IllegalArgumentException(
+        s"graft_sse127: vector lengths differ ($n vs ${code.numElements()})")
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (q.isNullAt(i) || code.isNullAt(i))
+        throw new IllegalArgumentException(s"graft_sse127: null element at index $i")
+      val e = 127L * q.getLong(i) - code.getLong(i) * s
+      acc += e * e; i += 1
+    }
+    acc
+  }
+
+  /** Elementwise difference of two equal-length bigint arrays — the
+    * `zip_with(a, b, (x, y) -> x - y)` residual build (r19). Same
+    * contract and bounds discipline as [[qdot]]. */
+  def qsub(a: ArrayData, b: ArrayData): ArrayData = {
+    val n = a.numElements()
+    if (b.numElements() != n)
+      throw new IllegalArgumentException(
+        s"graft_qsub: vector lengths differ ($n vs ${b.numElements()})")
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i))
+        throw new IllegalArgumentException(s"graft_qsub: null element at index $i")
+      out(i) = a.getLong(i) - b.getLong(i); i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** max(|x_i|) over a bigint array — `array_max(transform(q, x ->
+    * abs(x)))` as one native loop (r19). Null elements are skipped like
+    * array_max does; empty/all-null yields NULL (boxed return). */
+  def maxAbs(v: ArrayData): Any = {
+    val n = v.numElements()
+    var best = -1L
+    var i = 0
+    while (i < n) {
+      if (!v.isNullAt(i)) {
+        val a = Math.abs(v.getLong(i))
+        if (a > best) best = a
+      }
+      i += 1
+    }
+    if (best < 0) null else java.lang.Long.valueOf(best)
+  }
+
+  /** SQ8 code array: element i → `(2·127·(x_i + s) + s) div (2·s) − 127`
+    * — the `transform(q, x -> …)` code lambda as one native loop (r19).
+    * All operands are non-negative at the call site (s = max|x| > 0), so
+    * Java truncating division ≡ SQL DIV exactly; s = 0 raises loudly
+    * like ANSI DIVIDE_BY_ZERO; null elements stay null (transform
+    * semantics). */
+  def sq8code(v: ArrayData, s: Long): ArrayData = {
+    if (s == 0L) throw new ArithmeticException("graft_sq8code: division by zero (s = 0)")
+    val n = v.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (!v.isNullAt(i)) {
+        val x = v.getLong(i)
+        out(i) = java.lang.Long.valueOf((2L * 127L * (x + s) + s) / (2L * s) - 127L)
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Count of elements with |x_i| = target — `size(filter(code, c ->
+    * abs(c) = target))` as one native loop (r19). Null elements never
+    * count (abs(null) filters out). */
+  def countAbsEq(v: ArrayData, target: Long): Int = {
+    val n = v.numElements()
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (!v.isNullAt(i) && Math.abs(v.getLong(i)) == target) c += 1
+      i += 1
+    }
+    c
+  }
+
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** The DISTINCT 60-bit gram hashes of a token array's word n-grams in
+    * one native pass — the q_decontaminate corpus hot path (r19). Hash
+    * values are bit-identical to the fragment it replaces:
+    *
+    * {{{
+    *   sh = array_distinct(transform(sequence(1, greatest(size(toks)-n+1, 1)),
+    *          i -> array_join(slice(toks, i, n), ' ')))
+    *   gh = transform(sh, x -> CAST(conv(substring(md5(x), 1, 15), 16, 10) AS BIGINT))
+    * }}}
+    *
+    * i.e. the first 15 hex digits of md5 over the space-joined gram
+    * (array_join skips null tokens; the window count is clamped at 1 so a
+    * short array yields its whole-array gram). The output is SORTED
+    * UNIQUE rather than first-occurrence-ordered: every consumer explodes
+    * it into countDistinct-style aggregates, where the multiset identity
+    * of VALUES is what matters — and a (cosmically unlikely) md5-60
+    * collision between two distinct grams merges to one element here
+    * exactly as it merges inside the downstream COUNT(DISTINCT g), so
+    * results cannot diverge. What the native loop removes per document:
+    * two interpreted `transform` lambdas (CodegenFallback), one gram
+    * String + one 32-char hex String allocation per window, the conv()
+    * hex re-parse, and `array_distinct`'s string hashing — md5 itself
+    * (the semantics) stays. */
+  def gramHash64(toks: ArrayData, n: Int): ArrayData = {
+    val size = toks.numElements()
+    val windows = math.max(size - n + 1, 1)
+    val md = md5Local.get()
+    val hs = new Array[Long](windows)
+    val space = Array[Byte](' ')
+    var i = 0
+    while (i < windows) {
+      md.reset()
+      val end = math.min(i + n, size)
+      var j = i
+      var first = true
+      while (j < end) {
+        if (!toks.isNullAt(j)) {
+          if (!first) md.update(space)
+          md.update(toks.getUTF8String(j).getBytes)
+          first = false
+        }
+        j += 1
+      }
+      val d = md.digest()
+      var v = 0L
+      var k = 0
+      while (k < 7) { v = (v << 8) | (d(k) & 0xffL); k += 1 }
+      hs(i) = (v << 4) | ((d(7) & 0xffL) >>> 4)
+      i += 1
+    }
+    java.util.Arrays.sort(hs)
+    var out = 0
+    var p = 0
+    while (p < windows) {
+      if (p == 0 || hs(p) != hs(p - 1)) { hs(out) = hs(p); out += 1 }
+      p += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(hs, out))
+  }
+
   /** 32-bit Morton code from the low 16 bits of two keys — see [[ZOrder2]]. */
   def morton2(a: Long, b: Long): Long = {
     var z = 0L
@@ -319,6 +492,176 @@ case class SimHash64(left: Expression, right: Expression) extends BinaryExpressi
     copy(left = l, right = r)
 }
 
+/** `graft_agree(array<bigint>, array<bigint>) -> int` — see
+  * [[VectorOps.agree]]. Null-safe like the `size(filter(zip_with(…)))`
+  * fragment it replaces: a NULL array yields NULL (size(NULL) under
+  * non-legacy semantics), a null ELEMENT simply never counts. */
+case class AgreeCount(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_agree"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_agree requires (array<bigint>, array<bigint>), got ($l, $r)")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.agree(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.plans.VectorOps.agree($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): AgreeCount =
+    copy(left = l, right = r)
+}
+
+/** `graft_sse127(array<bigint>, array<bigint>, bigint) -> bigint` — see
+  * [[VectorOps.sse127]]. */
+case class Sse127(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_sse127"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _), LongType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (q, c, s) => TypeCheckResult.TypeCheckFailure(
+        s"graft_sse127 requires (array<bigint>, array<bigint>, bigint), got ($q, $c, $s)")
+    }
+
+  override protected def nullSafeEval(q: Any, c: Any, s: Any): Any =
+    VectorOps.sse127(q.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData],
+      s.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (q, c, s) => s"graft.plans.VectorOps.sse127($q, $c, $s)")
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): Sse127 = copy(first = f, second = s, third = t)
+}
+
+/** `graft_qsub(array<bigint>, array<bigint>) -> array<bigint>` — see
+  * [[VectorOps.qsub]]. */
+case class QSubVector(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_qsub"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_qsub requires (array<bigint>, array<bigint>), got ($l, $r)")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.qsub(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.plans.VectorOps.qsub($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): QSubVector =
+    copy(left = l, right = r)
+}
+
+/** `graft_maxabs(array<bigint>) -> bigint` — see [[VectorOps.maxAbs]]. */
+case class MaxAbs(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "graft_maxabs"
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_maxabs requires array<bigint>, got $t")
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    VectorOps.maxAbs(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"""Object r = graft.plans.VectorOps.maxAbs($v);
+         |if (r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ((java.lang.Long) r).longValue(); }""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): MaxAbs =
+    copy(child = newChild)
+}
+
+/** `graft_sq8code(array<bigint>, bigint) -> array<bigint>` — see
+  * [[VectorOps.sq8code]]. */
+case class Sq8Code(left: Expression, right: Expression) extends BinaryExpression {
+  override def prettyName: String = "graft_sq8code"
+  // the transform lambda it replaces produced containsNull = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), LongType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_sq8code requires (array<bigint>, bigint), got ($l, $r)")
+    }
+
+  override protected def nullSafeEval(v: Any, s: Any): Any =
+    VectorOps.sq8code(v.asInstanceOf[ArrayData], s.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (v, s) => s"graft.plans.VectorOps.sq8code($v, $s)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Sq8Code =
+    copy(left = l, right = r)
+}
+
+/** `graft_countabseq(array<bigint>, target) -> int` — see
+  * [[VectorOps.countAbsEq]]. */
+case class CountAbsEq(child: Expression, target: Long) extends UnaryExpression {
+  override def prettyName: String = "graft_countabseq"
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_countabseq requires array<bigint>, got $t")
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    VectorOps.countAbsEq(v.asInstanceOf[ArrayData], target)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.plans.VectorOps.countAbsEq($v, ${target}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): CountAbsEq =
+    copy(child = newChild)
+}
+
+/** `graft_gramhash64(array<string>, n) -> array<bigint>` — see
+  * [[VectorOps.gramHash64]]. */
+case class GramHash64(child: Expression, n: Int) extends UnaryExpression {
+  override def prettyName: String = "graft_gramhash64"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if n >= 1 => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckFailure(
+      s"graft_gramhash64 requires n >= 1, got $n")
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_gramhash64 requires array<string> tokens, got $t")
+  }
+
+  override protected def nullSafeEval(toks: Any): Any =
+    VectorOps.gramHash64(toks.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.plans.VectorOps.gramHash64($t, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): GramHash64 =
+    copy(child = newChild)
+}
+
 /** `graft_zorder2(bigint, bigint) -> bigint` — 32-bit Morton code
   * interleaving the LOW 16 BITS of each key (bit i of `a` lands at 2i, of
   * `b` at 2i+1; higher bits are ignored, which both engines and the
@@ -368,4 +711,26 @@ object VectorExpressions {
 
   def zorder2(a: Column, b: Column): Column =
     ExpressionUtils.column(ZOrder2(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def agree(a: Column, b: Column): Column =
+    ExpressionUtils.column(AgreeCount(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def sse127(q: Column, code: Column, s: Column): Column =
+    ExpressionUtils.column(Sse127(ExpressionUtils.expression(q),
+      ExpressionUtils.expression(code), ExpressionUtils.expression(s)))
+
+  def qsub(a: Column, b: Column): Column =
+    ExpressionUtils.column(QSubVector(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def gramHash64(toks: Column, n: Int): Column =
+    ExpressionUtils.column(GramHash64(ExpressionUtils.expression(toks), n))
+
+  def maxAbs(v: Column): Column =
+    ExpressionUtils.column(MaxAbs(ExpressionUtils.expression(v)))
+
+  def sq8code(v: Column, s: Column): Column =
+    ExpressionUtils.column(Sq8Code(ExpressionUtils.expression(v), ExpressionUtils.expression(s)))
+
+  def countAbsEq(v: Column, target: Long): Column =
+    ExpressionUtils.column(CountAbsEq(ExpressionUtils.expression(v), target))
 }

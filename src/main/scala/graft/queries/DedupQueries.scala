@@ -344,7 +344,9 @@ object DedupQueries {
       jaccardPairs(lshCandidatesFromSig(sig), sig)
         .join(siga, "a_id").join(sigb, "b_id")
         .withColumn("matches",
-          expr("size(filter(zip_with(ma, mb, (x, y) -> x = y), b -> b))").cast("long"))
+          // r19: native agreement count — the zip_with/filter/size chain is
+          // ~3·16 interpreted lambda evals per candidate pair (CodegenFallback)
+          graft.plans.VectorExpressions.agree(col("ma"), col("mb")).cast("long"))
         .select(col("a_id"), col("b_id"),
           (col("matches").cast("double") / 16).as("est_jac"),
           col("jac").as("true_jac"),
@@ -524,12 +526,18 @@ object DedupQueries {
         |            COUNT(DISTINCT tr.g) AS n_shared_grams
         |          FROM tr JOIN ev USING (g) GROUP BY tr.doc_id)
         |SELECT doc_id, n_eval_docs, n_shared_grams FROM hits ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      // r19 (guide §1.2/codegen): the shingle+hash corpus pass was TWO
+      // interpreted `transform` lambdas per document (slice+array_join
+      // string builds, then md5-hex + conv re-parse) plus a string
+      // array_distinct. graft_gramhash64 emits the IDENTICAL 60-bit
+      // md5-prefix values in one native loop (VectorExprSpec pins the
+      // value-set equality); its sorted-unique order is safe because
+      // every consumer explodes into COUNT(DISTINCT …) aggregates.
       val sh5 = Tables(s, dir, "documents")
         .transform(Tables.spread(_, col("doc_id")))
         .withColumn("toks", tokens("text"))
-        .select(col("doc_id"), shingles("toks", 5).as("sh"))
         .select(col("doc_id"),
-          expr(s"transform(sh, x -> ${md5Prefix64Sql("x")})").as("gh"))
+          graft.plans.VectorExpressions.gramHash64(col("toks"), 5).as("gh"))
       val ev = sh5.filter(col("doc_id") % 20 === 0)
         .select(col("doc_id").as("eval_id"), explode(col("gh")).as("g"))
       val tr = sh5.filter(col("doc_id") % 20 =!= 0)
@@ -684,7 +692,8 @@ object DedupQueries {
       val mb = sg.select(col("doc_id").as("b_id"), col("mh").as("mb"))
       pairs.join(ma, "a_id").join(mb, "b_id")
         .withColumn("n_match",
-          expr("size(filter(zip_with(ma, mb, (x, y) -> x = y), b -> b))").cast("long"))
+          // r19: native agreement count (see q_minhash_union note above)
+          graft.plans.VectorExpressions.agree(col("ma"), col("mb")).cast("long"))
         .withColumn("est", col("n_match").cast("double") / 16)
         .select(col("a_id"), col("b_id"), col("jac"), col("n_match"), col("est"),
           abs(col("est") - col("jac")).as("abs_err"))
@@ -895,7 +904,8 @@ object DedupQueries {
       val b = merged.toDF("source_b", "mnb")
       a.join(broadcast(b), col("source_a") < col("source_b"))
         .withColumn("n_match",
-          expr("size(filter(zip_with(mna, mnb, (x, y) -> x = y), v -> v))").cast("long"))
+          // r19: native agreement count over the merged signatures
+          graft.plans.VectorExpressions.agree(col("mna"), col("mnb")).cast("long"))
         .select(col("source_a"), col("source_b"), col("n_match"),
           (col("n_match").cast("double") / 16).as("est_jaccard"))
         .orderBy(col("source_a"), col("source_b"))

@@ -701,13 +701,17 @@ object SimilarityQueries {
         .transform(Tables.spread(_, col("vec_id")))
         .select(col("vec_id"), col("label").cast("long").as("label"),
           quantize("embedding").as("q"))
-        .withColumn("s", expr("array_max(transform(q, x -> abs(x)))"))
+        // r19: the whole per-row audit pipeline is native — maxabs, SQ8
+        // code, residual square-sum and saturation count were four
+        // interpreted higher-order lambdas per corpus row
+        // (CodegenFallback); VectorExprSpec pins each ≡ its fragment
+        .withColumn("s", graft.plans.VectorExpressions.maxAbs(col("q")))
         .filter(col("s") > 0)
-        .withColumn("code", expr("transform(q, x -> (2*127*(x + s) + s) DIV (2*s) - 127)"))
-        .withColumn("sse127", expr(
-          "aggregate(zip_with(q, code, (x, c) -> (127*x - c*s)*(127*x - c*s)), " +
-            "CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
-        .withColumn("n_sat", expr("size(filter(code, c -> abs(c) = 127))").cast("long"))
+        .withColumn("code", graft.plans.VectorExpressions.sq8code(col("q"), col("s")))
+        .withColumn("sse127",
+          graft.plans.VectorExpressions.sse127(col("q"), col("code"), col("s")))
+        .withColumn("n_sat",
+          graft.plans.VectorExpressions.countAbsEq(col("code"), 127L).cast("long"))
         .select(col("vec_id"), col("label"), col("s").as("s_max"), col("n_sat"),
           col("sse127"),
           // residual units: e = 127·q − code·s with q = floor(x·2^20), so
@@ -768,7 +772,8 @@ object SimilarityQueries {
       val pairs = e.filter(col("vec_id") % 10 === 0)
         .select(col("vec_id").as("cid"), col("q").as("ce"))
         .join(qv, col("qid") =!= col("cid"))
-        .withColumn("d", expr("zip_with(qe, ce, (a, b) -> a - b)"))
+        // r19: native elementwise difference (zip_with is CodegenFallback)
+        .withColumn("d", graft.plans.VectorExpressions.qsub(col("qe"), col("ce")))
         .withColumn("so_pair", qdot("d", "d"))
         // 8 native integer dots against the literal ±1 planes, squared
         // and summed per pair — all int64 (≤ ~2^57 per pair)

@@ -865,8 +865,13 @@ object TextQueries {
           docs.withColumn("n_before", size(col("toks")).cast("long")), fit.merges)
         .select(col("doc_id"), col("n_before"),
           size(col("toks")).cast("long").as("n_after"),
-          expr("aggregate(toks, 0L, (a, x) -> a + size(split(x, ' ')) - 1)")
-            .as("n_absorbed"),
+          // r19: Σ_tok (size(split(tok,' ')) − 1) ≡ total embedded spaces
+          // ≡ spaces in the separator-free concatenation — two codegen
+          // string passes instead of an interpreted per-token aggregate
+          // lambda (QueryInvariantSpec's conservation law still pins it)
+          (length(array_join(col("toks"), ""))
+            - length(translate(array_join(col("toks"), ""), " ", "")))
+            .cast("long").as("n_absorbed"),
           (size(col("toks")).cast("double") / col("n_before")).as("compression"))
         .orderBy(col("doc_id"))
     },

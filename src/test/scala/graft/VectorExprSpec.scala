@@ -223,6 +223,93 @@ class VectorExprSpec extends SparkSpec {
     assert(gotEdge.filter(!(col("q") <=> col("i"))).count() === 0)
   }
 
+  // ---- r19: the native minhash agreement count must be bit-identical to
+  // the zip_with/filter/size fragment it replaced, including short/null
+  // array shapes the sites can never produce but the expression allows.
+  test("AgreeCount equals the interpreted zip_with/filter/size fragment") {
+    val sh = docs.limit(80)
+      .withColumn("toks", tokens("text"))
+      .select($"doc_id", shingles("toks", 3).as("sh"))
+      .withColumn("mh", minhashSignature("sh", 16))
+    val pairs = sh.select($"doc_id".as("a_id"), $"mh".as("ma"))
+      .crossJoin(sh.select($"doc_id".as("b_id"), $"mh".as("mb")))
+      .filter($"a_id" < $"b_id")
+    val interp = expr("size(filter(zip_with(ma, mb, (x, y) -> x = y), v -> v))")
+    assert(pairs.filter(
+      !(VectorExpressions.agree($"ma", $"mb") <=> interp)).count() === 0)
+    assert(pairs.count() > 0)
+    // edge shapes: unequal lengths (zip_with pads with null = dropped),
+    // null elements (never equal), null arrays (NULL out)
+    val edge = spark.sql(
+      "SELECT array(1L, 2L, 3L) a, array(1L, 9L) b " +
+        "UNION ALL SELECT array(1L, NULL, 3L), array(1L, NULL, 3L) " +
+        "UNION ALL SELECT CAST(NULL AS ARRAY<BIGINT>), array(1L)")
+    val gotEdge = edge.select(VectorExpressions.agree($"a", $"b").as("n"),
+      expr("size(filter(zip_with(a, b, (x, y) -> x = y), v -> v))").as("i"))
+    assert(gotEdge.filter(!($"n" <=> $"i")).count() === 0)
+  }
+
+  // ---- r19: the native SQ8 audit pipeline (maxabs, code, residual
+  // square-sum, saturation count) and the elementwise difference must be
+  // bit-identical to the interpreted lambdas they replaced, on the real
+  // quantized embeddings.
+  test("MaxAbs, Sq8Code, Sse127, CountAbsEq and QSubVector equal their fragments") {
+    val e = Tables(spark, sf001, "embeddings")
+      .select($"vec_id", quantize("embedding").as("q"))
+      .withColumn("s", expr("array_max(transform(q, x -> abs(x)))"))
+      .filter($"s" > 0)
+      .withColumn("code", expr("transform(q, x -> (2*127*(x + s) + s) DIV (2*s) - 127)"))
+    assert(e.filter(
+      !(VectorExpressions.maxAbs($"q") <=> $"s")).count() === 0)
+    assert(e.filter(
+      !(VectorExpressions.sq8code($"q", $"s") <=> $"code")).count() === 0)
+    val interpSse = expr(
+      "aggregate(zip_with(q, code, (x, c) -> (127*x - c*s)*(127*x - c*s)), " +
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+    assert(e.filter(
+      !(VectorExpressions.sse127($"q", $"code", $"s") <=> interpSse)).count() === 0)
+    val interpSat = expr("size(filter(code, c -> abs(c) = 127))")
+    assert(e.filter(
+      !(VectorExpressions.countAbsEq($"code", 127L) <=> interpSat)).count() === 0)
+    val interpSub = expr("zip_with(q, code, (a, b) -> a - b)")
+    assert(e.filter(
+      !(VectorExpressions.qsub($"q", $"code") <=> interpSub)).count() === 0)
+    assert(e.count() > 0)
+    // null-element / empty edges mirror the fragments
+    val edge = spark.sql(
+      "SELECT array(1L, NULL, -9L) a UNION ALL SELECT CAST(array() AS ARRAY<BIGINT>) " +
+        "UNION ALL SELECT CAST(NULL AS ARRAY<BIGINT>)")
+    val gotEdge = edge.select(
+      VectorExpressions.maxAbs($"a").as("m"),
+      expr("array_max(transform(a, x -> abs(x)))").as("mi"),
+      VectorExpressions.countAbsEq($"a", 9L).as("c"),
+      expr("size(filter(a, x -> abs(x) = 9))").as("ci"))
+    assert(gotEdge.filter(!($"m" <=> $"mi") || !($"c" <=> $"ci")).count() === 0)
+  }
+
+  // ---- r19: the native gram hasher must produce exactly the SET of
+  // 60-bit md5-prefix values the shingle+transform chain produced (its
+  // output is sorted unique; the old chain was first-occurrence-ordered
+  // string-distinct — identical value sets whenever md5-60 is injective
+  // on the grams, which the sort makes directly checkable).
+  test("GramHash64 equals the shingle + md5-prefix transform chain") {
+    val f = docs
+      .withColumn("toks", tokens("text"))
+      .withColumn("sh", shingles("toks", 5))
+      .withColumn("old", expr(
+        s"array_sort(transform(sh, x -> ${md5Prefix64Sql("x")}))"))
+      .withColumn("nw", VectorExpressions.gramHash64($"toks", 5))
+    assert(f.filter(!($"old" <=> $"nw")).count() === 0)
+    assert(f.count() > 0)
+    // short-array clamp: a doc with fewer than n tokens yields its single
+    // whole-array gram, exactly like sequence(1, greatest(size-n+1, 1))
+    val edge = spark.sql("SELECT array('a', 'b') toks UNION ALL SELECT array('a')")
+      .withColumn("sh", shingles("toks", 5))
+      .withColumn("old", expr(s"array_sort(transform(sh, x -> ${md5Prefix64Sql("x")}))"))
+      .withColumn("nw", VectorExpressions.gramHash64($"toks", 5))
+    assert(edge.filter(!($"old" <=> $"nw")).count() === 0)
+  }
+
   test("LatticeD2 equals the interpreted decimal zip_with aggregate") {
     val e = Tables(spark, sf001, "embeddings")
       .select($"vec_id", $"label", quantize("embedding").as("q"))
