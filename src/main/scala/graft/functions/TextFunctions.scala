@@ -31,20 +31,23 @@ object TextFunctions {
   def regexTokens(c: String): Column =
     expr(s"regexp_extract_all($c, '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)")
 
-  /** Distinct word n-gram shingles joined with spaces. */
+  /** Distinct word n-gram shingles joined with spaces — ONE native pass
+    * ([[graft.plans.ShinglesExpr]]) since r19: the former
+    * `array_distinct(transform(sequence(…), i -> array_join(slice(…))))`
+    * chain is an interpreted higher-order lambda materializing a sliced
+    * array per window, on every minhash/dedup query's corpus pass.
+    * Bit-identical output (same grams, same clamp, same first-occurrence
+    * dedup order — VectorExprSpec pins it). */
   def shingles(toksCol: String, n: Int): Column =
-    expr(s"array_distinct(transform(sequence(1, greatest(size($toksCol)-${n - 1}, 1)), " +
-      s"i -> array_join(slice($toksCol, i, $n), ' ')))")
+    graft.plans.VectorExpressions.shingles(col(toksCol), n)
 
-  /** Count of tokens that appear in `words`. Words are escaped into the
-    * SQL literal list (backslash for ' and \), so a contraction like
-    * "don't" cannot break the generated expression. */
-  def markerCount(toksCol: String, words: Seq[String]): Column = {
-    val lst = words
-      .map(w => w.replace("\\", "\\\\").replace("'", "\\'"))
-      .map(w => s"'$w'").mkString(", ")
-    expr(s"size(filter($toksCol, x -> x IN ($lst)))")
-  }
+  /** Count of tokens that appear in `words` — ONE native hash-set probe
+    * per token ([[graft.plans.MarkerCount]]) since r19; was
+    * `size(filter(toks, x IN (…)))`, an interpreted lambda re-scanning
+    * the literal list per token on every language/quality corpus pass
+    * (VectorExprSpec pins the equivalence). */
+  def markerCount(toksCol: String, words: Seq[String]): Column =
+    graft.plans.VectorExpressions.markerCount(col(toksCol), words)
 
   /** SQL fragment hashing a string expression to a 60-bit int64 (first
     * 15 hex digits of md5 — 16^15 = 2^60 < 2^63). The engine-portable
@@ -73,7 +76,10 @@ object TextFunctions {
     * family (collisions are inside MinHash's error envelope); exact
     * join/group keys use the 60-bit [[md5Prefix64Sql]] instead. */
   def shingleBases(shCol: String): Column =
-    expr(s"transform($shCol, x -> CAST(conv(substring(md5(x), 1, 8), 16, 10) AS BIGINT))")
+    graft.plans.VectorExpressions.md5Base32(col(shCol)) // r19: one native
+    // loop (digest bytes → unsigned 32-bit int, ≡ the 8-hex-digit conv);
+    // was an interpreted transform with an md5-hex + conv re-parse per
+    // shingle (VectorExprSpec pins the equivalence)
 
   /** MinHash signature of length `k` over a shingle-array column: affine
     * family `h_i(b) = ((2i+1)·b + 1000003·i) mod 2147483647` over the

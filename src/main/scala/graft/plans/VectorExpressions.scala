@@ -343,6 +343,116 @@ object VectorOps {
     new GenericArrayData(java.util.Arrays.copyOf(hs, out))
   }
 
+  /** All ordered index pairs (i < j) of a bigint array as
+    * array<struct<pa, pb>> — the basket pair expansion
+    * `flatten(transform(parts, (x, i) -> transform(slice(parts, i + 2,
+    * size(parts)), y -> struct(x, y))))` as one native double loop (r19:
+    * the nested transforms are interpreted CodegenFallback lambdas that
+    * also materialize a sliced array per element — per-basket cost on
+    * every graph query's corpus pass). Identical pair sequence. Null
+    * elements are rejected loudly (sorted collect_set output never
+    * contains them). */
+  def sortedPairs(parts: ArrayData): ArrayData = {
+    val n = parts.numElements()
+    val vs = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      if (parts.isNullAt(i))
+        throw new IllegalArgumentException(s"graft_sortedpairs: null element at index $i")
+      vs(i) = parts.getLong(i)
+      i += 1
+    }
+    val out = new Array[Any](n * (n - 1) / 2)
+    var k = 0
+    i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        out(k) = org.apache.spark.sql.catalyst.InternalRow(vs(i), vs(j))
+        k += 1; j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Distinct word n-gram shingles joined with spaces, first-occurrence
+    * order — `array_distinct(transform(sequence(1, greatest(size - n + 1,
+    * 1)), i -> array_join(slice(toks, i, n), ' ')))` as one native loop
+    * (r19: the transform + per-window slice/array_join chain is
+    * interpreted CodegenFallback on every minhash/dedup query's corpus
+    * pass). Bit-identical output array: same gram strings (array_join
+    * skips null tokens), same clamp (short arrays yield their one
+    * whole-array gram), same first-occurrence dedup order. */
+  def shingles(toks: ArrayData, n: Int): ArrayData = {
+    val size = toks.numElements()
+    val windows = math.max(size - n + 1, 1)
+    val seen = new java.util.LinkedHashSet[UTF8String](windows * 2)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < windows) {
+      sb.setLength(0)
+      val end = math.min(i + n, size)
+      var j = i
+      var first = true
+      while (j < end) {
+        if (!toks.isNullAt(j)) {
+          if (!first) sb.append(' ')
+          sb.append(toks.getUTF8String(j).toString)
+          first = false
+        }
+        j += 1
+      }
+      seen.add(UTF8String.fromString(sb.toString))
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Per-element 32-bit md5-prefix base hashes —
+    * `transform(sh, x -> CAST(conv(substring(md5(x), 1, 8), 16, 10) AS
+    * BIGINT))` as one native loop (r19): value = the first 4 digest
+    * bytes as an unsigned big-endian int, exactly the 8-hex-digit
+    * prefix. Null elements are rejected loudly (shingle arrays never
+    * contain them). */
+  def md5Base32(sh: ArrayData): ArrayData = {
+    val n = sh.numElements()
+    val md = md5Local.get()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      if (sh.isNullAt(i))
+        throw new IllegalArgumentException(s"graft_md5base32: null element at index $i")
+      md.reset()
+      md.update(sh.getUTF8String(i).getBytes)
+      val d = md.digest()
+      out(i) = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Count of tokens present in a literal word set — `size(filter(toks,
+    * x -> x IN (…)))` as one native loop over a hash set (r19: the
+    * filter lambda re-scans the IN list interpreted per token on every
+    * language/quality corpus pass). Null tokens never count (null IN
+    * (…) is null → filtered). */
+  def markerCount(toks: ArrayData, words: java.util.HashSet[UTF8String]): Int = {
+    val n = toks.numElements()
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (!toks.isNullAt(i) && words.contains(toks.getUTF8String(i))) c += 1
+      i += 1
+    }
+    c
+  }
+
   /** 32-bit Morton code from the low 16 bits of two keys — see [[ZOrder2]]. */
   def morton2(a: Long, b: Long): Long = {
     var z = 0L
@@ -637,6 +747,112 @@ case class CountAbsEq(child: Expression, target: Long) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `graft_sortedpairs(array<bigint>) -> array<struct<pa, pb>>` — see
+  * [[VectorOps.sortedPairs]]. */
+case class SortedPairs(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "graft_sortedpairs"
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("pa", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("pb", LongType, nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_sortedpairs requires array<bigint>, got $t")
+  }
+
+  override protected def nullSafeEval(parts: Any): Any =
+    VectorOps.sortedPairs(parts.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, p =>
+      s"${ev.value} = graft.plans.VectorOps.sortedPairs($p);")
+
+  override protected def withNewChildInternal(newChild: Expression): SortedPairs =
+    copy(child = newChild)
+}
+
+/** `graft_shingles(array<string>, n) -> array<string>` — see
+  * [[VectorOps.shingles]]. */
+case class ShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
+  override def prettyName: String = "graft_shingles"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if n >= 1 => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckFailure(
+      s"graft_shingles requires n >= 1, got $n")
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_shingles requires array<string> tokens, got $t")
+  }
+
+  override protected def nullSafeEval(toks: Any): Any =
+    VectorOps.shingles(toks.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.plans.VectorOps.shingles($t, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): ShinglesExpr =
+    copy(child = newChild)
+}
+
+/** `graft_md5base32(array<string>) -> array<bigint>` — see
+  * [[VectorOps.md5Base32]]. */
+case class Md5Base32(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "graft_md5base32"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_md5base32 requires array<string>, got $t")
+  }
+
+  override protected def nullSafeEval(sh: Any): Any =
+    VectorOps.md5Base32(sh.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, sh =>
+      s"${ev.value} = graft.plans.VectorOps.md5Base32($sh);")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5Base32 =
+    copy(child = newChild)
+}
+
+/** `graft_markercount(array<string>) -> int` with a literal word set —
+  * see [[VectorOps.markerCount]]. */
+case class MarkerCount(child: Expression, words: Seq[String]) extends UnaryExpression {
+  override def prettyName: String = "graft_markercount"
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_markercount requires array<string> tokens, got $t")
+  }
+
+  @transient private lazy val wordSet: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](words.length * 2)
+    words.foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+
+  override protected def nullSafeEval(toks: Any): Any =
+    VectorOps.markerCount(toks.asInstanceOf[ArrayData], wordSet)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("markerWords", wordSet, "java.util.HashSet")
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.plans.VectorOps.markerCount($t, $ref);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MarkerCount =
+    copy(child = newChild)
+}
+
 /** `graft_gramhash64(array<string>, n) -> array<bigint>` — see
   * [[VectorOps.gramHash64]]. */
 case class GramHash64(child: Expression, n: Int) extends UnaryExpression {
@@ -733,4 +949,16 @@ object VectorExpressions {
 
   def countAbsEq(v: Column, target: Long): Column =
     ExpressionUtils.column(CountAbsEq(ExpressionUtils.expression(v), target))
+
+  def sortedPairs(parts: Column): Column =
+    ExpressionUtils.column(SortedPairs(ExpressionUtils.expression(parts)))
+
+  def shingles(toks: Column, n: Int): Column =
+    ExpressionUtils.column(ShinglesExpr(ExpressionUtils.expression(toks), n))
+
+  def md5Base32(sh: Column): Column =
+    ExpressionUtils.column(Md5Base32(ExpressionUtils.expression(sh)))
+
+  def markerCount(toks: Column, words: Seq[String]): Column =
+    ExpressionUtils.column(MarkerCount(ExpressionUtils.expression(toks), words))
 }

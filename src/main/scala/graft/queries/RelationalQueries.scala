@@ -101,9 +101,12 @@ object RelationalQueries {
     items
       .groupBy(c("l_orderkey"))
       .agg(sort_array(collect_set(c("l_partkey"))).as("parts"))
-      .select(explode(expr(
-        "flatten(transform(parts, (x, i) -> " +
-          "transform(slice(parts, i + 2, size(parts)), y -> struct(x AS pa, y AS pb))))")).as("e"))
+      // r19 (guide codegen/expressions): the i<j pair expansion was a
+      // nested interpreted transform+slice lambda chain (CodegenFallback,
+      // a sliced array materialized per element per basket) on every
+      // graph query's corpus pass — graft_sortedpairs emits the identical
+      // pair sequence in one native double loop (VectorExprSpec pins it)
+      .select(explode(graft.plans.VectorExpressions.sortedPairs(c("parts"))).as("e"))
       .select(c("e.pa"), c("e.pb"))
       .groupBy(c("pa"), c("pb")).agg(count(lit(1)).as("su"))
       .filter(c("su") >= CopurchaseMinSupport)

@@ -624,7 +624,10 @@ object TextQueries {
       // checkpoint the (doc_id, term) distinct frame: nn, dfq and the
       // capped candidate join all consume it — without the checkpoint the
       // tokenize→explode→distinct lineage (a full corpus re-tokenization)
-      // runs three times in one query (registry-released after the query)
+      // runs three times in one query (registry-released after the query).
+      // r19 two-scale re-test (the r18 ladder method): WITHOUT the
+      // checkpoint sf10 29.5 s vs 27.9 s with, sf0.1 2.00 vs 2.02 —
+      // KEPT (no scale where removal wins)
       val t = graft.functions.Checkpoints.lazyLocal(
         Tables(s, dir, "documents")
           .transform(Tables.spread(_, col("doc_id"))) // single-file scan → spread the pair loop
@@ -1466,7 +1469,10 @@ object TextQueries {
         .select(col("doc_id"), explode(tokens("text")).as("term"))
       // doc lengths, corpus totals, df AND the score join all consume the
       // tf aggregate — checkpoint it so the tokenize+explode (the
-      // dominant cost) runs ONCE, not once per consumer
+      // dominant cost) runs ONCE, not once per consumer.
+      // r19 two-scale re-test: WITHOUT it sf10 16.1 s vs 10.4 s with,
+      // sf0.1 1.52 vs 1.67 (noise) — KEPT (sf10 says exchange reuse does
+      // NOT dedup this subtree across the broadcast-nested consumers)
       val tf = graft.functions.Checkpoints.lazyLocal(
         t.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")))
       val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
@@ -1545,6 +1551,9 @@ object TextQueries {
       val t = Tables(s, dir, "documents")
         .transform(Tables.spread(_, col("doc_id")))
         .select(col("doc_id"), explode(tokens("text")).as("term"))
+      // r19 two-scale re-test of this tf checkpoint (inherits q_bm25's
+      // shape): WITHOUT it sf10 20.7 s vs 11.7 s with, sf0.1 2.43 vs
+      // 2.13 — KEPT at both scales
       val tf = graft.functions.Checkpoints.lazyLocal(
         t.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")))
       val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))

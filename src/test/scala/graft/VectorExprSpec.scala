@@ -310,6 +310,55 @@ class VectorExprSpec extends SparkSpec {
     assert(edge.filter(!($"old" <=> $"nw")).count() === 0)
   }
 
+  // ---- r19: the native basket pair expansion must emit exactly the
+  // pair sequence of the nested transform+slice chain it replaced.
+  test("SortedPairs equals the nested transform/slice pair expansion") {
+    val baskets = Tables(spark, sf001, "lineitem")
+      .groupBy($"l_orderkey")
+      .agg(sort_array(collect_set($"l_partkey")).as("parts"))
+    val interp = expr(
+      "flatten(transform(parts, (x, i) -> " +
+        "transform(slice(parts, i + 2, size(parts)), y -> struct(x AS pa, y AS pb))))")
+    assert(baskets.filter(
+      !(VectorExpressions.sortedPairs($"parts") <=> interp)).count() === 0)
+    assert(baskets.count() > 0)
+    // singleton and empty baskets yield no pairs
+    val edge = Seq(Seq(7L), Seq.empty[Long], Seq(1L, 2L, 3L)).toDF("parts")
+    val gotEdge = edge.select(VectorExpressions.sortedPairs($"parts").as("n"),
+      expr("flatten(transform(parts, (x, i) -> " +
+        "transform(slice(parts, i + 2, size(parts)), y -> struct(x AS pa, y AS pb))))").as("i"))
+    assert(gotEdge.filter(!($"n" <=> $"i")).count() === 0)
+  }
+
+  // ---- r19: the native shingle/base-hash/marker-count passes must be
+  // bit-identical to the interpreted fragments they replaced (same
+  // strings, same order, same clamps) — these sit on every minhash/
+  // dedup/language corpus pass.
+  test("ShinglesExpr, Md5Base32 and MarkerCount equal their fragments") {
+    val f = docs
+      .withColumn("toks", tokens("text"))
+      .withColumn("shI", expr(
+        "array_distinct(transform(sequence(1, greatest(size(toks)-2, 1)), " +
+          "i -> array_join(slice(toks, i, 3), ' ')))"))
+      .withColumn("shN", VectorExpressions.shingles($"toks", 3))
+    assert(f.filter(!($"shI" <=> $"shN")).count() === 0)
+    assert(f.count() > 0)
+    val basesI = expr(
+      "transform(shI, x -> CAST(conv(substring(md5(x), 1, 8), 16, 10) AS BIGINT))")
+    assert(f.filter(!(VectorExpressions.md5Base32($"shI") <=> basesI)).count() === 0)
+    val words = Seq("the", "a", "of", "don't")
+    val mcI = expr("size(filter(toks, x -> x IN ('the', 'a', 'of', 'don\\'t')))")
+    assert(f.filter(
+      !(VectorExpressions.markerCount($"toks", words) <=> mcI)).count() === 0)
+    // short-array clamp: < n tokens yields the one whole-array gram
+    val edge = spark.sql("SELECT array('a', 'b') toks UNION ALL SELECT array('x')")
+      .withColumn("shI", expr(
+        "array_distinct(transform(sequence(1, greatest(size(toks)-2, 1)), " +
+          "i -> array_join(slice(toks, i, 3), ' ')))"))
+    assert(edge.filter(
+      !(VectorExpressions.shingles($"toks", 3) <=> $"shI")).count() === 0)
+  }
+
   test("LatticeD2 equals the interpreted decimal zip_with aggregate") {
     val e = Tables(spark, sf001, "embeddings")
       .select($"vec_id", $"label", quantize("embedding").as("q"))
